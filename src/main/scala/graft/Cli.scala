@@ -1,0 +1,47 @@
+package graft
+
+import graft.service.{QueryService, QueryStatus}
+
+/** Headless CLI client — the Spark-side replacement for the
+  * reference's `client_tui --sql-file=queries.sql` path
+  * (/root/reference/src/bin/client_tui.rs:46-59): split a SQL script
+  * into statements, run each as its own query via [[QueryService]],
+  * wait for completion, and page through results.
+  *
+  * Usage: runMain graft.Cli <sql-file> [resultsRoot] [pageSize]
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val sqlFile = args(0)
+    val resultsRoot = if (args.length > 1) args(1) else "/tmp/graft_results"
+    val pageSize = if (args.length > 2) args(2).toInt else 20
+
+    val spark = Engine.session("graft-cli")
+    val svc = new QueryService(spark, resultsRoot)
+    val script = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sqlFile)))
+
+    val ids = svc.runScript(script)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      svc.awaitComplete(id) match {
+        case QueryStatus.Complete =>
+          val r = svc.reader(id)
+          println(s"-- query $i [$id]: Complete, ${r.totalRows} rows -> ${svc.resultDir(id)}")
+          var cursor = Option(service.ResultCursor(0, 0))
+          var pageNo = 0
+          while (cursor.isDefined) {
+            val page = r.read(cursor.get, pageSize)
+            println(s"   page $pageNo (${page.rows.size} rows):")
+            page.rows.foreach(row => println(s"     $row"))
+            cursor = page.next
+            pageNo += 1
+          }
+        case QueryStatus.Error(msg) =>
+          println(s"-- query $i [$id]: ERROR: $msg")
+        case other =>
+          println(s"-- query $i [$id]: still $other (timeout)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + table loading for the graft engine.
+  *
+  * Replaces the reference's worker config / connection registry
+  * (/root/reference/src/config/worker.rs:96-179) with Spark session
+  * conf: named storage connections become Hadoop FS settings, and the
+  * reference's fixed 10k-row scan batches
+  * (/root/reference/src/planner/physical_planner.rs:319-323) become
+  * `spark.sql.files.maxPartitionBytes` + the vectorized parquet reader.
+  *
+  * Scale stance: every knob here is chosen so the same code runs
+  * unchanged on a multi-executor cluster — AQE on (runtime shuffle
+  * re-plan + skew-join handling), shuffle partitions sized to the
+  * local core count only as a default the cluster overrides.
+  */
+object Engine {
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    tune(spark)
+    spark
+  }
+
+  /** Runtime conf safe to apply to an externally-built session (Verify /
+    * Bench / tests build their own). Idempotent. */
+  def tune(spark: SparkSession): Unit = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader does
+    // not support natively; read as long and convert (see table()).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  /** Load one testdata table. Normalizes the `events.ts` nanosecond
+    * timestamp (read as long under nanosAsLong) back to a timestamp. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType.typeName == "long")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every testdata table as a temp view (for spark.sql paths). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}
