@@ -379,9 +379,141 @@ object SparkEntry {
       "ORDER BY o_orderkey")
   )
 
+  // ===========================================================
+  // Training-data-pipeline extensions: dedup / similarity / text
+  // analysis / multimodal (graft.pipeline.*)
+  // ===========================================================
+
+  /** The explicit-fold cosine expression shared by the embedding
+    * oracles (same sequential double arithmetic as Embeddings.dot). */
+  private def duckCos(a: String, b: String): String =
+    s"(list_reduce(list_transform(range(1,65), i -> $a.v[i]*$b.v[i]), (x,y) -> x+y) / " +
+      s"(sqrt(list_reduce(list_transform(range(1,65), i -> $a.v[i]*$a.v[i]), (x,y) -> x+y)) * " +
+      s"sqrt(list_reduce(list_transform(range(1,65), i -> $b.v[i]*$b.v[i]), (x,y) -> x+y))))"
+
+  /** DuckDB mirror of TextDedup.ngramJaccardPairs (k=3, threshold 0.8):
+    * brute-force pairwise exact Jaccard over distinct word 3-shingles.
+    * Also the oracle for the minhash / simhash variants, whose
+    * verified output equals the exact join (candidate recall ≈ 1). */
+  private val duckJaccardPairs: String =
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3) " +
+      "SELECT doc_a, doc_b, jaccard FROM (" +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+      "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      pipeline.TextDedup.exact(T(s, d, "documents")).orderBy("doc_id")),
+
+    "dedup_ngram" -> ((s, d) =>
+      pipeline.TextDedup.ngramJaccardPairs(T(s, d, "documents"), 3, 0.8)),
+
+    "dedup_minhash" -> ((s, d) =>
+      pipeline.TextDedup.minhashLshPairs(T(s, d, "documents"), 3, 0.8)),
+
+    "dedup_simhash" -> ((s, d) =>
+      pipeline.TextDedup.simhashPairs(T(s, d, "documents"), 3, 0.8)),
+
+    "dedup_embed" -> ((s, d) =>
+      pipeline.Embeddings.nearDupPairs(T(s, d, "embeddings"), 0.4)),
+
+    "ann_topk" -> ((s, d) =>
+      pipeline.Embeddings.bruteForceTopK(T(s, d, "embeddings"), 10, 5)),
+
+    // Approximate (recall measured in the spec, not oracle-matched).
+    "ann_lsh" -> ((s, d) =>
+      pipeline.Embeddings.lshTopK(T(s, d, "embeddings"), 10, 5)),
+
+    "text_tokens" -> ((s, d) =>
+      pipeline.TextAnalysis.tokenCounts(T(s, d, "documents"))),
+
+    "text_quality" -> ((s, d) =>
+      pipeline.TextAnalysis.qualityScore(T(s, d, "documents"))),
+
+    "text_langid" -> ((s, d) =>
+      pipeline.TextAnalysis.languageId(T(s, d, "documents"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      pipeline.TextAnalysis.fingerprint(T(s, d, "documents"))),
+
+    "mm_meta" -> ((s, d) =>
+      pipeline.Multimodal.mediaMeta(T(s, d, "documents")))
+  )
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+
+    "dedup_ngram" -> duckJaccardPairs,
+    "dedup_minhash" -> duckJaccardPairs,
+    "dedup_simhash" -> duckJaccardPairs,
+
+    "dedup_embed" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+      "SELECT vec_a, vec_b, cos FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+      duckCos("a", "b") + " AS cos FROM v a JOIN v b ON a.vec_id < b.vec_id) " +
+      "WHERE cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "ann_topk" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 10), " +
+      "scored AS (SELECT q.query_id, a.vec_id AS neighbor_id, " +
+      duckCos("a", "q") + " AS cos FROM v a, q WHERE a.vec_id != q.query_id) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    "text_tokens" -> ("SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens, " +
+      "CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS chars_per_token " +
+      "FROM documents ORDER BY doc_id"),
+
+    "text_quality" -> ("WITH t AS (SELECT doc_id, text, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +
+      "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct, " +
+      "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      "t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE) AS stop FROM documents) " +
+      "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "punct / length(text) AS punct_ratio, " +
+      "stop / len(w) AS stop_ratio, " +
+      "least(len(w) / 256.0, 1.0) * (1.0 - punct / length(text)) * " +
+      "(0.5 + 0.5 * least(4.0 * stop / len(w), 1.0)) AS quality " +
+      "FROM t ORDER BY doc_id"),
+
+    "text_langid" -> ("WITH t AS (SELECT doc_id, lang, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sc AS (SELECT doc_id, lang AS actual_lang, " +
+      "CAST(len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS score_en, " +
+      "CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr, " +
+      "CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de, " +
+      "CAST(len(list_filter(w, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS score_es, " +
+      "CAST(len(list_filter(w, x -> x IN ('的','是','在','了','和'))) AS BIGINT) AS score_zh " +
+      "FROM t) " +
+      "SELECT doc_id, actual_lang, score_en, score_fr, score_de, score_es, score_zh, " +
+      "CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en' " +
+      "WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr' " +
+      "WHEN score_de >= score_es AND score_de >= score_zh THEN 'de' " +
+      "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS predicted_lang " +
+      "FROM sc ORDER BY doc_id"),
+
+    "text_fingerprint" -> ("SELECT doc_id, " +
+      "list_reduce(list_prepend(0, list_transform(regexp_split_to_array(text, ''), " +
+      "c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp " +
+      "FROM documents ORDER BY doc_id"),
+
+    "mm_meta" -> ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS width, " +
+      "CAST(64 + (octet_length(encode(text)) // 7) % 192 AS BIGINT) AS height, " +
+      "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames " +
+      "FROM documents ORDER BY doc_id")
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ aggQueries ++ joinQueries
+    parityQueries ++ aggQueries ++ joinQueries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    parityOracles ++ aggOracles ++ joinOracles
+    parityOracles ++ aggOracles ++ joinOracles ++ pipelineOracles
 }

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media ride along as opaque `binary`
+  * payloads with typed metadata; decode / feature-extraction runs as a
+  * partition-local batch transform.
+  *
+  * The decode step itself is STUBBED (this environment has no image /
+  * audio codecs): `decodeStub` derives deterministic fake media
+  * properties from the payload bytes. Everything around it — the
+  * schema contract, the binary column, partition-parallel batch
+  * execution via `mapPartitions`, and the metadata struct — is the
+  * real production shape; swapping the stub for a JNI/codec call
+  * changes no plumbing.
+  *
+  * Scale notes: payloads never pass through a shuffle here — decode is
+  * map-side only; `spark.sql.files.maxPartitionBytes` bounds per-task
+  * memory for large media files, and binary columns use parquet's
+  * incremental page reads.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("declared_bytes", LongType))))))
+
+  /** Wrap a documents table as a multimodal table: the UTF-8 text
+    * bytes stand in for a media payload. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source").as("source"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("declared_bytes")).as("meta"))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false)))
+
+  /** Partition-local "decode": batches of payloads → fake media
+    * properties (dimensions from byte length, mean byte value as the
+    * stand-in extracted feature). Replace the body with a real codec
+    * call to productionize; the signature and physical plan stay. */
+  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n = if (bytes == null) 0 else bytes.length
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+        Row(id, 64 + (n % 192), 64 + ((n / 7) % 192), 3,
+          if (n == 0) 0.0 else sum.toDouble / n)
+      }
+    }
+    spark.createDataFrame(rdd, decodedSchema)
+  }
+
+  /** Metadata-only projection (no decode): deterministic fake frame
+    * geometry derived from payload size — the oracle-checkable slice
+    * of the multimodal path. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    asMediaTable(docs).select(
+      col("doc_id"),
+      col("meta.declared_bytes").as("n_bytes"),
+      (lit(64) + col("meta.declared_bytes") % 192).cast("long").as("width"),
+      (lit(64) + (col("meta.declared_bytes") / lit(7)).cast("long") % 192).cast("long").as("height"),
+      (lit(1) + col("meta.declared_bytes") % 16).cast("long").as("frames"))
+      .orderBy("doc_id")
+}

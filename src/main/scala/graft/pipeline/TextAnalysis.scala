@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, n-gram language scoring, and document
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs), so they fuse into the scan and cost one pass over the
+  * corpus regardless of scale.
+  *
+  * Every formula is written as explicit sequential arithmetic so the
+  * DuckDB oracle can restate it verbatim (bit-identical doubles).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs | digit runs | single other non-space chars). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_re_tokens"),
+      (length(col("text")).cast("double") / size(tokens(col("text"))))
+        .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  private val enStop = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+
+  /** Heuristic quality score in [0,1]: length saturation × (1 − punct
+    * density) × stopword-presence factor. The exact formula matters
+    * less than it being deterministic, cheap, and monotone in the
+    * obvious signals — the standard shape for corpus filtering. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("double")
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+    val stop = size(filter(tokens(col("text")),
+      t => t.isin(enStop: _*))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (punct / length(col("text"))).as("punct_ratio"),
+      (stop / nTok).as("stop_ratio"),
+      (least(nTok / lit(256.0), lit(1.0)) * (lit(1.0) - punct / length(col("text")))
+        * (lit(0.5) + lit(0.5) * least(lit(4.0) * stop / nTok, lit(1.0)))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "que", "y", "una"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Stopword-hit language scores + argmax prediction (first language
+    * in declared order wins ties). With synthetic single-vocabulary
+    * testdata this mostly predicts 'en'; the operator is the point. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isin(words: _*))).cast("long")
+    }
+    val pred = scores.tail.foldLeft[(Column, Column)](lit(scores.head._1) -> scores.head._2) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+    docs.select(
+      col("doc_id") +: col("lang").as("actual_lang") +:
+        scores.map { case (l, c) => c.as(s"score_$l") } :+ pred.as("predicted_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprint over the document's characters:
+    * fold(acc, ch) = (acc * 31 + codepoint(ch)) mod 1_000_000_007.
+    * One 64-bit value per doc — the cheap exact-dup / shard-routing
+    * key (8 bytes shuffled instead of the body). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(split(col("text"), ""), lit(0L),
+        (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L))).as("fp"))
+      .orderBy("doc_id")
+}

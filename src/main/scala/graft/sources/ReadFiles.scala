@@ -35,22 +35,44 @@ final case class Connections(roots: Map[String, String] = Map("default" -> "")) 
   * shuffle — so the only thing to build is the SQL surface itself.
   */
 object ReadFiles {
-  // read_files('path' [, connection=>'name'])  — case-insensitive,
-  // whitespace-tolerant; single-quoted args as in the reference grammar.
-  private val Pattern =
-    """(?is)read_files\s*\(\s*'([^']+)'\s*(?:,\s*connection\s*=>\s*'([^']+)'\s*)?\)""".r
+  // read_files('path' [, name=>'value']...) — case-insensitive,
+  // whitespace-tolerant; single-quoted args as in the reference
+  // grammar (read_files_task.rs:64-115 takes path + connection; we
+  // extend with the reference's roadmap formats: format=>'csv'|'json'
+  // |'parquet' and header=>'true'|'false' for CSV).
+  private val Call =
+    """(?is)read_files\s*\(\s*'([^']+)'((?:\s*,\s*\w+\s*=>\s*'[^']*')*)\s*\)""".r
+  private val Arg = """(?is)(\w+)\s*=>\s*'([^']*)'""".r
+
+  private def inferFormat(path: String): String = {
+    val p = path.toLowerCase.stripSuffix("/")
+    if (p.endsWith(".csv") || p.contains(".csv")) "csv"
+    else if (p.endsWith(".json") || p.contains(".json")) "json"
+    else "parquet"
+  }
 
   /** Rewrite every read_files(...) call in `sql` to a registered temp
-    * view over the resolved parquet path(s). Returns the rewritten SQL. */
+    * view over the resolved path(s). Returns the rewritten SQL. */
   def rewrite(spark: SparkSession, sql: String,
               connections: Connections = Connections()): String = {
     var i = 0
-    Pattern.replaceAllIn(sql, m => {
-      val path = connections.resolve(Option(m.group(2)), m.group(1))
+    Call.replaceAllIn(sql, m => {
+      val args = Arg.findAllMatchIn(m.group(2))
+        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
+      val path = connections.resolve(args.get("connection"), m.group(1))
+      val fmt = args.getOrElse("format", inferFormat(path))
+      val df = fmt match {
+        case "csv" => spark.read
+          .option("header", args.getOrElse("header", "true"))
+          .option("inferSchema", args.getOrElse("inferschema", "true"))
+          .csv(path)
+        case "json" => spark.read.json(path)
+        case _ => spark.read.parquet(path)
+      }
       i += 1
       // A stable, collision-free view name per call site.
       val view = s"read_files_${Integer.toHexString(path.hashCode)}_$i"
-      spark.read.parquet(path).createOrReplaceTempView(view)
+      df.createOrReplaceTempView(view)
       view
     })
   }

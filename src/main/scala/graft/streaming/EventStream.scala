@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over an `events`-shaped stream
+  * (event_id, ts, user_id, event_type, value). The reference has no
+  * streaming (its closest analog is the exchange heartbeat/requeue
+  * protocol — /root/reference/DEV_NOTES.md:215-268 sketches stream
+  * generators as a future idea); these are the Spark-native slot for
+  * that direction: watermarked event-time windows + keyed state.
+  *
+  * Scale stance: all operators are keyed by user_id/window, so state
+  * is hash-partitioned across executors; watermarks bound state size
+  * (late data beyond the watermark is dropped, state for closed
+  * windows/sessions is freed). The same code runs on a file stream,
+  * Kafka, or MemoryStream (used by the spec).
+  */
+object EventStream {
+
+  /** Tumbling event-time window aggregation with a watermark. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window per-user rate (10 min slide over 1 h windows). */
+  def slidingUserRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+                           n_events: Long, sum_value: Double)
+
+  /** Session window per user with an inactivity gap: custom keyed
+    * state via flatMapGroupsWithState (the reference-roadmap "custom
+    * operator" slot, expressed the Spark-native way). A session closes
+    * either when a later event arrives past the gap (emitted in-batch)
+    * or, with the default ProcessingTimeTimeout, when the timeout
+    * fires after `gapMs` of inactivity. Tests pass NoTimeout so
+    * MemoryStream micro-batches terminate deterministically. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 timeoutConf: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

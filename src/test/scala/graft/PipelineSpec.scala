@@ -1,0 +1,87 @@
+package graft
+
+import graft.pipeline.{Embeddings, Multimodal, TextAnalysis, TextDedup}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs = Engine.table(spark, sfDir, "documents").cache()
+  private lazy val emb = Engine.table(spark, sfDir, "embeddings").cache()
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup keeps one doc per distinct text") {
+    val kept = TextDedup.exact(docs).count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(kept == distinctTexts)
+  }
+
+  test("minhash-LSH verified pairs equal the exact n-gram jaccard join") {
+    val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
+    val lsh = pairSet(TextDedup.minhashLshPairs(docs, 3, 0.8))
+    assert(exact.nonEmpty, "testdata should contain near-dup pairs")
+    assert(lsh == exact)
+  }
+
+  test("simhash verified pairs equal the exact n-gram jaccard join") {
+    val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
+    val sim = pairSet(TextDedup.simhashPairs(docs, 3, 0.8))
+    assert(sim == exact)
+  }
+
+  test("jaccard values are in (0.8, 1.0]") {
+    val js = TextDedup.ngramJaccardPairs(docs, 3, 0.8)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.forall(j => j >= 0.8 && j <= 1.0))
+  }
+
+  test("ann LSH top-k recall vs brute force") {
+    val bf = Embeddings.bruteForceTopK(emb, 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Embeddings.lshTopK(emb, 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & approx).size.toDouble / bf.size
+    assert(recall >= 0.5, s"LSH recall $recall below 0.5 (got ${approx.size} pairs)")
+  }
+
+  test("brute-force top-k is k rows per query, ranked by cosine") {
+    val rows = Embeddings.bruteForceTopK(emb, 10, 5).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val cs = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("fingerprint is deterministic and mostly distinct") {
+    val fp1 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fp2 = TextAnalysis.fingerprint(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fp1.sameElements(fp2))
+    assert(fp1.map(_._2).distinct.length >= fp1.length - 5)
+  }
+
+  test("multimodal decode stub: geometry matches metadata arithmetic") {
+    val media = Multimodal.asMediaTable(docs)
+    val decoded = Multimodal.decodeStub(spark, media)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    val meta = Multimodal.mediaMeta(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(decoded.keySet == meta.keySet)
+    meta.foreach { case (id, (w, h)) =>
+      val (dw, dh, ch, mean) = decoded(id)
+      assert(dw.toLong == w && dh.toLong == h && ch == 3)
+      assert(mean > 0 && mean < 256)
+    }
+  }
+
+  test("language scores count stopword hits") {
+    val row = TextAnalysis.languageId(docs).filter("doc_id = 0").collect()(0)
+    val text = docs.filter("doc_id = 0").collect()(0).getAs[String]("text")
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val en = toks.count(Set("the", "and", "of", "is", "a"))
+    assert(row.getAs[Long]("score_en") == en)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermarked tumbling window closes after watermark advances") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(40), 1, "view", 3.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0 — nothing emitted yet
+      assert(spark.table("win_counts").count() == 0)
+      in.addData(Event(4, ts(180), 3, "click", 4.0)) // advances watermark past hour 0
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select("event_type", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(240), 1, "click", 1.0)) // watermark → 3:30
+      q.processAllAvailable()
+      in.addData(Event(3, ts(15), 1, "click", 100.0)) // late: hour-0 already closed
+      q.processAllAvailable()
+      val hour0 = spark.table("late_drop")
+        .filter("window_start = timestamp'2026-01-01 00:00:00'").collect()
+      assert(hour0.length == 1)
+      assert(hour0(0).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize emits a closed session when a gap exceeds the threshold") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val sessions = EventStream.sessionize(in.toDS(), gapMs = 10 * 60 * 1000L,
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart, then a 3rd 1 hour later → first
+      // session (2 events) closes when the 3rd arrives.
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(65), 1, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[Session].collect()
+      assert(out.length == 1)
+      assert(out(0).n_events == 2 && out(0).sum_value == 3.0)
+      assert(out(0).start_ts == ts(0) && out(0).end_ts == ts(5))
+    } finally q.stop()
+  }
+}
