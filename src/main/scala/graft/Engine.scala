@@ -62,4 +62,14 @@ object Engine {
   /** Register every testdata table as a temp view (for spark.sql paths). */
   def registerViews(spark: SparkSession, dir: String): Unit =
     tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Ensure compute-heavy map stages get at least the session's
+    * default parallelism. Small single-file inputs otherwise plan as
+    * one task and serialize the whole stage on one core; inputs that
+    * already have enough splits (the 100 TB case) pass through without
+    * an extra shuffle. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -80,9 +80,8 @@ object TextAnalysis {
     * One 64-bit value per doc — the cheap exact-dup / shard-routing
     * key (8 bytes shuffled instead of the body). */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.Engine.fanOut(docs).select(
       col("doc_id"),
-      aggregate(split(col("text"), ""), lit(0L),
-        (acc, ch) => pmod(acc * 31 + ascii(ch), lit(1000000007L))).as("fp"))
+      graft.functions.NativeExpressions.poly_fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 }

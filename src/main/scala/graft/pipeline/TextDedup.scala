@@ -50,7 +50,8 @@ object TextDedup {
       .select("doc_id")
 
   private def withShingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    graft.Engine.fanOut(docs)
+      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /** Verify candidate pairs (doc_a, doc_b) against exact Jaccard of the
@@ -91,30 +92,12 @@ object TextDedup {
 
   // --- MinHash + LSH ------------------------------------------------
 
-  /** Fixed permutation parameters from a deterministic LCG (no RNG at
-    * plan time — signatures are reproducible across runs/clusters). */
-  private val MersennePrime = 2147483647L // 2^31 - 1
-  private def lcg(seed: Long): Long = (seed * 1103515245L + 12345L) & 0x7fffffffL
-  private def permParams(n: Int): (Array[Long], Array[Long]) = {
-    val a = new Array[Long](n); val b = new Array[Long](n)
-    var s = 42L
-    for (i <- 0 until n) {
-      s = lcg(s); a(i) = 1L + (s % (MersennePrime - 1))
-      s = lcg(s); b(i) = s % MersennePrime
-    }
-    (a, b)
-  }
-
   /** MinHash signature column (array<bigint> of `perms` mins) over the
-    * doc's shingle set. Shingle → 31-bit id via xxhash64 (collision
-    * noise is absorbed by the exact verification step). */
-  def minhashSignature(sh: Column, perms: Int): Column = {
-    val (a, b) = permParams(perms)
-    val ids = transform(sh, s => pmod(xxhash64(s), lit(2147483629L)))
-    transform(sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(ids,
-        x => pmod(element_at(lit(a), i + 1) * x + element_at(lit(b), i + 1), lit(MersennePrime)))))
-  }
+    * doc's shingle set — native expression (graft.functions); the
+    * equivalent nested transform/array_min HOFs evaluate one boxed
+    * lambda per (perm × shingle) and dominated the sf0.1 bench. */
+  def minhashSignature(sh: Column, perms: Int): Column =
+    graft.functions.NativeExpressions.minhash_sig(sh, perms)
 
   /** MinHash-LSH near-dup pairs. Signatures are banded (`bands` ×
     * `rowsPerBand`); docs sharing any band bucket become candidates;
@@ -153,15 +136,7 @@ object TextDedup {
     * grows as n²/2^(64/chunks) per chunk, so widen chunks (or add a
     * second banding key) as n grows. */
   def simhashChunks(text: Column, chunks: Int = 8): Column = {
-    val width = 64 / chunks
-    val hs = transform(tokens(text), t => xxhash64(t))
-    val bits = transform(sequence(lit(0), lit(63)),
-      k => when(aggregate(hs, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0, 1L)
-        .otherwise(0L))
-    transform(sequence(lit(0), lit(chunks - 1)),
-      c => aggregate(sequence(lit(0), lit(width - 1)), lit(0L),
-        (acc, j) => acc + element_at(bits, c * width + j + 1) * call_function("shiftleft", lit(1L), j)))
+    graft.functions.NativeExpressions.simhash_chunks(tokens(text), chunks)
   }
 
   /** SimHash near-dup pairs: chunk-bucket candidates, then exact
@@ -169,7 +144,8 @@ object TextDedup {
     * variants — candidate generation is the only thing that differs). */
   def simhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = withShingles(docs, k)
-    val chunked = docs.select(col("doc_id"), simhashChunks(col("text")).as("chunks"))
+    val chunked = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), simhashChunks(col("text")).as("chunks"))
       .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
     val cands = chunked.as("x").join(chunked.as("y"),
         col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk_val") === col("y.chunk_val") &&
