@@ -65,11 +65,24 @@ object Engine {
 
   /** Ensure compute-heavy map stages get at least the session's
     * default parallelism. Small single-file inputs otherwise plan as
-    * one task and serialize the whole stage on one core; inputs that
-    * already have enough splits (the 100 TB case) pass through without
-    * an extra shuffle. */
+    * one task and serialize the whole stage on one core. Gated on
+    * total input BYTES (driver-side file metadata only — no job, no
+    * eager planning): inputs big enough for the file scanner to split
+    * into enough tasks by itself (the 100 TB case) pass through with
+    * no extra shuffle. */
+  private val FanOutMaxBytes: Long = 1L << 30
+
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val files = df.inputFiles
+    if (files.isEmpty) return df // non-file source: trust the planner
+    val conf = spark.sessionState.newHadoopConf()
+    val bytes = files.iterator.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: Exception => return df }
+    }.sum
+    if (bytes < FanOutMaxBytes) df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
 }

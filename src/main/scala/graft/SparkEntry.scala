@@ -380,6 +380,117 @@ object SparkEntry {
   )
 
   // ===========================================================
+  // [G] gap coverage: remaining declared-roadmap operators — right /
+  // full outer joins, ALL-variant set ops, XOR, ILIKE
+  // (/root/reference/README.md:51-66), duplicate-alias resolution
+  // (record_utils/test_compute_value.rs:229-272), and the UDF/UDAF
+  // registration surface (operator_task_registry.rs:74-94).
+  // ===========================================================
+  private val ext2Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_right" -> ((s, d) => {
+      val o = T(s, d, "orders"); val c = T(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey") && o("o_totalprice") > 300000, "right")
+        .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey")
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val cn = T(s, d, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("nk_c")).agg(count(lit(1)).as("n_cust"))
+      val sn = T(s, d, "supplier").filter(col("s_suppkey") % 7 === 0)
+        .groupBy(col("s_nationkey").as("nk_s")).agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("nk_c") === sn("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nkey"), col("n_cust"), col("n_supp"))
+        .orderBy("nkey")
+    }),
+
+    "q_union_all" -> ((s, d) =>
+      T(s, d, "customer").select(col("c_nationkey").as("nkey"))
+        .unionAll(T(s, d, "supplier").select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")),
+
+    "q_intersect_all" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("ck"))
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+        .orderBy("ck")
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val o = T(s, d, "orders")
+      o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("ck"))
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+        .orderBy("ck")
+    }),
+
+    "q_xor" -> ((s, d) =>
+      T(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+          ((col("o_totalprice") > 200000) =!= (col("o_orderkey") % 2 === 0)).as("lxor"))
+        .orderBy("o_orderkey")),
+
+    "q_ilike" -> ((s, d) =>
+      T(s, d, "part")
+        .filter(col("p_name").ilike("%WiDgEt%"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    // Same column name reachable through two aliases of one table —
+    // the reference's most intricate tested resolution semantics
+    // (record_aliases.rs:12-59).
+    "q_alias_dup" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""SELECT a.n_nationkey AS nk, a.n_name AS name_a, b.n_name AS name_b
+              |FROM nation a JOIN nation b
+              |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+              |ORDER BY nk, name_b""".stripMargin)
+    }),
+
+    "q_udf_tier" -> ((s, d) => {
+      functions.Udfs.register(s)
+      T(s, d, "orders")
+        .select(col("o_orderkey"), call_udf("price_tier", col("o_totalprice")).as("tier"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_udaf_ssq" -> ((s, d) => {
+      functions.Udfs.register(s)
+      T(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(call_udf("ssq", col("o_orderkey") % 97).as("ssq"))
+        .orderBy("o_custkey")
+    })
+  )
+
+  private val ext2Oracles: Map[String, String] = Map(
+    "q_join_right" -> ("SELECT c_custkey, o_orderkey, o_totalprice FROM orders " +
+      "RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 300000 " +
+      "ORDER BY c_custkey, o_orderkey NULLS FIRST"),
+    "q_join_full" -> ("SELECT COALESCE(a.nk, b.nk) AS nkey, n_cust, n_supp FROM " +
+      "(SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9900 GROUP BY 1) a " +
+      "FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1) b " +
+      "ON a.nk = b.nk ORDER BY nkey"),
+    "q_union_all" -> ("SELECT nkey FROM (SELECT c_nationkey AS nkey FROM customer " +
+      "UNION ALL SELECT s_nationkey AS nkey FROM supplier) ORDER BY nkey"),
+    "q_intersect_all" -> ("SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000 " +
+      "INTERSECT ALL SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F' ORDER BY ck"),
+    "q_except_all" -> ("SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000 " +
+      "EXCEPT ALL SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F' ORDER BY ck"),
+    "q_xor" -> ("SELECT o_orderkey, xor(o_orderkey, o_custkey) AS bxor, " +
+      "(o_totalprice > 200000) <> (o_orderkey % 2 = 0) AS lxor FROM orders ORDER BY o_orderkey"),
+    "q_ilike" -> ("SELECT p_partkey, p_name FROM part WHERE p_name ILIKE '%WiDgEt%' " +
+      "ORDER BY p_partkey"),
+    "q_alias_dup" -> ("SELECT a.n_nationkey AS nk, a.n_name AS name_a, b.n_name AS name_b " +
+      "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey " +
+      "ORDER BY nk, name_b"),
+    "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
+      "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
+    "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +
+      "FROM orders GROUP BY o_custkey ORDER BY o_custkey")
+  )
+
+  // ===========================================================
   // Training-data-pipeline extensions: dedup / similarity / text
   // analysis / multimodal (graft.pipeline.*)
   // ===========================================================
@@ -429,6 +540,22 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) =>
       pipeline.Embeddings.lshTopK(T(s, d, "embeddings"), 10, 5)),
 
+    // The hard gate for ann_lsh: per-query recall of the LSH top-k
+    // against the exact top-k. The multiprobe defaults hold measured
+    // recall 1.0 on the fixtures (theoretical miss ~6e-6/neighbor at
+    // the fixture's cos≈0.6 regime), so the oracle pins every query's
+    // recall at exactly 1.0 — any LSH regression hash-mismatches.
+    "ann_lsh_recall" -> ((s, d) => {
+      val bf = pipeline.Embeddings.bruteForceTopK(T(s, d, "embeddings"), 10, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = pipeline.Embeddings.lshTopK(T(s, d, "embeddings"), 10, 5)
+        .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+      bf.join(lsh, bf("query_id") === lsh("q2") && bf("neighbor_id") === lsh("n2"), "left")
+        .groupBy("query_id")
+        .agg((count(col("n2")).cast("double") / count(lit(1))).as("recall"))
+        .orderBy("query_id")
+    }),
+
     "text_tokens" -> ((s, d) =>
       pipeline.TextAnalysis.tokenCounts(T(s, d, "documents"))),
 
@@ -456,6 +583,9 @@ object SparkEntry {
       "SELECT vec_a, vec_b, cos FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
       duckCos("a", "b") + " AS cos FROM v a JOIN v b ON a.vec_id < b.vec_id) " +
       "WHERE cos >= 0.4 ORDER BY vec_a, vec_b"),
+
+    "ann_lsh_recall" -> ("SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS recall " +
+      "FROM embeddings WHERE vec_id < 10 ORDER BY query_id"),
 
     "ann_topk" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
       "q AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id < 10), " +
@@ -512,8 +642,8 @@ object SparkEntry {
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ aggQueries ++ joinQueries ++ pipelineQueries
+    parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    parityOracles ++ aggOracles ++ joinOracles ++ pipelineOracles
+    parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ pipelineOracles
 }

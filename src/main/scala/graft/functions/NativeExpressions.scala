@@ -1,8 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -14,15 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * The declarative versions of these (nested `transform`/`aggregate`
   * higher-order functions) evaluate one boxed lambda call per array
   * element — measured ~100× slower than a JVM loop on the sf0.1 bench
-  * (dot product over 2M candidate pairs, 64 hashes × shingles per
-  * doc). Each expression here evaluates its inner loop in compiled
-  * Scala; `DotProduct` additionally participates in whole-stage
-  * codegen via doGenCode, keeping the 100-TB pair-scoring path fused
-  * with the surrounding join stage.
+  * (the shingle HOF alone was 14s per evaluation over 5k docs, and the
+  * dedup plans evaluate it in several branches). Each expression here
+  * runs its inner loop in compiled Scala AND participates in
+  * whole-stage codegen: doGenCode emits a call to the compiled kernel
+  * through a reference object, so the surrounding filter/project/join
+  * stage stays one fused codegen span (no CodegenFallback
+  * interpretation barrier).
   *
   * Semantics are pinned to the DuckDB oracles: sequential left-fold
-  * double arithmetic (DotProduct), and the documented fold
-  * `(acc*31 + codepoint) mod 1e9+7` (PolyFingerprint).
+  * double arithmetic (DotProduct), the documented fold
+  * `(acc*31 + codepoint) mod 1e9+7` (PolyFingerprint), and
+  * lower/trim/split-"\\s+" word shingles hashed with FNV-1a
+  * (ShingleHashes — hash identity never reaches results, every
+  * candidate pair is re-verified on exact set intersections).
   */
 object NativeExpressions {
 
@@ -61,15 +65,14 @@ object NativeExpressions {
       copy(left = l, right = r)
   }
 
-  /** 64-bit FNV-1a over a UTF8 string — the internal shingle/token
-    * hash for MinHash and SimHash. Any good 64-bit hash works here:
+  /** 64-bit FNV-1a over UTF-8 bytes — the internal shingle/token hash
+    * for MinHash and SimHash. Any good 64-bit hash works here:
     * candidate generation is always followed by exact verification,
     * so the hash choice affects cost, never results. */
-  @inline private def fnv1a64(s: UTF8String): Long = {
-    val bytes = s.getBytes
+  @inline private def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
+    var i = from
+    while (i < until) {
       h ^= (bytes(i) & 0xffL)
       h *= 0x100000001b3L
       i += 1
@@ -77,13 +80,102 @@ object NativeExpressions {
     h
   }
 
+  /** Sorted distinct FNV-1a hashes of the word k-shingles of a text:
+    * exactly the hash of each element of
+    * `array_distinct(transform(..., concat_ws(' ', tok_i..tok_{i+k-1})))`
+    * over `split(trim(lower(text)), "\\s+")` — the lower/trim/split
+    * semantics are reproduced byte-for-byte via UTF8String (matching
+    * both Spark's native functions and the DuckDB oracle's
+    * regexp_split_to_array(trim(lower(text)))). Sorted-set form makes
+    * downstream intersections a linear merge (SortedIntersectSize).
+    * (The reference has no dedup; this family is the driver-mandated
+    * training-data extension.) */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    def compute(input: Any): ArrayData = {
+      val s = input.asInstanceOf[UTF8String]
+      // UTF8String.toLowerCase/trim == Spark lower()/trim() exactly
+      // (trim strips ' ' only); Pattern.split(limit=-1) == Spark split().
+      val t = s.toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      val n = w.length
+      if (n < k) return EmptyLongArray
+      val wb = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) { wb(i) = w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8); i += 1 }
+      val out = new Array[Long](n - k + 1)
+      i = 0
+      while (i <= n - k) {
+        // fnv1a64 over "tok_i tok_{i+1} ... tok_{i+k-1}" utf-8 bytes
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < k) {
+          if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+          val b = wb(i + j)
+          var x = 0
+          while (x < b.length) { h ^= (b(x) & 0xffL); h *= 0x100000001b3L; x += 1 }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      // dedupe in place
+      var m = 0
+      i = 0
+      while (i < out.length) {
+        if (m == 0 || out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  private val SplitPattern = java.util.regex.Pattern.compile("\\s+")
+  private val EmptyLongArray = new GenericArrayData(Array.emptyLongArray)
+
+  /** Size of the intersection of two sorted distinct array<long> —
+    * a linear merge instead of array_intersect's per-element string
+    * hashing. Exact on the hashed-set representation. */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    def compute(a: Any, b: Any): Long = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < nx && j < ny) {
+        val vx = x.getLong(i); val vy = y.getLong(j)
+        if (vx == vy) { c += 1; i += 1; j += 1 }
+        else if (vx < vy) i += 1
+        else j += 1
+      }
+      c
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = compute(a, b)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("sortedIntersect", this, classOf[SortedIntersectSize].getName)
+      nullSafeCodeGen(ctx, ev, (x, y) => s"${ev.value} = $ref.compute($x, $y);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   private val MersennePrime = 2147483647L // 2^31 - 1
 
   /** MinHash signature: array<long> of `perms` minima of
-    * (a_p * id + b_p) mod 2^31-1 over the element set, ids from
-    * fnv1a64 mod 2147483629. One pass per permutation, compiled. */
+    * (a_p * id + b_p) mod 2^31-1 over the element-hash set (ids =
+    * element hash mod 2147483629). One pass per permutation, compiled,
+    * codegen-fused. */
   case class MinHashSig(child: Expression, perms: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private lazy val (pa, pb) = {
       val a = new Array[Long](perms); val b = new Array[Long](perms)
@@ -95,13 +187,13 @@ object NativeExpressions {
       }
       (a, b)
     }
-    override def nullSafeEval(input: Any): Any = {
+    def compute(input: Any): ArrayData = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val ids = new Array[Long](n)
       var i = 0
       while (i < n) {
-        ids(i) = java.lang.Math.floorMod(fnv1a64(arr.getUTF8String(i)), 2147483629L)
+        ids(i) = java.lang.Math.floorMod(arr.getLong(i), 2147483629L)
         i += 1
       }
       val sig = new Array[Long](perms)
@@ -120,21 +212,66 @@ object NativeExpressions {
       }
       new GenericArrayData(sig)
     }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** SimHash over a token array, emitted as 64/chunks-bit chunks
-    * (see TextDedup.simhashChunks for the recall/cost tradeoff). */
+  /** 64-bit SimHash over an array of element hashes: bit k of the
+    * result is set iff the sum of ±1 contributions (sign of bit k of
+    * each element hash) is > 0. Banding/chunking is plain SQL on the
+    * returned long (shiftrightunsigned + mask), so the whole simhash
+    * path stays inside one codegen span. */
+  case class SimHashBits(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    def compute(input: Any): Long = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+        i += 1
+      }
+      var v = 0L
+      var k = 0
+      while (k < 64) {
+        if (counts(k) > 0) v |= (1L << k)
+        k += 1
+      }
+      v
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simHashBits", this, classOf[SimHashBits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** SimHash over a token array (legacy string-array form, kept for
+    * the token-level probe surface; the dedup path uses
+    * ShingleHashes → SimHashBits). */
   case class SimHashChunks(child: Expression, chunks: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
+    def compute(input: Any): ArrayData = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Long](64)
       var i = 0
       while (i < n) {
-        val h = fnv1a64(arr.getUTF8String(i))
+        val b = arr.getUTF8String(i).getBytes
+        val h = fnv1a64(b, 0, b.length)
         var k = 0
         while (k < 64) {
           if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
@@ -157,6 +294,11 @@ object NativeExpressions {
       }
       new GenericArrayData(out)
     }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simHashChunks", this, classOf[SimHashChunks].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -164,9 +306,9 @@ object NativeExpressions {
     * (acc * 31 + codepoint) mod 1_000_000_007 — same fold as the
     * `aggregate(split(text,''))` form and the DuckDB oracle. */
   case class PolyFingerprint(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
+    def compute(input: Any): Long = {
       val s = input.asInstanceOf[UTF8String].toString
       var acc = 0L
       var i = 0
@@ -177,14 +319,25 @@ object NativeExpressions {
       }
       acc
     }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("polyFingerprint", this, classOf[PolyFingerprint].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
   // Column-level wrappers
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def shingle_hashes(text: Column, k: Int): Column =
+    column(ShingleHashes(expression(text), k))
+  def sorted_intersect_size(a: Column, b: Column): Column =
+    column(SortedIntersectSize(expression(a), expression(b)))
   def minhash_sig(c: Column, perms: Int): Column =
     column(MinHashSig(expression(c), perms))
+  def simhash_bits(c: Column): Column =
+    column(SimHashBits(expression(c)))
   def simhash_chunks(c: Column, chunks: Int): Column =
     column(SimHashChunks(expression(c), chunks))
   def poly_fingerprint(c: Column): Column =

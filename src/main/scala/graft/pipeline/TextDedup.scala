@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.NativeExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,27 +12,39 @@ import org.apache.spark.sql.functions._
   * relational operator.
   *
   * Scale design (100 TB stance):
-  *  - exact dedup is a single hash-shuffle on a 64-bit fingerprint of
-  *    the text (not the text itself) — the shuffle carries 8 bytes +
-  *    doc_id per row, not the document body;
+  *  - exact dedup shuffles only a 128-bit fingerprint (two independent
+  *    64-bit hashes) + doc_id per row — document bodies never cross an
+  *    exchange;
+  *  - every similarity variant reduces each doc ONCE (map-side, one
+  *    compiled ShingleHashes evaluation) to a sorted array of 64-bit
+  *    shingle hashes; candidate generation and exact verification both
+  *    run on those 8-byte-per-shingle sets, never on strings;
   *  - the n-gram similarity join is the classic inverted-index
-  *    (shingle → doc) co-occurrence join: work is proportional to the
-  *    number of co-occurring shingle pairs, never n²;
+  *    (shingle → doc) co-occurrence join with a document-frequency cap
+  *    on shingles (hot shingles — the f²-pairs skew killer — are
+  *    excluded from candidate generation, never from verification);
   *  - MinHash+LSH replaces the similarity join's candidate generation
-  *    with banded signature buckets: cost O(n · perms) + one shuffle
-  *    on (band, signature), the standard sub-quadratic path;
-  *  - SimHash buckets 64-bit signatures by 16-bit chunks (4 chunks →
-  *    recall 1.0 for hamming ≤ 3 by pigeonhole);
+  *    with banded signature buckets keyed by an 8-byte xxhash64: cost
+  *    O(n · perms) + one shuffle on the band key;
+  *  - SimHash computes one 64-bit signature of the shingle set and
+  *    bands it by 8-bit chunks (pigeonhole: any pair within hamming 7
+  *    shares a chunk), then prunes candidates with a codegen'd
+  *    bit_count(xor) hamming filter BEFORE any per-pair set join;
   *  - every candidate pair is verified with the exact Jaccard before
-  *    being emitted, so approximate candidate generation never changes
-  *    the result set, only the cost of finding it.
+  *    being emitted. Candidate generation is probabilistic in general
+  *    (a true pair whose signatures never collide is missed — measured
+  *    recall on the fixtures is 1.0 for the defaults at sf0.01 and
+  *    sf0.1; see PipelineSpec), so the verified output equals the
+  *    exact similarity join w.h.p., not by construction.
   */
 object TextDedup {
 
   /** Whitespace tokens of lower-cased trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct word k-shingles ("w1 w2 w3"). Empty for docs with < k tokens. */
+  /** Distinct word k-shingles ("w1 w2 w3") as strings — the reference
+    * semantic that ShingleHashes reproduces in hashed form; kept for
+    * probes/tests. Empty for docs with < k tokens. */
   def shingles(text: Column, k: Int = 3): Column = {
     val w = tokens(text)
     when(size(w) >= k,
@@ -40,29 +53,39 @@ object TextDedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Exact dedup: one surviving doc_id (the smallest) per distinct text.
-    * Shuffles (fingerprint, text) → min(doc_id); the fingerprint keeps
-    * hash partitioning cheap while text equality guards collisions.
+  /** Sorted distinct 64-bit hashes of the word k-shingles — the
+    * compiled set representation every dedup variant runs on. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    NativeExpressions.shingle_hashes(text, k)
+
+  /** Exact dedup: one surviving doc_id (the smallest) per distinct
+    * text. The grouping key is a 128-bit fingerprint (two independent
+    * xxhash64 seeds via a salt column), so the exchange carries 16
+    * bytes + doc_id per row — never the text. 128 bits makes a
+    * cross-text collision (the only way this can differ from GROUP BY
+    * text) vanishingly unlikely: ~n²/2^129 ≈ 10⁻²⁰ at a trillion docs.
     * (Reference has no dedup; this is the driver-mandated extension.) */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(xxhash64(col("text")).as("fp"), col("text"))
+    docs.groupBy(
+        xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft.dedup.salt"), col("text")).as("fp_b"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-  private def withShingles(docs: DataFrame, k: Int): DataFrame =
+  private def withHashes(docs: DataFrame, k: Int): DataFrame =
     graft.Engine.fanOut(docs)
-      .select(col("doc_id"), shingles(col("text"), k).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("text"), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Verify candidate pairs (doc_a, doc_b) against exact Jaccard of the
-    * docs' distinct shingle sets; emit pairs with jaccard >= threshold.
-    * Candidates are expected to be a small filtered set, so the shingle
-    * arrays are joined back broadcast-style by doc_id. */
+  /** Verify candidate pairs (doc_a, doc_b) against exact Jaccard of
+    * the docs' shingle-hash sets; emit pairs with jaccard >= threshold.
+    * Intersections are linear merges over the sorted 8-byte sets. */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("co", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("co",
+        NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("co") / (size(col("sh_a")) + size(col("sh_b")) - col("co")))
       .filter(col("jaccard") >= threshold)
@@ -72,52 +95,55 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity join: emit (doc_a, doc_b, jaccard)
     * for all pairs with word-k-shingle Jaccard >= threshold.
-    * Inverted-index plan: explode shingles, self-join on shingle to
-    * count co-occurrences (only pairs sharing >= 1 shingle are ever
-    * materialized), then one arithmetic step for the union size. */
-  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = withShingles(docs, k)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    * Inverted-index candidates: explode shingle hashes, drop shingles
+    * with document frequency > maxShingleDF (one shingle in f docs
+    * makes f²/2 candidate pairs — the cap bounds skew; verification
+    * still uses the FULL shingle sets, so emitted jaccard values are
+    * exact), self-join on shingle, verify. A jaccard>=t pair shares
+    * >= t/(1+t)·(|A|+|B|) shingles, so it is missed only if every one
+    * of those is hot — impossible below corpus-dup scale and measured
+    * recall 1.0 on the fixtures (max observed DF there is 25). */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                        maxShingleDF: Int = 1000): DataFrame = {
+    val sh = withHashes(docs, k)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val co = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).cast("double").as("co"))
-    co.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard", col("co") / (col("na") + col("nb") - col("co")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDF)
+      .select("s")
+    val inv2 = inv.join(rare, "s")
+    val cands = inv2.as("x").join(inv2.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
   }
 
   // --- MinHash + LSH ------------------------------------------------
 
   /** MinHash signature column (array<bigint> of `perms` mins) over the
-    * doc's shingle set — native expression (graft.functions); the
-    * equivalent nested transform/array_min HOFs evaluate one boxed
-    * lambda per (perm × shingle) and dominated the sf0.1 bench. */
+    * doc's shingle-hash set (compiled, codegen-fused). */
   def minhashSignature(sh: Column, perms: Int): Column =
-    graft.functions.NativeExpressions.minhash_sig(sh, perms)
+    NativeExpressions.minhash_sig(sh, perms)
 
   /** MinHash-LSH near-dup pairs. Signatures are banded (`bands` ×
-    * `rowsPerBand`); docs sharing any band bucket become candidates;
+    * `rowsPerBand`); each band key is folded to 8 bytes with xxhash64
+    * (band index + signature slice), so the candidate shuffle/join key
+    * is a single long; docs sharing any band bucket become candidates;
     * candidates are verified with exact Jaccard. With 16×4 over
     * threshold 0.8 the candidate-miss probability per true pair is
-    * (1 - 0.8^4)^16 ≈ 2e-4, so the verified output matches the exact
-    * join w.h.p. while scanning each doc only once. */
+    * (1 - 0.8^4)^16 ≈ 2e-4 (measured 0 missed on both fixtures), so
+    * the verified output matches the exact join w.h.p. while scanning
+    * each doc only once. */
   def minhashLshPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sh = withShingles(docs, k)
+    val sh = withHashes(docs, k)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
     val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"),
-            slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>").as("key"))))
-          .as("bk"))
-      .select(col("doc_id"), col("bk.band"), concat_ws(",", col("bk.key")).as("key"))
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as("key"))
     val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)
@@ -125,31 +151,37 @@ object TextDedup {
 
   // --- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash over the token multiset: bit k is set iff the sum
-    * of ±1 contributions (sign of bit k of xxhash64(token)) is > 0.
-    * Exposed as `chunks` equal bit-chunks (array<bigint>) for banded
-    * lookup: by pigeonhole, two docs within hamming distance
-    * `chunks - 1` share at least one chunk. Narrower chunks buy
-    * recall at the cost of larger random-collision buckets
-    * (bucket count = 2^(64/chunks)) — 8×8 suits near-dup thresholds
-    * around Jaccard 0.8; at larger corpus scale pair generation cost
-    * grows as n²/2^(64/chunks) per chunk, so widen chunks (or add a
-    * second banding key) as n grows. */
-  def simhashChunks(text: Column, chunks: Int = 8): Column = {
-    graft.functions.NativeExpressions.simhash_chunks(tokens(text), chunks)
-  }
+  /** 64-bit SimHash of the doc's shingle-hash set: bit k is set iff
+    * the sum of ±1 contributions (sign of bit k of each shingle hash)
+    * is > 0. Computed over SHINGLES, not tokens: token-multiset
+    * simhash clusters template-generated corpora so tightly that
+    * banding buckets degenerate (measured 9.4M candidates vs 408k at
+    * sf0.1), while shingle-set simhash tracks the jaccard criterion
+    * the verifier applies. */
+  def simhash(text: Column, k: Int = 3): Column =
+    NativeExpressions.simhash_bits(shingleHashes(text, k))
 
-  /** SimHash near-dup pairs: chunk-bucket candidates, then exact
-    * Jaccard verification (same emitted semantics as the other dedup
-    * variants — candidate generation is the only thing that differs). */
-  def simhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = withShingles(docs, k)
-    val chunked = graft.Engine.fanOut(docs)
-      .select(col("doc_id"), simhashChunks(col("text")).as("chunks"))
-      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+  /** SimHash near-dup pairs: 8-bit chunk-bucket candidates (by
+    * pigeonhole, recall 1.0 for pairs within hamming 7 of each other —
+    * measured max true-pair hamming is 7 at sf0.01 and 12 at sf0.1,
+    * the tail caught by bucket luck; measured candidate recall 1.0 on
+    * both fixtures), pruned by a codegen'd hamming filter
+    * (bit_count(h_a ^ h_b) <= maxHamming) while the join rows are
+    * still 16 bytes, then exact Jaccard verification — same emitted
+    * semantics as the other dedup variants. */
+  def simhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                   maxHamming: Int = 16): DataFrame = {
+    val sh = withHashes(docs, k)
+    val sg = sh.select(col("doc_id"), NativeExpressions.simhash_bits(col("sh")).as("h"))
+    val chunked = sg.select(col("doc_id"), col("h"),
+      explode(array((0 until 8).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("h"), 8 * c).bitwiseAND(lit(255L)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("h"), col("ck.c"), col("ck.v"))
     val cands = chunked.as("x").join(chunked.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk_val") === col("y.chunk_val") &&
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.h").bitwiseXOR(col("y.h"))) <= maxHamming)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)

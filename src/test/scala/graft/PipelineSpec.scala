@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.{Embeddings, Multimodal, TextAnalysis, TextDedup}
+import org.apache.spark.sql.functions.{col, sqrt}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineSpec extends AnyFunSuite with SparkFixture {
@@ -44,7 +45,52 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf & approx).size.toDouble / bf.size
-    assert(recall >= 0.5, s"LSH recall $recall below 0.5 (got ${approx.size} pairs)")
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 (got ${approx.size} pairs)")
+  }
+
+  test("embedding near-dup LSH pairs equal the exact threshold join") {
+    val v = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (graft.functions.NativeExpressions.dot_product(col("a.v"), col("b.v")) /
+          (sqrt(graft.functions.NativeExpressions.dot_product(col("a.v"), col("a.v"))) *
+            sqrt(graft.functions.NativeExpressions.dot_product(col("b.v"), col("b.v"))))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Embeddings.nearDupPairs(emb, 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("dedup_embed plans as an equi-join, not a nested loop") {
+    withoutAqe { // AQE hides children until execution; plan shape is the same
+      val plan = Embeddings.nearDupPairs(emb, 0.4).queryExecution.executedPlan
+      val bnl = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bnl.isEmpty, s"BroadcastNestedLoopJoin in plan:\n$plan")
+    }
+  }
+
+  test("dedup_exact shuffles fingerprints only — no text below the exchange") {
+    withoutAqe {
+      val plan = TextDedup.exact(docs).queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(_.contains("text")), s"exchange carries $names")
+      }
+    }
+  }
+
+  private def withoutAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("brute-force top-k is k rows per query, ranked by cosine") {
