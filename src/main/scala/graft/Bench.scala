@@ -1,14 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+import java.util.Locale
+
 /** Per-round benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
   * sink (count() would let column pruning skip projected compute).
-  * Prints one JSON line: {"metric","value","unit","queries","sf"}. */
+  * Prints one JSON line {"metric","value","unit","queries","sf",
+  * "errors"} AND writes it to SPARK_GRAFT_BENCH_OUT (default
+  * bench_out.json), so consumers never have to scrape logs. All
+  * number formatting is Locale.ROOT (a comma-decimal JVM locale would
+  * otherwise emit invalid JSON). Failed queries are excluded from the
+  * total and listed under "errors". */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,17 +29,26 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","errors":$errors}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,6 +41,11 @@ object Multimodal {
       struct(col("source").as("source"),
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("declared_bytes")).as("meta"))
 
+  /** Decoded media properties — the typed output contract of the
+    * decode stage. */
+  final case class Decoded(doc_id: Long, width: Int, height: Int,
+                           channels: Int, mean_byte: Double)
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),
@@ -50,22 +55,26 @@ object Multimodal {
 
   /** Partition-local "decode": batches of payloads → fake media
     * properties (dimensions from byte length, mean byte value as the
-    * stand-in extracted feature). Replace the body with a real codec
-    * call to productionize; the signature and physical plan stay. */
-  def decodeStub(spark: SparkSession, media: DataFrame): DataFrame = {
-    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val n = if (bytes == null) 0 else bytes.length
-        var sum = 0L
-        var i = 0
-        while (i < n) { sum += bytes(i) & 0xff; i += 1 }
-        Row(id, 64 + (n % 192), 64 + ((n / 7) % 192), 3,
-          if (n == 0) 0.0 else sum.toDouble / n)
+    * stand-in extracted feature). Encoder-based Dataset.mapPartitions,
+    * so input stays Tungsten-backed and the output re-enters
+    * whole-stage codegen — no RDD[Row] round-trip. Replace the loop
+    * body with a real codec call to productionize; the signature and
+    * physical plan stay. */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += bytes(i) & 0xff; i += 1 }
+          Decoded(id, 64 + (n % 192), 64 + ((n / 7) % 192), 3,
+            if (n == 0) 0.0 else sum.toDouble / n)
+        }
       }
-    }
-    spark.createDataFrame(rdd, decodedSchema)
+      .toDF()
   }
 
   /** Metadata-only projection (no decode): deterministic fake frame

@@ -1,0 +1,146 @@
+package graft.service
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+
+/** Networked query protocol: the listener a non-JVM client can hit.
+  *
+  * The reference exposes RunQuery / GetQueryStatus / GetQueryData over
+  * framed TCP with its own binary message registry
+  * (/root/reference/src/client/async_query_client.rs:40-140,
+  * src/handlers/message_handler/messages/message.rs:96-129). This
+  * server keeps those SEMANTICS — the same three operations, the same
+  * (file_idx, row_group_idx, row_idx) data cursor, the same
+  * allow_overflow behavior — over newline-delimited JSON, which any
+  * language speaks without a generated codec. One request line → one
+  * response line; connections are served by daemon threads (the
+  * listener is control-plane only: page payloads are small by
+  * construction, all heavy lifting stays inside Spark jobs submitted
+  * by QueryService).
+  *
+  * Requests:
+  *   {"type":"run_query","query":"select ..."}
+  *   {"type":"get_query_status","query_id":"..."}
+  *   {"type":"get_query_data","query_id":"...","file_idx":0,
+  *    "file_row_group_idx":0,"row_idx":0,"limit":10,
+  *    "forward":true,"allow_overflow":true}
+  */
+final class QueryServer(svc: QueryService, port: Int = 0) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"graft-query-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: Exception if !running => () // closed
+        case e: Exception => System.err.println(s"[query-server] accept: ${e.getMessage}")
+      }
+    }
+  }, "graft-query-server")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def close(): Unit = { running = false; server.close() }
+
+  private def serve(sock: Socket): Unit = {
+    val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+    val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val resp =
+          try handle(JsonMethods.parse(line))
+          catch { case e: Exception => err(String.valueOf(e.getMessage)) }
+        out.println(JsonMethods.compact(JsonMethods.render(resp)))
+        line = in.readLine()
+      }
+    } catch {
+      case _: Exception => () // client went away
+    } finally sock.close()
+  }
+
+  private def err(message: String): JObject =
+    JObject("type" -> JString("error"), "message" -> JString(message))
+
+  private implicit val fmts: Formats = DefaultFormats
+
+  private def handle(req: JValue): JValue = (req \ "type").extractOpt[String] match {
+    case Some("run_query") =>
+      val id = svc.runQuery((req \ "query").extract[String])
+      JObject("type" -> JString("run_query_resp"), "query_id" -> JString(id))
+
+    case Some("get_query_status") =>
+      val id = (req \ "query_id").extract[String]
+      val status = svc.status(id) match {
+        case None => JObject("status" -> JString("not_found"))
+        case Some(QueryStatus.Queued) => JObject("status" -> JString("queued"))
+        case Some(QueryStatus.Running) => JObject("status" -> JString("running"))
+        case Some(QueryStatus.Complete) => JObject("status" -> JString("complete"))
+        case Some(QueryStatus.Error(m)) =>
+          JObject("status" -> JString("error"), "message" -> JString(m))
+      }
+      JObject(("type" -> JString("get_query_status_resp")) :: status.obj)
+
+    case Some("get_query_data") =>
+      val id = (req \ "query_id").extract[String]
+      svc.status(id) match {
+        case Some(QueryStatus.Complete) =>
+          val r = svc.reader(id)
+          val cursor = r.cursorOf(
+            (req \ "file_idx").extractOpt[Int].getOrElse(0),
+            (req \ "file_row_group_idx").extractOpt[Int].getOrElse(0),
+            (req \ "row_idx").extractOpt[Long].getOrElse(0L))
+          val page = r.read(cursor,
+            (req \ "limit").extractOpt[Int].getOrElse(100),
+            (req \ "forward").extractOpt[Boolean].getOrElse(true),
+            (req \ "allow_overflow").extractOpt[Boolean].getOrElse(true))
+          val cols = r.asDataFrame.columns
+          JObject(
+            "type" -> JString("get_query_data_resp"),
+            "columns" -> JArray(cols.map(c => JString(c): JValue).toList),
+            "rows" -> JArray(page.rows.map(row =>
+              JArray((0 until row.length).map(i => jsonValue(row.get(i))).toList): JValue).toList),
+            "next" -> cursorJson(page.next),
+            "prev" -> cursorJson(page.prev))
+        case Some(QueryStatus.Error(m)) => err(s"query failed: $m")
+        case Some(_) => err("query not complete")
+        case None => err("query not found")
+      }
+
+    case other => err(s"unknown request type: $other")
+  }
+
+  private def cursorJson(c: Option[ResultCursor]): JValue = c match {
+    case Some(cur) => JObject(
+      "file_idx" -> JInt(cur.fileIdx), "row_idx" -> JInt(BigInt(cur.rowIdx)))
+    case None => JNull
+  }
+
+  private def jsonValue(v: Any): JValue = v match {
+    case null => JNull
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case s: Short => JInt(BigInt(s.toInt))
+    case b: Byte => JInt(BigInt(b.toInt))
+    case f: Float => JDouble(f.toDouble)
+    case d: Double => JDouble(d)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case d: BigDecimal => JDecimal(d)
+    case s: String => JString(s)
+    case b: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(b))
+    case other => JString(String.valueOf(other)) // dates/timestamps → ISO-8601
+  }
+}

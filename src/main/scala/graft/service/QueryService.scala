@@ -33,12 +33,31 @@ object QueryStatus {
 final class QueryService(
     spark: SparkSession,
     resultsRoot: String,
-    connections: Connections = Connections())(
+    connections: Connections = Connections(),
+    maxTrackedStatuses: Int = 10000)(
     implicit ec: ExecutionContext = ExecutionContext.global) {
 
   private val statuses = new ConcurrentHashMap[String, QueryStatus]()
+  // Submission order for eviction: terminal statuses beyond
+  // maxTrackedStatuses are dropped oldest-first, so a long-lived
+  // service tracks bounded state (the reference keeps per-query state
+  // in its handler map for the process lifetime; a bound is the
+  // service-hardening improvement over that).
+  private val submissionOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   def status(queryId: String): Option[QueryStatus] = Option(statuses.get(queryId))
+
+  private def evictTerminal(): Unit = {
+    while (statuses.size > maxTrackedStatuses) {
+      val oldest = submissionOrder.poll()
+      if (oldest == null) return
+      statuses.get(oldest) match {
+        case QueryStatus.Complete | QueryStatus.Error(_) => statuses.remove(oldest); ()
+        case null => ()
+        case _ => submissionOrder.add(oldest); return // still running: stop here
+      }
+    }
+  }
 
   def resultDir(queryId: String): String = s"$resultsRoot/$queryId"
 
@@ -47,6 +66,8 @@ final class QueryService(
   def runQuery(sql: String): String = {
     val queryId = UUID.randomUUID().toString
     statuses.put(queryId, QueryStatus.Queued)
+    submissionOrder.add(queryId)
+    evictTerminal()
     Future {
       statuses.put(queryId, QueryStatus.Running)
       Try {
@@ -94,20 +115,50 @@ final case class ResultPage(rows: Seq[Row], next: Option[ResultCursor], prev: Op
   * forward reads return `limit` rows starting AT the cursor; backward
   * reads return the `limit` rows ENDING just before the cursor;
   * `allowOverflow=false` fails a read that would cross the data
-  * boundary, `true` clamps to what exists. */
+  * boundary, `true` clamps to what exists.
+  *
+  * The read path launches ZERO Spark jobs (asserted in ServiceSpec):
+  * row counts come from parquet footers and pages are served by a
+  * driver-local row-group reader that skips straight to the target
+  * group — the same direct row-group addressing as the reference's
+  * `query_data_handler.rs:183-237`. A paged point-read through a
+  * distributed scan would cost a full job per page; a 100-TB result
+  * set is paged by footer arithmetic exactly like a 100-row one. */
 final class ResultReader(spark: SparkSession, dir: String) {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+
+  private val conf = spark.sessionState.newHadoopConf()
 
   /** part-files sorted by name = write order (Spark task order). */
   lazy val files: Array[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = path.getFileSystem(conf)
     fs.listStatus(path).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
       .map(_.toString).sorted
   }
 
-  lazy val fileRowCounts: Array[Long] = files.map { f =>
-    spark.read.parquet(f).count()
+  /** Per-file, per-row-group row counts from footer metadata only. */
+  lazy val rowGroupRowCounts: Array[Array[Long]] = files.map { f =>
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f), conf))
+    try {
+      val blocks = r.getFooter.getBlocks
+      Array.tabulate(blocks.size())(b => blocks.get(b).getRowCount)
+    } finally r.close()
+  }
+
+  /** Per-file row counts from footer metadata only. */
+  lazy val fileRowCounts: Array[Long] = rowGroupRowCounts.map(_.sum)
+
+  /** The reference's wire cursor is (file_idx, row_group_idx,
+    * row_idx-within-group) — query_data_handler.rs:239-571; fold the
+    * row-group component into the file-relative row index. */
+  def cursorOf(fileIdx: Int, rowGroupIdx: Int, rowIdx: Long): ResultCursor = {
+    val groups = rowGroupRowCounts(fileIdx)
+    val before = groups.take(rowGroupIdx).sum
+    ResultCursor(fileIdx, before + rowIdx)
   }
 
   lazy val totalRows: Long = fileRowCounts.sum
@@ -121,12 +172,43 @@ final class ResultReader(spark: SparkSession, dir: String) {
     ResultCursor(i, g)
   }
 
-  /** Deterministic slice [start, start+n) of one parquet file in file
-    * order (zipWithIndex pins partition-ordered indexing). */
-  private def slice(file: String, start: Long, n: Long): Seq[Row] =
-    spark.read.parquet(file).rdd.zipWithIndex()
-      .filter { case (_, i) => i >= start && i < start + n }
-      .collect().sortBy(_._2).map(_._1).toSeq
+  /** Slice [start, start+n) of one parquet file in row order: skip
+    * whole row groups by footer row counts, materialize only the
+    * groups the page touches. */
+  private def slice(file: String, start: Long, n: Long): Seq[Row] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file), conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val out = Seq.newBuilder[Row]
+      var toSkip = start
+      var remaining = n
+      val nGroups = footer.getBlocks.size()
+      var b = 0
+      while (b < nGroups && remaining > 0) {
+        val groupRows = footer.getBlocks.get(b).getRowCount
+        if (toSkip >= groupRows) {
+          toSkip -= groupRows
+          reader.skipNextRowGroup() // footer bookkeeping only, no page IO
+        } else {
+          val pages = reader.readNextRowGroup()
+          val io = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(schema)
+          val rr = io.getRecordReader(pages,
+            new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
+          var i = 0L
+          while (i < groupRows && remaining > 0) {
+            val g = rr.read()
+            if (i >= toSkip) { out += ParquetRows.toRow(g, schema); remaining -= 1 }
+            i += 1
+          }
+          toSkip = 0
+        }
+        b += 1
+      }
+      out.result()
+    } finally reader.close()
+  }
 
   def read(cursor: ResultCursor, limit: Int, forward: Boolean = true,
            allowOverflow: Boolean = true): ResultPage = {

@@ -3,29 +3,75 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Named storage connections — the Spark mapping of the reference's
-  * `ConnectionRegistry` (/root/reference/src/config/worker.rs:96-179),
-  * where workers configure named fs/S3/Minio endpoints and
+  * `ConnectionConfig`/`ConnectionType`
+  * (/root/reference/src/config/worker.rs:95-179), where workers
+  * configure named fs/S3/Minio endpoints and
   * `read_files(..., connection=>'name')` selects one.
   *
-  * Here a connection is a path root (posix dir, `s3a://bucket/prefix`,
-  * `hdfs://...`); S3 credentials/endpoints belong in standard
-  * `spark.hadoop.fs.s3a.*` conf, which Spark applies per-scheme. The
-  * `"default"` connection doubles as the results root, mirroring the
-  * reference's use of `default` for materialized results
-  * (materialize_files_task.rs:80-81).
-  */
-final case class Connections(roots: Map[String, String] = Map("default" -> "")) {
-  def resolve(connection: Option[String], path: String): String = {
-    val root = roots.getOrElse(connection.getOrElse("default"), "")
-    if (root.isEmpty || path.startsWith("/") || path.contains("://")) path
-    else s"${root.stripSuffix("/")}/$path"
+  * `Fs` connections are path roots (posix dir, `hdfs://...`); `S3`
+  * connections carry the reference's endpoint/credentials/bucket/
+  * path-style settings and map onto Hadoop's per-bucket s3a
+  * configuration (`fs.s3a.bucket.<bucket>.*`), which Spark's s3a
+  * filesystem applies per URI — so two connections to different
+  * object stores coexist in one session, exactly like the reference's
+  * per-connection clients. The `"default"` connection doubles as the
+  * results root, mirroring the reference's use of `default` for
+  * materialized results (materialize_files_task.rs:80-81). */
+sealed trait Connection { def root: String }
+object Connection {
+  final case class Fs(root: String) extends Connection
+  final case class S3(
+      endpoint: String,
+      accessKeyId: String,
+      secretAccessKeyId: String,
+      bucket: String,
+      root: String,
+      region: String = "",
+      forcePathStyle: Boolean = true) extends Connection
+}
+
+final case class Connections(conns: Map[String, Connection]) {
+  def resolve(connection: Option[String], path: String): String =
+    conns.getOrElse(connection.getOrElse("default"), Connection.Fs("")) match {
+      case _ if path.contains("://") => path
+      case Connection.Fs(root) =>
+        if (root.isEmpty || path.startsWith("/")) path
+        else s"${root.stripSuffix("/")}/$path"
+      case s: Connection.S3 =>
+        val root = s.root.stripPrefix("/").stripSuffix("/")
+        val rel = path.stripPrefix("/")
+        if (root.isEmpty) s"s3a://${s.bucket}/$rel" else s"s3a://${s.bucket}/$root/$rel"
+    }
+
+  /** Apply every S3 connection's endpoint/credentials/path-style to
+    * the session's Hadoop conf as per-bucket s3a settings. Idempotent;
+    * no-op for pure-Fs configurations. */
+  def applyTo(spark: SparkSession): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    conns.values.foreach {
+      case s: Connection.S3 =>
+        val p = s"fs.s3a.bucket.${s.bucket}"
+        hc.set(s"$p.endpoint", s.endpoint)
+        hc.set(s"$p.access.key", s.accessKeyId)
+        hc.set(s"$p.secret.key", s.secretAccessKeyId)
+        hc.set(s"$p.path.style.access", s.forcePathStyle.toString)
+        if (s.region.nonEmpty) hc.set(s"$p.endpoint.region", s.region)
+      case _ => ()
+    }
   }
+}
+
+object Connections {
+  def apply(): Connections = fromRoots(Map("default" -> ""))
+  /** Roots-only construction (every connection a posix/hdfs dir). */
+  def fromRoots(roots: Map[String, String]): Connections =
+    Connections(roots.map { case (k, v) => k -> (Connection.Fs(v): Connection) })
 }
 
 /** The reference's `read_files('glob'[, connection=>'name'])` table
   * function (/root/reference/src/handlers/operator_handler/operators/
   * table_func_tasks/read_files_task.rs:64-115,156-289) re-expressed as a
-  * SQL rewrite onto Spark's native parquet source.
+  * SQL rewrite onto Spark's native sources.
   *
   * The reference hand-rolls: storage listing + glob match, streaming
   * parquet decode into ≤10k-row batches, record-id assignment and
@@ -33,54 +79,85 @@ final case class Connections(roots: Map[String, String] = Map("default" -> "")) 
   * path — Hadoop glob expansion, split planning via
   * `spark.sql.files.maxPartitionBytes`, the vectorized reader, and
   * shuffle — so the only thing to build is the SQL surface itself.
+  *
+  * Options beyond the reference grammar (its roadmap formats):
+  * `format=>'csv'|'json'|'parquet'`, `header`/`inferschema` for CSV,
+  * and `mergeschema=>'true'` for schema-drifted parquet directories
+  * (the reference's schema-drift TODO, DEV_NOTES.md:151-152).
   */
 object ReadFiles {
   // read_files('path' [, name=>'value']...) — case-insensitive,
   // whitespace-tolerant; single-quoted args as in the reference
-  // grammar (read_files_task.rs:64-115 takes path + connection; we
-  // extend with the reference's roadmap formats: format=>'csv'|'json'
-  // |'parquet' and header=>'true'|'false' for CSV).
+  // grammar (read_files_task.rs:64-115).
   private val Call =
     """(?is)read_files\s*\(\s*'([^']+)'((?:\s*,\s*\w+\s*=>\s*'[^']*')*)\s*\)""".r
   private val Arg = """(?is)(\w+)\s*=>\s*'([^']*)'""".r
 
+  /** Format from the file extension only (a directory or glob without
+    * one defaults to parquet, the reference's native format; pass
+    * format=> explicitly for extensionless CSV/JSON layouts). */
   private def inferFormat(path: String): String = {
     val p = path.toLowerCase.stripSuffix("/")
-    if (p.endsWith(".csv") || p.contains(".csv")) "csv"
-    else if (p.endsWith(".json") || p.contains(".json")) "json"
+    if (p.endsWith(".csv") || p.endsWith(".csv.gz") || p.endsWith(".tsv")) "csv"
+    else if (p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".json.gz")) "json"
     else "parquet"
   }
 
+  final case class Rewritten(sql: String, views: Seq[String])
+
   /** Rewrite every read_files(...) call in `sql` to a registered temp
-    * view over the resolved path(s). Returns the rewritten SQL. */
+    * view over the resolved path(s). Calls inside single-quoted string
+    * literals are left untouched (quote-parity scan). Returns the
+    * rewritten SQL plus the view names, so callers can drop the views
+    * once the statement is analyzed (ReadFiles.sql does). */
   def rewrite(spark: SparkSession, sql: String,
-              connections: Connections = Connections()): String = {
+              connections: Connections = Connections()): Rewritten = {
+    val out = new StringBuilder
+    val views = Seq.newBuilder[String]
+    var last = 0
     var i = 0
-    Call.replaceAllIn(sql, m => {
-      val args = Arg.findAllMatchIn(m.group(2))
-        .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
-      val path = connections.resolve(args.get("connection"), m.group(1))
-      val fmt = args.getOrElse("format", inferFormat(path))
-      val df = fmt match {
-        case "csv" => spark.read
-          .option("header", args.getOrElse("header", "true"))
-          .option("inferSchema", args.getOrElse("inferschema", "true"))
-          .csv(path)
-        case "json" => spark.read.json(path)
-        case _ => spark.read.parquet(path)
+    for (m <- Call.findAllMatchIn(sql)) {
+      val quotesBefore = sql.substring(0, m.start).count(_ == '\'')
+      if (quotesBefore % 2 == 0) { // outside any string literal
+        val args = Arg.findAllMatchIn(m.group(2))
+          .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
+        val path = connections.resolve(args.get("connection"), m.group(1))
+        val fmt = args.getOrElse("format", inferFormat(path))
+        val df = fmt match {
+          case "csv" => spark.read
+            .option("header", args.getOrElse("header", "true"))
+            .option("inferSchema", args.getOrElse("inferschema", "true"))
+            .csv(path)
+          case "json" => spark.read.json(path)
+          case _ => spark.read
+            .option("mergeSchema", args.getOrElse("mergeschema", "false"))
+            .parquet(path)
+        }
+        i += 1
+        // A stable, collision-free view name per call site.
+        val view = s"read_files_${Integer.toHexString(path.hashCode)}_$i"
+        df.createOrReplaceTempView(view)
+        views += view
+        out.append(sql.substring(last, m.start)).append(view)
+        last = m.end
       }
-      i += 1
-      // A stable, collision-free view name per call site.
-      val view = s"read_files_${Integer.toHexString(path.hashCode)}_$i"
-      df.createOrReplaceTempView(view)
-      view
-    })
+    }
+    out.append(sql.substring(last))
+    Rewritten(out.toString, views.result())
   }
 
-  /** Rewrite + execute one statement. */
+  /** Rewrite + execute one statement. Temp views are dropped as soon
+    * as the statement is analyzed (Dataset creation is eagerly
+    * analyzed, so the returned DataFrame keeps its resolved relations)
+    * — a long-lived query service leaks no catalog entries. */
   def sql(spark: SparkSession, statement: String,
-          connections: Connections = Connections()): DataFrame =
-    spark.sql(rewrite(spark, statement, connections))
+          connections: Connections = Connections()): DataFrame = {
+    connections.applyTo(spark)
+    val r = rewrite(spark, statement, connections)
+    val df = spark.sql(r.sql)
+    r.views.foreach(spark.catalog.dropTempView)
+    df
+  }
 }
 
 /** SQL-script splitting with the semantics the reference pins in

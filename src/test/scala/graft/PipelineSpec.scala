@@ -111,7 +111,7 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
 
   test("multimodal decode stub: geometry matches metadata arithmetic") {
     val media = Multimodal.asMediaTable(docs)
-    val decoded = Multimodal.decodeStub(spark, media)
+    val decoded = Multimodal.decodeStub(media)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
     val meta = Multimodal.mediaMeta(docs)
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap

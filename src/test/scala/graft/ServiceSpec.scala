@@ -64,6 +64,77 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("paged reads launch zero Spark jobs and match the Spark-read values") {
+    val id = svc.runQuery(
+      s"select o_orderkey, o_orderdate, o_orderstatus, o_totalprice " +
+        s"from read_files('$sfDir/orders.parquet') where o_orderkey < 100")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    val r = svc.reader(id)
+    val viaSpark = r.asDataFrame.collect()
+      .map(x => (x.getLong(0), String.valueOf(x.get(1)), x.getString(2), x.getDouble(3)))
+      .toSet
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = Seq.newBuilder[org.apache.spark.sql.Row]
+      var cursor = Option(ResultCursor(0, 0))
+      while (cursor.isDefined) {
+        val p = r.read(cursor.get, 13)
+        rows ++= p.rows
+        cursor = p.next
+      }
+      val viaPages = rows.result()
+        .map(x => (x.getLong(0), String.valueOf(x.get(1)), x.getString(2), x.getDouble(3)))
+      assert(viaPages.size == viaSpark.size)
+      assert(viaPages.toSet == viaSpark)
+      Thread.sleep(1000) // listener bus is async; let any job event land
+      assert(jobs.get == 0, s"paged read path launched ${jobs.get} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("TCP query protocol: run_query, status poll, paged data over a real socket") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+      def call(json: String): String = { out.println(json); in.readLine() }
+
+      val runResp = call(
+        s"""{"type":"run_query","query":"select r_regionkey, r_name from read_files('$sfDir/region.parquet') order by r_regionkey"}""")
+      assert(runResp.contains("run_query_resp"))
+      val id = """"query_id":"([^"]+)"""".r.findFirstMatchIn(runResp).get.group(1)
+
+      var status = ""
+      val deadline = System.currentTimeMillis() + 60000
+      while (!status.contains("complete") && System.currentTimeMillis() < deadline) {
+        status = call(s"""{"type":"get_query_status","query_id":"$id"}""")
+        assert(!status.contains("\"error\""), status)
+        if (!status.contains("complete")) Thread.sleep(50)
+      }
+      assert(status.contains("complete"))
+
+      val page1 = call(
+        s"""{"type":"get_query_data","query_id":"$id","file_idx":0,"file_row_group_idx":0,"row_idx":0,"limit":3}""")
+      assert(page1.contains("get_query_data_resp"))
+      assert(page1.contains("\"columns\":[\"r_regionkey\",\"r_name\"]"))
+      assert(page1.contains("\"next\":{\"file_idx\":0,\"row_idx\":3}"))
+
+      val page2 = call(
+        s"""{"type":"get_query_data","query_id":"$id","row_idx":3,"limit":10}""")
+      assert(page2.contains("\"next\":null"))
+
+      val notFound = call("""{"type":"get_query_status","query_id":"nope"}""")
+      assert(notFound.contains("not_found"))
+      sock.close()
+    } finally server.close()
+  }
+
   test("runScript executes statements in order with independent statuses") {
     val ids = svc.runScript(
       s"""select 1 as one from read_files('$sfDir/region.parquet');

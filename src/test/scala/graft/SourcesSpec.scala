@@ -33,10 +33,73 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("read_files with named connection resolves relative paths") {
-    val conns = Connections(Map("default" -> "", "test_fs" -> sfDir))
+    val conns = Connections.fromRoots(Map("default" -> "", "test_fs" -> sfDir))
     val df = ReadFiles.sql(spark,
       "select count(*) as n from read_files('region.parquet', connection=>'test_fs')", conns)
     assert(df.collect()(0).getLong(0) == 5)
+  }
+
+  // Mirror of the reference's S3 connection config
+  // (/root/reference/src/config/worker.rs:116-136): endpoint, creds,
+  // bucket, root, region, force_path_style — mapped to per-bucket s3a
+  // Hadoop conf (no live object store in the sandbox; the conf mapping
+  // and URI resolution are the testable surface).
+  test("S3 connection maps to per-bucket s3a conf and s3a:// URIs") {
+    val conns = Connections(Map(
+      "default" -> graft.sources.Connection.Fs(""),
+      "minio" -> graft.sources.Connection.S3(
+        endpoint = "http://minio.local:9000",
+        accessKeyId = "minioadmin",
+        secretAccessKeyId = "miniopass",
+        bucket = "graft-data",
+        root = "warehouse",
+        region = "us-east-1",
+        forcePathStyle = true)))
+    assert(conns.resolve(Some("minio"), "sales/part-0.parquet") ==
+      "s3a://graft-data/warehouse/sales/part-0.parquet")
+    assert(conns.resolve(Some("minio"), "s3a://other/abs.parquet") ==
+      "s3a://other/abs.parquet")
+    conns.applyTo(spark)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.bucket.graft-data.endpoint") == "http://minio.local:9000")
+    assert(hc.get("fs.s3a.bucket.graft-data.access.key") == "minioadmin")
+    assert(hc.get("fs.s3a.bucket.graft-data.secret.key") == "miniopass")
+    assert(hc.get("fs.s3a.bucket.graft-data.path.style.access") == "true")
+    assert(hc.get("fs.s3a.bucket.graft-data.endpoint.region") == "us-east-1")
+  }
+
+  test("read_files inside a string literal is not rewritten") {
+    // Without the quote-parity guard the rewrite regex would match
+    // `read_files(' as a, '` spanning the two literals below and
+    // mangle the statement.
+    val df = ReadFiles.sql(spark,
+      s"select 'read_files(' as a, '/tmp/x.parquet' as b, r_regionkey " +
+        s"from read_files('$sfDir/region.parquet') order by r_regionkey")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows(0).getString(0) == "read_files(")
+    assert(rows(0).getString(1) == "/tmp/x.parquet")
+  }
+
+  test("read_files drops its temp views after execution") {
+    val before = spark.catalog.listTables().filter("name like 'read_files_%'").count()
+    ReadFiles.sql(spark,
+      s"select count(*) as n from read_files('$sfDir/region.parquet')").collect()
+    val after = spark.catalog.listTables().filter("name like 'read_files_%'").count()
+    assert(after == before)
+  }
+
+  test("read_files mergeschema unions drifted parquet schemas") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "s").write.parquet(s"$tmp/d/p1")
+    Seq((2L, "b", 3.5)).toDF("id", "s", "extra").write.parquet(s"$tmp/d/p2")
+    val df = ReadFiles.sql(spark,
+      s"select id, s, extra from read_files('$tmp/d/*', mergeschema=>'true') order by id")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2)) // drifted column null for the old file
+    assert(rows(1).getDouble(2) == 3.5)
   }
 
   test("read_files csv and json formats") {
