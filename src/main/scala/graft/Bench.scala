@@ -26,9 +26,25 @@ object Bench {
     Engine.tune(spark)
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (profiling aid).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Untimed warmup: first-query numbers otherwise absorb one-time
+    // session costs (JIT, codegen framework init, first scan/shuffle/
+    // broadcast machinery) that say nothing about the plan under test.
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = Engine.table(spark, sfDir, "region")
+      val n = Engine.table(spark, sfDir, "nation")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("c")).orderBy("r_name")
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // Isolate queries from each other's session litter: dropped
+        // broadcast blocks are only reclaimed on GC, and a full heap
+        // turns into pauses billed to whichever query runs next.
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -447,6 +447,31 @@ object SparkEntry {
               |ORDER BY nk, name_b""".stripMargin)
     }),
 
+    // Decimal types end-to-end (reference roadmap README.md:48) —
+    // decimal projection, arithmetic, and a decimal-typed SUM. The
+    // final string cast pins the EXACT decimal digits (including
+    // scale), which a float-typed comparison could never do — any
+    // drift in decimal arithmetic or scale handling hash-mismatches.
+    "q_decimal" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(18,4)").cast("string").as("price_dec"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)").cast("string").as("disc_dec"),
+          (col("l_quantity").cast("decimal(12,2)") + lit(BigDecimal("1.50")).cast("decimal(12,2)"))
+            .cast("string").as("qty_plus"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_decimal_agg" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("string").as("sum_price"),
+          max((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("string").as("max_disc"))
+        .orderBy("l_suppkey")),
+
     "q_udf_tier" -> ((s, d) => {
       functions.Udfs.register(s)
       T(s, d, "orders")
@@ -484,6 +509,15 @@ object SparkEntry {
     "q_alias_dup" -> ("SELECT a.n_nationkey AS nk, a.n_name AS name_a, b.n_name AS name_b " +
       "FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey " +
       "ORDER BY nk, name_b"),
+    "q_decimal" -> ("SELECT l_orderkey, l_linenumber, " +
+      "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS price_dec, " +
+      "CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS VARCHAR) AS disc_dec, " +
+      "CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(1.50 AS DECIMAL(12,2)) AS VARCHAR) AS qty_plus " +
+      "FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber"),
+    "q_decimal_agg" -> ("SELECT l_suppkey, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price, " +
+      "CAST(MAX(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS max_disc " +
+      "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
     "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
       "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
     "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +

@@ -302,6 +302,59 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5)
+    * for (plane p, dim j) — splitmix64 finalizer over the cell index.
+    * Full-avalanche mixing keeps the hash tables independent (a weaker
+    * LCG here measurably correlated them). */
+  def planeComponent(p: Int, j: Int): Double = {
+    var z = (p * 1024L + j) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** All `tables` random-hyperplane LSH bucket ids for one vector
+    * (array<double> of length `dim`) in a single compiled pass:
+    * bucket t bit p = sign of v · plane(t,p). One expression instead
+    * of tables×planes separate dot-product columns — the unrolled
+    * form generated ~4k-line projections that dominated cold runs
+    * with janino compile time. */
+  case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val planesMatrix: Array[Array[Double]] =
+      Array.tabulate(tables * planes, dim)((tp, j) =>
+        planeComponent((tp / planes) * 64 + (tp % planes), j))
+    def compute(input: Any): ArrayData = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = math.min(v.numElements(), dim)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val plane = planesMatrix(t * planes + p)
+          var d = 0.0
+          var j = 0
+          while (j < n) { d += v.getDouble(j) * plane(j); j += 1 }
+          if (d > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hyperplaneBuckets", this, classOf[HyperplaneBuckets].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Rolling polynomial fingerprint over the string's codepoints:
     * (acc * 31 + codepoint) mod 1_000_000_007 — same fold as the
     * `aggregate(split(text,''))` form and the DuckDB oracle. */
@@ -338,6 +391,8 @@ object NativeExpressions {
     column(MinHashSig(expression(c), perms))
   def simhash_bits(c: Column): Column =
     column(SimHashBits(expression(c)))
+  def hyperplane_buckets(c: Column, planes: Int, tables: Int, dim: Int): Column =
+    column(HyperplaneBuckets(expression(c), planes, tables, dim))
   def simhash_chunks(c: Column, chunks: Int): Column =
     column(SimHashChunks(expression(c), chunks))
   def poly_fingerprint(c: Column): Column =

@@ -90,35 +90,16 @@ object Embeddings {
 
   // --- random-hyperplane LSH ---------------------------------------
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5)
-    * for (plane p, dim j) — splitmix64 finalizer over the (p, j) cell
-    * index. A weaker LCG here left the hash tables correlated (missed
-    * 14/920 fixture pairs vs the ~0.3 expected from the
-    * (1 − p^planes)^tables bound); full-avalanche mixing restores the
-    * independence the recall math assumes. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    var z = (p * 1024L + j) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
-  }
-
   private val Dim = 64
 
   /** One (t, bucket) row per hash table for each vector: bucket =
-    * sign-pattern of `planes` random hyperplane projections. */
-  private def withBuckets(df: DataFrame, planes: Int, tables: Int): DataFrame = {
-    def bucketOf(vc: Column, t: Int): Column =
-      (0 until planes).map { p =>
-        val plane = lit((0 until Dim).map(j => planeComponent(t * 64 + p, j)).toArray)
-        when(dot(vc, plane) > 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    df.withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketOf(col("v"), t).as("bucket"))): _*)))
-      .select(col("*"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .drop("tb")
-  }
+    * sign-pattern of `planes` splitmix64-seeded random hyperplane
+    * projections, all tables computed by one compiled expression
+    * (graft.functions.NativeExpressions.HyperplaneBuckets). */
+  private def withBuckets(df: DataFrame, planes: Int, tables: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(graft.functions.NativeExpressions.hyperplane_buckets(
+        col("v"), planes, tables, Dim)).as(Seq("t", "bucket")))
 
   /** Multi-table random-hyperplane LSH top-k: `tables` independent
     * hash tables of `planes` bits each; a vector lands in one bucket

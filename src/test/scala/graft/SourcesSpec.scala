@@ -89,6 +89,25 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(after == before)
   }
 
+  // SURVEY §1's ingestion-widening stance (the reference decodes
+  // Arrow UInt* columns; Spark's parquet reader widens them to the
+  // next signed type, UInt64 → Decimal(20,0)) — pinned on a committed
+  // pyarrow-written fixture.
+  test("unsigned parquet ints widen to signed/decimal on read") {
+    val df = spark.read.parquet(
+      getClass.getResource("/uints.parquet").getPath)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("u8") == "smallint")
+    assert(types("u16") == "int")
+    assert(types("u32") == "bigint")
+    assert(types("u64") == "decimal(20,0)")
+    val row = df.orderBy(org.apache.spark.sql.functions.col("u8").desc).collect()(0)
+    assert(row.getShort(0) == 255)
+    assert(row.getInt(1) == 65535)
+    assert(row.getLong(2) == 4294967295L)
+    assert(row.getDecimal(3).toString == "18446744073709551615")
+  }
+
   test("read_files mergeschema unions drifted parquet schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     import spark.implicits._
