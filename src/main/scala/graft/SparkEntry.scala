@@ -472,6 +472,71 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("string").as("max_disc"))
         .orderBy("l_suppkey")),
 
+    // Scalar function library depth (SURVEY §2.9): math, string,
+    // date, and conditional families, each oracled.
+    "q_math_funcs" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("a"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          floor(col("l_quantity") / 7).cast("double").as("fl"),
+          ceil(col("l_quantity") / 7).cast("double").as("ce"),
+          sqrt(col("l_extendedprice")).as("sq"),
+          pow(col("l_quantity"), 2).as("p2"),
+          signum(col("l_quantity") - 25).cast("long").as("sg"),
+          greatest(col("l_quantity"), col("l_linenumber") * 10.0).as("gr"),
+          least(col("l_quantity"), col("l_linenumber") * 10.0).as("le"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_string_funcs2" -> ((s, d) =>
+      T(s, d, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), " ", "_").as("rep"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, ".").as("rp"),
+          reverse(col("p_name")).as("rev"),
+          ltrim(col("p_name"), "sb").as("lt"),
+          repeat(col("p_brand"), 2).as("rp2"),
+          instr(col("p_name"), "a").cast("long").as("ps"),
+          col("p_name").contains("ring").as("ct"),
+          col("p_name").startsWith("small").as("sw"),
+          col("p_name").endsWith("bolt").as("ew"))
+        .orderBy("p_partkey")),
+
+    "q_date_funcs2" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).cast("long").as("dd"))
+        .orderBy("o_orderkey")),
+
+    "q_cond_funcs" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("nf"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("co"),
+          ifnull(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("urgent!")).as("inu"))
+        .orderBy("o_orderkey")),
+
+    // Array aggregation with deterministic ordering (sort_array) —
+    // rendered to a string so the engines' list types compare exactly.
+    "q_array_agg" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("o_orderkey") % 1000))).as("keys"),
+          count(lit(1)).as("n"))
+        .orderBy("o_custkey")),
+
     "q_udf_tier" -> ((s, d) => {
       functions.Udfs.register(s)
       T(s, d, "orders")
@@ -518,6 +583,30 @@ object SparkEntry {
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price, " +
       "CAST(MAX(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS max_disc " +
       "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
+    "q_math_funcs" -> ("SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS a, " +
+      "ROUND(l_extendedprice, 1) AS r1, FLOOR(l_quantity / 7) AS fl, CEIL(l_quantity / 7) AS ce, " +
+      "SQRT(l_extendedprice) AS sq, POWER(l_quantity, 2) AS p2, " +
+      "CAST(SIGN(l_quantity - 25) AS BIGINT) AS sg, " +
+      "GREATEST(l_quantity, l_linenumber * 10.0) AS gr, LEAST(l_quantity, l_linenumber * 10.0) AS le " +
+      "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"),
+    "q_string_funcs2" -> ("SELECT p_partkey, REPLACE(p_name, ' ', '_') AS rep, " +
+      "LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '.') AS rp, REVERSE(p_name) AS rev, " +
+      "LTRIM(p_name, 'sb') AS lt, REPEAT(p_brand, 2) AS rp2, " +
+      "CAST(STRPOS(p_name, 'a') AS BIGINT) AS ps, CONTAINS(p_name, 'ring') AS ct, " +
+      "STARTS_WITH(p_name, 'small') AS sw, ENDS_WITH(p_name, 'bolt') AS ew " +
+      "FROM part WHERE p_partkey < 300 ORDER BY p_partkey"),
+    "q_date_funcs2" -> ("SELECT o_orderkey, CAST(QUARTER(o_orderdate) AS BIGINT) AS q, " +
+      "CAST(DAY(o_orderdate) AS BIGINT) AS dom, CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy, " +
+      "CAST(o_orderdate AS DATE) + 30 AS plus30, LAST_DAY(CAST(o_orderdate AS DATE)) AS eom, " +
+      "DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd " +
+      "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q_cond_funcs" -> ("SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS nf, " +
+      "COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS co, " +
+      "IFNULL(NULLIF(o_orderpriority, '1-URGENT'), 'urgent!') AS inu " +
+      "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"),
+    "q_array_agg" -> ("SELECT o_custkey, " +
+      "ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey % 1000)), ',') AS keys, COUNT(*) AS n " +
+      "FROM orders WHERE o_custkey < 50 GROUP BY o_custkey ORDER BY o_custkey"),
     "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
       "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
     "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +
@@ -564,8 +653,41 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       pipeline.TextDedup.simhashPairs(T(s, d, "documents"), 3, 0.8)),
 
+    "dedup_clusters" -> ((s, d) =>
+      pipeline.TextDedup.nearDupClusters(T(s, d, "documents"), 3, 0.8)),
+
     "dedup_embed" -> ((s, d) =>
       pipeline.Embeddings.nearDupPairs(T(s, d, "embeddings"), 0.4)),
+
+    // Deterministic pipeline sampling: multiplicative-hash gate (exact
+    // in int64, portable across engines — reproducible corpus splits).
+    "q_sample" -> ((s, d) =>
+      T(s, d, "documents")
+        .filter((col("doc_id") * 2654435761L) % 100 < 10)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
+    // Stratified per-language sample: top-20 per stratum by hash.
+    "q_stratified" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy((col("doc_id") * 2654435761L) % 97, col("doc_id"))
+      T(s, d, "documents")
+        .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Corpus statistics by language — the pipeline's monitoring query.
+    "q_corpus_stats" -> ((s, d) =>
+      T(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long")).as("total_tokens"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")),
 
     "ann_topk" -> ((s, d) =>
       pipeline.Embeddings.bruteForceTopK(T(s, d, "embeddings"), 10, 5)),
@@ -612,6 +734,33 @@ object SparkEntry {
     "dedup_ngram" -> duckJaccardPairs,
     "dedup_minhash" -> duckJaccardPairs,
     "dedup_simhash" -> duckJaccardPairs,
+
+    // Connected components of the near-dup graph: transitive closure
+    // in the oracle vs distributed label propagation in the engine —
+    // same fixpoint (min reachable doc_id per component).
+    "dedup_clusters" -> ("WITH RECURSIVE " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "members AS (SELECT doc_id, doc_id AS m FROM documents UNION SELECT src AS doc_id, dst AS m FROM reach) " +
+      "SELECT doc_id, MIN(m) AS cluster_id FROM members GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_sample" -> ("SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10 " +
+      "ORDER BY doc_id"),
+
+    "q_stratified" -> ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn " +
+      "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"),
+
+    "q_corpus_stats" -> ("SELECT lang, COUNT(*) AS n_docs, " +
+      "SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)) AS total_tokens, " +
+      "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
+      "FROM documents GROUP BY lang ORDER BY lang"),
 
     "dedup_embed" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
       "SELECT vec_a, vec_b, cos FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

@@ -118,6 +118,46 @@ object TextDedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the near-dup
+    * pair graph, labels = min doc_id of the component (singletons keep
+    * their own id). Distributed min-label propagation — per iteration
+    * one join of the edge list against current labels plus a map-side
+    * combined min; iterations needed = component diameter, which for
+    * near-dup graphs is tiny (near-dups of a doc are near-dups of each
+    * other, so components are almost cliques). Each step materializes
+    * through a persisted frame, so lineage never replays; at
+    * 100 TB / deep components add a periodic checkpoint. */
+  def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var prev: DataFrame = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.orderBy("doc_id")
+  }
+
   // --- MinHash + LSH ------------------------------------------------
 
   /** MinHash signature column (array<bigint> of `perms` mins) over the

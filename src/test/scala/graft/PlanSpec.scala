@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the 100 TB stance is only real if
+  * the plans hold it. Filters and projections must reach the parquet
+  * scan, dimensions must broadcast, top-k must not global-sort, and
+  * custom expressions must stay inside whole-stage codegen. AQE is
+  * disabled per-assertion so children are visible pre-execution; the
+  * underlying plan shapes are identical. */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def withoutAqe[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("filter and projection push into the parquet scan") {
+    withoutAqe {
+      val s = planOf(q("q_scan_filter")).toString
+      assert(s.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), s)
+      // pruned read schema: only the 4 projected columns are read
+      assert(s.contains("ReadSchema") &&
+        s.contains("l_quantity") && !s.contains("l_shipdate"), s)
+    }
+  }
+
+  test("q_join5 broadcasts every dimension and shuffles only the fact join") {
+    withoutAqe {
+      val p = planOf(q("q_join5"))
+      val broadcasts = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      // all three dimensions broadcast; at this tiny SF orders may
+      // broadcast as well (at scale it exceeds the threshold and the
+      // fact join becomes the one shuffle join)
+      assert(broadcasts.size >= 3, s"expected >=3 broadcast joins, got ${broadcasts.size}")
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // lineitem⋈orders (2 sides) + final agg + orderBy — never a
+      // shuffle per dimension
+      assert(shuffles.size <= 4, s"too many shuffles (${shuffles.size}):\n$p")
+    }
+  }
+
+  test("order-by + limit plans as TakeOrderedAndProject, not a global sort") {
+    withoutAqe {
+      val p = planOf(q("q_orderby_limit"))
+      assert(p.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, p.toString)
+      assert(p.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }.isEmpty, "global sort for a top-10")
+    }
+  }
+
+  test("aggregation runs partial before the exchange (map-side combine)") {
+    withoutAqe {
+      val p = planOf(q("q_agg_groupby"))
+      val s = p.toString
+      val exchange = s.indexOf("Exchange hashpartitioning")
+      assert(exchange > 0, s)
+      // a HashAggregate below (after, in top-down print) the exchange
+      assert(s.indexOf("HashAggregate", exchange) > 0, s)
+    }
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    withoutAqe {
+      // text_quality is pure column arithmetic over one scan: the
+      // whole thing should be a single codegen span over the scan.
+      val s = q("text_quality").queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!s.contains("CodegenFallback"), s)
+      // shingle/minhash/simhash path: its project stage must be
+      // codegen'd too (kernel-call doGenCode, not interpreted)
+      val sim = pipeline.TextDedup.simhash(org.apache.spark.sql.functions.col("text"))
+      val df = Engine.table(spark, sfDir, "documents").select(sim.as("h"))
+      val fmt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(fmt.contains("Project [codegen id :"), fmt) // fused, not interpreted
+    }
+  }
+
+  test("ann_topk broadcasts the query side, never shuffles the corpus") {
+    withoutAqe {
+      val p = planOf(q("ann_topk"))
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }.nonEmpty, p.toString)
+      val corpusShuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // fanOut repartitions (2 branches of the small local input) +
+      // window top-k + final sort; the scored corpus join itself must
+      // not add one — scoring happens map-side against the broadcast
+      assert(corpusShuffles.size <= 4, p.toString)
+    }
+  }
+}
