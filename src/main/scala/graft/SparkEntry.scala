@@ -537,6 +537,14 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_custkey")),
 
+    // "Read from table" (reference roadmap README.md:72): a named
+    // catalog table over the same storage, queried by name.
+    "q_read_table" -> ((s, d) => {
+      s.sql("DROP TABLE IF EXISTS graft_nation")
+      s.sql(s"CREATE TABLE graft_nation USING parquet LOCATION '$d/nation.parquet'")
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_nation ORDER BY n_nationkey")
+    }),
+
     "q_udf_tier" -> ((s, d) => {
       functions.Udfs.register(s)
       T(s, d, "orders")
@@ -607,6 +615,8 @@ object SparkEntry {
     "q_array_agg" -> ("SELECT o_custkey, " +
       "ARRAY_TO_STRING(LIST_SORT(LIST(o_orderkey % 1000)), ',') AS keys, COUNT(*) AS n " +
       "FROM orders WHERE o_custkey < 50 GROUP BY o_custkey ORDER BY o_custkey"),
+    "q_read_table" -> ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+      "ORDER BY n_nationkey"),
     "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
       "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
     "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +

@@ -38,6 +38,37 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour", "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact deduplication — the ingest-side twin of
+    * TextDedup.exact: drop events whose key (here event_id; for a
+    * document stream, a content fingerprint) was already seen. State
+    * is hash-partitioned by key and bounded by the watermark: a key
+    * older than the delay is dropped from the store, so the state size
+    * tracks the late-data horizon, not the stream's history. */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: enrich a click stream with the
+    * matching view within the join window. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * each side's buffered state is evictable — the
+    * unbounded-state-stream-join footgun is structurally avoided. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+      .withWatermark("v_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", "1 hour")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

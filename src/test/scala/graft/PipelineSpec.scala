@@ -123,6 +123,17 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx_count_distinct lands within 5% of exact (sketch aggregate)") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val row = li.agg(
+      countDistinct(col("l_suppkey")).as("exact"),
+      approx_count_distinct(col("l_suppkey")).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("language scores count stopword hits") {
     val row = TextAnalysis.languageId(docs).filter("doc_id = 0").collect()(0)
     val text = docs.filter("doc_id = 0").collect()(0).getAs[String]("text")

@@ -58,6 +58,67 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.dedupStream(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(6), 1, "click", 2.0),
+        Event(1, ts(7), 1, "click", 1.0), // duplicate id
+        Event(2, ts(8), 2, "view", 2.0)) // duplicate id
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream join matches views to later clicks inside the window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.clickViewJoin(in.toDF())
+      .writeStream.format("memory").queryName("cv_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "view", 10.0),
+        Event(2, ts(10), 1, "click", 1.0), // within 30 min of the view → joins
+        Event(3, ts(50), 1, "click", 2.0), // 50 min after the view → outside window
+        Event(4, ts(20), 2, "click", 3.0)) // no view for user 2
+      q.processAllAvailable()
+      in.addData(Event(5, ts(300), 3, "view", 0.0)) // advance watermarks
+      q.processAllAvailable()
+      val rows = spark.table("cv_join")
+        .select("c_user", "c_value", "v_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, 1.0, 10.0)))
+    } finally q.stop()
+  }
+
+  test("file-sink ingest: stream materializes to parquet with checkpoint") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val in = MemoryStream[Event]
+    val q = EventStream.dedupStream(in.toDF(), "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/data")
+      .option("checkpointLocation", s"$tmp/chk")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(6), 2, "view", 2.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/data")
+      assert(out.count() == 2)
+      assert(out.columns.contains("event_id"))
+    } finally q.stop()
+  }
+
   test("sessionize emits a closed session when a gap exceeds the threshold") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
