@@ -22,6 +22,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new sources.GraftExtensions)
       .getOrCreate()
     Engine.tune(spark)
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (profiling aid).

@@ -31,6 +31,7 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new sources.GraftExtensions)
       .getOrCreate()
     tune(spark)
     spark

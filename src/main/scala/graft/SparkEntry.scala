@@ -86,7 +86,15 @@ object SparkEntry {
       sources.ReadFiles.sql(s,
         s"SELECT l_orderkey, l_linenumber, l_quantity FROM read_files('$d/lineitem.parquet') " +
           "WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber")
-    })
+    }),
+
+    // The same TVF resolved NATIVELY by the analyzer via
+    // SparkSessionExtensions.injectTableFunction (GraftExtensions) —
+    // no SQL pre-pass; named args flow through NamedArgumentExpression.
+    "q_read_files_tvf" -> ((s, d) =>
+      s.sql(s"SELECT l_orderkey, l_linenumber, l_quantity " +
+        s"FROM read_files('$d/lineitem.parquet', format=>'parquet') " +
+        "WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber"))
   )
 
   private val parityOracles: Map[String, String] = Map(
@@ -104,6 +112,8 @@ object SparkEntry {
     "q_proj_bool" -> ("SELECT o_orderkey, (o_totalprice > 200000 OR o_orderpriority = '1-URGENT') " +
       "AND o_orderstatus = 'F' AS flag FROM orders ORDER BY o_orderkey"),
     "q_read_files" -> ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber"),
+    "q_read_files_tvf" -> ("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
       "WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber")
   )
 

@@ -96,7 +96,7 @@ object ReadFiles {
   /** Format from the file extension only (a directory or glob without
     * one defaults to parquet, the reference's native format; pass
     * format=> explicitly for extensionless CSV/JSON layouts). */
-  private def inferFormat(path: String): String = {
+  private[sources] def inferFormat(path: String): String = {
     val p = path.toLowerCase.stripSuffix("/")
     if (p.endsWith(".csv") || p.endsWith(".csv.gz") || p.endsWith(".tsv")) "csv"
     else if (p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".json.gz")) "json"

@@ -68,6 +68,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(hc.get("fs.s3a.bucket.graft-data.endpoint.region") == "us-east-1")
   }
 
+  test("injected read_files TVF resolves natively, with named args and connections") {
+    val df = spark.sql(
+      s"select r_regionkey, r_name from read_files('$sfDir/region.parquet') order by r_regionkey")
+    assert(df.count() == 5)
+    // named connection through the TVF registry
+    graft.sources.ReadFilesTVF.connections =
+      Connections.fromRoots(Map("default" -> "", "tvf_fs" -> sfDir))
+    try {
+      val viaConn = spark.sql(
+        "select count(*) as n from read_files('nation.parquet', connection=>'tvf_fs')")
+      assert(viaConn.collect()(0).getLong(0) == 25)
+    } finally graft.sources.ReadFilesTVF.connections = Connections()
+    // filters still push into the scan through the TVF plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = spark.sql(
+        s"select l_orderkey from read_files('$sfDir/lineitem.parquet') where l_orderkey < 5")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,5)]"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("read_files inside a string literal is not rewritten") {
     // Without the quote-parity guard the rewrite regex would match
     // `read_files(' as a, '` spanning the two literals below and

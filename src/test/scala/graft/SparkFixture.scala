@@ -13,6 +13,7 @@ trait SparkFixture { self: Suite =>
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sources.GraftExtensions)
       .getOrCreate()
     Engine.tune(s)
     s
