@@ -166,6 +166,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    "q_cube" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // Exact interpolated percentiles (sort-based `percentile`, the
+    // same continuous-quantile semantics as DuckDB's quantile_cont).
+    // Exact quantiles buffer each group's values by construction; at
+    // 100 TB the scale path is approx_percentile (t-digest sketch,
+    // bounded state — relative-error-tested in PipelineSpec).
+    "q_percentile" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("p25_price"))
+        .orderBy("l_returnflag")),
+
     "q_case_when" -> ((s, d) =>
       T(s, d, "orders")
         .select(
@@ -210,6 +237,16 @@ object SparkEntry {
     "q_rollup" -> ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
       "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_cube" -> ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+      "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_grouping_sets" -> ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
+      "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_percentile" -> ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50, " +
+      "quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_extendedprice, 0.25) AS p25_price " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_case_when" -> ("SELECT CASE WHEN o_totalprice < 50000 THEN 'small' " +
       "WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END AS bucket, " +
       "COUNT(*) AS cnt FROM orders GROUP BY 1 ORDER BY bucket"),
@@ -332,6 +369,15 @@ object SparkEntry {
               |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // NOT IN with a non-null subquery domain — pins the three-valued
+    // NULL semantics both engines share.
+    "q_not_in" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""SELECT o_orderkey FROM orders
+              |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q_scalar_subquery" -> ((s, d) => {
       Engine.registerViews(s, d)
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders
@@ -384,6 +430,8 @@ object SparkEntry {
       "ORDER BY c_custkey"),
     "q_subquery_in" -> ("SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN " +
       "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000) ORDER BY o_orderkey"),
+    "q_not_in" -> ("SELECT o_orderkey FROM orders WHERE o_custkey NOT IN " +
+      "(SELECT c_custkey FROM customer WHERE c_acctbal > 9500) ORDER BY o_orderkey"),
     "q_scalar_subquery" -> ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 2 * " +
       "(SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders) " +
       "ORDER BY o_orderkey")
