@@ -133,9 +133,14 @@ object TextDedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-    var prev: DataFrame = null
+      .localCheckpoint(true) // materialize the pair join once; flat lineage
+    // Propagate only over vertices that HAVE an edge — the near-dup
+    // subgraph is a small fraction of the corpus; singletons rejoin at
+    // the end with their own id. Each step eagerly checkpoints, so the
+    // plan stays O(1) deep across iterations.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -145,17 +150,18 @@ object TextDedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
       labels = next
       converged = changed == 0
       i += 1
     }
-    edges.unpersist(blocking = false)
-    labels.orderBy("doc_id")
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "edge_doc"),
+        col("doc_id") === col("edge_doc"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   // --- MinHash + LSH ------------------------------------------------
