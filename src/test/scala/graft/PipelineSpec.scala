@@ -123,6 +123,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("salted join and salted agg equal their unsalted forms") {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val o = Engine.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val c = Engine.table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val plain = o.join(c, Seq("custkey"))
+      .select("custkey", "o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = graft.pipeline.Skew.saltedJoin(o, c, Seq("custkey"), salts = 8)
+      .select("custkey", "o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+
+    val plainAgg = o.groupBy("custkey").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val saltedAgg = graft.pipeline.Skew.saltedAgg(o, Seq("custkey"),
+      Seq(("cnt", count(lit(1)), sum(col("cnt")))), salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(saltedAgg == plainAgg)
+  }
+
   test("approx_count_distinct lands within 5% of exact (sketch aggregate)") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     val li = Engine.table(spark, sfDir, "lineitem")
