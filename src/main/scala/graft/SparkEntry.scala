@@ -603,6 +603,23 @@ object SparkEntry {
       s.sql("SELECT n_nationkey, n_name, n_regionkey FROM graft_nation ORDER BY n_nationkey")
     }),
 
+    // As-of join (events ← most recent order at-or-before each event,
+    // per user) — oracled against DuckDB's native ASOF LEFT JOIN. The
+    // right side is pre-deduped to one row per (key, time) so the
+    // at-equal-times pick is well-defined in both engines.
+    "q_asof" -> ((s, d) => {
+      val e = T(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = T(s, d, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      operators.AsofJoin.asofJoin(e, o,
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        .orderBy("event_id")
+    }),
+
     "q_udf_tier" -> ((s, d) => {
       functions.Udfs.register(s)
       T(s, d, "orders")
@@ -675,6 +692,11 @@ object SparkEntry {
       "FROM orders WHERE o_custkey < 50 GROUP BY o_custkey ORDER BY o_custkey"),
     "q_read_table" -> ("SELECT n_nationkey, n_name, n_regionkey FROM nation " +
       "ORDER BY n_nationkey"),
+    "q_asof" -> ("WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey, " +
+      "ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice FROM orders GROUP BY 1, 2) " +
+      "SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice " +
+      "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
+      "ORDER BY e.event_id"),
     "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
       "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
     "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +
