@@ -530,6 +530,39 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("string").as("max_disc"))
         .orderBy("l_suppkey")),
 
+    // Type-coercion lattice (the reference's common-type casts,
+    // compute_value.rs:153-209): int×bigint, int×double, int
+    // division→double, modulo, cross-type comparison.
+    "q_coercion" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_linenumber") + col("l_orderkey")).as("i_plus_l"),
+          (col("l_linenumber") * col("l_discount")).as("i_times_d"),
+          (col("l_orderkey") / 4).as("l_div"),
+          (col("l_orderkey") % 4).as("l_mod"),
+          (col("l_quantity") > col("l_linenumber")).as("d_gt_i"),
+          (col("l_linenumber").cast("double") / (col("l_suppkey") + 1).cast("double")).as("dd"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Semi-structured extraction over the events.props JSON column —
+    // the training-data staple (metadata columns ride along as JSON).
+    "q_json" -> ((s, d) =>
+      T(s, d, "events")
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // Explode / unnest: corpus token frequencies via a generator.
+    "q_explode" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+        .orderBy(col("cnt").desc, col("token"))),
+
     // Scalar function library depth (SURVEY §2.9): math, string,
     // date, and conditional families, each oracled.
     "q_math_funcs" -> ((s, d) =>
@@ -666,6 +699,16 @@ object SparkEntry {
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_price, " +
       "CAST(MAX(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS max_disc " +
       "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"),
+    "q_coercion" -> ("SELECT l_orderkey, l_linenumber, l_linenumber + l_orderkey AS i_plus_l, " +
+      "l_linenumber * l_discount AS i_times_d, l_orderkey / 4 AS l_div, l_orderkey % 4 AS l_mod, " +
+      "l_quantity > l_linenumber AS d_gt_i, " +
+      "CAST(l_linenumber AS DOUBLE) / CAST(l_suppkey + 1 AS DOUBLE) AS dd " +
+      "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"),
+    "q_json" -> ("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+      "FROM events WHERE event_id < 500 ORDER BY event_id"),
+    "q_explode" -> ("SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents) " +
+      "GROUP BY token HAVING COUNT(*) >= 50 ORDER BY cnt DESC, token"),
     "q_math_funcs" -> ("SELECT l_orderkey, l_linenumber, ABS(l_discount - 0.05) AS a, " +
       "ROUND(l_extendedprice, 1) AS r1, FLOOR(l_quantity / 7) AS fl, CEIL(l_quantity / 7) AS ce, " +
       "SQRT(l_extendedprice) AS sq, POWER(l_quantity, 2) AS p2, " +
