@@ -98,6 +98,28 @@ final class QueryService(
   }
 
   def reader(queryId: String): ResultReader = new ResultReader(spark, resultDir(queryId))
+
+  /** Compact a completed query's result directory toward
+    * `targetBytes` per file — the reference's declared materialization
+    * TODO (DEV_NOTES.md:117-122: many small per-record files). One
+    * job: read, repartition to ceil(total/target), rewrite, swap.
+    * Pages served after compaction see the same rows (cursor
+    * addresses change — compaction is for before a result is handed
+    * to readers, or callers re-cursor from 0). */
+  def compactResult(queryId: String, targetBytes: Long = 128L << 20): Unit = {
+    val dir = resultDir(queryId)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(s => s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    ()
+  }
 }
 
 /** Cursor into a materialized result — the reference's

@@ -135,6 +135,20 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("compactResult rewrites a many-file result into one file, same rows") {
+    val id = svc.runQuery(
+      s"select o_orderkey, o_totalprice from read_files('$sfDir/orders.parquet') where o_orderkey < 200")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    val before = svc.reader(id)
+    val rowsBefore = before.totalRows
+    svc.compactResult(id)
+    val after = svc.reader(id)
+    assert(after.files.length == 1)
+    assert(after.totalRows == rowsBefore)
+    val page = after.read(ResultCursor(0, 0), 10)
+    assert(page.rows.size == 10)
+  }
+
   test("runScript executes statements in order with independent statuses") {
     val ids = svc.runScript(
       s"""select 1 as one from read_files('$sfDir/region.parquet');
