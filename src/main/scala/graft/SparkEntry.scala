@@ -343,6 +343,24 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Window frames beyond the running-total basics: ntile, lead,
+    // first/last_value, bounded sliding frames.
+    "q_window_frames" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("last_key"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .over(w.rowsBetween(-1, 1)).cast("double").as("windowed_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_string_funcs" -> ((s, d) =>
       T(s, d, "part")
         .filter(col("p_name").like("%a%"))
@@ -421,6 +439,17 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend, " +
       "LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price " +
       "FROM orders ORDER BY o_custkey, o_orderkey"),
+    "q_window_frames" -> ("SELECT o_custkey, o_orderkey, " +
+      "CAST(NTILE(4) OVER w AS BIGINT) AS quartile, " +
+      "LEAD(o_orderkey, 1) OVER w AS next_key, " +
+      "FIRST_VALUE(o_orderkey) OVER w AS first_key, " +
+      "LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey " +
+      "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS windowed_spend " +
+      "FROM orders WHERE o_custkey < 100 " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderkey"),
     "q_string_funcs" -> ("SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_name, 1, 5) AS name5, " +
       "CAST(LENGTH(p_name) AS BIGINT) AS name_len, p_brand || '-' || p_type AS brand_type " +
       "FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey"),

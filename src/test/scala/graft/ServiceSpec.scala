@@ -131,6 +131,15 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
 
       val notFound = call("""{"type":"get_query_status","query_id":"nope"}""")
       assert(notFound.contains("not_found"))
+
+      // malformed JSON and unknown types answer with an error line,
+      // not a dropped connection
+      val bad = call("{not json")
+      assert(bad.contains("\"type\":\"error\""))
+      val unknown = call("""{"type":"frobnicate"}""")
+      assert(unknown.contains("\"type\":\"error\""))
+      val stillAlive = call(s"""{"type":"get_query_status","query_id":"$id"}""")
+      assert(stillAlive.contains("complete"))
       sock.close()
     } finally server.close()
   }

@@ -90,6 +90,13 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("injected read_files TVF rejects non-literal args with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("select * from read_files(42)").collect()
+    }
+    assert(e.getMessage.contains("read_files"), e.getMessage)
+  }
+
   test("read_files inside a string literal is not rewritten") {
     // Without the quote-parity guard the rewrite regex would match
     // `read_files(' as a, '` spanning the two literals below and
