@@ -821,6 +821,22 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) =>
       pipeline.Embeddings.nearDupPairs(T(s, d, "embeddings"), 0.4)),
 
+    // The flagship pipeline composition: quality gate + near-dup
+    // canonical selection = the "clean corpus" a training run reads.
+    // Canonical = doc_id == cluster_id, because cluster labels ARE the
+    // component-minimum doc id by construction.
+    "q_corpus_clean" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val quality = pipeline.TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+      val clusters = pipeline.TextDedup.nearDupClusters(docs, 3, 0.8)
+      docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(col("quality") >= 0.1 && col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic pipeline sampling: multiplicative-hash gate (exact
     // in int64, portable across engines — reproducible corpus splits).
     "q_sample" -> ((s, d) =>
@@ -914,6 +930,26 @@ object SparkEntry {
 
     "q_sample" -> ("SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10 " +
       "ORDER BY doc_id"),
+
+    "q_corpus_clean" -> ("WITH RECURSIVE " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3), " +
+      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), " +
+      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+      "members AS (SELECT doc_id, doc_id AS m FROM documents UNION SELECT src AS doc_id, dst AS m FROM reach), " +
+      "cc AS (SELECT doc_id, MIN(m) AS cluster_id FROM members GROUP BY doc_id), " +
+      "q AS (SELECT doc_id, " +
+      "least(len(regexp_split_to_array(trim(lower(text)), '\\s+')) / 256.0, 1.0) * " +
+      "(1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * " +
+      "(0.5 + 0.5 * least(4.0 * CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      "t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE) / " +
+      "len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1.0)) AS quality FROM documents) " +
+      "SELECT d.doc_id FROM documents d JOIN cc ON d.doc_id = cc.doc_id JOIN q ON d.doc_id = q.doc_id " +
+      "WHERE cc.cluster_id = d.doc_id AND q.quality >= 0.1 ORDER BY d.doc_id"),
 
     "q_stratified" -> ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn " +
