@@ -42,9 +42,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // Isolate queries from each other's session litter: dropped
-        // broadcast blocks are only reclaimed on GC, and a full heap
+        // broadcast blocks are only reclaimed on GC, localCheckpoint
+        // storage is invisible to catalog.clearCache, and a full heap
         // turns into pauses billed to whichever query runs next.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         System.gc()
         val t0 = System.nanoTime()
         val ok =

@@ -9,9 +9,22 @@ import graft.service.{QueryService, QueryStatus}
   * wait for completion, and page through results.
   *
   * Usage: runMain graft.Cli <sql-file> [resultsRoot] [pageSize]
+  *        runMain graft.Cli --serve [port] [resultsRoot]
+  *
+  * `--serve` starts the JSON-over-TCP [[graft.service.QueryServer]]
+  * (the reference's worker-listener role) and blocks.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--serve")) {
+      val port = if (args.length > 1) args(1).toInt else 7777
+      val resultsRoot = if (args.length > 2) args(2) else "/tmp/graft_results"
+      val spark = Engine.session("graft-server")
+      val server = new service.QueryServer(new QueryService(spark, resultsRoot), port)
+      println(s"graft query server listening on port ${server.boundPort}")
+      Thread.currentThread().join()
+      return
+    }
     val sqlFile = args(0)
     val resultsRoot = if (args.length > 1) args(1) else "/tmp/graft_results"
     val pageSize = if (args.length > 2) args(2).toInt else 20
