@@ -818,6 +818,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       pipeline.TextDedup.nearDupClusters(T(s, d, "documents"), 3, 0.8)),
 
+    "dedup_passages" -> ((s, d) =>
+      pipeline.TextDedup.sharedPassagePairs(T(s, d, "documents"), 10, 1)),
+
     "dedup_embed" -> ((s, d) =>
       pipeline.Embeddings.nearDupPairs(T(s, d, "embeddings"), 0.4)),
 
@@ -930,6 +933,15 @@ object SparkEntry {
 
     "q_sample" -> ("SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10 " +
       "ORDER BY doc_id"),
+
+    "dedup_passages" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 8), " +
+      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.s, b.s)) >= 1 ORDER BY doc_a, doc_b"),
 
     "q_corpus_clean" -> ("WITH RECURSIVE " +
       "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +

@@ -164,6 +164,33 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Verbatim passage reuse: pairs of docs sharing >= `minShared`
+    * distinct k-gram passages (long k, default 10 words — catches
+    * copied passages that sit far below any whole-document similarity
+    * threshold). Same inverted-index candidate plan as the jaccard
+    * join; n_shared is the exact distinct-passage intersection. */
+  def sharedPassagePairs(docs: DataFrame, k: Int = 10, minShared: Int = 1,
+                         maxShingleDF: Int = 1000): DataFrame = {
+    val sh = withHashes(docs, k)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxShingleDF)
+      .select("s")
+    val inv2 = inv.join(rare, "s")
+    val cands = inv2.as("x").join(inv2.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_shared",
+        NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // --- MinHash + LSH ------------------------------------------------
 
   /** MinHash signature column (array<bigint> of `perms` mins) over the
