@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.ScriptRunner
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the compiled kernels: each native expression is
+  * checked against an independent reference implementation on random
+  * inputs, so correctness never rests on the parquet fixtures alone. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  /** Deterministic ScalaCheck sampling (fixed seed — no flaky runs). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).map(i => g.pureApply(params, org.scalacheck.rng.Seed(42L + i)))
+  }
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit = samples(g, 25).foreach(f)
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    samples(ga, 25).zip(samples(gb.map(identity), 25).reverse).foreach { case (a, b) => f(a, b) }
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8)),
+    Gen.oneOf("the", "and", "héllo", "naïve", "大数据", "query"))
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, word)
+    sep <- Gen.oneOf(" ", "  ", " \t ", "\n")
+  } yield ws.mkString(sep)
+
+  private def fnv(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0xcbf29ce484222325L
+    for (b <- bytes) { h ^= (b & 0xffL); h *= 0x100000001b3L }
+    h
+  }
+
+  /** Reference shingle-set: mirrors split(trim(lower())) + k-window. */
+  private def refShingles(text: String, k: Int): Set[Long] = {
+    val t = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.trim.toString
+    val w = java.util.regex.Pattern.compile("\\s+").split(t, -1)
+    if (w.length < k) Set.empty
+    else (0 to w.length - k).map(i => fnv(w.slice(i, i + k).mkString(" "))).toSet
+  }
+
+  test("ShingleHashes equals the reference shingle-set on random text") {
+    forAll(Gen.listOfN(30, textGen)) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("text")
+        .select(graft.pipeline.TextDedup.shingleHashes(col("text"), 3).as("sh"))
+      val got = df.collect().map(_.getSeq[Long](0).toSet)
+      texts.zip(got).foreach { case (t, g) =>
+        assert(g == refShingles(t, 3), s"text=$t")
+      }
+    }
+  }
+
+  test("SortedIntersectSize equals set intersection") {
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      import spark.implicits._
+      val df = Seq((sa, sb)).toDF("a", "b")
+        .select(graft.functions.NativeExpressions
+          .sorted_intersect_size(col("a"), col("b")).as("n"))
+      assert(df.collect()(0).getLong(0) == (sa.toSet & sb.toSet).size.toLong)
+    }
+  }
+
+  test("PolyFingerprint equals the BigInt fold") {
+    forAll(textGen) { t =>
+      import spark.implicits._
+      val got = Seq(t).toDF("text")
+        .select(graft.functions.NativeExpressions.poly_fingerprint(col("text")).as("fp"))
+        .collect()(0).getLong(0)
+      var acc = BigInt(0)
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        acc = (acc * 31 + cp) % BigInt(1000000007L)
+        i += Character.charCount(cp)
+      }
+      assert(got == acc.toLong)
+    }
+  }
+
+  test("script splitting: joining statements with ';' round-trips") {
+    val stmtGen = Gen.nonEmptyListOf(Gen.oneOf(
+      "select 1", "select 'a;b' as s", "select 'it''s' as t", "select 2 -- c"))
+    forAll(stmtGen) { stmts =>
+      // ';' on its own line: a trailing line comment otherwise
+      // swallows a same-line separator (correct SQL semantics).
+      val script = stmts.mkString("\n;\n")
+      val out = ScriptRunner.split(script)
+      assert(out.size == stmts.size)
+    }
+  }
+
+  test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
+    forAll(Gen.listOfN(20, textGen)) { texts =>
+      import spark.implicits._
+      val fp = texts.toDF("text")
+        .select(col("text"), xxhash64(col("text")).as("a"),
+          xxhash64(lit("graft.dedup.salt"), col("text")).as("b"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      for (t <- texts; u <- texts)
+        if (t == u) assert(fp(t) == fp(u))
+        else assert(fp(t) != fp(u) || t == u)
+    }
+  }
+}
