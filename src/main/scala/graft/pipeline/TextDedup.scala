@@ -141,21 +141,25 @@ object TextDedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val msgs = edges.join(labels, edges("dst") === labels("doc_id"))
+    def step(cur: DataFrame): DataFrame = {
+      val msgs = edges.join(cur, edges("dst") === cur("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.join(msgs, labels("doc_id") === msgs("src"), "left")
+      cur.join(msgs, cur("doc_id") === msgs("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // two propagation hops per materialization/convergence check —
+      // halves the driver-side action count; worst case one spare hop
+      val next = step(step(labels)).localCheckpoint(true)
       val changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
         .filter(col("cluster_id") =!= col("old")).count()
       labels = next
       converged = changed == 0
-      i += 1
+      i += 2
     }
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "edge_doc"),
