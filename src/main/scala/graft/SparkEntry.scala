@@ -166,6 +166,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    // Pivot: rows → columns per returnflag (Spark's relational pivot
+    // vs the oracle's equivalent conditional aggregation).
+    "q_pivot" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus")),
+
+    "q_bit_agg" -> ((s, d) =>
+      T(s, d, "orders")
+        .filter(col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(bit_and(col("o_orderkey")).as("band"),
+          bit_or(col("o_orderkey")).as("bor"),
+          bit_xor(col("o_orderkey")).as("bxor"))
+        .orderBy("o_custkey")),
+
+    "q_regex" -> ((s, d) =>
+      T(s, d, "part")
+        .filter(col("p_partkey") < 300)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("noun"),
+          col("p_name").rlike("^(small|large)").as("sized"))
+        .orderBy("p_partkey")),
+
+    "q_window_pct" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, d, "orders")
+        .filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_cube" -> ((s, d) =>
       T(s, d, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -237,6 +273,21 @@ object SparkEntry {
     "q_rollup" -> ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem " +
       "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
       "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"),
+    "q_pivot" -> ("SELECT l_linestatus, " +
+      "CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS \"A\", " +
+      "CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS \"N\", " +
+      "CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS \"R\" " +
+      "FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"),
+    "q_bit_agg" -> ("SELECT o_custkey, BIT_AND(o_orderkey) AS band, BIT_OR(o_orderkey) AS bor, " +
+      "BIT_XOR(o_orderkey) AS bxor FROM orders WHERE o_custkey < 100 GROUP BY o_custkey " +
+      "ORDER BY o_custkey"),
+    "q_regex" -> ("SELECT p_partkey, regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS noun, " +
+      "regexp_matches(p_name, '^(small|large)') AS sized FROM part WHERE p_partkey < 300 " +
+      "ORDER BY p_partkey"),
+    "q_window_pct" -> ("SELECT o_custkey, o_orderkey, PERCENT_RANK() OVER w AS pr, " +
+      "CUME_DIST() OVER w AS cd FROM orders WHERE o_custkey < 30 " +
+      "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderkey"),
     "q_cube" -> ("SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
       "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
