@@ -69,6 +69,23 @@ object EventStream {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Declarative sessionization via the built-in `session_window`
+    * (gap-based event-time sessions) — the Catalyst-native counterpart
+    * of [[sessionize]]'s custom keyed state: watermark-bounded state,
+    * merged sessions, no user state-management code. Prefer this when
+    * per-session logic is pure aggregation; drop to
+    * flatMapGroupsWithState only for semantics aggregates can't
+    * express (the reference-roadmap "custom operator" slot). */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)

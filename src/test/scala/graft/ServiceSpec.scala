@@ -144,6 +144,39 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("TCP protocol serves concurrent clients") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = (0 until 4).map { i => Future {
+        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+        try {
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+          out.println(
+            s"""{"type":"run_query","query":"select $i as n, r_regionkey from read_files('$sfDir/region.parquet')"}""")
+          val resp = in.readLine()
+          val id = """"query_id":"([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+          var status = ""
+          val deadline = System.currentTimeMillis() + 60000
+          while (!status.contains("complete") && System.currentTimeMillis() < deadline) {
+            out.println(s"""{"type":"get_query_status","query_id":"$id"}""")
+            status = in.readLine()
+          }
+          out.println(s"""{"type":"get_query_data","query_id":"$id","limit":10}""")
+          in.readLine()
+        } finally sock.close()
+      } }
+      val results = Await.result(Future.sequence(futures), 120.seconds).toList
+      assert(results.size == 4)
+      (0 until 4).foreach { i =>
+        assert(results(i).contains(s"""["$i""") || results(i).contains(s"[$i,"), results(i))
+      }
+    } finally server.close()
+  }
+
   test("compactResult rewrites a many-file result into one file, same rows") {
     val id = svc.runQuery(
       s"select o_orderkey, o_totalprice from read_files('$sfDir/orders.parquet') where o_orderkey < 200")

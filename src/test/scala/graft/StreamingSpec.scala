@@ -119,6 +119,28 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("built-in session_window closes a session after the gap + watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStream.sessionWindowCounts(in.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),  // same session (5 < 10 gap)
+        Event(3, ts(65), 1, "click", 4.0)) // new session
+      q.processAllAvailable()
+      in.addData(Event(4, ts(300), 2, "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .filter("user_id = 1").collect()
+        .map(r => (r.getLong(3), r.getDouble(4))).toSet
+      assert(rows == Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionize emits a closed session when a gap exceeds the threshold") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
