@@ -79,6 +79,8 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
         jobs.incrementAndGet(); ()
       }
     }
+    Thread.sleep(1500) // drain queued events from the result write —
+    // a pre-registration job event dispatched late would be miscounted
     spark.sparkContext.addSparkListener(listener)
     try {
       val rows = Seq.newBuilder[org.apache.spark.sql.Row]
