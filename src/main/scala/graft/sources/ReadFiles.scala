@@ -105,6 +105,12 @@ object ReadFiles {
 
   final case class Rewritten(sql: String, views: Seq[String])
 
+  // Globally unique view suffix: concurrent statements over the SAME
+  // path must never share a view name, or one statement's
+  // post-analysis drop races another statement's analysis
+  // (TABLE_OR_VIEW_NOT_FOUND under a concurrent QueryService).
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Rewrite every read_files(...) call in `sql` to a registered temp
     * view over the resolved path(s). Calls inside single-quoted string
     * literals are left untouched (quote-parity scan). Returns the
@@ -115,7 +121,6 @@ object ReadFiles {
     val out = new StringBuilder
     val views = Seq.newBuilder[String]
     var last = 0
-    var i = 0
     for (m <- Call.findAllMatchIn(sql)) {
       val quotesBefore = sql.substring(0, m.start).count(_ == '\'')
       if (quotesBefore % 2 == 0) { // outside any string literal
@@ -133,9 +138,10 @@ object ReadFiles {
             .option("mergeSchema", args.getOrElse("mergeschema", "false"))
             .parquet(path)
         }
-        i += 1
-        // A stable, collision-free view name per call site.
-        val view = s"read_files_${Integer.toHexString(path.hashCode)}_$i"
+        // A collision-free view name per call site, unique across
+        // concurrent statements.
+        val view =
+          s"read_files_${Integer.toHexString(path.hashCode)}_${viewCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
         views += view
         out.append(sql.substring(last, m.start)).append(view)
