@@ -14,6 +14,10 @@ Test / fork := true
 // (AQE) around plan assertions — keep suite execution sequential.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output goes RAW to stdout (no "[info] " log decoration):
+// Bench prints one machine-parsed JSON line; the decorated form broke
+// the driver's parse in rounds 1-2 ("parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

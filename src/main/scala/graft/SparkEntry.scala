@@ -1022,8 +1022,10 @@ object SparkEntry {
       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn " +
       "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"),
 
+    // CAST the SUM itself: DuckDB SUM(BIGINT) yields HUGEINT, which
+    // pandas materializes as float64 and hash-mismatches Spark's long.
     "q_corpus_stats" -> ("SELECT lang, COUNT(*) AS n_docs, " +
-      "SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)) AS total_tokens, " +
+      "CAST(SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)) AS BIGINT) AS total_tokens, " +
       "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars " +
       "FROM documents GROUP BY lang ORDER BY lang"),
 

@@ -138,9 +138,6 @@ object TextDedup {
     // subgraph is a small fraction of the corpus; singletons rejoin at
     // the end with their own id. Each step eagerly checkpoints, so the
     // plan stays O(1) deep across iterations.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint(true)
     def step(cur: DataFrame): DataFrame = {
       val msgs = edges.join(cur, edges("dst") === cur("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
@@ -149,16 +146,28 @@ object TextDedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
     }
+    // Convergence via the monotone invariant: min-propagation can only
+    // LOWER a label, so sum(cluster_id) strictly decreases until the
+    // fixpoint — equality of consecutive sums IS convergence. That
+    // replaces the join+count changed-row check with a plain aggregate,
+    // and because each frame is LAZILY localCheckpoint'ed, the same
+    // aggregate job also materializes it: one Spark job per loop turn.
+    def sumMaterialize(df: DataFrame): (DataFrame, Long) = {
+      val ck = df.localCheckpoint(false)
+      (ck, ck.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0))
+    }
+    var (labels, prevSum) = sumMaterialize(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       // two propagation hops per materialization/convergence check —
       // halves the driver-side action count; worst case one spare hop
-      val next = step(step(labels)).localCheckpoint(true)
-      val changed = next.join(labels.select(col("doc_id"), col("cluster_id").as("old")), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val (next, s) = sumMaterialize(step(step(labels)))
       labels = next
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       i += 2
     }
     docs.select(col("doc_id"))
