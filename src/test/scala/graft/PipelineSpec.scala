@@ -48,6 +48,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 (got ${approx.size} pairs)")
   }
 
+  test("ann IVF top-k recall vs brute force") {
+    val bf = Embeddings.bruteForceTopK(emb, 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Embeddings.ivfTopK(emb, 10, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // Weak-neighbor fixture regime (cos ~0.3, near-uniform over cells):
+    // mean recall tracks the 10/16 scan fraction; the per-query floor
+    // is pinned by the ann_ivf_recall oracle, clustered-pair retrieval
+    // by dedup_embed_ivf's exact oracle.
+    assert(recall >= 0.8, s"IVF recall $recall below 0.8 (got ${ivf.size} pairs)")
+  }
+
+  test("IVF training is deterministic across invocations") {
+    val v = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
+    val again = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
+    assert(v == again)
+  }
+
+  test("embedding near-dup IVF pairs equal the exact threshold join at 0.45") {
+    val v = emb.select(col("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (graft.functions.NativeExpressions.dot_product(col("a.v"), col("b.v")) /
+          (sqrt(graft.functions.NativeExpressions.dot_product(col("a.v"), col("a.v"))) *
+            sqrt(graft.functions.NativeExpressions.dot_product(col("b.v"), col("b.v"))))).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Embeddings.ivfNearDupPairs(emb, 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(ivf == exact)
+  }
+
   test("embedding near-dup LSH pairs equal the exact threshold join") {
     val v = emb.select(col("vec_id"),
       org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
