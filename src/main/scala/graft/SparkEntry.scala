@@ -1148,9 +1148,128 @@ object SparkEntry {
       "FROM documents ORDER BY doc_id")
   )
 
+  // ===========================================================
+  // Round-3 extensions: TPC-H-shaped headline queries, sketch
+  // aggregates with bounded-error gates, PII scrub
+  // ===========================================================
+
+  private val ext3Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 (shipping priority): the selective-dimension-filter +
+    // fact-join + top-N-by-aggregate shape. Plan to want at 100×:
+    // segment filter applied BEFORE the join, one shuffle on the
+    // orders⋈lineitem key, TakeOrderedAndProject for the top 10.
+    "q_tpch_q3" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders"); val li = T(s, d, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < "1998-06-01")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > "1998-06-01")
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+
+    // TPC-H Q10 (returned-item reporting): 4-way join, group by the
+    // full customer tuple, top 20 by revenue.
+    "q_tpch_q10" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders")
+      val li = T(s, d, "lineitem"); val n = T(s, d, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-07-01")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    }),
+
+    // HLL++ sketch aggregate, gated by a deterministic bounded-error
+    // check: the sketch is hash-based and merge-independent, so the
+    // boolean is a fixed function of the data — the oracle pins it
+    // true alongside the exact count. At 100 TB approx_count_distinct
+    // is THE cardinality operator (no exact-distinct shuffle).
+    "q_approx_distinct" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.15)).as("ok"))
+        .orderBy("l_returnflag")),
+
+    // Quantile sketch (percentile_approx) against the exact
+    // interpolated percentile, same bounded-error gating.
+    "q_approx_quantile" -> ((s, d) =>
+      T(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          expr("percentile_approx(o_totalprice, 0.5, 10000)").as("p50_approx"))
+        .select(col("o_orderpriority"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * lit(0.02)).as("ok"))
+        .orderBy("o_orderpriority")),
+
+    // PII scrub over the corpus: deterministic synthetic PII derived
+    // from doc_id is appended, then redacted by the shared operator —
+    // the oracle re-runs the same ERE chain in RE2.
+    "q_pii_redact" -> ((s, d) =>
+      T(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")).as("raw"))
+        .select(col("doc_id"), pipeline.TextAnalysis.redactPii(col("raw")).as("clean"))
+        .orderBy("doc_id"))
+  )
+
+  private val ext3Oracles: Map[String, String] = Map(
+    "q_tpch_q3" -> ("SELECT l_orderkey, revenue, o_orderdate FROM (" +
+      "SELECT l_orderkey, o_orderdate, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer, orders, lineitem " +
+      "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+      "AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
+      "GROUP BY l_orderkey, o_orderdate) " +
+      "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+
+    "q_tpch_q10" -> ("SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (" +
+      "SELECT c_custkey, c_name, c_acctbal, n_name, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer, orders, lineitem, nation " +
+      "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND c_nationkey = n_nationkey " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' " +
+      "AND l_returnflag = 'R' " +
+      "GROUP BY c_custkey, c_name, c_acctbal, n_name) " +
+      "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "q_approx_distinct" -> ("SELECT l_returnflag, " +
+      "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact, true AS ok " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_approx_quantile" -> ("SELECT o_orderpriority, " +
+      "quantile_cont(o_totalprice, 0.5) AS p50_exact, true AS ok " +
+      "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    "q_pii_redact" -> ("SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      "text || ' contact user' || doc_id || '@mail.example.com or +1-555-' || " +
+      "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || " +
+      "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1', " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
+      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS clean " +
+      "FROM documents ORDER BY doc_id")
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ pipelineQueries
+    parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ ext3Queries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ pipelineOracles
+    parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++ pipelineOracles
 }

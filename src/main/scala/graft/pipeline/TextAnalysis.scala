@@ -75,6 +75,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII redaction: email, NANP-style phone, and dotted-quad IP
+    * patterns replaced by typed placeholder tokens — the scrub pass a
+    * training corpus runs before anything else sees the text. Pure
+    * codegen'd regexp_replace chain (one scan, no shuffle, no UDF);
+    * patterns are deliberately plain ERE so they mean the same thing
+    * to Java regex, RE2, and PCRE (portable across engines). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+        lit("\\+1-[0-9]{3}-[0-9]{4}"), lit("<PHONE>")),
+      lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("<IP>"))
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc, ch) = (acc * 31 + codepoint(ch)) mod 1_000_000_007.
     * One 64-bit value per doc — the cheap exact-dup / shard-routing
