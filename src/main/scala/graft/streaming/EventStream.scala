@@ -69,6 +69,16 @@ object EventStream {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Stream-static enrichment join: the event stream against a static
+    * dimension (here a per-user tier snapshot). The static side is
+    * re-planned per micro-batch, so Catalyst broadcasts it when small
+    * — no stream-side state at all (unlike stream-stream joins, a
+    * static dimension needs no watermark bookkeeping). At 100 TB the
+    * dimension lives in the warehouse and each micro-batch sees its
+    * current snapshot. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Declarative sessionization via the built-in `session_window`
     * (gap-based event-time sessions) — the Catalyst-native counterpart
     * of [[sessionize]]'s custom keyed state: watermark-bounded state,

@@ -100,6 +100,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStream.enrichWithDimension(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(6), 2, "view", 2.0),
+        Event(3, ts(7), 9, "click", 3.0)) // no dimension row → tier null
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("file-sink ingest: stream materializes to parquet with checkpoint") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
