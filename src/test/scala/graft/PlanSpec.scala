@@ -106,4 +106,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(corpusShuffles.size <= 4, p.toString)
     }
   }
+
+  test("q_tpch_q3 pushes the segment filter to the scan and top-10s without a global sort") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q3"))
+      val s = p.toString
+      assert(s.contains("EqualTo(c_mktsegment,BUILDING)"), s)
+      assert(p.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s)
+    }
+  }
+
+  test("bucketed tables join co-located: sort-merge with zero shuffles") {
+    // The 100 TB co-location story: both sides bucketed on the join
+    // key at write time -> the join reads pre-partitioned buckets and
+    // the exchange disappears entirely.
+    val o = Engine.table(spark, sfDir, "orders")
+    val c = Engine.table(spark, sfDir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    try withoutAqe {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("b_orders").join(spark.table("b_customer"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+        val p = planOf(joined)
+        assert(p.collect {
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+        }.nonEmpty, p.toString)
+        assert(p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty, s"bucketed join must not shuffle:\n$p")
+        // and it still returns the right rows
+        assert(joined.count() ==
+          o.join(c, o("o_custkey") === c("c_custkey")).count())
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
