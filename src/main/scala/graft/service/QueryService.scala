@@ -81,10 +81,24 @@ final class QueryService(
     queryId
   }
 
-  /** Multi-statement script → one query id per statement, in order
-    * (semantics from the reference's client_tui SQL-file path). */
+  /** Multi-statement script → one query id per statement, in order.
+    * Statements are SUBMITTED in order but execute concurrently —
+    * the throughput mode for independent statements. */
   def runScript(script: String): Seq[String] =
     ScriptRunner.split(script).map(runQuery)
+
+  /** Sequential script execution: each statement completes before the
+    * next is submitted — the reference TUI's semantics
+    * (/root/reference/src/bin/client_tui.rs runs the file's queries
+    * one at a time), for scripts where statement N+1 reads statement
+    * N's output. An Error status does not stop later statements,
+    * matching the reference's per-query error reporting. */
+  def runScriptSequential(script: String): Seq[String] =
+    ScriptRunner.split(script).map { sql =>
+      val id = runQuery(sql)
+      awaitComplete(id)
+      id
+    }
 
   def awaitComplete(queryId: String, timeoutMs: Long = 300000): QueryStatus = {
     val deadline = System.currentTimeMillis() + timeoutMs

@@ -203,4 +203,19 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.awaitComplete(ids(1)).isInstanceOf[QueryStatus.Error])
     assert(svc.awaitComplete(ids(2)) == QueryStatus.Complete)
   }
+
+  test("runScriptSequential: each statement terminal at return, errors don't stop the script") {
+    val ids = svc.runScriptSequential(
+      s"""select r_regionkey from read_files('$sfDir/region.parquet');
+         |select * from read_files('/missing.parquet');
+         |select n_nationkey from read_files('$sfDir/nation.parquet')""".stripMargin)
+    assert(ids.size == 3)
+    // sequential semantics: by the time runScriptSequential returns,
+    // every statement has already reached a terminal status — no
+    // awaitComplete needed (the reference TUI's one-at-a-time model)
+    assert(svc.status(ids(0)).contains(QueryStatus.Complete))
+    assert(svc.status(ids(1)).exists(_.isInstanceOf[QueryStatus.Error]))
+    assert(svc.status(ids(2)).contains(QueryStatus.Complete))
+    assert(svc.reader(ids(2)).totalRows == 25)
+  }
 }
