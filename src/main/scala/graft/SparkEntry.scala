@@ -1214,6 +1214,32 @@ object SparkEntry {
           (abs(col("p50_approx") - col("p50_exact")) <= col("p50_exact") * lit(0.02)).as("ok"))
         .orderBy("o_orderpriority")),
 
+    // The dedup pipeline composed in PURE SQL via the injected native
+    // functions (GraftExtensions.injectFunction): shingle_hashes /
+    // sorted_intersect_size resolve through the analyzer like
+    // built-ins and keep their codegen. Same inverted-index plan and
+    // the same oracle as dedup_ngram — one operator, two surfaces.
+    "q_sql_dedup" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""WITH sh AS (
+              |  SELECT doc_id, shingle_hashes(text, 3) AS s FROM documents),
+              |sh2 AS (SELECT * FROM sh WHERE size(s) > 0),
+              |inv AS (SELECT doc_id, explode(s) AS h FROM sh2),
+              |rare AS (SELECT h FROM inv GROUP BY h
+              |         HAVING COUNT(*) >= 2 AND COUNT(*) <= 1000),
+              |inv2 AS (SELECT inv.doc_id, inv.h FROM inv JOIN rare ON inv.h = rare.h),
+              |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |         FROM inv2 x JOIN inv2 y ON x.h = y.h AND x.doc_id < y.doc_id),
+              |j AS (SELECT doc_a, doc_b,
+              |        CAST(sorted_intersect_size(a.s, b.s) AS DOUBLE) AS co,
+              |        size(a.s) AS sa, size(b.s) AS sb
+              |      FROM cand JOIN sh2 a ON cand.doc_a = a.doc_id
+              |                JOIN sh2 b ON cand.doc_b = b.doc_id)
+              |SELECT doc_a, doc_b, co / (sa + sb - co) AS jaccard
+              |FROM j WHERE co / (sa + sb - co) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
     // PII scrub over the corpus: deterministic synthetic PII derived
     // from doc_id is appended, then redacted by the shared operator —
     // the oracle re-runs the same ERE chain in RE2.
@@ -1247,6 +1273,8 @@ object SparkEntry {
       "AND l_returnflag = 'R' " +
       "GROUP BY c_custkey, c_name, c_acctbal, n_name) " +
       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+
+    "q_sql_dedup" -> duckJaccardPairs,
 
     "q_approx_distinct" -> ("SELECT l_returnflag, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact, true AS ok " +

@@ -81,13 +81,18 @@ object TextAnalysis {
     * codegen'd regexp_replace chain (one scan, no shuffle, no UDF);
     * patterns are deliberately plain ERE so they mean the same thing
     * to Java regex, RE2, and PCRE (portable across engines). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The (pattern, replacement) chain applied in order. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
+
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text,
-          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
-        lit("\\+1-[0-9]{3}-[0-9]{4}"), lit("<PHONE>")),
-      lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"), lit("<IP>"))
+    PiiPatterns.foldLeft(text) { case (c, (re, token)) =>
+      regexp_replace(c, lit(re), lit(token))
+    }
 
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc, ch) = (acc * 31 + codepoint(ch)) mod 1_000_000_007.

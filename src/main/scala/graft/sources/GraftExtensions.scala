@@ -1,10 +1,11 @@
 package graft.sources
 
+import graft.functions.NativeExpressions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst-native registration of the reference's `read_files` table
@@ -21,12 +22,67 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.extensions=graft.sources.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectTableFunction((
       FunctionIdentifier("read_files"),
       new ExpressionInfo(ReadFilesTVF.getClass.getName, "read_files"),
       (args: Seq[Expression]) => ReadFilesTVF.build(args)))
+
+    // The pipeline's native expressions as first-class SQL scalar
+    // functions — the reference's extension-registry vision
+    // (operator_task_registry.rs:74-94) applied to functions: a SQL
+    // user composes the whole dedup/similarity pipeline without
+    // touching the Scala API, and the expressions keep their codegen.
+    inject(ext, "shingle_hashes") {
+      case Seq(t) => NativeExpressions.ShingleHashes(t, 3)
+      case Seq(t, k) => NativeExpressions.ShingleHashes(t, intArg(k, "shingle_hashes"))
+    }
+    inject(ext, "sorted_intersect_size") {
+      case Seq(a, b) => NativeExpressions.SortedIntersectSize(a, b)
+    }
+    inject(ext, "minhash_sig") {
+      case Seq(c, p) => NativeExpressions.MinHashSig(c, intArg(p, "minhash_sig"))
+    }
+    inject(ext, "simhash_bits") {
+      case Seq(c) => NativeExpressions.SimHashBits(c)
+    }
+    inject(ext, "dot_product") {
+      case Seq(a, b) => NativeExpressions.DotProduct(a, b)
+    }
+    inject(ext, "poly_fingerprint") {
+      case Seq(t) => NativeExpressions.PolyFingerprint(t)
+    }
+    // Built directly on catalyst RegExpReplace (a functions-API Column
+    // would reach the builder as an unresolvable ColumnNodeExpression).
+    inject(ext, "redact_pii") {
+      case Seq(t) =>
+        graft.pipeline.TextAnalysis.PiiPatterns.foldLeft(t) {
+          case (e, (re, token)) =>
+            org.apache.spark.sql.catalyst.expressions.RegExpReplace(
+              e, Literal(re), Literal(token))
+        }
+    }
   }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected an integer literal argument, got $other")
+  }
+
+  private def inject(ext: SparkSessionExtensions, name: String)(
+      builder: PartialFunction[Seq[Expression], Expression]): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(NativeExpressions.getClass.getName, name),
+      (args: Seq[Expression]) => builder.applyOrElse(args, (a: Seq[Expression]) =>
+        throw new IllegalArgumentException(
+          s"$name: unexpected argument count ${a.size}"))))
 }
 
 object ReadFilesTVF {

@@ -171,4 +171,18 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
          |where c.c_custkey < 5""".stripMargin)
     assert(df.count() == 5) // c_custkey starts at 0
   }
+
+  test("injected SQL scalar functions resolve and match the Scala API") {
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  sorted_intersect_size(shingle_hashes('a b c d', 3),
+        |                        shingle_hashes('a b c e', 3)) AS co,
+        |  poly_fingerprint('abc') AS fp,
+        |  redact_pii('mail me at bob@x.example.org or +1-555-0000') AS clean
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getLong(1) == 1L) // shares exactly the "a b c" shingle
+    assert(row.getLong(2) == (('a' * 31L + 'b') * 31 + 'c') % 1000000007L)
+    assert(row.getString(3) == "mail me at <EMAIL> or <PHONE>")
+  }
 }
