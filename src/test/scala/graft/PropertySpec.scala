@@ -98,6 +98,29 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("redactPii removes every injected email/phone/IP from random text") {
+    val piiGen: Gen[String] = for {
+      user <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(10))
+      host <- Gen.alphaNumStr.suchThat(_.nonEmpty).map(_.take(8))
+      n <- Gen.choose(0, 9999)
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      kind <- Gen.choose(0, 2)
+    } yield kind match {
+      case 0 => s"$user@$host.example.com"
+      case 1 => f"+1-555-$n%04d"
+      case _ => s"10.$a.$b.1"
+    }
+    forAll(textGen, piiGen) { (text, pii) =>
+      import spark.implicits._
+      val injected = s"$text $pii $text"
+      val out = Seq(injected).toDF("t")
+        .select(pipeline.TextAnalysis.redactPii(col("t")).as("clean"))
+        .collect()(0).getString(0)
+      assert(!out.contains(pii), s"'$pii' survived redaction: $out")
+      assert(out.contains("<EMAIL>") || out.contains("<PHONE>") || out.contains("<IP>"))
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
