@@ -204,6 +204,40 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.awaitComplete(ids(2)) == QueryStatus.Complete)
   }
 
+  test("reference sample script shapes run end-to-end (sample_queries/simple*.sql)") {
+    // The reference's own test queries (/root/reference/sample_queries/
+    // simple.sql, simple-error-case.sql) over a sample_data/simple-
+    // shaped table (id, value1, value2 — create_sample_data.rs).
+    val dir = java.nio.file.Files.createTempDirectory("sample_simple").toString
+    import spark.implicits._
+    (0L until 100L).map(i => (i, i * 1.5, i * 2L)).toSeq
+      .toDF("id", "value1", "value2")
+      .write.mode("overwrite").parquet(dir)
+    val ids = svc.runScriptSequential(
+      s"""-- query 1
+         |select * from read_files('$dir/*.parquet') where id < 25;
+         |-- query 3
+         |select id, value2 from read_files('$dir/*.parquet') where id < 75;
+         |-- query 4
+         |select id, value1, id + 10.0 as id_plus_10,
+         |  (value2 + 10) / 100 as value2,
+         |  1.0 / id as value3, 1.0 / (id * id) as value4, id * id as value5
+         |from read_files('$dir/*.parquet') where id > 25 + 0.0""".stripMargin)
+    assert(ids.size == 3)
+    assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)))
+    assert(svc.reader(ids(0)).totalRows == 25)
+    assert(svc.reader(ids(1)).totalRows == 75)
+    assert(svc.reader(ids(2)).totalRows == 74)
+    // spot-check query 4's expression results for id=26
+    // decimal literals (10.0) make id+10.0 a DECIMAL column — the
+    // reference computes Float64 there; cast for the value check
+    val r = spark.read.parquet(svc.resultDir(ids(2)))
+      .filter(org.apache.spark.sql.functions.col("id") === 26)
+      .selectExpr("cast(id_plus_10 as double)", "cast(value2 as double)", "value5")
+      .collect()(0)
+    assert(r.getDouble(0) == 36.0 && r.getDouble(1) == 0.62 && r.getLong(2) == 676L)
+  }
+
   test("runScriptSequential: each statement terminal at return, errors don't stop the script") {
     val ids = svc.runScriptSequential(
       s"""select r_regionkey from read_files('$sfDir/region.parquet');
