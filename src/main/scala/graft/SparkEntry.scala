@@ -1005,7 +1005,10 @@ object SparkEntry {
 
     "mm_frames" -> ((s, d) =>
       pipeline.Multimodal.frameSamples(
-        T(s, d, "documents").filter(col("doc_id") < 100)))
+        T(s, d, "documents").filter(col("doc_id") < 100))),
+
+    "mm_resize" -> ((s, d) =>
+      pipeline.Multimodal.resizePlan(T(s, d, "documents")))
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -1145,7 +1148,16 @@ object SparkEntry {
       "CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS width, " +
       "CAST(64 + (octet_length(encode(text)) // 7) % 192 AS BIGINT) AS height, " +
       "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames " +
-      "FROM documents ORDER BY doc_id")
+      "FROM documents ORDER BY doc_id"),
+
+    "mm_resize" -> ("WITH m AS (SELECT doc_id, " +
+      "CAST(64 + octet_length(encode(text)) % 192 AS BIGINT) AS width, " +
+      "CAST(64 + (octet_length(encode(text)) // 7) % 192 AS BIGINT) AS height " +
+      "FROM documents) " +
+      "SELECT doc_id, width AS in_w, height AS in_h, " +
+      "CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w, " +
+      "CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h " +
+      "FROM m ORDER BY doc_id")
   )
 
   // ===========================================================

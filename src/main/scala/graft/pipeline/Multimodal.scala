@@ -96,6 +96,24 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize plan: aspect-preserving fit of each medium into a
+    * `box`×`box` target, computed entirely from metadata in exact
+    * integer arithmetic (out = dim·box / max(w,h); products stay far
+    * below 2^53, so the floor-of-double is exact) — the planner half
+    * of a resize stage. The pixel half swaps into [[decodeStub]]'s
+    * partition-local loop exactly like the codec call; nothing
+    * downstream of this plan changes. Map-side only, no shuffle. */
+  def resizePlan(docs: DataFrame, box: Int = 224): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    mediaMeta(docs).select(
+      col("doc_id"),
+      col("width").as("in_w"),
+      col("height").as("in_h"),
+      floor(col("width") * box / longest).cast("long").as("out_w"),
+      floor(col("height") * box / longest).cast("long").as("out_h"))
+      .orderBy("doc_id")
+  }
+
   /** Metadata-only projection (no decode): deterministic fake frame
     * geometry derived from payload size — the oracle-checkable slice
     * of the multimodal path. */
