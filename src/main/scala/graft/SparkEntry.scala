@@ -1252,6 +1252,17 @@ object SparkEntry {
               |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // The reference's projection NAMING contract: unaliased computed
+    // columns become unnamed_{i} (record_projection.rs:39-59) —
+    // ReferenceProjection reproduces it; the oracle spells the same
+    // names out explicitly.
+    "q_unnamed_proj" -> ((s, d) =>
+      operators.ReferenceProjection.select(
+        T(s, d, "lineitem").filter(col("l_orderkey") < 100),
+        "l_orderkey", "l_linenumber", "l_quantity * 2",
+        "l_extendedprice + 1.0", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // PII scrub over the corpus: deterministic synthetic PII derived
     // from doc_id is appended, then redacted by the shared operator —
     // the oracle re-runs the same ERE chain in RE2.
@@ -1287,6 +1298,10 @@ object SparkEntry {
       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
 
     "q_sql_dedup" -> duckJaccardPairs,
+
+    "q_unnamed_proj" -> ("SELECT l_orderkey, l_linenumber, " +
+      "l_quantity * 2 AS unnamed_0, l_extendedprice + 1.0 AS unnamed_1, l_returnflag " +
+      "FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber"),
 
     "q_approx_distinct" -> ("SELECT l_returnflag, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact, true AS ok " +
