@@ -27,7 +27,12 @@ import java.nio.charset.StandardCharsets
   *   {"type":"get_query_status","query_id":"..."}
   *   {"type":"get_query_data","query_id":"...","file_idx":0,
   *    "file_row_group_idx":0,"row_idx":0,"limit":10,
-  *    "forward":true,"allow_overflow":true}
+  *    "forward":true,"allow_overflow":true[,"format":"arrow"]}
+  *
+  * `format:"arrow"` returns the page as ONE Arrow IPC stream
+  * (base64 `arrow_ipc` field) instead of JSON `rows` — the
+  * reference's actual payload format (Arrow record batches,
+  * exchange.rs:145-197), decodable by any Arrow library.
   */
 final class QueryServer(svc: QueryService, port: Int = 0) {
 
@@ -106,14 +111,25 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
             (req \ "limit").extractOpt[Int].getOrElse(100),
             (req \ "forward").extractOpt[Boolean].getOrElse(true),
             (req \ "allow_overflow").extractOpt[Boolean].getOrElse(true))
-          val cols = r.asDataFrame.columns
+          val schema = r.asDataFrame.schema
+          val cols = schema.fieldNames
+          val payload: List[JField] =
+            if ((req \ "format").extractOpt[String].contains("arrow")) {
+              // the reference's payload format: the page as one Arrow
+              // IPC stream (base64 inside the JSON frame)
+              val ipc = ArrowPage.serialize(schema, page.rows)
+              List("arrow_ipc" ->
+                (JString(java.util.Base64.getEncoder.encodeToString(ipc)): JValue))
+            } else {
+              List("rows" -> (JArray(page.rows.map(row =>
+                JArray((0 until row.length).map(i => jsonValue(row.get(i))).toList)
+                  : JValue).toList): JValue))
+            }
           JObject(
-            "type" -> JString("get_query_data_resp"),
-            "columns" -> JArray(cols.map(c => JString(c): JValue).toList),
-            "rows" -> JArray(page.rows.map(row =>
-              JArray((0 until row.length).map(i => jsonValue(row.get(i))).toList): JValue).toList),
-            "next" -> cursorJson(page.next),
-            "prev" -> cursorJson(page.prev))
+            ("type" -> (JString("get_query_data_resp"): JValue)) ::
+              ("columns" -> (JArray(cols.map(c => JString(c): JValue).toList): JValue)) ::
+              payload :::
+              List("next" -> cursorJson(page.next), "prev" -> cursorJson(page.prev)))
         case Some(QueryStatus.Error(m)) => err(s"query failed: $m")
         case Some(_) => err("query not complete")
         case None => err("query not found")

@@ -204,6 +204,47 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.awaitComplete(ids(2)) == QueryStatus.Complete)
   }
 
+  test("Arrow IPC pages: format=arrow returns a decodable one-batch stream") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+      def call(json: String): String = { out.println(json); in.readLine() }
+      val runResp = call(
+        s"""{"type":"run_query","query":"select r_regionkey, r_name from read_files('$sfDir/region.parquet') order by r_regionkey"}""")
+      val id = """"query_id":"([^"]+)"""".r.findFirstMatchIn(runResp).get.group(1)
+      val deadline = System.currentTimeMillis() + 60000
+      var status = ""
+      while (!status.contains("complete") && System.currentTimeMillis() < deadline) {
+        status = call(s"""{"type":"get_query_status","query_id":"$id"}""")
+        if (!status.contains("complete")) Thread.sleep(50)
+      }
+      val resp = call(
+        s"""{"type":"get_query_data","query_id":"$id","row_idx":0,"limit":4,"format":"arrow"}""")
+      assert(resp.contains("arrow_ipc") && !resp.contains("\"rows\""), resp)
+      val b64 = """"arrow_ipc":"([^"]+)"""".r.findFirstMatchIn(resp).get.group(1)
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val alloc = new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(bytes), alloc)
+      try {
+        assert(reader.loadNextBatch())
+        val root = reader.getVectorSchemaRoot
+        assert(root.getSchema.getFields.size() == 2)
+        assert(root.getRowCount == 4)
+        val keys = root.getVector("r_regionkey")
+          .asInstanceOf[org.apache.arrow.vector.IntVector]
+        assert((0 until 4).map(keys.get) == Seq(0, 1, 2, 3))
+        val names = root.getVector("r_name")
+          .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+        assert(new String(names.get(0), java.nio.charset.StandardCharsets.UTF_8).nonEmpty)
+        assert(!reader.loadNextBatch()) // exactly one batch per page
+      } finally { reader.close(); alloc.close() }
+      sock.close()
+    } finally server.close()
+  }
+
   test("reference sample script shapes run end-to-end (sample_queries/simple*.sql)") {
     // The reference's own test queries (/root/reference/sample_queries/
     // simple.sql, simple-error-case.sql) over a sample_data/simple-
