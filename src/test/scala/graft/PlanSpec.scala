@@ -107,6 +107,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("minhash-LSH candidate join keys are 8-byte longs, not strings") {
+    withoutAqe {
+      val p = planOf(pipeline.TextDedup.minhashLshPairs(
+        Engine.table(spark, sfDir, "documents"), 3, 0.8))
+      val joins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+      }
+      assert(joins.nonEmpty)
+      // every equi-join key in the dedup plan is integral (band-key
+      // xxhash64 longs / doc ids) — a string key would mean the band
+      // signature leaked into the shuffle
+      val keyTypes = joins.flatten.map(_.dataType).distinct
+      assert(keyTypes.forall(t => t == org.apache.spark.sql.types.LongType),
+        s"non-long join keys: $keyTypes")
+    }
+  }
+
   test("q_tpch_q3 pushes the segment filter to the scan and top-10s without a global sort") {
     withoutAqe {
       val p = planOf(q("q_tpch_q3"))
