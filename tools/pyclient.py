@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Non-JVM client for the graft QueryServer protocol — demonstrates the
+reference's client role (async_query_client.rs) from Python: run a
+query, poll status, page results as JSON rows AND as Arrow IPC
+(format:"arrow"), decoding the IPC stream with pyarrow.
+
+Usage: python3 tools/pyclient.py <port> "<sql>"
+"""
+import base64
+import io
+import json
+import socket
+import sys
+import time
+
+
+class Client:
+    def __init__(self, port, host="127.0.0.1"):
+        self.sock = socket.create_connection((host, port))
+        self.rfile = self.sock.makefile("r", encoding="utf-8")
+
+    def call(self, **req):
+        self.sock.sendall((json.dumps(req) + "\n").encode())
+        return json.loads(self.rfile.readline())
+
+    def run(self, sql, timeout_s=120):
+        qid = self.call(type="run_query", query=sql)["query_id"]
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            st = self.call(type="get_query_status", query_id=qid)
+            if st["status"] == "complete":
+                return qid
+            if st["status"] == "error":
+                raise RuntimeError(st.get("message"))
+            time.sleep(0.1)
+        raise TimeoutError(qid)
+
+    def pages_json(self, qid, limit=10):
+        cur = {"file_idx": 0, "row_idx": 0}
+        while cur is not None:
+            resp = self.call(type="get_query_data", query_id=qid,
+                             file_idx=cur["file_idx"], row_idx=cur["row_idx"],
+                             limit=limit)
+            yield resp["columns"], resp["rows"]
+            cur = resp["next"]
+
+    def page_arrow(self, qid, limit=10):
+        """First page as a pyarrow RecordBatch (the reference's payload
+        format: Arrow IPC)."""
+        import pyarrow as pa
+        resp = self.call(type="get_query_data", query_id=qid,
+                         row_idx=0, limit=limit, format="arrow")
+        buf = base64.b64decode(resp["arrow_ipc"])
+        reader = pa.ipc.open_stream(io.BytesIO(buf))
+        return reader.read_all()
+
+
+def main():
+    port, sql = int(sys.argv[1]), sys.argv[2]
+    c = Client(port)
+    qid = c.run(sql)
+    print(f"query {qid} complete")
+    n = 0
+    for cols, rows in c.pages_json(qid):
+        if n == 0:
+            print("columns:", cols)
+        for r in rows:
+            print("  ", r)
+        n += len(rows)
+    print(f"{n} rows via JSON pages")
+    tbl = c.page_arrow(qid)
+    print(f"arrow page: {tbl.num_rows} rows, schema: {tbl.schema}")
+
+
+if __name__ == "__main__":
+    main()
