@@ -121,6 +121,7 @@ object ReadFilesTVF {
         .option("inferSchema", opts.getOrElse("inferschema", "true"))
         .csv(resolved)
       case "json" => spark.read.json(resolved)
+      case "orc" => spark.read.orc(resolved)
       case _ => spark.read
         .option("mergeSchema", opts.getOrElse("mergeschema", "false"))
         .parquet(resolved)

@@ -100,6 +100,7 @@ object ReadFiles {
     val p = path.toLowerCase.stripSuffix("/")
     if (p.endsWith(".csv") || p.endsWith(".csv.gz") || p.endsWith(".tsv")) "csv"
     else if (p.endsWith(".json") || p.endsWith(".jsonl") || p.endsWith(".json.gz")) "json"
+    else if (p.endsWith(".orc")) "orc"
     else "parquet"
   }
 
@@ -134,6 +135,7 @@ object ReadFiles {
             .option("inferSchema", args.getOrElse("inferschema", "true"))
             .csv(path)
           case "json" => spark.read.json(path)
+          case "orc" => spark.read.orc(path)
           case _ => spark.read
             .option("mergeSchema", args.getOrElse("mergeschema", "false"))
             .parquet(path)

@@ -172,6 +172,22 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 5) // c_custkey starts at 0
   }
 
+  test("read_files orc format: explicit and extension-inferred") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Engine.table(spark, sfDir, "nation").write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val explicitFmt = ReadFiles.sql(spark,
+      s"select count(*) as n from read_files('$tmp/nation_orc', format=>'orc')")
+    assert(explicitFmt.collect()(0).getLong(0) == 25)
+    // extension-inferred: a *.orc glob needs no format=> argument
+    val inferred = ReadFiles.sql(spark,
+      s"select count(*) as n from read_files('$tmp/nation_orc/*.orc')")
+    assert(inferred.collect()(0).getLong(0) == 25)
+    // native TVF path too
+    val viaTvf = spark.sql(
+      s"select n_name from read_files('$tmp/nation_orc', format=>'orc') order by n_nationkey")
+    assert(viaTvf.count() == 25)
+  }
+
   test("injected SQL scalar functions resolve and match the Scala API") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
