@@ -1008,7 +1008,36 @@ object SparkEntry {
         T(s, d, "documents").filter(col("doc_id") < 100))),
 
     "mm_resize" -> ((s, d) =>
-      pipeline.Multimodal.resizePlan(T(s, d, "documents")))
+      pipeline.Multimodal.resizePlan(T(s, d, "documents"))),
+
+    // Corpus assembly: the steps between "clean documents" and
+    // "training shards" (see pipeline.CorpusOps).
+    "q_pack_tokens" -> ((s, d) =>
+      pipeline.CorpusOps.packSequences(T(s, d, "documents"), 4096)),
+
+    "q_decontam" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      pipeline.CorpusOps.decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), 10)
+    }),
+
+    "q_quality_rep" -> ((s, d) =>
+      pipeline.CorpusOps.repetitionStats(T(s, d, "documents"))),
+
+    "q_domain_mix" -> ((s, d) =>
+      pipeline.CorpusOps.domainMixWeights(T(s, d, "documents"), "source")),
+
+    // Z-order clustering key for two-dimensional data skipping
+    // (pipeline.ZOrder; the layout policy behind OPTIMIZE ZORDER BY).
+    "q_zorder" -> ((s, d) =>
+      T(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          pipeline.ZOrder.zValue(
+            pmod(col("l_partkey"), lit(1024L)),
+            pmod(col("l_suppkey"), lit(1024L)), 10).as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber"))
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -1157,7 +1186,54 @@ object SparkEntry {
       "SELECT doc_id, width AS in_w, height AS in_h, " +
       "CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w, " +
       "CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h " +
-      "FROM m ORDER BY doc_id")
+      "FROM m ORDER BY doc_id"),
+
+    // Sequence packing: shard = exclusive-prefix-sum(tokens) div
+    // budget over doc_id order — the oracle states it as one window
+    // cumsum; the engine computes the identical sum distributed
+    // (per-partition subtotals + broadcast offsets).
+    "q_pack_tokens" -> ("WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens FROM documents) " +
+      "SELECT doc_id, n_tokens, CAST((SUM(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS BIGINT) AS seq_id " +
+      "FROM t ORDER BY doc_id"),
+
+    // Decontamination: train docs (doc_id % 10 <> 0) that share NO
+    // word 10-gram with the eval split (doc_id % 10 = 0). Same k-gram
+    // slicing as the dedup_passages oracle.
+    "q_decontam" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 8), " +
+      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10), " +
+      "evg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0), " +
+      "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0), " +
+      "bad AS (SELECT DISTINCT tr.doc_id AS doc_id FROM tr JOIN evg USING (g)) " +
+      "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+
+    "q_quality_rep" -> ("WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "b AS (SELECT doc_id, w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg FROM t), " +
+      "f AS (SELECT doc_id, " +
+      "1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_word_frac, " +
+      "CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac, " +
+      "CASE WHEN len(w) >= 2 THEN " +
+      "CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (CAST(len(w) AS DOUBLE) - 1) " +
+      "ELSE 0.0 END AS top_bigram_frac FROM b) " +
+      "SELECT doc_id, rep_word_frac, top_word_frac, top_bigram_frac, " +
+      "(top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep " +
+      "FROM f ORDER BY doc_id"),
+
+    "q_domain_mix" -> ("SELECT source, n_docs, " +
+      "CAST(n_docs AS DOUBLE) / total AS frac, " +
+      "CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight " +
+      "FROM (SELECT source, COUNT(*) AS n_docs, " +
+      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS n_groups " +
+      "FROM documents GROUP BY source) ORDER BY source"),
+
+    "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
+      "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +
+      " AS BIGINT) AS zkey FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber")
   )
 
   // ===========================================================

@@ -1,0 +1,123 @@
+package graft
+
+import graft.pipeline.{CorpusOps, ZOrder}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs = Engine.table(spark, sfDir, "documents").cache()
+
+  import spark.implicits._
+
+  // --- sequence packing --------------------------------------------
+
+  test("packSequences equals the single-threaded prefix-sum definition") {
+    val budget = 4096L
+    val got = CorpusOps.packSequences(docs, budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val toks = docs
+      .select(col("doc_id"), size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val want = toks.map { case (id, n) =>
+      val seq = cum / budget; cum += n; (id, n, seq)
+    }
+    assert(got.sameElements(want))
+  }
+
+  test("packSequences is invariant to the partition count") {
+    val a = CorpusOps.packSequences(docs, 2048, parts = 3).collect().toSeq
+    val b = CorpusOps.packSequences(docs, 2048, parts = 7).collect().toSeq
+    assert(a == b)
+    val seqIds = a.map(_.getLong(2))
+    assert(seqIds.zip(seqIds.tail).forall { case (x, y) => x <= y }, "seq_id monotone")
+    assert(seqIds.distinct.length > 1, "budget should produce multiple shards")
+  }
+
+  // --- decontamination ---------------------------------------------
+
+  test("decontaminate drops exactly the train docs sharing a k-gram with eval") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares the full 6-gram with the eval doc -> contaminated
+      (1L, "intro words then alpha beta gamma delta epsilon zeta closing"),
+      // shares only a 5-gram -> clean at k=6
+      (2L, "alpha beta gamma delta epsilon other tail words here now"),
+      (3L, "entirely unrelated text with enough words to form grams")
+    ).toDF("doc_id", "text")
+    val clean = CorpusOps.decontaminate(train, evalSet, k = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("decontaminate keeps docs too short to form a k-gram") {
+    val evalSet = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(CorpusOps.decontaminate(train, evalSet, k = 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  // --- repetition quality ------------------------------------------
+
+  test("repetitionStats computes the documented fractions") {
+    val d = Seq((1L, "a a a a b"), (2L, "q r s t u v w x y z zz")).toDF("doc_id", "text")
+    val rows = CorpusOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (rep1, top1, bg1, keep1) = rows(1L)
+    assert(rep1 == 1.0 - 2.0 / 5.0)     // 2 distinct of 5
+    assert(top1 == 4.0 / 5.0)           // "a" x4
+    assert(bg1 == 3.0 / 4.0)            // "a a" x3 of 4 bigrams
+    assert(!keep1)
+    val (rep2, top2, bg2, keep2) = rows(2L)
+    assert(rep2 == 0.0 && top2 == 1.0 / 11.0 && bg2 == 1.0 / 10.0)
+    assert(keep2)
+  }
+
+  // --- domain mixing -----------------------------------------------
+
+  test("domainMixWeights: fracs sum to 1, weight moves mixture to uniform") {
+    val rows = CorpusOps.domainMixWeights(docs, "source").collect()
+    val fracs = rows.map(_.getDouble(2))
+    assert(math.abs(fracs.sum - 1.0) < 1e-9)
+    val n = rows.length
+    rows.foreach { r =>
+      // frac * weight == 1/n_groups: reweighted share is uniform
+      assert(math.abs(r.getDouble(2) * r.getDouble(3) - 1.0 / n) < 1e-9)
+    }
+  }
+
+  // --- z-order ------------------------------------------------------
+
+  private def mortonRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches the bit-interleave reference on sample points") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 1023L), (512L, 7L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == mortonRef(x, y, 10)) }
+  }
+
+  test("clusterByZ yields disjoint z-ranges across output partitions") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val x = pmod(col("l_partkey"), lit(1024L))
+    val y = pmod(col("l_suppkey"), lit(1024L))
+    val clustered = ZOrder.clusterByZ(li, x, y, 10, numFiles = 8)
+      .withColumn("z", ZOrder.zValue(
+        pmod(col("l_partkey"), lit(1024L)), pmod(col("l_suppkey"), lit(1024L)), 10))
+    val ranges = clustered
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.zip(ranges.tail).foreach { case ((_, _, hi), (_, lo, _)) =>
+      assert(hi <= lo, s"overlapping z-ranges: $ranges")
+    }
+  }
+}
