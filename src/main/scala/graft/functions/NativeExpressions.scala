@@ -355,6 +355,63 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-pass Gopher-repetition counters over a text's whitespace
+    * tokens (same lower/trim/split-"\\s+" semantics as ShingleHashes,
+    * byte-identical to the DuckDB oracle's
+    * regexp_split_to_array(trim(lower(text)), '\\s+')):
+    * struct(n_tok, n_dist, top_uni, top_bi) = token count, distinct
+    * token count, max frequency of any token, max frequency of any
+    * adjacent-token bigram. Hash-map counting keeps the cost O(tokens)
+    * per row — the `transform(array_distinct(w), x -> size(filter(w,
+    * y -> y = x)))` HOF form this replaces rescans the token array per
+    * distinct token (O(distinct × tokens) in interpreted lambdas:
+    * measured 841.9 s for one sf0.1 pass vs <2 s compiled, and a
+    * single 100k-token document would do ~10^10 comparisons in one
+    * row). Bigram keys join tokens with ' ', which cannot collide
+    * across different bigrams because tokens never contain
+    * whitespace. */
+  case class RepStats(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", LongType, nullable = false),
+      StructField("n_dist", LongType, nullable = false),
+      StructField("top_uni", LongType, nullable = false),
+      StructField("top_bi", LongType, nullable = false)))
+    def compute(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val t = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      val n = w.length
+      val uni = new java.util.HashMap[String, Integer](n * 2)
+      var topU = 0
+      var i = 0
+      while (i < n) {
+        val c: Int = uni.merge(w(i), 1, SumInts)
+        if (c > topU) topU = c
+        i += 1
+      }
+      val bi = new java.util.HashMap[String, Integer](n * 2)
+      var topB = 0
+      i = 0
+      while (i < n - 1) {
+        val c: Int = bi.merge(w(i) + " " + w(i + 1), 1, SumInts)
+        if (c > topB) topB = c
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n.toLong, uni.size.toLong, topU.toLong, topB.toLong))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("repStats", this, classOf[RepStats].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  private val SumInts =
+    new java.util.function.BiFunction[Integer, Integer, Integer] {
+      override def apply(a: Integer, b: Integer): Integer = a + b
+    }
+
   /** Rolling polynomial fingerprint over the string's codepoints:
     * (acc * 31 + codepoint) mod 1_000_000_007 — same fold as the
     * `aggregate(split(text,''))` form and the DuckDB oracle. */
@@ -397,4 +454,6 @@ object NativeExpressions {
     column(SimHashChunks(expression(c), chunks))
   def poly_fingerprint(c: Column): Column =
     column(PolyFingerprint(expression(c)))
+  def rep_stats(text: Column): Column =
+    column(RepStats(expression(text)))
 }

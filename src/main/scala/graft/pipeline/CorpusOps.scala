@@ -83,35 +83,33 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  /** Gopher-style repetition signals, one scan, pure column
-    * expressions (whole-stage codegen, no shuffle):
+  /** Gopher-style repetition signals, one scan, no shuffle:
     *  - rep_word_frac: fraction of word occurrences that are repeats
     *    (1 − distinct/total);
     *  - top_word_frac: occurrences of the most frequent word / total;
     *  - top_bigram_frac: occurrences of the most frequent word bigram
     *    / total bigrams;
     *  - keep: the filter verdict at Gopher-like thresholds.
-    * The per-doc frequency scan is O(distinct × tokens) inside one
-    * row — document-bounded, so it costs the same per byte at any
-    * corpus scale. */
+    * All four counters come from one compiled hash-map pass per
+    * document ([[graft.functions.NativeExpressions.RepStats]]) —
+    * O(tokens) per row inside the scan's codegen span, so cost per
+    * byte is flat at any corpus scale AND in document length (the
+    * nested-HOF form this replaced was O(distinct × tokens) per row:
+    * 841.9 s of the sf0.1 bench, and a pathological long document
+    * could stall a whole task). */
   def repetitionStats(docs: DataFrame,
                       maxTopWordFrac: Double = 0.2,
                       maxTopBigramFrac: Double = 0.18): DataFrame = {
-    val w = TextAnalysis.tokens(col("text"))
-    val nTok = size(w).cast("double")
-    val topWord = array_max(transform(array_distinct(w),
-      x => size(filter(w, y => y === x)))).cast("double")
-    val bg = transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
-    val topBigram = when(size(w) >= 2,
-      array_max(transform(array_distinct(bg),
-        x => size(filter(bg, y => y === x)))).cast("double") / (nTok - 1))
-      .otherwise(lit(0.0))
-    docs.select(
+    val nTok = col("g.n_tok").cast("double")
+    docs.select(col("doc_id"),
+        graft.functions.NativeExpressions.rep_stats(col("text")).as("g"))
+      .select(
         col("doc_id"),
-        (lit(1.0) - size(array_distinct(w)) / nTok).as("rep_word_frac"),
-        (topWord / nTok).as("top_word_frac"),
-        topBigram.as("top_bigram_frac"))
+        (lit(1.0) - col("g.n_dist") / nTok).as("rep_word_frac"),
+        (col("g.top_uni").cast("double") / nTok).as("top_word_frac"),
+        when(col("g.n_tok") >= 2,
+          col("g.top_bi").cast("double") / (nTok - 1))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
       .withColumn("keep",
         col("top_word_frac") <= maxTopWordFrac &&
           col("top_bigram_frac") <= maxTopBigramFrac)
