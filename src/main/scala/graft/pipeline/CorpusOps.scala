@@ -24,35 +24,45 @@ object CorpusOps {
     * next shard, the standard "document boundary straddles a sequence"
     * case the attention mask handles downstream).
     *
-    * Scale shape: the textbook two-pass distributed prefix sum —
-    * range-partition by doc_id, per-partition token subtotals (one
-    * tiny P-row frame), exclusive offsets via a window over those P
-    * rows, broadcast the offsets back, local cumsum per partition.
+    * Scale shape: the textbook two-pass distributed prefix sum, with
+    * ranges keyed by VALUE, not by physical partition — buckets are
+    * `(doc_id - min) div width` computed from one tiny (min, max)
+    * metadata job, so both passes agree on the bucket of every row by
+    * construction. No `spark_partition_id()`, no `localCheckpoint`
+    * pinning: the plan is pure lineage (an executor loss recomputes
+    * instead of failing the job) and survives any AQE re-plan. Pass 1
+    * aggregates per-bucket token subtotals (≤ `parts` rows); exclusive
+    * offsets come from a window over that driver-scale frame; pass 2
+    * broadcast-joins the offsets back and cumsums within each bucket.
     * Nothing wider than (doc_id, n_tokens) ever shuffles and no data
-    * path touches the driver, so it holds at any corpus size. */
+    * path touches the driver. Skewed doc_id ranges skew bucket sizes
+    * the same way repartitionByRange boundaries would — harmless for
+    * the window, which streams its frame. */
   def packSequences(docs: DataFrame, budget: Long, parts: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession
     val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    // localCheckpoint pins one physical partitioning, so the subtotal
-    // job and the cumsum job see identical (pid -> rows) assignment.
+    val ids = docs.agg(min(col("doc_id")).cast("long"),
+      max(col("doc_id")).cast("long")).first()
+    if (ids.isNullAt(0))
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("n_tokens", lit(0L))
+        .withColumn("seq_id", lit(0L))
+    val lo = ids.getLong(0)
+    val width = math.max(1L, (ids.getLong(1) - lo) / p + 1)
     val toks = docs
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(p, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
-    // Exclusive per-partition offsets. The unpartitioned window scans
-    // P rows (one per partition) — driver-scale metadata, not data.
-    val offs = toks.groupBy("pid").agg(sum("n_tokens").as("psum"))
+      .withColumn("bk", expr(s"(doc_id - ${lo}L) div ${width}L"))
+    val offs = toks.groupBy("bk").agg(sum("n_tokens").as("psum"))
       .withColumn("off", coalesce(
         sum("psum").over(
-          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select("pid", "off")
-    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .select("bk", "off")
+    val w = Window.partitionBy("bk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(offs), "pid")
+    toks.join(broadcast(offs), "bk")
       .withColumn("start_tok", col("off") + coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("n_tokens"),
         expr(s"start_tok div $budget").as("seq_id"))
@@ -66,10 +76,22 @@ object CorpusOps {
     *
     * Plan: both sides reduce to 64-bit k-gram hashes map-side
     * ([[TextDedup.shingleHashes]]); the eval side collapses to its
-    * distinct grams (eval sets are tiny next to the corpus, so the
-    * contamination join broadcasts); contaminated ids come from one
-    * semi-join-shaped equi-join, clean ids from one anti-join. The
-    * corpus is scanned once and only 8-byte hashes shuffle. */
+    * distinct grams and is broadcast EXPLICITLY (eval sets are tiny
+    * next to the corpus, but after explode+distinct Catalyst's size
+    * estimate is unreliable — without the hint a mis-estimate
+    * sort-merge-joins, shuffling the entire corpus's exploded k-gram
+    * stream); contaminated ids come from one semi-join-shaped
+    * equi-join, clean ids from one anti-join. The corpus is scanned
+    * once, nothing about it shuffles except doc_ids, and a hot gram
+    * costs only linear output (at most one row per matching train doc,
+    * absorbed by the map-side-combined distinct) — there is no f²
+    * candidate blowup to cap here, unlike the similarity joins.
+    *
+    * Matching is on 64-bit gram hashes rather than exact strings: a
+    * train/eval hash collision falsely drops a clean training doc
+    * (safe direction — over-removal never contaminates; expect ~1
+    * false drop per 10^9 distinct eval grams × 10^10 train grams /
+    * 2^64). */
   def decontaminate(train: DataFrame, evalSet: DataFrame, k: Int = 10): DataFrame = {
     val trainG = graft.Engine.fanOut(train)
       .select(col("doc_id"),
@@ -77,7 +99,7 @@ object CorpusOps {
     val evalG = evalSet
       .select(explode(TextDedup.shingleHashes(col("text"), k)).as("g"))
       .distinct()
-    val contaminated = trainG.join(evalG, "g").select("doc_id").distinct()
+    val contaminated = trainG.join(broadcast(evalG), "g").select("doc_id").distinct()
     train.select("doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")

@@ -126,6 +126,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("decontaminate broadcasts the eval-gram side of the contamination join") {
+    withoutAqe {
+      val p = planOf(q("q_decontam"))
+      // the join on the 64-bit gram hash `g` must be a broadcast hash
+      // join: a mis-estimated sort-merge here would shuffle the whole
+      // corpus's exploded k-gram stream
+      val gramBroadcast = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if b.leftKeys.exists(_.toString.startsWith("g#")) => b
+      }
+      assert(gramBroadcast.nonEmpty, p.toString)
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.exists(_.toString.startsWith("g#")) => j
+      }.isEmpty, s"gram join fell back to sort-merge:\n$p")
+    }
+  }
+
   test("q_tpch_q3 pushes the segment filter to the scan and top-10s without a global sort") {
     withoutAqe {
       val p = planOf(q("q_tpch_q3"))
