@@ -948,15 +948,27 @@ object SparkEntry {
     "ann_topk" -> ((s, d) =>
       pipeline.Embeddings.bruteForceTopK(T(s, d, "embeddings"), 10, 5)),
 
-    // Approximate (recall measured in the spec, not oracle-matched).
+    // LSH top-k is approximate by construction, but the multiprobe
+    // defaults hold measured recall 1.0 on the fixtures (see
+    // ann_lsh_recall), and every candidate is re-ranked with the exact
+    // cosine — so on this data the output EQUALS the brute-force top-k
+    // and is held to the same exact oracle (the "exact-equality where
+    // the fixture allows" gate form).
     "ann_lsh" -> ((s, d) =>
       pipeline.Embeddings.lshTopK(T(s, d, "embeddings"), 10, 5)),
 
-    // IVF: deterministic k-means cells + exact re-rank. Top-k output
-    // is approximate (rows-only); its gates are ann_ivf_recall (per-
-    // query floor) and dedup_embed_ivf (exact pair retrieval).
+    // IVF: deterministic k-means cells + exact re-rank. At the gated
+    // nprobe/nlist scan fraction its top-k recall is < 1 on the
+    // fixtures (neighbors are near-noise, cos ~0.3 — see
+    // Embeddings.ivfTopK), so neighbor ids are NOT oracle-stable SQL;
+    // the oracled projection pins the output CONTRACT (exactly k
+    // ranked rows 1..k per query), while the semantic gates are
+    // ann_ivf_recall (per-query recall floor vs brute force),
+    // dedup_embed_ivf (exact pair retrieval through the same
+    // quantizer), and PipelineSpec's measured mean recall.
     "ann_ivf" -> ((s, d) =>
-      pipeline.Embeddings.ivfTopK(T(s, d, "embeddings"), 10, 5)),
+      pipeline.Embeddings.ivfTopK(T(s, d, "embeddings"), 10, 5)
+        .select("query_id", "rank")),
 
     "dedup_embed_ivf" -> ((s, d) =>
       pipeline.Embeddings.ivfNearDupPairs(T(s, d, "embeddings"), 0.45)),
@@ -1109,6 +1121,16 @@ object SparkEntry {
 
     "ann_lsh_recall" -> ("SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS recall " +
       "FROM embeddings WHERE vec_id < 10 ORDER BY query_id"),
+
+    // Exact equality: with measured recall 1.0 (the gate above) and
+    // exact re-ranking, the LSH output IS the brute-force top-k here.
+    "ann_lsh" -> annExactTopkSql,
+
+    // IVF contract gate: exactly k ranked rows 1..k per query (the
+    // approximate neighbor values are gated by ann_ivf_recall /
+    // dedup_embed_ivf instead — see the queries-side comment).
+    "ann_ivf" -> ("SELECT vec_id AS query_id, CAST(range AS BIGINT) AS rank " +
+      "FROM embeddings, range(1, 6) WHERE vec_id < 10 ORDER BY query_id, rank"),
 
     "ann_topk" -> annExactTopkSql,
 
