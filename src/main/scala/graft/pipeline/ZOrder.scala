@@ -45,10 +45,30 @@ object ZOrder {
     * z-value, sort within partitions, so each output file covers one
     * tight z-interval (⇒ tight x AND y intervals). Write the result
     * with any file sink; min/max footers do the pruning from there.
-    * One shuffle, no driver data path — the standard OPTIMIZE shape. */
+    * One shuffle plus one tiny (min, max) metadata job, no driver data
+    * path — the standard OPTIMIZE shape.
+    *
+    * Keys are first RESCALED into the bits-wide domain with an affine
+    * (min, max) map — [[zValue]] interleaves only the low `bits` bits,
+    * so feeding it raw keys >= 2^bits would alias x and x + 2^bits to
+    * one z-value and silently destroy the pruning this operator exists
+    * for (Delta's OPTIMIZE ZORDER does the same reduction via range
+    * ids). Keys that already span at most 2^bits values map through
+    * unchanged. Monotone per key, so the z-locality argument is
+    * preserved; precision past 2^53 per key is irrelevant for layout. */
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int,
                  numFiles: Int): DataFrame = {
-    val z = zValue(x, y, bits).as("__z")
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val b = df.agg(
+      min(x).cast("long"), max(x).cast("long"),
+      min(y).cast("long"), max(y).cast("long")).first()
+    if (b.isNullAt(0)) return df // empty input: nothing to lay out
+    val cells = (1L << bits).toDouble
+    def rescale(c: Column, lo: Long, hi: Long): Column =
+      floor((c.cast("double") - lo) * cells / ((hi - lo).toDouble + 1.0))
+        .cast("long")
+    val z = zValue(rescale(x, b.getLong(0), b.getLong(1)),
+      rescale(y, b.getLong(2), b.getLong(3)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -103,13 +103,33 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     pts.foreach { case (x, y) => assert(got((x, y)) == mortonRef(x, y, 10)) }
   }
 
+  test("clusterByZ rescales wide keys instead of aliasing the low bits") {
+    // keys span [0, 4096) with bits=10: raw interleaving would alias
+    // x and x + 1024 to one z-value, mixing far-apart keys into every
+    // partition; rescaling must keep partition key-ranges disjoint
+    val df = (0 until 4096 by 16).map(i => (i.toLong, i.toLong)).toDF("x", "y")
+    val ranges = ZOrder.clusterByZ(df, col("x"), col("y"), 10, numFiles = 4)
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi < lo, s"partition x-ranges overlap: ${ranges.toSeq}")
+    }
+  }
+
   test("clusterByZ yields disjoint z-ranges across output partitions") {
     val li = Engine.table(spark, sfDir, "lineitem")
-    val x = pmod(col("l_partkey"), lit(1024L))
-    val y = pmod(col("l_suppkey"), lit(1024L))
-    val clustered = ZOrder.clusterByZ(li, x, y, 10, numFiles = 8)
-      .withColumn("z", ZOrder.zValue(
-        pmod(col("l_partkey"), lit(1024L)), pmod(col("l_suppkey"), lit(1024L)), 10))
+    // pin the key domain to exactly [0, 1024) so clusterByZ's affine
+    // rescale is the identity and the raw zValue below is the same z
+    // the operator clustered by
+    val pts = li.select(
+        pmod(col("l_partkey"), lit(1024L)).as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).as("y"))
+      .union(Seq((0L, 0L), (1023L, 1023L)).toDF("x", "y"))
+    val clustered = ZOrder.clusterByZ(pts, col("x"), col("y"), 10, numFiles = 8)
+      .withColumn("z", ZOrder.zValue(col("x"), col("y"), 10))
     val ranges = clustered
       .groupBy(spark_partition_id().as("pid"))
       .agg(min("z").as("lo"), max("z").as("hi"))
