@@ -23,6 +23,7 @@ import java.nio.charset.StandardCharsets
   * by QueryService).
   *
   * Requests:
+  *   {"type":"identify","connection_id":"..."}
   *   {"type":"run_query","query":"select ..."}
   *   {"type":"get_query_status","query_id":"..."}
   *   {"type":"get_query_data","query_id":"...","file_idx":0,
@@ -33,11 +34,34 @@ import java.nio.charset.StandardCharsets
   * (base64 `arrow_ipc` field) instead of JSON `rows` — the
   * reference's actual payload format (Arrow record batches,
   * exchange.rs:145-197), decodable by any Arrow library.
-  */
+  *
+  * `identify` mirrors the reference's connection-open handshake
+  * (async_query_client.rs:174-202: the client sends
+  * Identify::Connection{id}, the worker registers the connection and
+  * replies Identify::Worker{id}): the server records the
+  * connection_id for the socket's lifetime and answers with its
+  * worker_id. Bare requests without a prior identify are still
+  * served — the handshake is protocol parity, not an auth gate. */
 final class QueryServer(svc: QueryService, port: Int = 0) {
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
+
+  /** Stable per-server identity, echoed in identify_resp (the
+    * reference's worker_id role). */
+  val workerId: String = java.util.UUID.randomUUID().toString
+
+  private val connections =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Connection ids currently identified (open sockets that completed
+    * the handshake) — observability + spec hook. */
+  def identifiedConnections: Set[String] = {
+    val it = connections.iterator()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
 
   def boundPort: Int = server.getLocalPort
 
@@ -62,18 +86,33 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
   private def serve(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
+    var connId: Option[String] = None
     try {
       var line = in.readLine()
       while (line != null) {
         val resp =
-          try handle(JsonMethods.parse(line))
+          try {
+            val req = JsonMethods.parse(line)
+            if ((req \ "type").extractOpt[String].contains("identify")) {
+              val id = (req \ "connection_id").extract[String]
+              connId.foreach(connections.remove(_)) // re-identify replaces
+              connId = Some(id)
+              connections.add(id)
+              JObject("type" -> JString("identify_resp"),
+                "worker_id" -> JString(workerId),
+                "connection_id" -> JString(id))
+            } else handle(req)
+          }
           catch { case e: Exception => err(String.valueOf(e.getMessage)) }
         out.println(JsonMethods.compact(JsonMethods.render(resp)))
         line = in.readLine()
       }
     } catch {
       case _: Exception => () // client went away
-    } finally sock.close()
+    } finally {
+      connId.foreach(connections.remove(_))
+      sock.close()
+    }
   }
 
   private def err(message: String): JObject =

@@ -146,6 +146,39 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("identify handshake: connection registers and the worker identifies back") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+      def call(json: String): String = { out.println(json); in.readLine() }
+
+      // the reference's connection-open exchange: Identify::Connection
+      // -> Identify::Worker (async_query_client.rs:174-202)
+      val resp = call("""{"type":"identify","connection_id":"conn-abc-123"}""")
+      assert(resp.contains("\"type\":\"identify_resp\""), resp)
+      assert(resp.contains(s""""worker_id":"${server.workerId}""""), resp)
+      assert(resp.contains("\"connection_id\":\"conn-abc-123\""), resp)
+      assert(server.identifiedConnections == Set("conn-abc-123"))
+
+      // identified connections serve requests like any other
+      val st = call("""{"type":"get_query_status","query_id":"nope"}""")
+      assert(st.contains("not_found"))
+
+      // re-identify replaces the registration
+      call("""{"type":"identify","connection_id":"conn-def-456"}""")
+      assert(server.identifiedConnections == Set("conn-def-456"))
+
+      sock.close()
+      // socket close deregisters (the serve thread races the assert)
+      val deadline = System.currentTimeMillis() + 5000
+      while (server.identifiedConnections.nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.identifiedConnections.isEmpty)
+    } finally server.close()
+  }
+
   test("TCP protocol serves concurrent clients") {
     val server = new graft.service.QueryServer(svc)
     try {

@@ -18,6 +18,15 @@ class Client:
     def __init__(self, port, host="127.0.0.1"):
         self.sock = socket.create_connection((host, port))
         self.rfile = self.sock.makefile("r", encoding="utf-8")
+        # the reference's connection-open handshake
+        # (async_query_client.rs:174-202): identify with a fresh
+        # connection id, expect the worker to identify back
+        import uuid
+        self.connection_id = str(uuid.uuid4())
+        resp = self.call(type="identify", connection_id=self.connection_id)
+        if resp.get("type") != "identify_resp" or not resp.get("worker_id"):
+            raise RuntimeError(f"identify failed: {resp}")
+        self.worker_id = resp["worker_id"]
 
     def call(self, **req):
         self.sock.sendall((json.dumps(req) + "\n").encode())
@@ -58,6 +67,7 @@ class Client:
 def main():
     port, sql = int(sys.argv[1]), sys.argv[2]
     c = Client(port)
+    print(f"identified with worker {c.worker_id}")
     qid = c.run(sql)
     print(f"query {qid} complete")
     n = 0
