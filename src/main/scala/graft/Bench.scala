@@ -11,12 +11,24 @@ import java.util.Locale
   * bench_out.json), so consumers never have to scrape logs. All
   * number formatting is Locale.ROOT (a comma-decimal JVM locale would
   * otherwise emit invalid JSON). Failed queries are excluded from the
-  * total and listed under "errors". */
+  * total and listed under "errors".
+  *
+  * Timing discipline: each query reports the MIN over `reps` runs
+  * (SPARK_GRAFT_REPS, default 2), but repeat runs are only paid for
+  * queries whose first run exceeded RetimeFloorSec — sub-second
+  * queries are dominated by fixed per-job overhead and stable, while
+  * the expensive iterative ones (multi-job label propagation etc.)
+  * historically varied up to 4× across rounds on unchanged code from
+  * GC/JIT/broadcast-cleanup timing. Min-of-reps measures the plan,
+  * which is what the bench tracks — session noise is not a property
+  * of the operator. */
 object Bench {
+  private val RetimeFloorSec = 1.5
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,21 +53,32 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // Isolate queries from each other's session litter: dropped
-        // broadcast blocks are only reclaimed on GC, localCheckpoint
-        // storage is invisible to catalog.clearCache, and a full heap
-        // turns into pauses billed to whichever query runs next.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        def once(): (Double, Boolean) = {
+          // Isolate runs from each other's session litter: dropped
+          // broadcast blocks are only reclaimed on GC, localCheckpoint
+          // storage is invisible to catalog.clearCache, and a full
+          // heap turns into pauses billed to whichever query runs
+          // next.
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        var (best, ok) = once()
+        var r = 1
+        while (ok && r < reps && best > RetimeFloorSec) {
+          val (t, o) = once()
+          if (o && t < best) best = t
+          r += 1
+        }
+        (name, best, ok)
       }
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + num(v) }
