@@ -14,6 +14,8 @@ Test / fork := true
 // (AQE) around plan assertions — keep suite execution sequential.
 Test / parallelExecution := false
 run / fork := true
+// Forward sbt's stdin to the forked process — Cli --tui reads keys.
+run / connectInput := true
 // Forked run output goes RAW to stdout (no "[info] " log decoration):
 // Bench prints one machine-parsed JSON line; the decorated form broke
 // the driver's parse in rounds 1-2 ("parsed": null).

@@ -10,10 +10,12 @@ import graft.service.{QueryService, QueryStatus}
   *
   * Usage: runMain graft.Cli <sql-file> [resultsRoot] [pageSize]
   *        runMain graft.Cli --serve [port] [resultsRoot]
+  *        runMain graft.Cli --tui <sql-file> [resultsRoot] [pageSize]
   *
   * `--serve` starts the JSON-over-TCP [[graft.service.QueryServer]]
-  * (the reference's worker-listener role) and blocks.
-  */
+  * (the reference's worker-listener role) and blocks. `--tui` opens
+  * the interactive results browser ([[graft.tui.TuiApp]] — the
+  * reference's ratatui client). */
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--serve")) {
@@ -23,6 +25,10 @@ object Cli {
       val server = new service.QueryServer(new QueryService(spark, resultsRoot), port)
       println(s"graft query server listening on port ${server.boundPort}")
       Thread.currentThread().join()
+      return
+    }
+    if (args.headOption.contains("--tui")) {
+      tuiMain(args.drop(1))
       return
     }
     val sqlFile = args(0)
@@ -56,5 +62,55 @@ object Cli {
       }
     }
     spark.stop()
+  }
+
+  /** Interactive browser loop: submit the script's statements (all
+    * concurrently — statuses stream in live, as the reference's
+    * execute_queries task does), then redraw on any key or status
+    * change until `q`. The terminal is best-effort switched to
+    * non-canonical mode via stty on the controlling tty; without one
+    * (plain pipe) each key needs an Enter, which Key.decode tolerates. */
+  private def tuiMain(args: Array[String]): Unit = {
+    val sqlFile = args(0)
+    val resultsRoot = if (args.length > 1) args(1) else "/tmp/graft_results"
+    val pageSize = if (args.length > 2) args(2).toInt else 10
+    val spark = Engine.session("graft-tui")
+    val svc = new QueryService(spark, resultsRoot)
+    val script = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sqlFile)))
+    val statements = graft.sources.ScriptRunner.split(script)
+    val ids = statements.map(svc.runQuery)
+    val app = new graft.tui.TuiApp(svc, statements, ids, pageSize)
+
+    def stty(modes: String*): Unit =
+      try {
+        val pb = new ProcessBuilder(("stty" +: modes): _*)
+        pb.redirectInput(new java.io.File("/dev/tty"))
+        pb.start().waitFor()
+        ()
+      } catch { case _: Exception => () }
+    stty("-icanon", "-echo")
+    try {
+      var lastFrame = ""
+      val in = System.in
+      val buf = new Array[Byte](64)
+      while (!app.exited) {
+        val frame = app.render()
+        if (frame != lastFrame) {
+          print("\u001b[2J\u001b[H") // clear + home
+          print(frame)
+          System.out.flush()
+          lastFrame = frame
+        }
+        if (in.available() > 0) {
+          val n = in.read(buf, 0, math.min(buf.length, in.available()))
+          if (n < 0) app.exited = true
+          else graft.tui.Key.decode(buf.take(n)).foreach(app.onKey)
+        } else Thread.sleep(50)
+      }
+    } finally {
+      stty("sane")
+      spark.stop()
+    }
   }
 }
