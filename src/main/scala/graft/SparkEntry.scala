@@ -1040,6 +1040,12 @@ object SparkEntry {
     "q_domain_mix" -> ((s, d) =>
       pipeline.CorpusOps.domainMixWeights(T(s, d, "documents"), "source")),
 
+    "q_span_dup" -> ((s, d) =>
+      pipeline.CorpusOps.spanDupStats(T(s, d, "documents"), 3, 2)),
+
+    "q_top_ngrams" -> ((s, d) =>
+      pipeline.CorpusOps.topNgrams(T(s, d, "documents"), 3, 20)),
+
     // Z-order clustering key for two-dimensional data skipping
     // (pipeline.ZOrder; the layout policy behind OPTIMIZE ZORDER BY).
     "q_zorder" -> ((s, d) =>
@@ -1252,6 +1258,22 @@ object SparkEntry {
       "FROM (SELECT source, COUNT(*) AS n_docs, " +
       "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS n_groups " +
       "FROM documents GROUP BY source) ORDER BY source"),
+
+    "q_span_dup" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram FROM toks WHERE len(w) >= 3), " +
+      "f AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram) " +
+      "SELECT doc_id, count(*) AS n_spans, " +
+      "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+      "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac " +
+      "FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_top_ngrams" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "g AS (SELECT unnest(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks WHERE len(w) >= 3) " +
+      "SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"),
 
     "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
       "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +

@@ -138,6 +138,52 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** C4-style span-duplication stats: for each document, how many of
+    * its distinct word k-gram spans also occur in at least `minDocs`
+    * documents corpus-wide (C4 removes any three-sentence span that
+    * occurs more than once; this is the word-span analog, the signal a
+    * span-removal pass filters on).
+    *
+    * Plan: spans reduce to sorted distinct 64-bit hashes map-side
+    * ([[TextDedup.shingleHashes]] — compiled, inside the scan's codegen
+    * span), so the explode and both shuffles carry (doc_id, 8-byte
+    * hash) only, never text. Document frequency is one map-side
+    * combined aggregate; the frequency join is 1:1 per span row (the
+    * df frame has exactly one row per key, so a corpus-hot span — every
+    * doc sharing one boilerplate gram — fans out linearly, no f²
+    * blowup); per-doc counts are a second combined aggregate. At
+    * 100 TB this is the same exchange discipline as the dedup family:
+    * three narrow shuffles, all on 8-byte keys. */
+  def spanDupStats(docs: DataFrame, k: Int = 3, minDocs: Int = 2): DataFrame = {
+    val g = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), explode(TextDedup.shingleHashes(col("text"), k)).as("s"))
+    val f = g.groupBy("s").agg(count(lit(1)).as("nd"))
+    g.join(f, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac", col("n_dup_spans").cast("double") / col("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide most frequent word k-grams — the vocabulary /
+    * boilerplate monitoring query every corpus build runs. Occurrence
+    * counts (not per-doc distinct), deterministic tie-break on the
+    * gram text. Plan: one scan, generator explode, partial hash
+    * aggregate before the exchange (hot grams combine map-side, so a
+    * billion-way skew on one boilerplate gram ships one row per task),
+    * TakeOrderedAndProject for the top-k — never a global sort. */
+  def topNgrams(docs: DataFrame, k: Int = 3, topK: Int = 20): DataFrame = {
+    require(k >= 1, "k must be positive")
+    docs.select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("gram")).limit(topK)
+  }
+
   /** Domain-mixture reweighting: per-`groupCol` corpus share and the
     * sampling weight that moves the mixture to the UNIFORM target
     * (weight = target_frac / actual_frac = total / (n_groups · n)).

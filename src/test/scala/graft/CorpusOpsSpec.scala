@@ -75,6 +75,39 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(keep2)
   }
 
+  // --- span duplication (C4-style) ---------------------------------
+
+  test("spanDupStats counts distinct corpus-duplicated k-gram spans per doc") {
+    val d = Seq(
+      (1L, "a b c d"),        // spans: "a b c", "b c d"
+      (2L, "a b c x"),        // spans: "a b c", "b c x"
+      (3L, "z y x w"),        // spans: unique
+      (4L, "a b c a b c a"),  // distinct spans: "a b c","b c a","c a b"
+      (5L, "x y")             // too short: no spans, absent from output
+    ).toDF("doc_id", "text")
+    val rows = CorpusOps.spanDupStats(d, 3, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((2L, 1L))) // shares "a b c" with docs 2 and 4
+    assert(rows(2L) == ((2L, 1L)))
+    assert(rows(3L) == ((2L, 0L)))
+    assert(rows(4L) == ((3L, 1L))) // repeated span counted once per doc
+    assert(!rows.contains(5L))
+  }
+
+  // --- top n-grams -------------------------------------------------
+
+  test("topNgrams counts occurrences with a deterministic tie-break") {
+    val d = Seq(
+      (1L, "a b c d"),       // "a b c", "b c d"
+      (2L, "a b c"),         // "a b c"
+      (3L, "b c d"),         // "b c d"
+      (4L, "a b c a b c a")  // "a b c" x2 among its 5 grams
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.topNgrams(d, 3, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a b c", 4L), ("b c a", 2L), ("b c d", 2L)))
+  }
+
   // --- domain mixing -----------------------------------------------
 
   test("domainMixWeights: fracs sum to 1, weight moves mixture to uniform") {

@@ -62,6 +62,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_top_ngrams: partial agg before the exchange, top-k without a global sort") {
+    withoutAqe {
+      val p = planOf(q("q_top_ngrams"))
+      val s = p.toString
+      // hot grams combine map-side: a partial_count must sit below the
+      // hashpartitioning exchange, so skewed boilerplate grams ship
+      // one row per task, not one per occurrence
+      val exchange = s.indexOf("Exchange hashpartitioning")
+      assert(exchange > 0, s)
+      assert(s.indexOf("partial_count", exchange) > exchange, s)
+      assert(p.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s)
+      assert(p.collect {
+        case x: org.apache.spark.sql.execution.SortExec if x.global => x
+      }.isEmpty, "global sort for a top-20")
+    }
+  }
+
+  test("q_span_dup: hash-partitioned exchanges carry 8-byte keys, never text") {
+    withoutAqe {
+      val p = planOf(q("q_span_dup"))
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty)
+      // text reduces to span hashes inside the scan's codegen span, so
+      // every KEYED exchange (df count, frequency join, per-doc agg)
+      // ships (doc_id, 8-byte hash) rows only. The one exchange allowed
+      // to carry text is Engine.fanOut's round-robin spread, which
+      // exists only for sub-1GB inputs and is a passthrough at scale.
+      shuffles.foreach { e =>
+        val roundRobin = e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+        assert(roundRobin || !e.child.output.exists(_.name == "text"),
+          s"keyed shuffle carries text: ${e.child.output.map(_.name)}")
+      }
+    }
+  }
+
   test("aggregation runs partial before the exchange (map-side combine)") {
     withoutAqe {
       val p = planOf(q("q_agg_groupby"))
