@@ -1043,6 +1043,9 @@ object SparkEntry {
     "q_span_dup" -> ((s, d) =>
       pipeline.CorpusOps.spanDupStats(T(s, d, "documents"), 3, 2)),
 
+    "q_quality_calib" -> ((s, d) =>
+      pipeline.CorpusOps.qualityCalibrate(T(s, d, "documents"), 0.7, "lang")),
+
     "q_top_ngrams" -> ((s, d) =>
       pipeline.CorpusOps.topNgrams(T(s, d, "documents"), 3, 20)),
 
@@ -1268,6 +1271,20 @@ object SparkEntry {
       "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
       "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac " +
       "FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_quality_calib" -> ("WITH t AS (SELECT lang, length(text) AS lc, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +
+      "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct, " +
+      "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      "t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE) AS stop " +
+      "FROM documents), " +
+      "q AS (SELECT lang, least(len(w) / 256.0, 1.0) * (1.0 - punct / lc) * " +
+      "(0.5 + 0.5 * least(4.0 * stop / len(w), 1.0)) AS quality FROM t), " +
+      "c AS (SELECT lang, CAST(CAST(quantile_cont(quality, 0.3) AS DECIMAL(18,12)) " +
+      "AS DOUBLE) AS cutoff FROM q GROUP BY lang) " +
+      "SELECT q.lang AS lang, max(cutoff) AS cutoff, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN quality >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+      "FROM q JOIN c ON q.lang = c.lang GROUP BY q.lang ORDER BY q.lang"),
 
     "q_top_ngrams" -> ("WITH toks AS (SELECT doc_id, " +
       "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +

@@ -184,6 +184,44 @@ object CorpusOps {
       .orderBy(desc("n"), asc("gram")).limit(topK)
   }
 
+  /** Per-group quality-threshold calibration: for each `groupCol`
+    * value (language, domain, …) the score cutoff that keeps the top
+    * `keepFrac` of documents, plus the resulting keep counts — the
+    * step that turns "filter by quality" into "keep the best 70% of
+    * EVERY language" instead of letting one language's score scale
+    * starve the others (the Gopher/CCNet-style per-bucket threshold).
+    *
+    * Plan: one scan computes scores inline ([[TextAnalysis.quality]],
+    * codegen'd), one shuffle groups (group, score) pairs for the exact
+    * interpolated percentile, and the cutoffs frame (one row per
+    * group) broadcasts back over the score rows — the corpus body is
+    * never shuffled, only 8-byte scores with their group key. At
+    * 100 TB swap `percentile` for `approx_percentile` (t-digest,
+    * mergeable map-side, bounded error) — the plan shape is unchanged;
+    * the exact form is kept here because the oracle is exact. */
+  def qualityCalibrate(docs: DataFrame, keepFrac: Double = 0.7,
+                       groupCol: String = "lang"): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val q = docs.select(col(groupCol),
+      TextAnalysis.quality(col("text")).as("quality"))
+    // The interpolated percentile goes through a DECIMAL(18,12)
+    // round-trip BEFORE the comparison: interpolation arithmetic
+    // differs across engines in the last float bit, and when the
+    // percentile position lands on tied samples that bit decides a
+    // boundary document's >= — pinning the cutoff to 12 decimal places
+    // makes every engine compare against the identical value (scores
+    // themselves are engine-exact, well above 1e-12 apart).
+    val cuts = q.groupBy(groupCol)
+      .agg(percentile(col("quality"), lit(1.0 - keepFrac))
+        .cast("decimal(18,12)").cast("double").as("cutoff"))
+    q.join(broadcast(cuts), groupCol)
+      .groupBy(groupCol)
+      .agg(max("cutoff").as("cutoff"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= col("cutoff"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(groupCol)
+  }
+
   /** Domain-mixture reweighting: per-`groupCol` corpus share and the
     * sampling weight that moves the mixture to the UNIFORM target
     * (weight = target_frac / actual_frac = total / (n_groups · n)).

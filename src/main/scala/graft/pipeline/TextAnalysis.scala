@@ -30,6 +30,18 @@ object TextAnalysis {
 
   private val enStop = Seq("the", "and", "of", "to", "in", "is", "a", "that")
 
+  /** The quality expression alone — for operators that score inline
+    * (e.g. [[CorpusOps.qualityCalibrate]]) without the per-doc ratio
+    * columns. Identical expression tree to [[qualityScore]]'s
+    * `quality` column. */
+  def quality(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val stop = size(filter(tokens(text), t => t.isin(enStop: _*))).cast("double")
+    least(nTok / lit(256.0), lit(1.0)) * (lit(1.0) - punct / length(text)) *
+      (lit(0.5) + lit(0.5) * least(lit(4.0) * stop / nTok, lit(1.0)))
+  }
+
   /** Heuristic quality score in [0,1]: length saturation × (1 − punct
     * density) × stopword-presence factor. The exact formula matters
     * less than it being deterministic, cheap, and monotone in the
@@ -44,8 +56,7 @@ object TextAnalysis {
       nTok.cast("long").as("n_tokens"),
       (punct / length(col("text"))).as("punct_ratio"),
       (stop / nTok).as("stop_ratio"),
-      (least(nTok / lit(256.0), lit(1.0)) * (lit(1.0) - punct / length(col("text")))
-        * (lit(0.5) + lit(0.5) * least(lit(4.0) * stop / nTok, lit(1.0)))).as("quality"))
+      quality(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

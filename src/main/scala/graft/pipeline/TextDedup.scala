@@ -118,6 +118,18 @@ object TextDedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Materialize an iteration frame with flat lineage. With a session
+    * checkpoint dir configured (production: durable storage), a
+    * RELIABLE checkpoint — blocks survive executor loss and
+    * dynamic-allocation decommission, the requirement for multi-hour
+    * 100 TB builds. Without one (default; local runs and the bench), a
+    * localCheckpoint — executor-memory blocks, faster, but an executor
+    * loss fails the job (lineage is truncated, nothing can recompute)
+    * and the caller must rerun. */
+  private def materialize(df: DataFrame, eager: Boolean): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
+    else df.localCheckpoint(eager)
+
   /** Near-duplicate CLUSTERS: connected components over the near-dup
     * pair graph, labels = min doc_id of the component (singletons keep
     * their own id). Distributed min-label propagation — per iteration
@@ -125,15 +137,15 @@ object TextDedup {
     * combined min; iterations needed = component diameter, which for
     * near-dup graphs is tiny (near-dups of a doc are near-dups of each
     * other, so components are almost cliques). Each step materializes
-    * through a persisted frame, so lineage never replays; at
-    * 100 TB / deep components add a periodic checkpoint. */
+    * through [[materialize]], so lineage never replays; configure a
+    * checkpoint dir to make the materializations durable at scale. */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame = {
     val pairs = ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
-    val edges = pairs
+    val edges = materialize(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint(true) // materialize the pair join once; flat lineage
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      eager = true) // materialize the pair join once; flat lineage
     // Propagate only over vertices that HAVE an edge — the near-dup
     // subgraph is a small fraction of the corpus; singletons rejoin at
     // the end with their own id. Each step eagerly checkpoints, so the
@@ -150,10 +162,10 @@ object TextDedup {
     // LOWER a label, so sum(cluster_id) strictly decreases until the
     // fixpoint — equality of consecutive sums IS convergence. That
     // replaces the join+count changed-row check with a plain aggregate,
-    // and because each frame is LAZILY localCheckpoint'ed, the same
+    // and because each frame is LAZILY materialized, the same
     // aggregate job also materializes it: one Spark job per loop turn.
     def sumMaterialize(df: DataFrame): (DataFrame, Long) = {
-      val ck = df.localCheckpoint(false)
+      val ck = materialize(df, eager = false)
       (ck, ck.agg(coalesce(sum("cluster_id"), lit(0L))).first().getLong(0))
     }
     var (labels, prevSum) = sumMaterialize(

@@ -108,6 +108,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(("a b c", 4L), ("b c a", 2L), ("b c d", 2L)))
   }
 
+  // --- quality calibration -----------------------------------------
+
+  test("qualityCalibrate keeps ~keepFrac per group; stricter frac raises the bar") {
+    val rows = CorpusOps.qualityCalibrate(docs, 0.7, "lang").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2); val kept = r.getLong(3)
+      assert(kept >= (0.7 * n).toLong - 1 && kept <= n,
+        s"lang ${r.getString(0)}: kept $kept of $n at keepFrac 0.7")
+    }
+    val strict = CorpusOps.qualityCalibrate(docs, 0.3, "lang").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(strict(r.getString(0)) >= r.getDouble(1),
+        "keeping fewer docs must not lower the cutoff")
+    }
+  }
+
   // --- domain mixing -----------------------------------------------
 
   test("domainMixWeights: fracs sum to 1, weight moves mixture to uniform") {

@@ -101,6 +101,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lsh == exact)
   }
 
+  test("nearDupClusters is identical under reliable checkpointing") {
+    val small = docs.filter(col("doc_id") < 200)
+    val base = TextDedup.nearDupClusters(small, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val ck = TextDedup.nearDupClusters(small, 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(ck == base)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no checkpoint files written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("dedup_embed plans as an equi-join, not a nested loop") {
     withoutAqe { // AQE hides children until execution; plan shape is the same
       val plan = Embeddings.nearDupPairs(emb, 0.4).queryExecution.executedPlan
