@@ -121,6 +121,47 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("RepStats equals the naive token/bigram counter on random text") {
+    forAll(Gen.listOfN(30, textGen)) { texts =>
+      import spark.implicits._
+      val got = texts.toDF("text")
+        .select(graft.functions.NativeExpressions.rep_stats(col("text")).as("g"))
+        .select("g.n_tok", "g.n_dist", "g.top_uni", "g.top_bi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      texts.zip(got).foreach { case (t, g) =>
+        val w = java.util.regex.Pattern.compile("\\s+").split(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .toLowerCase.trim.toString, -1)
+        val uni = w.groupBy(identity).view.mapValues(_.length)
+        val bi = w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+          .groupBy(identity).view.mapValues(_.length)
+        val want = (w.length.toLong, uni.size.toLong,
+          uni.values.maxOption.getOrElse(0).toLong,
+          bi.values.maxOption.getOrElse(0).toLong)
+        assert(g == want, s"text=$t")
+      }
+    }
+  }
+
+  test("topNgrams equals the brute-force gram counter on a random corpus") {
+    forAll(Gen.listOfN(20, textGen)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = pipeline.CorpusOps.topNgrams(docs, 2, 10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val grams = texts.flatMap { t =>
+        val w = java.util.regex.Pattern.compile("\\s+").split(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .toLowerCase.trim.toString, -1)
+        if (w.length < 2) Nil else w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+      }
+      val want = grams.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (g, n) => (-n, g) }.take(10)
+      assert(got == want, s"texts=$texts")
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
