@@ -64,23 +64,53 @@ object Cli {
     spark.stop()
   }
 
-  /** Interactive browser loop: submit the script's statements (all
-    * concurrently — statuses stream in live, as the reference's
-    * execute_queries task does), then redraw on any key or status
-    * change until `q`. The terminal is best-effort switched to
-    * non-canonical mode via stty on the controlling tty; without one
-    * (plain pipe) each key needs an Enter, which Key.decode tolerates. */
+  /** Interactive browser loop. Statements are all SUBMITTED up front
+    * (ids and Queued statuses exist immediately, so the query table
+    * renders complete) but EXECUTE strictly one at a time on a
+    * single-thread executor — the reference TUI's sequential-script
+    * semantics, with statuses streaming Queued -> Running -> terminal
+    * per query. Keys arrive via a daemon reader thread (a blocking
+    * read is the only reliable EOF detection), with split-CSI carry
+    * between reads; the UI redraws whenever the frame changes. The
+    * terminal is best-effort switched to non-canonical mode via stty
+    * on the controlling tty; without one (plain pipe) each key needs
+    * an Enter, which Key.decode tolerates. */
   private def tuiMain(args: Array[String]): Unit = {
     val sqlFile = args(0)
     val resultsRoot = if (args.length > 1) args(1) else "/tmp/graft_results"
     val pageSize = if (args.length > 2) args(2).toInt else 10
-    val spark = Engine.session("graft-tui")
-    val svc = new QueryService(spark, resultsRoot)
     val script = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sqlFile)))
     val statements = graft.sources.ScriptRunner.split(script)
+    if (statements.isEmpty) {
+      println(s"$sqlFile: no SQL statements")
+      return
+    }
+    val spark = Engine.session("graft-tui")
+    val sequential = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-tui-exec"); t.setDaemon(true); t
+      }))
+    val svc = new QueryService(spark, resultsRoot)(sequential)
     val ids = statements.map(svc.runQuery)
     val app = new graft.tui.TuiApp(svc, statements, ids, pageSize)
+
+    val keys = new java.util.concurrent.LinkedBlockingQueue[graft.tui.Key]()
+    val eof = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val buf = new Array[Byte](64)
+      var carry = Array.empty[Byte]
+      var n = System.in.read(buf)
+      while (n >= 0) {
+        val (ks, rest) = graft.tui.Key.decodeChunk(carry ++ buf.take(n))
+        carry = rest
+        ks.foreach(keys.put)
+        n = System.in.read(buf)
+      }
+      eof.set(true)
+    }, "graft-tui-stdin")
+    reader.setDaemon(true)
+    reader.start()
 
     def stty(modes: String*): Unit =
       try {
@@ -92,9 +122,7 @@ object Cli {
     stty("-icanon", "-echo")
     try {
       var lastFrame = ""
-      val in = System.in
-      val buf = new Array[Byte](64)
-      while (!app.exited) {
+      while (!app.exited && !(eof.get() && keys.isEmpty)) {
         val frame = app.render()
         if (frame != lastFrame) {
           print("\u001b[2J\u001b[H") // clear + home
@@ -102,11 +130,8 @@ object Cli {
           System.out.flush()
           lastFrame = frame
         }
-        if (in.available() > 0) {
-          val n = in.read(buf, 0, math.min(buf.length, in.available()))
-          if (n < 0) app.exited = true
-          else graft.tui.Key.decode(buf.take(n)).foreach(app.onKey)
-        } else Thread.sleep(50)
+        val k = keys.poll(50, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (k != null) app.onKey(k)
       }
     } finally {
       stty("sane")

@@ -175,7 +175,7 @@ object CorpusOps {
     * TakeOrderedAndProject for the top-k — never a global sort. */
   def topNgrams(docs: DataFrame, k: Int = 3, topK: Int = 20): DataFrame = {
     require(k >= 1, "k must be positive")
-    docs.select(split(trim(lower(col("text"))), "\\s+").as("w"))
+    docs.select(TextAnalysis.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(explode(transform(sequence(lit(1), size(col("w")) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(col("w"), i + j)): _*)))

@@ -122,14 +122,24 @@ object Embeddings {
     * sampleCap): training is a pure function of those, so
     * cache-vs-retrain is observationally identical, and the three IVF
     * call sites (ann_ivf, ann_ivf_recall, dedup_embed_ivf) share one
-    * model the way a production index build would. */
+    * model the way a production index build would. The cache key is
+    * the canonicalized PLAN, not the data: rewriting the same parquet
+    * path in one long-lived session serves centroids trained on the
+    * old bytes (call [[clearQuantizerCache]] after such an overwrite),
+    * and the cache is size-bounded because LocalRelation keys embed
+    * their rows. */
+  private val QuantizerCacheMax = 64
   private val quantizerCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int),
     Array[Array[Double]]]
 
+  /** Drop memoized quantizers (after overwriting an input in place). */
+  def clearQuantizerCache(): Unit = quantizerCache.clear()
+
   private[pipeline] def trainCentroids(v: DataFrame, nlist: Int, iters: Int,
                                        sampleCap: Int = 4096): Array[Array[Double]] = {
     val key = (v.queryExecution.analyzed.canonicalized, nlist, iters, sampleCap)
+    if (quantizerCache.size > QuantizerCacheMax) quantizerCache.clear()
     quantizerCache.computeIfAbsent(key, _ => trainUncached(v, nlist, iters, sampleCap))
   }
 

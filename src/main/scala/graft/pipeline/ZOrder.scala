@@ -53,9 +53,11 @@ object ZOrder {
     * so feeding it raw keys >= 2^bits would alias x and x + 2^bits to
     * one z-value and silently destroy the pruning this operator exists
     * for (Delta's OPTIMIZE ZORDER does the same reduction via range
-    * ids). Keys that already span at most 2^bits values map through
-    * unchanged. Monotone per key, so the z-locality argument is
-    * preserved; precision past 2^53 per key is irrelevant for layout. */
+    * ids). The rescale is the identity only when the key span is
+    * exactly [0, 2^bits); any other span is stretched/shrunk onto it —
+    * compare against raw [[zValue]] output only under that domain.
+    * Monotone per key, so the z-locality argument is preserved;
+    * precision past 2^53 per key is irrelevant for layout. */
   def clusterByZ(df: DataFrame, x: Column, y: Column, bits: Int,
                  numFiles: Int): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")

@@ -51,13 +51,25 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
     * reference's worker_id role). */
   val workerId: String = java.util.UUID.randomUUID().toString
 
+  // id -> number of open sockets identified with it: a client may
+  // reconnect (or run two sockets) under one connection_id, and the
+  // first socket's close must not deregister the survivor.
   private val connections =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def register(id: String): Unit = {
+    connections.merge(id, 1, (a: Integer, b: Integer) => a + b); ()
+  }
+  private def deregister(id: String): Unit = {
+    connections.computeIfPresent(id,
+      (_, n: Integer) => if (n <= 1) null else (n - 1): Integer)
+    ()
+  }
 
   /** Connection ids currently identified (open sockets that completed
     * the handshake) — observability + spec hook. */
   def identifiedConnections: Set[String] = {
-    val it = connections.iterator()
+    val it = connections.keySet().iterator()
     val b = Set.newBuilder[String]
     while (it.hasNext) b += it.next()
     b.result()
@@ -95,9 +107,9 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
             val req = JsonMethods.parse(line)
             if ((req \ "type").extractOpt[String].contains("identify")) {
               val id = (req \ "connection_id").extract[String]
-              connId.foreach(connections.remove(_)) // re-identify replaces
+              connId.foreach(deregister) // re-identify replaces
               connId = Some(id)
-              connections.add(id)
+              register(id)
               JObject("type" -> JString("identify_resp"),
                 "worker_id" -> JString(workerId),
                 "connection_id" -> JString(id))
@@ -110,7 +122,7 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
     } catch {
       case _: Exception => () // client went away
     } finally {
-      connId.foreach(connections.remove(_))
+      connId.foreach(deregister)
       sock.close()
     }
   }

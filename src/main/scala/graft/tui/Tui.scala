@@ -43,6 +43,19 @@ object Key {
     }
     out.result()
   }
+
+  /** Decode a raw chunk that may END mid-CSI-sequence (a read
+    * boundary can split ESC [ A across two reads): returns the decoded
+    * keys plus the undecoded trailing partial sequence, which the
+    * caller prepends to the next chunk. */
+  def decodeChunk(bytes: Array[Byte]): (Seq[Key], Array[Byte]) = {
+    val tail =
+      if (bytes.nonEmpty && (bytes.last & 0xff) == 0x1b) 1
+      else if (bytes.length >= 2 && (bytes(bytes.length - 2) & 0xff) == 0x1b &&
+        bytes.last == '[') 2
+      else 0
+    (decode(bytes.dropRight(tail)), bytes.takeRight(tail))
+  }
 }
 
 /** Interactive results browser over [[QueryService]] — the Spark-side
@@ -110,6 +123,7 @@ final class TuiApp(
   /** Rows currently visible for query `i` (loads the first page on
     * demand once the query completes). */
   def window(i: Int): Option[(Long, Seq[Row], Seq[String], Long)] = {
+    if (ids.isEmpty) return None
     if (windows(i) == null) readerFor(i).foreach { r =>
       val page = r.read(ResultCursor(0, 0), pageSize)
       windows(i) = Window(0, page.rows, r.asDataFrame.columns.toSeq, r.totalRows)
@@ -121,13 +135,13 @@ final class TuiApp(
     case Key.Char('q') => exited = true
     case Key.Char('e') => showErrs = !showErrs
     case Key.Tab => pane = if (pane == QueriesPane) DataPane else QueriesPane
-    case Key.Up =>
+    case Key.Up if statements.nonEmpty =>
       pane match {
         case QueriesPane =>
           selected = if (selected == 0) statements.length - 1 else selected - 1
         case DataPane => pageBackward()
       }
-    case Key.Down =>
+    case Key.Down if statements.nonEmpty =>
       pane match {
         case QueriesPane =>
           selected = if (selected >= statements.length - 1) 0 else selected + 1

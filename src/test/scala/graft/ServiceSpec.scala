@@ -179,6 +179,31 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("identify registry survives one of two same-id sockets closing") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      def open(): (java.net.Socket, java.io.PrintWriter, java.io.BufferedReader) = {
+        val s = new java.net.Socket("127.0.0.1", server.boundPort)
+        (s, new java.io.PrintWriter(s.getOutputStream, true),
+          new java.io.BufferedReader(new java.io.InputStreamReader(s.getInputStream)))
+      }
+      val (s1, o1, i1) = open()
+      val (s2, o2, i2) = open()
+      o1.println("""{"type":"identify","connection_id":"conn-dup"}"""); i1.readLine()
+      o2.println("""{"type":"identify","connection_id":"conn-dup"}"""); i2.readLine()
+      assert(server.identifiedConnections == Set("conn-dup"))
+      s1.close()
+      Thread.sleep(200) // let the first serve thread run its finally
+      // the second socket is still open and identified
+      assert(server.identifiedConnections == Set("conn-dup"))
+      s2.close()
+      val deadline = System.currentTimeMillis() + 5000
+      while (server.identifiedConnections.nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(server.identifiedConnections.isEmpty)
+    } finally server.close()
+  }
+
   test("TCP protocol serves concurrent clients") {
     val server = new graft.service.QueryServer(svc)
     try {

@@ -95,6 +95,29 @@ class TuiSpec extends AnyFunSuite with SparkFixture {
     assert(a.render().contains("(no result yet)"))
   }
 
+  test("decodeChunk carries a split CSI sequence across read boundaries") {
+    val esc = 0x1b.toByte
+    // chunk ends mid-sequence: ESC alone, then '[A' in the next read
+    val (k1, rest1) = Key.decodeChunk(Array('q'.toByte, esc))
+    assert(k1 == Seq(Key.Char('q')) && rest1.toSeq == Seq(esc))
+    val (k2, rest2) = Key.decodeChunk(rest1 ++ "[A".getBytes)
+    assert(k2 == Seq(Key.Up) && rest2.isEmpty)
+    // ESC [ split after the bracket
+    val (k3, rest3) = Key.decodeChunk(Array(esc, '['.toByte))
+    assert(k3.isEmpty && rest3.length == 2)
+    val (k4, rest4) = Key.decodeChunk(rest3 :+ 'B'.toByte)
+    assert(k4 == Seq(Key.Down) && rest4.isEmpty)
+  }
+
+  test("empty statement list renders and ignores navigation keys") {
+    val a = new TuiApp(svc, Nil, Nil, pageSize = 3)
+    assert(a.render().contains("(no result yet)"))
+    a.onKey(Key.Up); a.onKey(Key.Down); a.onKey(Key.Tab)
+    assert(a.selected == 0 && !a.exited)
+    a.onKey(Key.Char('q'))
+    assert(a.exited)
+  }
+
   test("key decoding: CSI arrows, tab, chars; newlines ignored") {
     assert(Key.decode("\u001b[A\u001b[B\tq\r\n".getBytes) ==
       Seq(Key.Up, Key.Down, Key.Tab, Key.Char('q')))
