@@ -1046,6 +1046,9 @@ object SparkEntry {
     "q_quality_calib" -> ((s, d) =>
       pipeline.CorpusOps.qualityCalibrate(T(s, d, "documents"), 0.7, "lang")),
 
+    "q_span_removal" -> ((s, d) =>
+      pipeline.CorpusOps.removeDupSpans(T(s, d, "documents"), 10, 2)),
+
     "q_top_ngrams" -> ((s, d) =>
       pipeline.CorpusOps.topNgrams(T(s, d, "documents"), 3, 20)),
 
@@ -1271,6 +1274,23 @@ object SparkEntry {
       "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
       "CAST(sum(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac " +
       "FROM g JOIN f USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+
+    "q_span_removal" -> ("WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "g AS (SELECT doc_id, i AS gpos, " +
+      "list_aggregate(w[i:i+9], 'string_agg', ' ') AS gram " +
+      "FROM t, unnest(range(1, len(w) - 8)) AS u(i) WHERE len(w) >= 10), " +
+      "d AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd " +
+      "FROM g GROUP BY gram) WHERE nd >= 2), " +
+      "cov AS (SELECT DISTINCT g.doc_id, gpos + off AS pos " +
+      "FROM g JOIN d USING (gram), unnest(range(0, 10)) AS o(off)), " +
+      "tok AS (SELECT doc_id, i AS pos, w[i] AS tok " +
+      "FROM t, unnest(range(1, len(w) + 1)) AS u(i)), " +
+      "kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok " +
+      "LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos " +
+      "WHERE cov.pos IS NULL) " +
+      "SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text, " +
+      "count(*) AS n_kept FROM kept GROUP BY doc_id ORDER BY doc_id"),
 
     "q_quality_calib" -> ("WITH t AS (SELECT lang, length(text) AS lc, " +
       "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +

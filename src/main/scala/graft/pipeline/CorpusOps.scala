@@ -166,6 +166,49 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** C4-style span REMOVAL: rewrite each document with every word
+    * k-gram span that occurs in >= `minDocs` documents cut out ([[
+    * spanDupStats]] is the monitoring form; this is the rewrite C4
+    * applies — it removed any three-sentence span occurring more than
+    * once). Returns (doc_id, clean_text, n_kept); documents whose
+    * every token sits inside a duplicated span are dropped. Token
+    * positions covered by any duplicated span are cut; surviving
+    * tokens are rejoined with single spaces (whitespace normalizes).
+    *
+    * Scale shape: span frequency is counted on 8-byte xxhash64 gram
+    * keys (a hash collision can only over-remove, never corrupt —
+    * ~1e-20 at a trillion grams), coverage collapses to one
+    * (doc_id, int positions) row per affected document, and the
+    * corpus body moves through exactly ONE exchange — the doc_id
+    * reconstruction join — after which the cut is a map-side indexed
+    * array filter. That one body move is the floor for any rewrite
+    * that needs cross-document span frequencies. */
+  def removeDupSpans(docs: DataFrame, k: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 1)
+    val base = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val grams = base.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(k))))))
+        .as(Seq("gpos", "h")))
+    val dup = grams.select(col("doc_id"), col("h")).dropDuplicates("doc_id", "h")
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val cov = grams.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .groupBy("doc_id").agg(collect_set("pos").as("cut"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), filter(col("w"),
+        (_, i) => !array_contains(
+          coalesce(col("cut"), array().cast("array<int>")), i)).as("kept"))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"))
+      .filter(col("n_kept") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide most frequent word k-grams — the vocabulary /
     * boilerplate monitoring query every corpus build runs. Occurrence
     * counts (not per-doc distinct), deterministic tie-break on the

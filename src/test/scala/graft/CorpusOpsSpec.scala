@@ -94,6 +94,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(!rows.contains(5L))
   }
 
+  test("removeDupSpans cuts exactly the corpus-duplicated span positions") {
+    val d = Seq(
+      (1L, "x1 x2 a b c y1 y2"), // "a b c" shared with doc 2 -> cut
+      (2L, "z1 a b c z2 z3"),
+      (3L, "u1 u2 u3 u4"),       // nothing shared -> untouched
+      (4L, "a b c")              // fully covered -> dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.removeDupSpans(d, k = 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("x1 x2 y1 y2", 4L)))
+    assert(got(2L) == (("z1 z2 z3", 3L)))
+    assert(got(3L) == (("u1 u2 u3 u4", 4L)))
+    assert(!got.contains(4L))
+  }
+
   // --- top n-grams -------------------------------------------------
 
   test("topNgrams counts occurrences with a deterministic tie-break") {
