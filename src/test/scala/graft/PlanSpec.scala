@@ -102,6 +102,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_span_removal: the corpus body crosses at most one keyed exchange") {
+    withoutAqe {
+      val p = planOf(q("q_span_removal"))
+      val bodyShuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] &&
+            e.child.output.exists(a => a.name == "w" || a.name == "text") => e
+      }
+      // span-frequency stages move 8-byte hashes and int positions
+      // only; the token arrays ship once, into the reconstruction join
+      assert(bodyShuffles.size <= 1,
+        s"corpus body shuffled ${bodyShuffles.size} times")
+    }
+  }
+
   test("aggregation runs partial before the exchange (map-side combine)") {
     withoutAqe {
       val p = planOf(q("q_agg_groupby"))
