@@ -1479,9 +1479,158 @@ object SparkEntry {
       "FROM documents ORDER BY doc_id")
   )
 
+  // ===========================================================
+  // Round-6 extensions: the classic TPC-H analytical suite widened
+  // (q1/q5/q6/q14/q18 join the existing q3/q10) — each one pins a
+  // canonical plan shape the engine must get right at 100 TB.
+  // ===========================================================
+
+  private val ext6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 (pricing summary): THE full-scan aggregation. The plan
+    // to want at 100×: filter at the scan, partial hash aggregate
+    // map-side (6 accumulators × 4 groups — tiny exchange), one
+    // shuffle of pre-combined rows. Averages are derived from the
+    // exact decimal sums AFTER aggregation so the partial-agg merge
+    // order can't move a bit.
+    "q_tpch_q1" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          // The 3-factor product is exact at 6 decimals (price/discount/
+          // tax all sit on a 2-decimal grid), so decimal(18,6) recovers
+          // the true value with no rounding tie — decimal(18,4) would
+          // round .xxxx5 ties differently than DuckDB.
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+          (col("sum_qty") / col("count_order")).as("avg_qty"),
+          (col("sum_base_price") / col("count_order")).as("avg_price"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q5 (local supplier volume): the 6-way snowflake join.
+    // Region filter pushes before anything joins; region and nation
+    // broadcast (they are dimension-tiny at ANY scale factor); the
+    // only big exchanges are the fact-table equijoins. The
+    // customer-nation = supplier-nation condition rides the supplier
+    // join as a second equi-key, not a post-filter.
+    "q_tpch_q5" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders"); val li = T(s, d, "lineitem")
+      val sup = T(s, d, "supplier"); val n = T(s, d, "nation"); val r = T(s, d, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate,
+    // zero joins, one row out. The whole query must collapse into one
+    // WholeStageCodegen span over the scan with every predicate pushed
+    // (shipdate range + discount band + quantity reach the parquet
+    // row-group stats).
+    "q_tpch_q6" -> ((s, d) =>
+      T(s, d, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+
+    // TPC-H Q14 (promotion effect): fact-dimension join + conditional
+    // aggregate ratio. The month filter cuts lineitem to ~1/80 before
+    // the part join; both sums come out of ONE aggregate (no second
+    // scan for the denominator).
+    "q_tpch_q14" -> ((s, d) => {
+      val li = T(s, d, "lineitem"); val p = T(s, d, "part")
+      li.filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("promo_revenue"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): the self-referencing
+    // HAVING subquery. The qualifying-order set is computed once with
+    // a map-side-combined aggregate (doc-scale rows collapse to
+    // order-scale), semi-joined back into the fact, and only then do
+    // customer/orders attach — the big table crosses exactly two
+    // exchanges (the groupBy and the semi-join, same key, so AQE can
+    // even reuse the partitioning).
+    "q_tpch_q18" -> ((s, d) => {
+      val c = T(s, d, "customer"); val o = T(s, d, "orders"); val li = T(s, d, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("okq"))
+        .filter(col("okq") > 250).select("l_orderkey")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(li.select(col("l_orderkey").as("lk"), col("l_quantity")),
+          col("o_orderkey") === col("lk"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    })
+  )
+
+  private val ext6Oracles: Map[String, String] = Map(
+    "q_tpch_q1" -> ("SELECT l_returnflag, l_linestatus, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+      "COUNT(*) AS count_order " +
+      "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+      "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    "q_tpch_q5" -> ("SELECT n_name, " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM customer, orders, lineitem, supplier, nation, region " +
+      "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+      "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey " +
+      "AND n_regionkey = r_regionkey AND r_name = 'ASIA' " +
+      "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    "q_tpch_q6" -> ("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+
+    "q_tpch_q14" -> ("SELECT 100.0 * " +
+      "CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) / " +
+      "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue " +
+      "FROM lineitem, part WHERE l_partkey = p_partkey " +
+      "AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"),
+
+    "q_tpch_q18" -> ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+      "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+      "FROM customer, orders, lineitem " +
+      "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+      "HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250) " +
+      "AND c_custkey = o_custkey AND o_orderkey = l_orderkey " +
+      "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice " +
+      "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100")
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ ext3Queries ++ pipelineQueries
+    parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ ext3Queries ++
+      pipelineQueries ++ ext6Queries
 
   def oracleSql: Map[String, String] =
-    parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++ pipelineOracles
+    parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++
+      pipelineOracles ++ ext6Oracles
 }
