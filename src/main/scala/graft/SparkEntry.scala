@@ -881,6 +881,21 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       pipeline.TextDedup.exact(T(s, d, "documents")).orderBy("doc_id")),
 
+    // Incremental batch-vs-snapshot dedup: the incoming batch is built
+    // inside the query — exact copies of every doc_id%7==0 text (must
+    // all drop) plus genuinely-new " v2" texts (must all survive).
+    // Result is exact by construction — the Bloom prefilter only
+    // routes rows between the skip-the-join path and the verify path.
+    "dedup_bloom_incr" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val incoming = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" v2")).as("text")))
+      pipeline.TextDedup.incrementalDedup(incoming, docs)
+    }),
+
     "dedup_ngram" -> ((s, d) =>
       pipeline.TextDedup.ngramJaccardPairs(T(s, d, "documents"), 3, 0.8)),
 
@@ -1066,6 +1081,13 @@ object SparkEntry {
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+
+    "dedup_bloom_incr" -> ("WITH inc AS (" +
+      "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0 " +
+      "UNION ALL " +
+      "SELECT doc_id + 200000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 7 = 1) " +
+      "SELECT doc_id FROM inc i WHERE NOT EXISTS " +
+      "(SELECT 1 FROM documents b WHERE b.text = i.text) ORDER BY doc_id"),
 
     "dedup_ngram" -> duckJaccardPairs,
     "dedup_minhash" -> duckJaccardPairs,

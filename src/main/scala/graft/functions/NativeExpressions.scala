@@ -437,6 +437,29 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Bloom-filter membership probe over a 64-bit key — the compiled
+    * prefilter for incremental dedup ([[graft.pipeline.TextDedup
+    * .incrementalDedup]]). The driver-built sketch rides the expression
+    * as a reference object (same task-binary shipping Spark's own
+    * `df.stat.bloomFilter` pattern relies on), so the probe is a plain
+    * virtual call inside the scan's codegen span — no join, no
+    * shuffle, no per-row boxing. True = "maybe in the set" (needs
+    * exact verification); false = definitely absent (no false
+    * negatives, so rows it clears are exactly clean). */
+  case class BloomMightContain(child: Expression,
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(input: Any): Any =
+      bloom.mightContainLong(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
@@ -456,4 +479,7 @@ object NativeExpressions {
     column(PolyFingerprint(expression(c)))
   def rep_stats(text: Column): Column =
     column(RepStats(expression(text)))
+  def bloom_might_contain(key: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(key), bloom))
 }

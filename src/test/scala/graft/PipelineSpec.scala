@@ -18,6 +18,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(kept == distinctTexts)
   }
 
+  test("incremental dedup is exact even with a saturated bloom filter") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val incoming = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+    val oracle = incoming.as("i")
+      .join(docs.as("b"), col("i.text") === col("b.text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oracle.nonEmpty, "fixture must include genuinely-new docs")
+    assert(oracle.size < incoming.count(), "fixture must include true duplicates")
+    // An undersized, high-fpp sketch floods the verify path with false
+    // positives — the exact anti-join must clear every one of them.
+    val saturated = TextDedup.incrementalDedup(incoming, docs,
+        expectedBaseDocs = 8, fpp = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(saturated == oracle)
+    // Default sizing takes the fast path for most rows; same answer.
+    val sized = TextDedup.incrementalDedup(incoming, docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(sized == oracle)
+  }
+
   test("minhash-LSH verified pairs equal the exact n-gram jaccard join") {
     val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
     val lsh = pairSet(TextDedup.minhashLshPairs(docs, 3, 0.8))
