@@ -1076,7 +1076,14 @@ object SparkEntry {
           pipeline.ZOrder.zValue(
             pmod(col("l_partkey"), lit(1024L)),
             pmod(col("l_suppkey"), lit(1024L)), 10).as("zkey"))
-        .orderBy("zkey", "l_orderkey", "l_linenumber"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber")),
+
+    // Measured skipping win of the z-layout: mean per-"file" min/max
+    // span on BOTH keys, vs a single-key sort. The oracle restates the
+    // identical bucket arithmetic (ZOrder.skippingStatsSql).
+    "q_zorder_skip" -> ((s, d) =>
+      pipeline.ZOrder.skippingStats(
+        T(s, d, "lineitem"), col("l_partkey"), col("l_suppkey")))
   )
 
   private val pipelineOracles: Map[String, String] = Map(
@@ -1336,7 +1343,10 @@ object SparkEntry {
 
     "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
       "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +
-      " AS BIGINT) AS zkey FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber")
+      " AS BIGINT) AS zkey FROM lineitem ORDER BY zkey, l_orderkey, l_linenumber"),
+
+    "q_zorder_skip" ->
+      pipeline.ZOrder.skippingStatsSql("lineitem", "l_partkey", "l_suppkey")
   )
 
   // ===========================================================

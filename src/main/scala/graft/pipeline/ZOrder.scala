@@ -41,6 +41,86 @@ object ZOrder {
           s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}")
     }.mkString("(", " + ", ")")
 
+  /** Data-skipping effectiveness of a z-order layout vs a single-key
+    * sort, measured on the data itself: rows are assigned to
+    * fixed-width "files" (buckets) under each layout — bucket = z-cell
+    * range for z-order, leading-key range for the linear sort — and
+    * each layout reports its bucket count and the mean per-bucket
+    * key-span fraction for BOTH keys. A span fraction is the share of
+    * the key domain a bucket's [min, max] footer covers = the
+    * probability a uniform point predicate on that key fails to prune
+    * the bucket, i.e. exactly the file-skipping win a min/max-pruning
+    * reader gets. The linear layout shows ~1/buckets on its own key
+    * and ~1.0 on the other; z-order shows ~1/√buckets on both — the
+    * reason OPTIMIZE ZORDER exists.
+    *
+    * Everything is value-keyed and deterministic (fixed-width cells
+    * from one tiny (min, max) metadata frame, broadcast back — unlike
+    * repartitionByRange there is no sampling), so a SQL oracle can
+    * restate it bit-for-bit. Span fractions are exact multiples of
+    * 2^-bits (dyadic rationals), so their sums and means carry no
+    * float-ordering drift. One scan + two narrow (bucket-key) shuffles.
+    */
+  def skippingStats(df: DataFrame, x: Column, y: Column,
+                    bits: Int = 8, buckets: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1, 15]")
+    require(buckets >= 1 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= (1 << bits), "buckets must be a power of two <= 2^bits")
+    val cells = 1L << bits
+    val bounds = df.agg(
+      min(x).cast("long").as("xlo"), max(x).cast("long").as("xhi"),
+      min(y).cast("long").as("ylo"), max(y).cast("long").as("yhi"))
+    def rescale(v: Column, lo: Column, hi: Column): Column =
+      floor((v - lo) * lit(cells.toDouble) / (hi - lo + lit(1.0))).cast("long")
+    val r = df.select(x.cast("long").as("xv"), y.cast("long").as("yv"))
+      .crossJoin(broadcast(bounds))
+      .select(rescale(col("xv"), col("xlo"), col("xhi")).as("rx"),
+        rescale(col("yv"), col("ylo"), col("yhi")).as("ry"))
+      .withColumn("z", zValue(col("rx"), col("ry"), bits))
+    val zw = math.max(1L, (cells * cells) / buckets)
+    val xw = math.max(1L, cells / buckets)
+    def layoutStats(bk: Column, name: String): DataFrame =
+      r.groupBy(bk.as("bk"))
+        .agg(min("rx").as("xmin"), max("rx").as("xmax"),
+          min("ry").as("ymin"), max("ry").as("ymax"))
+        .agg(count(lit(1)).as("n_buckets"),
+          avg((col("xmax") - col("xmin") + 1).cast("double") / cells).as("x_span_frac"),
+          avg((col("ymax") - col("ymin") + 1).cast("double") / cells).as("y_span_frac"))
+        .select(lit(name).as("layout"), col("n_buckets"),
+          col("x_span_frac"), col("y_span_frac"))
+    layoutStats(expr(s"z div ${zw}L"), "zorder")
+      .unionAll(layoutStats(expr(s"rx div ${xw}L"), "linear_x"))
+      .orderBy("layout")
+  }
+
+  /** The [[skippingStats]] bucket/span computation as ANSI-ish SQL
+    * (DuckDB oracle) — kept adjacent so the two can never drift. */
+  def skippingStatsSql(table: String, x: String, y: String,
+                       bits: Int = 8, buckets: Int = 64): String = {
+    val cells = 1L << bits
+    val zw = math.max(1L, (cells * cells) / buckets)
+    val xw = math.max(1L, cells / buckets)
+    s"""WITH b AS (SELECT min($x) AS xlo, max($x) AS xhi,
+       |                  min($y) AS ylo, max($y) AS yhi FROM $table),
+       |r AS (SELECT
+       |  CAST(floor(($x - xlo) * $cells.0 / (xhi - xlo + 1.0)) AS BIGINT) AS rx,
+       |  CAST(floor(($y - ylo) * $cells.0 / (yhi - ylo + 1.0)) AS BIGINT) AS ry
+       |  FROM $table, b),
+       |z AS (SELECT rx, ry, ${zValueSql("rx", "ry", bits)} AS z FROM r),
+       |zs AS (SELECT z // $zw AS bk, min(rx) AS xmin, max(rx) AS xmax,
+       |              min(ry) AS ymin, max(ry) AS ymax FROM z GROUP BY 1),
+       |xs AS (SELECT rx // $xw AS bk, min(rx) AS xmin, max(rx) AS xmax,
+       |              min(ry) AS ymin, max(ry) AS ymax FROM z GROUP BY 1)
+       |SELECT 'linear_x' AS layout, count(*) AS n_buckets,
+       |  avg((xmax - xmin + 1) / $cells.0) AS x_span_frac,
+       |  avg((ymax - ymin + 1) / $cells.0) AS y_span_frac FROM xs
+       |UNION ALL
+       |SELECT 'zorder' AS layout, count(*) AS n_buckets,
+       |  avg((xmax - xmin + 1) / $cells.0) AS x_span_frac,
+       |  avg((ymax - ymin + 1) / $cells.0) AS y_span_frac FROM zs
+       |ORDER BY layout""".stripMargin.replace('\n', ' ')
+  }
+
   /** Cluster `df` for data skipping on (x, y): range-partition by the
     * z-value, sort within partitions, so each output file covers one
     * tight z-interval (⇒ tight x AND y intervals). Write the result

@@ -185,6 +185,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("skippingStats: z-layout bounds BOTH key spans, linear only its own") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val stats = ZOrder.skippingStats(li, col("l_partkey"), col("l_suppkey"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (zn, zx, zy) = stats("zorder")
+    val (ln, lx, ly) = stats("linear_x")
+    assert(zn > 1 && ln > 1)
+    // linear: near-perfect on the sort key, near-useless on the other
+    assert(lx < 0.05, s"linear x span $lx")
+    assert(ly > 0.8, s"linear y span $ly")
+    // z-order: both keys bounded well below the linear layout's worst key
+    assert(zx < 0.3 && zy < 0.3, s"zorder spans $zx/$zy")
+  }
+
   test("clusterByZ yields disjoint z-ranges across output partitions") {
     val li = Engine.table(spark, sfDir, "lineitem")
     // pin the key domain to exactly [0, 1024) so clusterByZ's affine
