@@ -1,0 +1,44 @@
+package graft.streaming
+
+import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus ingest — the continuous twin of the batch
+  * `q_corpus_clean` pipeline: documents arrive as a stream
+  * (doc_id, ts, text, ...) and leave deduplicated, quality-gated, and
+  * token-counted, ready for a parquet/Delta sink. (The reference has
+  * no streaming; DEV_NOTES.md:215-268 sketches stream generators as a
+  * future idea — this is that slot, Spark-native.)
+  *
+  * Scale stance: dedup state is keyed by a 128-bit content fingerprint
+  * (two independent xxhash64 seeds — same identity as
+  * TextDedup.exact), hash-partitioned across executors, and bounded by
+  * the watermark: a fingerprint older than the late-data horizon is
+  * evicted, so state tracks the horizon, not corpus history. Against
+  * the FULL corpus history, pair this with the batch
+  * TextDedup.incrementalDedup on each landed micro-batch — stream
+  * state answers "seen within the horizon", the Bloom-prefiltered
+  * batch join answers "seen ever".
+  *
+  * Quality + token counting are stateless codegen'd column expressions
+  * (TextAnalysis) — they add no streaming state at all.
+  */
+object CorpusIngest {
+
+  /** Dedup → quality-gate → annotate. Emits the FIRST arrival of each
+    * distinct text within the watermark horizon, with its quality
+    * score and whitespace token count attached; drops later duplicates
+    * and documents scoring below `minQuality`. */
+  def cleanStream(docs: DataFrame, watermark: String = "1 hour",
+                  minQuality: Double = 0.0): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("fp_a", xxhash64(col("text")))
+      .withColumn("fp_b", xxhash64(lit("graft.dedup.salt"), col("text")))
+      .dropDuplicatesWithinWatermark("fp_a", "fp_b")
+      .withColumn("quality", TextAnalysis.quality(col("text")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .drop("fp_a", "fp_b")
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{CorpusIngest, EventStream}
 import graft.streaming.EventStream.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       assert(spark.table("dedup_stream").select("event_id").collect()
         .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("corpus ingest stream dedups content and gates quality") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and runs to town " * 4
+    val junk = "!!! ??? !!! ,,, ;;; !!!"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusIngest.cleanStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "30 minutes", minQuality = 0.2)
+      .writeStream.format("memory").queryName("corpus_ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts(5), good), (2L, ts(6), junk))
+      q.processAllAvailable()
+      in.addData((3L, ts(10), good)) // duplicate content, later arrival
+      q.processAllAvailable()
+      val out = spark.table("corpus_ingest")
+        .select("doc_id", "quality", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      // junk gated, duplicate dropped, first arrival kept with stats
+      assert(out.map(_._1).toSeq == Seq(1L))
+      assert(out.head._2 >= 0.2 && out.head._3 == 52L)
     } finally q.stop()
   }
 
