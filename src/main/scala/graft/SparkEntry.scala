@@ -1064,6 +1064,13 @@ object SparkEntry {
     "q_span_removal" -> ((s, d) =>
       pipeline.CorpusOps.removeDupSpans(T(s, d, "documents"), 10, 2)),
 
+    // Gopher filters beyond uni/bigram (q_quality_rep): top-3/4-gram
+    // fractions + duplicated-5/10-gram token coverage, one compiled
+    // pass per doc. Thresholds sit inside the fixture's top-gram
+    // distribution so `keep` discriminates.
+    "q_gopher_rep" -> ((s, d) =>
+      pipeline.CorpusOps.gopherStats(T(s, d, "documents"), 0.05, 0.05)),
+
     "q_top_ngrams" -> ((s, d) =>
       pipeline.CorpusOps.topNgrams(T(s, d, "documents"), 3, 20)),
 
@@ -1285,6 +1292,40 @@ object SparkEntry {
       "ELSE 0.0 END AS top_bigram_frac FROM b) " +
       "SELECT doc_id, rep_word_frac, top_word_frac, top_bigram_frac, " +
       "(top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep " +
+      "FROM f ORDER BY doc_id"),
+
+    "q_gopher_rep" -> ("WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "g3 AS (SELECT doc_id, list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g FROM t), " +
+      "g4 AS (SELECT doc_id, list_transform(range(1, len(w)-2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g FROM t), " +
+      "e5 AS (SELECT doc_id, i AS pos, " +
+      "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram " +
+      "FROM t, unnest(range(1, len(w)-3)) AS u(i)), " +
+      "d5 AS (SELECT doc_id, gram FROM e5 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+      "c5 AS (SELECT DISTINCT doc_id, p FROM (SELECT e5.doc_id, " +
+      "unnest(range(pos, pos+5)) AS p FROM e5 JOIN d5 USING (doc_id, gram))), " +
+      "n5 AS (SELECT doc_id, count(*) AS cov FROM c5 GROUP BY doc_id), " +
+      "e10 AS (SELECT doc_id, i AS pos, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||" +
+      "w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]||' '||w[i+8]||' '||w[i+9] AS gram " +
+      "FROM t, unnest(range(1, len(w)-8)) AS u(i)), " +
+      "d10 AS (SELECT doc_id, gram FROM e10 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+      "c10 AS (SELECT DISTINCT doc_id, p FROM (SELECT e10.doc_id, " +
+      "unnest(range(pos, pos+10)) AS p FROM e10 JOIN d10 USING (doc_id, gram))), " +
+      "n10 AS (SELECT doc_id, count(*) AS cov FROM c10 GROUP BY doc_id), " +
+      "f AS (SELECT t.doc_id, " +
+      "CASE WHEN len(t.w) >= 3 THEN CAST(list_max(list_transform(list_distinct(g3.g), " +
+      "x -> len(list_filter(g3.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 2) ELSE 0.0 END AS top_3gram_frac, " +
+      "CASE WHEN len(t.w) >= 4 THEN CAST(list_max(list_transform(list_distinct(g4.g), " +
+      "x -> len(list_filter(g4.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 3) ELSE 0.0 END AS top_4gram_frac, " +
+      "CAST(COALESCE(n5.cov, 0) AS DOUBLE) / len(t.w) AS dup_5gram_frac, " +
+      "CAST(COALESCE(n10.cov, 0) AS DOUBLE) / len(t.w) AS dup_10gram_frac " +
+      "FROM t JOIN g3 USING (doc_id) JOIN g4 USING (doc_id) " +
+      "LEFT JOIN n5 USING (doc_id) LEFT JOIN n10 USING (doc_id)) " +
+      "SELECT doc_id, top_3gram_frac, top_4gram_frac, dup_5gram_frac, dup_10gram_frac, " +
+      "(top_3gram_frac <= 0.05 AND top_4gram_frac <= 0.05 AND " +
+      "dup_5gram_frac <= 0.30 AND dup_10gram_frac <= 0.20) AS keep " +
       "FROM f ORDER BY doc_id"),
 
     "q_domain_mix" -> ("SELECT source, n_docs, " +

@@ -437,6 +437,88 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** The Gopher repetition-filter family beyond unigrams/bigrams
+    * (Rae et al. 2021, Table A1), one compiled hash-map pass per
+    * document: struct(n_tok, top3, top4, cov5, cov10) =
+    * token count, max frequency of any word 3-gram / 4-gram, and the
+    * number of token positions covered by any 5-gram / 10-gram that
+    * occurs more than once WITHIN the document (overlapping duplicate
+    * spans counted once — coverage, not occurrence-sum). Same
+    * tokenization as [[RepStats]] (lower/trim/split-"\\s+", pinned to
+    * the DuckDB oracle). Cost is O(Σk · tokens) per row with no
+    * shuffle — the explode-and-groupBy form would move every gram of
+    * the corpus through 4 exchanges. */
+  case class GopherRep(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", LongType, nullable = false),
+      StructField("top3", LongType, nullable = false),
+      StructField("top4", LongType, nullable = false),
+      StructField("cov5", LongType, nullable = false),
+      StructField("cov10", LongType, nullable = false)))
+    private def grams(w: Array[String], k: Int): Array[String] = {
+      val n = w.length - k + 1
+      if (n <= 0) return Array.empty
+      val out = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j)); j += 1
+        }
+        out(i) = sb.toString; i += 1
+      }
+      out
+    }
+    private def topFreq(g: Array[String]): Long = {
+      val m = new java.util.HashMap[String, Integer](g.length * 2)
+      var top = 0
+      var i = 0
+      while (i < g.length) {
+        val c: Int = m.merge(g(i), 1, SumInts)
+        if (c > top) top = c
+        i += 1
+      }
+      top.toLong
+    }
+    private def dupCoverage(w: Array[String], k: Int): Long = {
+      val g = grams(w, k)
+      if (g.isEmpty) return 0L
+      val m = new java.util.HashMap[String, Integer](g.length * 2)
+      var i = 0
+      while (i < g.length) { m.merge(g(i), 1, SumInts); i += 1 }
+      val covered = new Array[Boolean](w.length)
+      i = 0
+      while (i < g.length) {
+        if (m.get(g(i)) >= 2) {
+          var j = i
+          val end = i + k
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var n = 0L
+      i = 0
+      while (i < covered.length) { if (covered(i)) n += 1; i += 1 }
+      n
+    }
+    def compute(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val t = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w.length.toLong, topFreq(grams(w, 3)), topFreq(grams(w, 4)),
+          dupCoverage(w, 5), dupCoverage(w, 10)))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("gopherRep", this, classOf[GopherRep].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Bloom-filter membership probe over a 64-bit key — the compiled
     * prefilter for incremental dedup ([[graft.pipeline.TextDedup
     * .incrementalDedup]]). The driver-built sketch rides the expression
@@ -482,4 +564,6 @@ object NativeExpressions {
   def bloom_might_contain(key: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     column(BloomMightContain(expression(key), bloom))
+  def gopher_rep(text: Column): Column =
+    column(GopherRep(expression(text)))
 }

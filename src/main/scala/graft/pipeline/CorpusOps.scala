@@ -138,6 +138,41 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The Gopher repetition-filter family beyond [[repetitionStats]]'
+    * unigram/bigram signals (Rae et al. 2021, Table A1, token-position
+    * analog of the char fractions):
+    *  - top_3gram_frac / top_4gram_frac: occurrences of the most
+    *    frequent word 3-/4-gram over the gram count;
+    *  - dup_5gram_frac / dup_10gram_frac: fraction of token positions
+    *    covered by any 5-/10-gram occurring more than once within the
+    *    document (overlaps counted once);
+    *  - keep: the verdict at Gopher-like thresholds.
+    * One compiled pass per document
+    * ([[graft.functions.NativeExpressions.GopherRep]]) — O(Σk·tokens)
+    * per row inside the scan's codegen span, no shuffle, so the cost
+    * per byte is flat in corpus size and document length. */
+  def gopherStats(docs: DataFrame,
+                  maxTop3: Double = 0.18, maxTop4: Double = 0.16,
+                  maxDup5: Double = 0.30, maxDup10: Double = 0.20): DataFrame = {
+    val nTok = col("g.n_tok").cast("double")
+    docs.select(col("doc_id"),
+        graft.functions.NativeExpressions.gopher_rep(col("text")).as("g"))
+      .select(
+        col("doc_id"),
+        when(col("g.n_tok") >= 3, col("g.top3").cast("double") / (nTok - 2))
+          .otherwise(lit(0.0)).as("top_3gram_frac"),
+        when(col("g.n_tok") >= 4, col("g.top4").cast("double") / (nTok - 3))
+          .otherwise(lit(0.0)).as("top_4gram_frac"),
+        when(col("g.n_tok") >= 1, col("g.cov5").cast("double") / nTok)
+          .otherwise(lit(0.0)).as("dup_5gram_frac"),
+        when(col("g.n_tok") >= 1, col("g.cov10").cast("double") / nTok)
+          .otherwise(lit(0.0)).as("dup_10gram_frac"))
+      .withColumn("keep",
+        col("top_3gram_frac") <= maxTop3 && col("top_4gram_frac") <= maxTop4 &&
+          col("dup_5gram_frac") <= maxDup5 && col("dup_10gram_frac") <= maxDup10)
+      .orderBy("doc_id")
+  }
+
   /** C4-style span-duplication stats: for each document, how many of
     * its distinct word k-gram spans also occur in at least `minDocs`
     * documents corpus-wide (C4 removes any three-sentence span that

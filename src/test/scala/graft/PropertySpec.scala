@@ -143,6 +143,44 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("GopherRep equals the naive gram counter/coverage on random text") {
+    // Half the samples self-concatenate, guaranteeing duplicated
+    // 5/10-grams so the coverage branch is exercised, not just zero.
+    val gen = Gen.zip(textGen, Gen.oneOf(true, false)).map {
+      case (t, true) => s"$t $t $t"
+      case (t, false) => t
+    }
+    forAll(Gen.listOfN(30, gen)) { texts =>
+      import spark.implicits._
+      val got = texts.toDF("text")
+        .select(graft.functions.NativeExpressions.gopher_rep(col("text")).as("g"))
+        .select("g.n_tok", "g.top3", "g.top4", "g.cov5", "g.cov10")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      texts.zip(got).foreach { case (t, g) =>
+        val w = java.util.regex.Pattern.compile("\\s+").split(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .toLowerCase.trim.toString, -1)
+        def grams(k: Int): Seq[String] =
+          if (w.length < k) Nil
+          else (0 to w.length - k).map(i => w.slice(i, i + k).mkString(" "))
+        def top(k: Int): Long = grams(k).groupBy(identity)
+          .view.mapValues(_.length.toLong).values.maxOption.getOrElse(0L)
+        def cov(k: Int): Long = {
+          val g = grams(k)
+          val counts = g.groupBy(identity).view.mapValues(_.length).toMap
+          val covered = Array.fill(w.length)(false)
+          g.zipWithIndex.foreach { case (x, i) =>
+            if (counts(x) >= 2) (i until i + k).foreach(covered(_) = true)
+          }
+          covered.count(identity).toLong
+        }
+        val want = (w.length.toLong, top(3), top(4), cov(5), cov(10))
+        assert(g == want, s"text=$t")
+      }
+    }
+  }
+
   test("topNgrams equals the brute-force gram counter on a random corpus") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
