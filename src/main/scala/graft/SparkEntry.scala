@@ -914,6 +914,25 @@ object SparkEntry {
     "dedup_embed" -> ((s, d) =>
       pipeline.Embeddings.nearDupPairs(T(s, d, "embeddings"), 0.4)),
 
+    // int8 scalar quantization round-trip audit: per-vector scale,
+    // worst reconstruction error (bounded by scale/2), and the
+    // original-vs-reconstructed cosine. The oracle restates the exact
+    // round/scale arithmetic, so every double compares bit-for-bit.
+    "q_embed_quant" -> ((s, d) => {
+      val orig = T(s, d, "embeddings")
+        .select(col("vec_id"), pipeline.Embeddings.asDouble(col("embedding")).as("v"))
+      val dq = pipeline.Embeddings.dequantize(
+          pipeline.Embeddings.quantize(T(s, d, "embeddings")))
+        .select(col("vec_id"), col("scale"), col("v").as("dv"))
+      orig.join(dq, "vec_id")
+        .select(col("vec_id"), col("scale"),
+          array_max(zip_with(col("v"), col("dv"), (a, b) => abs(a - b))).as("max_err"),
+          pipeline.Embeddings.cosine(col("v"), col("dv")).as("cos_q"))
+        .withColumn("ok",
+          col("max_err") <= col("scale") * 0.5 + 1e-12 && col("cos_q") >= 0.999)
+        .orderBy("vec_id")
+    }),
+
     // The flagship pipeline composition: quality gate + near-dup
     // canonical selection = the "clean corpus" a training run reads.
     // Canonical = doc_id == cluster_id, because cluster labels ARE the
@@ -1166,6 +1185,18 @@ object SparkEntry {
       "FROM documents GROUP BY lang ORDER BY lang"),
 
     "dedup_embed" -> duckEmbedPairs("0.4"),
+
+    "q_embed_quant" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "s AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale FROM v), " +
+      "d AS (SELECT vec_id, v, scale, " +
+      "list_transform(v, x -> CAST(round(x / scale) AS INTEGER) * scale) AS dv FROM s), " +
+      "m AS (SELECT vec_id, scale, " +
+      "list_max(list_transform(range(1,65), i -> abs(v[i] - dv[i]))) AS max_err, " +
+      "(list_reduce(list_transform(range(1,65), i -> v[i]*dv[i]), (x,y) -> x+y) / " +
+      "(sqrt(list_reduce(list_transform(range(1,65), i -> v[i]*v[i]), (x,y) -> x+y)) * " +
+      "sqrt(list_reduce(list_transform(range(1,65), i -> dv[i]*dv[i]), (x,y) -> x+y)))) AS cos_q FROM d) " +
+      "SELECT vec_id, scale, max_err, cos_q, " +
+      "(max_err <= scale * 0.5 + 1e-12 AND cos_q >= 0.999) AS ok FROM m ORDER BY vec_id"),
 
     "ann_lsh_recall" -> ("SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS recall " +
       "FROM embeddings WHERE vec_id < 10 ORDER BY query_id"),

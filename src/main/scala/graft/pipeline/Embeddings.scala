@@ -32,6 +32,29 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric per-vector int8 scalar quantization — the storage
+    * format that makes a 100 TB float32 vector store a 25 TB one (the
+    * faiss `SQ8` layout). scale = max|v| / 127 (floored at 1e-30 so a
+    * zero vector quantizes to zeros instead of NaN); codes =
+    * round(v / scale) ∈ [-127, 127]. Returns (vec_id, scale, q);
+    * [[dequantize]] reconstructs with worst-case per-coordinate error
+    * scale/2. Plain column arithmetic (round/division are engine-
+    * portable — the oracle restates them), map-side only, no shuffle:
+    * quantization composes with any scan or write without changing the
+    * plan around it. */
+  def quantize(emb: DataFrame): DataFrame =
+    graft.Engine.fanOut(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        greatest(array_max(transform(col("v"), x => abs(x))) / lit(127.0), lit(1e-30)))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x => round(x / col("scale")).cast("int")).as("q"))
+
+  /** Reconstruct quantized vectors: v̂ = q · scale. */
+  def dequantize(quantized: DataFrame): DataFrame =
+    quantized.select(col("vec_id"), col("scale"),
+      transform(col("q"), x => x.cast("double") * col("scale")).as("v"))
+
   /** (vec_id, v, nrm) with the vector's norm computed once — pair
     * scoring then divides by the two cached norms instead of
     * recomputing O(dim) norms per pair (same doubles, same bits). */
