@@ -949,6 +949,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Skew-safe two-phase aggregation on a hot low-cardinality key:
+    // phase 1 groups by (key, salt) so one hot key spreads over 16
+    // reducers, phase 2 merges the partials — results identical to the
+    // plain groupBy (the oracle IS the plain groupBy). Decimal partials
+    // keep the two-phase sum exact under any merge order.
+    "q_skew_agg" -> ((s, d) =>
+      pipeline.Skew.saltedAgg(T(s, d, "events"), Seq("event_type"),
+          Seq(("n_events", count(lit(1)), sum(col("n_events"))),
+            ("sum_value", sum(col("value").cast("decimal(18,4)")),
+              sum(col("sum_value")).cast("double"))))
+        .orderBy("event_type")),
+
+    // Skew-safe equi-join (replicated small side, salted big side),
+    // verified against the vanilla join's aggregate.
+    "q_skew_join" -> ((s, d) => {
+      val o = T(s, d, "orders").select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = T(s, d, "customer").select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      pipeline.Skew.saltedJoin(o, c, Seq("custkey"), 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Deterministic pipeline sampling: multiplicative-hash gate (exact
     // in int64, portable across engines — reproducible corpus splits).
     "q_sample" -> ((s, d) =>
@@ -1324,6 +1347,15 @@ object SparkEntry {
       "SELECT doc_id, rep_word_frac, top_word_frac, top_bigram_frac, " +
       "(top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep " +
       "FROM f ORDER BY doc_id"),
+
+    "q_skew_agg" -> ("SELECT event_type, COUNT(*) AS n_events, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+      "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    "q_skew_join" -> ("SELECT c_mktsegment, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total " +
+      "FROM orders JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
     "q_gopher_rep" -> ("WITH t AS (SELECT doc_id, " +
       "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
