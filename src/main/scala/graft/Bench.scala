@@ -19,11 +19,16 @@ import java.util.Locale
   * queries are dominated by fixed per-job overhead and stable, while
   * the expensive iterative ones (multi-job label propagation etc.)
   * historically varied up to 4× across rounds on unchanged code from
-  * GC/JIT/broadcast-cleanup timing. Min-of-reps measures the plan,
-  * which is what the bench tracks — session noise is not a property
-  * of the operator. */
+  * GC/JIT/broadcast-cleanup timing. Queries still above SlowFloorSec
+  * after the minimum get ONE extra rep: the multi-job iterative ops
+  * are exactly the ones whose min-of-2 still swung ~1.5× between
+  * consecutive bench runs, and a third sample costs seconds against
+  * the round-to-round comparability it buys. Min-of-reps measures the
+  * plan, which is what the bench tracks — session noise is not a
+  * property of the operator. */
 object Bench {
   private val RetimeFloorSec = 1.5
+  private val SlowFloorSec = 5.0
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,7 +78,8 @@ object Bench {
         }
         var (best, ok) = once()
         var r = 1
-        while (ok && r < reps && best > RetimeFloorSec) {
+        val budget = if (best > SlowFloorSec) reps + 1 else reps
+        while (ok && r < budget && best > RetimeFloorSec) {
           val (t, o) = once()
           if (o && t < best) best = t
           r += 1
