@@ -1721,6 +1721,103 @@ object SparkEntry {
     })
   )
 
+  // Event-analytics suite over the events table: sessionization,
+  // funnel, cohort retention — the windowed-analytics workloads a
+  // warehouse engine runs daily. All window/aggregate plans: one
+  // shuffle on user_id, window functions stream within partitions,
+  // deterministic tiebreaks on event_id.
+
+  private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gaps-and-islands sessionization (30-min inactivity): lag marks
+    // session starts, a running sum numbers them, one aggregate per
+    // (user, session). Epoch-microsecond arithmetic is integer-exact
+    // on both engines.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, d, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("prev", lag("tus", 1).over(w))
+        .withColumn("ns",
+          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("tus").as("start_us"), max("tus").as("end_us"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Ordered funnel: earliest view, first click AFTER that view,
+    // first purchase after that click — per-user stage timestamps via
+    // conditional window minima, then one aggregate row per stage
+    // reached. The corpus shuffles once on user_id.
+    "q_funnel" -> ((s, d) => {
+      val e = T(s, d, "events").withColumn("tus", unix_micros(col("ts")))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("tus").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("tus") > col("t_view"))
+        .groupBy("user_id").agg(min("tus").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("tus") > col("t_click"))
+        .groupBy("user_id").agg(min("tus").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+    }),
+
+    // Weekly cohort retention: cohort = week of first activity;
+    // n_users active at each whole-week offset. date_trunc('week')
+    // aligns to Monday on both engines; UTC makes week arithmetic
+    // exact integer division.
+    "q_retention" -> ((s, d) => {
+      val e = T(s, d, "events")
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("long").as("cohort_s"))
+      val active = e.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("long").as("week_s"))
+        .distinct()
+      active.join(first, "user_id")
+        .select(col("cohort_s"),
+          ((col("week_s") - col("cohort_s")) / 604800L).cast("long").as("week_offset"))
+        .groupBy("cohort_s", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_s", "week_offset")
+    })
+  )
+
+  private val analyticsOracles: Map[String, String] = Map(
+    "q_sessionize" -> ("WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus, " +
+      "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+      "n AS (SELECT user_id, event_id, value, tus, " +
+      "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM g), " +
+      "s AS (SELECT user_id, value, tus, CAST(SUM(ns) OVER (PARTITION BY user_id " +
+      "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n) " +
+      "SELECT user_id, session_id, COUNT(*) AS n_events, " +
+      "min(tus) AS start_us, max(tus) AS end_us, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+
+    "q_funnel" -> ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
+      "v AS (SELECT user_id, min(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+      "c AS (SELECT e.user_id, min(tus) AS t_click FROM e JOIN v USING (user_id) " +
+      "WHERE event_type = 'click' AND tus > t_view GROUP BY e.user_id), " +
+      "p AS (SELECT e.user_id, min(tus) AS t_purchase FROM e JOIN c USING (user_id) " +
+      "WHERE event_type = 'purchase' AND tus > t_click GROUP BY e.user_id) " +
+      "SELECT COUNT(*) AS n_view, COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase " +
+      "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
+
+    "q_retention" -> ("WITH f AS (SELECT user_id, " +
+      "CAST(epoch(date_trunc('week', min(ts))) AS BIGINT) AS cohort_s FROM events GROUP BY user_id), " +
+      "a AS (SELECT DISTINCT user_id, CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week_s FROM events) " +
+      "SELECT cohort_s, CAST((week_s - cohort_s) / 604800 AS BIGINT) AS week_offset, " +
+      "COUNT(*) AS n_users FROM a JOIN f USING (user_id) " +
+      "GROUP BY cohort_s, week_offset ORDER BY cohort_s, week_offset")
+  )
+
   private val ext6Oracles: Map[String, String] = Map(
     "q_tpch_q1" -> ("SELECT l_returnflag, l_linestatus, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
@@ -1764,9 +1861,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     parityQueries ++ aggQueries ++ joinQueries ++ ext2Queries ++ ext3Queries ++
-      pipelineQueries ++ ext6Queries
+      pipelineQueries ++ ext6Queries ++ analyticsQueries
 
   def oracleSql: Map[String, String] =
     parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++
-      pipelineOracles ++ ext6Oracles
+      pipelineOracles ++ ext6Oracles ++ analyticsOracles
 }
