@@ -211,6 +211,66 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q6 pushes every predicate to the scan and shuffles once") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q6"))
+      val s = p.toString
+      // PushedFilters is truncated in toString — assert the list opens
+      // with the shipdate filters and the full predicate set survives
+      // in the (untruncated) Filter node.
+      assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"), s)
+      assert(s.contains(">= 1996-01-01") && s.contains("< 1997-01-01") &&
+        s.contains("< 24.0)"), s)
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // scan -> partial agg -> single-partition exchange -> final agg
+      assert(shuffles.size <= 1, s"q6 should be one exchange:\n$p")
+    }
+  }
+
+  test("q_tpch_q5 broadcasts the region/nation dimensions") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q5"))
+      val s = p.toString
+      assert(s.contains("EqualTo(r_name,ASIA)"), s)
+      val broadcasts = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.size >= 2, s"region+nation must broadcast:\n$p")
+    }
+  }
+
+  test("dedup_bloom_incr: bloom-negative rows bypass the only join") {
+    withoutAqe {
+      val p = planOf(q("dedup_bloom_incr"))
+      // the bloom probe runs inside the scan stage...
+      assert(p.toString.toLowerCase.contains("bloommightcontain"), p.toString)
+      // ...and the only joins are verify ANTI-joins (Catalyst may
+      // push one through each incoming-union branch): no equi-join
+      // ever sees the bloom-negative rows.
+      val joins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty && joins.size <= 2 &&
+        joins.forall(_.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti),
+        s"expected only verify anti-joins:\n$p")
+    }
+  }
+
+  test("q_sessionize reuses one user_id partitioning for window and aggregate") {
+    withoutAqe {
+      val p = planOf(q("q_sessionize"))
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one hash exchange on user_id (window + session aggregate share
+      // it — HashPartitioning(user_id) satisfies the (user_id,
+      // session_id) clustering) + the final presentation range sort
+      assert(shuffles.size <= 2, s"sessionize should shuffle once + sort:\n$p")
+    }
+  }
+
   test("bucketed tables join co-located: sort-merge with zero shuffles") {
     // The 100 TB co-location story: both sides bucketed on the join
     // key at write time -> the join reads pre-partitioned buckets and
