@@ -1769,6 +1769,23 @@ object SparkEntry {
           count(col("t_purchase")).as("n_purchase"))
     }),
 
+    // Pure range join (no equi key): orders bucketed into price bands
+    // via interval bucket expansion (operators.RangeJoin) — a plain
+    // shuffled equi-join on the coarse bucket id instead of the
+    // BroadcastNestedLoop Spark would otherwise plan. PlanSpec pins
+    // the no-BNL property.
+    "q_range_join" -> ((s, d) => {
+      val bands = s.range(50).select(col("id").as("band_id"),
+        (col("id") * 10000.0).as("lo"),
+        ((col("id") + 1) * 10000.0 - 0.01).as("hi"))
+      operators.RangeJoin.pointInInterval(
+          T(s, d, "orders").select("o_orderkey", "o_totalprice"),
+          bands, "o_totalprice", "lo", "hi", bucketWidth = 5000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("band_id")
+    }),
+
     // Weekly cohort retention: cohort = week of first activity;
     // n_users active at each whole-week offset. date_trunc('week')
     // aligns to Monday on both engines; UTC makes week arithmetic
@@ -1809,6 +1826,13 @@ object SparkEntry {
       "WHERE event_type = 'purchase' AND tus > t_click GROUP BY e.user_id) " +
       "SELECT COUNT(*) AS n_view, COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase " +
       "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
+
+    "q_range_join" -> ("WITH bands AS (SELECT i AS band_id, i * 10000.0 AS lo, " +
+      "(i + 1) * 10000.0 - 0.01 AS hi FROM range(50) t(i)) " +
+      "SELECT band_id, COUNT(*) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice <= hi " +
+      "GROUP BY band_id ORDER BY band_id"),
 
     "q_retention" -> ("WITH f AS (SELECT user_id, " +
       "CAST(epoch(date_trunc('week', min(ts))) AS BIGINT) AS cohort_s FROM events GROUP BY user_id), " +

@@ -271,6 +271,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_range_join plans as an equi-join, never BroadcastNestedLoop") {
+    withoutAqe {
+      val p = planOf(q("q_range_join"))
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, s"range join degenerated to BNL:\n$p")
+      val equiJoins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.leftKeys.nonEmpty => j
+      }
+      assert(equiJoins.nonEmpty, s"expected a keyed join on the bucket id:\n$p")
+    }
+  }
+
   test("bucketed tables join co-located: sort-merge with zero shuffles") {
     // The 100 TB co-location story: both sides bucketed on the join
     // key at write time -> the join reads pre-partitioned buckets and
