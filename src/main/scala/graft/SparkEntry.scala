@@ -1727,25 +1727,59 @@ object SparkEntry {
   // shuffle on user_id, window functions stream within partitions,
   // deterministic tiebreaks on event_id.
 
+  /** Gaps-and-islands sessionization over events (30-min inactivity):
+    * lag marks session starts, a running sum numbers them, one
+    * aggregate per (user, session). Epoch-microsecond arithmetic is
+    * integer-exact on both engines. Shared by q_sessionize and the
+    * session-attribution range join. */
+  private def sessionsOf(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, d, "events")
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev", lag("tus", 1).over(w))
+      .withColumn("ns",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"), max("tus").as("end_us"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  /** The sessionization CTE as DuckDB SQL (kept adjacent to
+    * [[sessionsOf]] so the two can't drift). */
+  private val duckSessions: String =
+    "WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus, " +
+      "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+      "n AS (SELECT user_id, event_id, value, tus, " +
+      "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM g), " +
+      "sx AS (SELECT user_id, value, tus, CAST(SUM(ns) OVER (PARTITION BY user_id " +
+      "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n), " +
+      "sess AS (SELECT user_id, session_id, COUNT(*) AS n_events, " +
+      "min(tus) AS start_us, max(tus) AS end_us, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
+      "FROM sx GROUP BY user_id, session_id) "
+
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Gaps-and-islands sessionization (30-min inactivity): lag marks
-    // session starts, a running sum numbers them, one aggregate per
-    // (user, session). Epoch-microsecond arithmetic is integer-exact
-    // on both engines.
-    "q_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      T(s, d, "events")
-        .withColumn("tus", unix_micros(col("ts")))
-        .withColumn("prev", lag("tus", 1).over(w))
-        .withColumn("ns",
-          when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id",
-          sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    "q_sessionize" -> ((s, d) =>
+      sessionsOf(s, d).orderBy("user_id", "session_id")),
+
+    // Sessions × error events through the KEYED range join: equi on
+    // user_id, err_us within [start_us, end_us] — error counts
+    // attributed to the session they happened in. Composes two custom
+    // operators (sessionization + RangeJoin) in one oracled plan.
+    "q_session_err" -> ((s, d) => {
+      val sessions = sessionsOf(s, d)
+        .select("user_id", "session_id", "start_us", "end_us")
+      val errors = T(s, d, "events").filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_us"))
+      operators.RangeJoin.pointInIntervalByKey(errors, sessions,
+          Seq("user_id"), "err_us", "start_us", "end_us",
+          bucketWidth = 3600000000.0)
         .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("tus").as("start_us"), max("tus").as("end_us"),
-          dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n_errors"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -1807,16 +1841,16 @@ object SparkEntry {
   )
 
   private val analyticsOracles: Map[String, String] = Map(
-    "q_sessionize" -> ("WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus, " +
-      "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
-      "n AS (SELECT user_id, event_id, value, tus, " +
-      "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM g), " +
-      "s AS (SELECT user_id, value, tus, CAST(SUM(ns) OVER (PARTITION BY user_id " +
-      "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n) " +
-      "SELECT user_id, session_id, COUNT(*) AS n_events, " +
-      "min(tus) AS start_us, max(tus) AS end_us, " +
-      "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
-      "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_sessionize" -> (duckSessions +
+      "SELECT user_id, session_id, n_events, start_us, end_us, sum_value " +
+      "FROM sess ORDER BY user_id, session_id"),
+
+    "q_session_err" -> (duckSessions +
+      "SELECT sess.user_id AS user_id, session_id, COUNT(*) AS n_errors " +
+      "FROM sess JOIN (SELECT user_id, epoch_us(ts) AS err_us FROM events " +
+      "WHERE event_type = 'error') e " +
+      "ON sess.user_id = e.user_id AND err_us >= start_us AND err_us <= end_us " +
+      "GROUP BY sess.user_id, session_id ORDER BY user_id, session_id"),
 
     "q_funnel" -> ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
       "v AS (SELECT user_id, min(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
