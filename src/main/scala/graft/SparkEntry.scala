@@ -1783,6 +1783,20 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // The built-in session_window in BATCH mode, held to the same
+    // oracle as the hand-rolled gaps-and-islands form: window.start =
+    // first event, window.end = last event + gap. One shuffle on
+    // (user_id, session assignment), map-side combined.
+    "q_session_window" -> ((s, d) =>
+      T(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_gap_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
+
     // Ordered funnel: earliest view, first click AFTER that view,
     // first purchase after that click — per-user stage timestamps via
     // conditional window minima, then one aggregate row per stage
@@ -1851,6 +1865,10 @@ object SparkEntry {
       "WHERE event_type = 'error') e " +
       "ON sess.user_id = e.user_id AND err_us >= start_us AND err_us <= end_us " +
       "GROUP BY sess.user_id, session_id ORDER BY user_id, session_id"),
+
+    "q_session_window" -> (duckSessions +
+      "SELECT user_id, start_us, end_us + 1800000000 AS end_gap_us, n_events " +
+      "FROM sess ORDER BY user_id, start_us"),
 
     "q_funnel" -> ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), " +
       "v AS (SELECT user_id, min(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id), " +
