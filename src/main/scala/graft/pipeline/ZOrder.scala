@@ -41,6 +41,23 @@ object ZOrder {
           s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}")
     }.mkString("(", " + ", ")")
 
+  /** N-dimensional Morton interleave: bit i of column k lands at
+    * position i·n + k (column 0 owns the least-significant lane, like
+    * [[zValue]]'s x). Delta/Iceberg OPTIMIZE ZORDER accepts any column
+    * count; this is that general form — n·bits must fit the int64
+    * budget. [[zValue]] is the n = 2 special case (same bit layout;
+    * pinned by spec). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be <= 62, got ${n * bits}")
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, k)) =>
+      (0 until bits).foldLeft(acc) { (a, i) =>
+        a + shiftright(c, i).bitwiseAND(lit(1L)) * lit(1L << (i * n + k))
+      }
+    }
+  }
+
   /** Data-skipping effectiveness of a z-order layout vs a single-key
     * sort, measured on the data itself: rows are assigned to
     * fixed-width "files" (buckets) under each layout — bucket = z-cell

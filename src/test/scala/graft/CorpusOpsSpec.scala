@@ -169,6 +169,28 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     pts.foreach { case (x, y) => assert(got((x, y)) == mortonRef(x, y, 10)) }
   }
 
+  test("zValueN generalizes zValue and matches a 3-D interleave reference") {
+    def morton3(x: Long, y: Long, z: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) |
+          (((z >> i) & 1L) << (3 * i + 2))
+      }
+    val pts = Seq((0L, 0L, 0L), (1L, 2L, 4L), (7L, 7L, 7L), (5L, 0L, 3L))
+    val df = pts.toDF("x", "y", "z")
+    // n = 2 degenerates to zValue exactly
+    val both = df.select(
+        ZOrder.zValue(col("x"), col("y"), 10).as("z2"),
+        ZOrder.zValueN(Seq(col("x"), col("y")), 10).as("zn2"),
+        col("x"), col("y"), col("z"),
+        ZOrder.zValueN(Seq(col("x"), col("y"), col("z")), 3).as("zn3"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "zValueN(2) != zValue")
+      assert(r.getLong(5) == morton3(r.getLong(2), r.getLong(3), r.getLong(4), 3))
+    }
+  }
+
   test("clusterByZ rescales wide keys instead of aliasing the low bits") {
     // keys span [0, 4096) with bits=10: raw interleaving would alias
     // x and x + 1024 to one z-value, mixing far-apart keys into every
