@@ -1066,6 +1066,9 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       pipeline.TextAnalysis.languageId(T(s, d, "documents"))),
 
+    "text_tfidf" -> ((s, d) =>
+      pipeline.TextAnalysis.tfidfTopTerms(T(s, d, "documents"), 5)),
+
     "text_fingerprint" -> ((s, d) =>
       pipeline.TextAnalysis.fingerprint(T(s, d, "documents"))),
 
@@ -1283,6 +1286,19 @@ object SparkEntry {
       "WHEN score_de >= score_es AND score_de >= score_zh THEN 'de' " +
       "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS predicted_lang " +
       "FROM sc ORDER BY doc_id"),
+
+    "text_tfidf" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS n FROM toks GROUP BY doc_id, term), " +
+      "lens AS (SELECT doc_id, SUM(n) AS len FROM tf GROUP BY doc_id), " +
+      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "nd AS (SELECT COUNT(*) AS n_docs FROM documents), " +
+      "s AS (SELECT doc_id, term, CAST(CAST((n / CAST(len AS DOUBLE)) * " +
+      "ln(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,12)) AS DOUBLE) AS score " +
+      "FROM tf JOIN lens USING (doc_id) JOIN dfs USING (term), nd), " +
+      "r AS (SELECT doc_id, term, score, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM s) " +
+      "SELECT doc_id, term, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
 
     "text_fingerprint" -> ("SELECT doc_id, " +
       "list_reduce(list_prepend(0, list_transform(regexp_split_to_array(text, ''), " +

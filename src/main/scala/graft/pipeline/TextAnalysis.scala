@@ -60,6 +60,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — the corpus-signature /
+    * keyword-extraction query of every IR stack. tf = term count /
+    * doc length; idf = ln(n_docs / df); top `topK` terms per doc by
+    * score.
+    *
+    * Plan shape at 100 TB: one scan explodes tokens; per-doc term
+    * counts and doc lengths come from ONE hash aggregate on
+    * (doc_id, term) + a window over its output (both partitioned by
+    * doc_id — the window reuses the aggregate's clustering, no second
+    * body shuffle); document frequencies are a second aggregate keyed
+    * by term (map-side combined, so a corpus-hot term ships one row
+    * per task); n_docs rides a broadcast. The per-doc top-k is a rank
+    * window over (doc_id) — never a global sort.
+    *
+    * Scores round-trip through DECIMAL(18,12) BEFORE ranking: ln()
+    * may differ in the last ULP across engines, and the rank compare
+    * would amplify that into a different row set. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val toks = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      .withColumn("len",
+        sum("n").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfs, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((col("n") / col("len").cast("double")) *
+          log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(18,12)").cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("score"), col("rank").cast("long").as("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
