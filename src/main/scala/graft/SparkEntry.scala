@@ -972,6 +972,14 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // The sampler domainMixWeights prescribes: deterministic weighted
+    // up/down-sampling toward the uniform group mixture. Grouped by
+    // lang — the skewed fixture key (en 44% → weight ≈ 0.46
+    // down-samples; fr 13% → weight ≈ 1.56 up-samples), so both paths
+    // are live.
+    "q_resample" -> ((s, d) =>
+      pipeline.CorpusOps.resampleToMix(T(s, d, "documents"), "lang")),
+
     // Deterministic pipeline sampling: multiplicative-hash gate (exact
     // in int64, portable across engines — reproducible corpus splits).
     "q_sample" -> ((s, d) =>
@@ -1406,6 +1414,17 @@ object SparkEntry {
       "(top_3gram_frac <= 0.05 AND top_4gram_frac <= 0.05 AND " +
       "dup_5gram_frac <= 0.30 AND dup_10gram_frac <= 0.20) AS keep " +
       "FROM f ORDER BY doc_id"),
+
+    "q_resample" -> ("WITH w AS (SELECT lang, COUNT(*) AS n_docs, " +
+      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS n_groups " +
+      "FROM documents GROUP BY lang), " +
+      "w2 AS (SELECT lang, CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight FROM w), " +
+      "c AS (SELECT doc_id, d.lang AS lang, " +
+      "CAST(floor(weight) + CASE WHEN CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) < " +
+      "(weight - floor(weight)) * 1048576.0 THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      "FROM documents d JOIN w2 USING (lang)) " +
+      "SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id " +
+      "FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_id"),
 
     "q_domain_mix" -> ("SELECT source, n_docs, " +
       "CAST(n_docs AS DOUBLE) / total AS frac, " +

@@ -316,4 +316,30 @@ object CorpusOps {
         (col("total").cast("double") / (col("n_groups") * col("n_docs"))).as("weight"))
       .orderBy(groupCol)
   }
+
+  /** The downstream sampler [[domainMixWeights]] prescribes: emit each
+    * document `weight` times in expectation — ⌊weight⌋ guaranteed
+    * copies plus one more iff a deterministic multiplicative hash of
+    * doc_id clears the fractional part (the Knuth-hash gate q_sample
+    * uses, exact in int64 and portable). Underrepresented groups
+    * up-sample (weight > 1), overrepresented ones down-sample
+    * (weight < 1 keeps a deterministic subset); the output mixture is
+    * uniform across groups in expectation. Reproducible by
+    * construction — the same corpus always yields the same resample,
+    * the property a 100 TB training-data build needs to be auditable.
+    * One tiny broadcast join + a map-side explode; the corpus never
+    * shuffles. */
+  def resampleToMix(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val wts = domainMixWeights(docs, groupCol).select(col(groupCol), col("weight"))
+    docs.join(broadcast(wts), groupCol)
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(pmod(col("doc_id") * 2654435761L, lit(1048576L)).cast("double") <
+            (col("weight") - floor(col("weight"))) * 1048576.0, 1L)
+            .otherwise(0L)).cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col(groupCol),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
 }
