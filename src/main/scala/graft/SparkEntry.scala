@@ -1127,6 +1127,9 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, d) =>
       pipeline.CorpusOps.topNgrams(T(s, d, "documents"), 3, 20)),
 
+    "q_pmi" -> ((s, d) =>
+      pipeline.CorpusOps.pmiCollocations(T(s, d, "documents"), 5, 20)),
+
     // Z-order clustering key for two-dimensional data skipping
     // (pipeline.ZOrder; the layout policy behind OPTIMIZE ZORDER BY).
     "q_zorder" -> ((s, d) =>
@@ -1479,6 +1482,19 @@ object SparkEntry {
       "g AS (SELECT unnest(list_transform(range(1, len(w)-1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram FROM toks WHERE len(w) >= 3) " +
       "SELECT gram, count(*) AS n FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20"),
+
+    "q_pmi" -> ("WITH toks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "uni AS (SELECT t, COUNT(*) AS n FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t), " +
+      "ut AS (SELECT CAST(SUM(n) AS BIGINT) AS n_uni FROM uni), " +
+      "bi AS (SELECT a, b, COUNT(*) AS n_ab FROM (" +
+      "SELECT w[i] AS a, w[i+1] AS b FROM toks, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2) " +
+      "GROUP BY a, b HAVING COUNT(*) >= 5), " +
+      "bt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bi FROM bi) " +
+      "SELECT a || ' ' || b AS gram, n_ab, " +
+      "CAST(CAST(ln((n_ab / CAST(n_bi AS DOUBLE)) / ((ua.n / CAST(n_uni AS DOUBLE)) * " +
+      "(ub.n / CAST(n_uni AS DOUBLE)))) AS DECIMAL(18,12)) AS DOUBLE) AS pmi " +
+      "FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, ut, bt " +
+      "ORDER BY pmi DESC, gram LIMIT 20"),
 
     "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
       "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +

@@ -262,6 +262,43 @@ object CorpusOps {
       .orderBy(desc("n"), asc("gram")).limit(topK)
   }
 
+  /** Top bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) over corpus-wide occurrence
+    * counts, `minCount` floor on the bigram (rare pairs otherwise
+    * dominate — the classic PMI pathology), deterministic (PMI, gram)
+    * tie-break. The collocation detector corpus tooling runs to find
+    * multi-word units ("new york") worth merging before tokenization.
+    *
+    * Plan: one scan explodes unigrams and bigrams (both map-side
+    * combined aggregates — hot grams ship one row per task); totals
+    * ride broadcasts; the top-k is TakeOrderedAndProject. PMI values
+    * round-trip through DECIMAL(18,12) so a last-ULP ln() difference
+    * across engines cannot reorder the top-k. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = graft.Engine.fanOut(docs)
+      .select(TextAnalysis.tokens(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val uniTotal = uni.agg(sum("n").as("n_uni"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("a"), element_at(col("w"), i + 1).as("b"))))
+        .as("g"))
+      .select(col("g.a"), col("g.b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val biTotal = bi.agg(sum("n_ab").as("n_bi"))
+    bi.join(uni.select(col("t").as("a"), col("n").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(uniTotal)).crossJoin(broadcast(biTotal))
+      .select(concat_ws(" ", col("a"), col("b")).as("gram"), col("n_ab"),
+        log((col("n_ab") / col("n_bi").cast("double")) /
+          ((col("n_a") / col("n_uni").cast("double")) *
+            (col("n_b") / col("n_uni").cast("double"))))
+          .cast("decimal(18,12)").cast("double").as("pmi"))
+      .orderBy(desc("pmi"), asc("gram")).limit(topK)
+  }
+
   /** Per-group quality-threshold calibration: for each `groupCol`
     * value (language, domain, …) the score cutoff that keeps the top
     * `keepFrac` of documents, plus the resulting keep counts — the

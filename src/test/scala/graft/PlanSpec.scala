@@ -271,6 +271,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("hive-partitioned write prunes partitions at read time") {
+    // The first-line data-skipping story (complementing z-order):
+    // a partitionBy write + a partition-key predicate must become a
+    // PartitionFilter (directory pruning — skipped files never open),
+    // not a post-scan filter.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      Engine.table(spark, sfDir, "lineitem")
+        .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+      withoutAqe {
+        val read = spark.read.parquet(dir)
+          .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+          .select("l_orderkey", "l_quantity")
+        val s = planOf(read).toString
+        assert(s.contains("PartitionFilters") &&
+          s.contains("(l_returnflag#") && s.contains("= R)"), s)
+        // the partition key never appears as a pushed DATA filter
+        assert(!s.contains("EqualTo(l_returnflag,R)"), s)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q_range_join plans as an equi-join, never BroadcastNestedLoop") {
     withoutAqe {
       val p = planOf(q("q_range_join"))
