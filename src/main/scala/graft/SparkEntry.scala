@@ -1130,6 +1130,11 @@ object SparkEntry {
     "q_pmi" -> ((s, d) =>
       pipeline.CorpusOps.pmiCollocations(T(s, d, "documents"), 5, 20)),
 
+    // Sliding-window chunking at a small window so the fixture's
+    // ~30-200-token docs produce real multi-chunk overlaps.
+    "q_chunk" -> ((s, d) =>
+      pipeline.CorpusOps.chunkDocuments(T(s, d, "documents"), 64, 16)),
+
     // Z-order clustering key for two-dimensional data skipping
     // (pipeline.ZOrder; the layout policy behind OPTIMIZE ZORDER BY).
     "q_zorder" -> ((s, d) =>
@@ -1495,6 +1500,16 @@ object SparkEntry {
       "(ub.n / CAST(n_uni AS DOUBLE)))) AS DECIMAL(18,12)) AS DOUBLE) AS pmi " +
       "FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, ut, bt " +
       "ORDER BY pmi DESC, gram LIMIT 20"),
+
+    "q_chunk" -> ("WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n, " +
+      "greatest(1, (CAST(len(w) AS BIGINT) - 16 + 48 - 1) // 48) AS n_chunks FROM t) " +
+      "SELECT doc_id, i AS chunk_id, " +
+      "least(64, n - i * 48) AS n_chunk_tokens, " +
+      "array_to_string(list_slice(w, CAST(i * 48 + 1 AS INTEGER), " +
+      "CAST(i * 48 + 64 AS INTEGER)), ' ') AS chunk_text " +
+      "FROM c, unnest(range(0, n_chunks)) AS u(i) ORDER BY doc_id, chunk_id"),
 
     "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
       "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +

@@ -17,6 +17,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Sliding-window document chunking — the step between "cleaned
+    * document" and "model-sized training sample": split each document
+    * into windows of `maxTokens` tokens advancing by
+    * maxTokens − overlap, so consecutive chunks share `overlap` tokens
+    * of context (the standard long-document preprocessing for a
+    * fixed-context model; chunk counts are pure integer arithmetic,
+    * portable to the oracle). A document of ≤ maxTokens tokens yields
+    * exactly one chunk. Map-side generator explode — one scan, no
+    * shuffle, output rows carry (doc_id, chunk_id, n_chunk_tokens,
+    * chunk_text). Pair with [[packSequences]] downstream to pack the
+    * chunks into training shards. */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int = 512,
+                     overlap: Int = 64): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val w = TextAnalysis.tokens(col("text"))
+    graft.Engine.fanOut(docs)
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      // smallest c with c*stride + overlap >= n, floored at 1
+      .withColumn("n_chunks",
+        greatest(lit(1L), expr(s"(n - $overlap + $stride - 1) div $stride")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("w"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(maxTokens)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Greedy contiguous sequence packing: documents in doc_id order are
     * concatenated into fixed-size token shards; a document's shard is
     * `floor(exclusive_prefix_sum(n_tokens) / budget)` — i.e. the shard
