@@ -65,14 +65,15 @@ object TextAnalysis {
     * doc length; idf = ln(n_docs / df); top `topK` terms per doc by
     * score.
     *
-    * Plan shape at 100 TB: one scan explodes tokens; per-doc term
-    * counts and doc lengths come from ONE hash aggregate on
-    * (doc_id, term) + a window over its output (both partitioned by
-    * doc_id — the window reuses the aggregate's clustering, no second
-    * body shuffle); document frequencies are a second aggregate keyed
-    * by term (map-side combined, so a corpus-hot term ships one row
-    * per task); n_docs rides a broadcast. The per-doc top-k is a rank
-    * window over (doc_id) — never a global sort.
+    * Plan shape at 100 TB: one scan explodes tokens into ONE hash
+    * aggregate on (doc_id, term) — the only exchange the raw token
+    * stream ever crosses. Doc lengths come from a window over that
+    * aggregate's output, so the doc_id re-shuffle moves only the
+    * already-aggregated (doc, term, n) rows (distinct terms per doc,
+    * not token occurrences); document frequencies are a second
+    * aggregate keyed by term (map-side combined, so a corpus-hot term
+    * ships one row per task); n_docs rides a broadcast. The per-doc
+    * top-k is a rank window over (doc_id) — never a global sort.
     *
     * Scores round-trip through DECIMAL(18,12) BEFORE ranking: ln()
     * may differ in the last ULP across engines, and the rank compare
