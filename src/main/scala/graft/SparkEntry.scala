@@ -1883,6 +1883,18 @@ object SparkEntry {
           count(col("t_purchase")).as("n_purchase"))
     }),
 
+    // Correlated LATERAL subquery with per-row LIMIT — top-2 nations
+    // per region: the "top-N per group via lateral" idiom (decorrelates
+    // to a ranked window under Catalyst, never a per-row re-scan).
+    "q_lateral" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""SELECT r_name, n_name FROM region,
+              |LATERAL (SELECT n_name FROM nation
+              |         WHERE n_regionkey = r_regionkey
+              |         ORDER BY n_name LIMIT 2)
+              |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
     // Pure range join (no equi key): orders bucketed into price bands
     // via interval bucket expansion (operators.RangeJoin) — a plain
     // shuffled equi-join on the coarse bucket id instead of the
@@ -1944,6 +1956,10 @@ object SparkEntry {
       "WHERE event_type = 'purchase' AND tus > t_click GROUP BY e.user_id) " +
       "SELECT COUNT(*) AS n_view, COUNT(t_click) AS n_click, COUNT(t_purchase) AS n_purchase " +
       "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
+
+    "q_lateral" -> ("SELECT r_name, n_name FROM region, " +
+      "LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey " +
+      "ORDER BY n_name LIMIT 2) ORDER BY r_name, n_name"),
 
     "q_range_join" -> ("WITH bands AS (SELECT i AS band_id, i * 10000.0 AS lo, " +
       "(i + 1) * 10000.0 - 0.01 AS hi FROM range(50) t(i)) " +

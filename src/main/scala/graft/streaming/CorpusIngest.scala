@@ -41,4 +41,24 @@ object CorpusIngest {
       .filter(col("quality") >= minQuality)
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
       .drop("fp_a", "fp_b")
+
+  /** Drop streaming documents whose text already exists in a STATIC
+    * corpus snapshot — the seen-ever half of streaming dedup
+    * ([[cleanStream]]'s keyed state covers the within-horizon half).
+    * A stream-static LEFT ANTI join on the 128-bit fingerprint: the
+    * static side reduces to 16-byte fingerprints map-side and is
+    * re-planned per micro-batch (broadcast when small; at warehouse
+    * scale swap the snapshot frame for a Bloom-prefiltered one à la
+    * TextDedup.incrementalDedup). No streaming state at all — the
+    * snapshot is the state. */
+  def dedupAgainstSnapshot(docs: DataFrame, snapshot: DataFrame): DataFrame = {
+    val fps = snapshot.select(
+      xxhash64(col("text")).as("fp_a"),
+      xxhash64(lit("graft.dedup.salt"), col("text")).as("fp_b"))
+    docs
+      .withColumn("fp_a", xxhash64(col("text")))
+      .withColumn("fp_b", xxhash64(lit("graft.dedup.salt"), col("text")))
+      .join(fps, Seq("fp_a", "fp_b"), "left_anti")
+      .drop("fp_a", "fp_b")
+  }
 }

@@ -101,6 +101,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup against a static snapshot drops seen-ever texts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val snapshot = Seq((100L, "already in the corpus"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusIngest.dedupAgainstSnapshot(
+        in.toDF().toDF("doc_id", "ts", "text"), snapshot)
+      .writeStream.format("memory").queryName("snap_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, ts(1), "already in the corpus"), (2L, ts(2), "brand new text"))
+      q.processAllAvailable()
+      val out = spark.table("snap_dedup").select("doc_id").collect().map(_.getLong(0))
+      assert(out.toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches views to later clicks inside the window") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
