@@ -181,6 +181,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("chunkDocuments covers every token with the declared overlap") {
+    forAll(Gen.listOfN(20, textGen)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (maxT, ov) = (7, 3)
+      val stride = maxT - ov
+      val got = pipeline.CorpusOps.chunkDocuments(docs, maxT, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val w = java.util.regex.Pattern.compile("\\s+").split(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)
+            .toLowerCase.trim.toString, -1)
+        val chunks = got(i.toLong).sortBy(_._2)
+        // chunk count: smallest c with c*stride + overlap >= n, min 1
+        val wantC = math.max(1L, (w.length - ov + stride - 1) / stride)
+        assert(chunks.length == wantC, s"text=$t")
+        chunks.foreach { case (_, cid, nTok, body) =>
+          val start = (cid * stride).toInt
+          val want = w.slice(start, start + maxT)
+          assert(body == want.mkString(" "), s"text=$t chunk=$cid")
+          assert(nTok == want.length)
+        }
+        // every token position is covered by some chunk
+        val covered = chunks.flatMap { case (_, cid, nTok, _) =>
+          (cid * stride) until (cid * stride + nTok) }.toSet
+        assert(covered == w.indices.map(_.toLong).toSet, s"text=$t")
+      }
+    }
+  }
+
   test("topNgrams equals the brute-force gram counter on a random corpus") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
