@@ -185,11 +185,17 @@ object TextDedup {
     * checkpoint dir to make the materializations durable at scale. */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b")
-    val edges = materialize(pairs
+    // Materialize the pair join BEFORE symmetrizing: a union of the
+    // raw plan with its swap evaluates the whole inverted-index join
+    // twice inside one job (the exchange is reused but the post-
+    // shuffle verify work is not); union over the materialized frame
+    // reads cached blocks twice instead.
+    val pairs = materialize(
+      ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b"),
+      eager = true)
+    val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .select(col("doc_a").as("src"), col("doc_b").as("dst")),
-      eager = true) // materialize the pair join once; flat lineage
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // Propagate only over vertices that HAVE an edge — the near-dup
     // subgraph is a small fraction of the corpus; singletons rejoin at
     // the end with their own id. Each step eagerly checkpoints, so the
