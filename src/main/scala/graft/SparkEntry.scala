@@ -1849,6 +1849,23 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // Trailing-hour RANGE frame per user: a VALUE-based window frame
+    // (range on event-time microseconds, not row counts) — the
+    // time-decayed-metrics shape. One user_id shuffle; the frame
+    // streams within each partition.
+    "q_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tus")
+        .rangeBetween(-3600000000L, 0L)
+      T(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("value"))
+        .withColumn("n_trailing_hr", count(lit(1)).over(w))
+        .withColumn("sum_trailing_hr",
+          sum(col("value").cast("decimal(18,4)")).over(w).cast("double"))
+        .select("event_id", "user_id", "n_trailing_hr", "sum_trailing_hr")
+        .orderBy("event_id")
+    }),
+
     // The built-in session_window in BATCH mode, held to the same
     // oracle as the hand-rolled gaps-and-islands form: window.start =
     // first event, window.end = last event + gap. One shuffle on
@@ -1943,6 +1960,13 @@ object SparkEntry {
       "WHERE event_type = 'error') e " +
       "ON sess.user_id = e.user_id AND err_us >= start_us AND err_us <= end_us " +
       "GROUP BY sess.user_id, session_id ORDER BY user_id, session_id"),
+
+    "q_window_range" -> ("SELECT event_id, user_id, " +
+      "COUNT(*) OVER w AS n_trailing_hr, " +
+      "CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_trailing_hr " +
+      "FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events) " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tus " +
+      "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
 
     "q_session_window" -> (duckSessions +
       "SELECT user_id, start_us, end_us + 1800000000 AS end_gap_us, n_events " +

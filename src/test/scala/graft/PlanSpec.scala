@@ -271,6 +271,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_pmi: map-side combined gram aggregates, top-k without a global sort") {
+    withoutAqe {
+      val p = planOf(q("q_pmi"))
+      val s = p.toString
+      assert(s.contains("partial_count"), s) // hot grams combine before the exchange
+      assert(p.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, s)
+      assert(p.collect {
+        case so: org.apache.spark.sql.execution.SortExec if so.global => so
+      }.isEmpty, "global sort for a top-20")
+    }
+  }
+
+  test("text_tfidf: raw tokens cross exactly one exchange") {
+    withoutAqe {
+      val p = planOf(q("text_tfidf"))
+      // every Generate (explode) must sit BELOW the first exchange of
+      // its branch: exchanges above carry aggregated rows only
+      val exchanges = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        val gens = e.child.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+        val aggsBelow = e.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }
+        // a generate under an exchange is fine only if an aggregate
+        // already combined its output map-side
+        if (gens.nonEmpty)
+          assert(aggsBelow.nonEmpty,
+            s"token explode shuffles unaggregated:\n$e")
+      }
+    }
+  }
+
   test("hive-partitioned write prunes partitions at read time") {
     // The first-line data-skipping story (complementing z-order):
     // a partitionBy write + a partition-key predicate must become a
