@@ -1709,11 +1709,13 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
             .as("sum_charge"),
+          dsum(col("l_discount")).as("sum_disc"),
           count(lit(1)).as("count_order"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
           (col("sum_qty") / col("count_order")).as("avg_qty"),
           (col("sum_base_price") / col("count_order")).as("avg_price"),
+          (col("sum_disc") / col("count_order")).as("avg_disc"),
           col("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -2008,6 +2010,7 @@ object SparkEntry {
       "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price, " +
+      "CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc, " +
       "COUNT(*) AS count_order " +
       "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
       "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
