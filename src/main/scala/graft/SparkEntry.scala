@@ -1574,6 +1574,36 @@ object SparkEntry {
           (abs(col("approx") - col("n_exact")) <= col("n_exact") * lit(0.15)).as("ok"))
         .orderBy("l_returnflag")),
 
+    // Mergeable HLL sketches (datasketches): per-group sketches union
+    // WITHOUT re-scanning — the distributed distinct-count pattern at
+    // 100 TB (partial sketches merge associatively, like any partial
+    // agg). Deterministic sketch (fixed lgk/seed) → the bounded-error
+    // gate is a fixed function of the data, pinned true by the oracle.
+    "q_hll_union" -> ((s, d) => {
+      Engine.registerViews(s, d)
+      s.sql("""WITH sk AS (SELECT l_returnflag, hll_sketch_agg(l_orderkey) AS sk
+              |           FROM lineitem GROUP BY l_returnflag),
+              |u AS (SELECT hll_sketch_estimate(hll_union_agg(sk)) AS approx_union FROM sk),
+              |e AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+              |SELECT n_exact,
+              |  (abs(approx_union - n_exact) <= n_exact * 0.05) AS ok
+              |FROM u, e""".stripMargin)
+    }),
+
+    // Deequ-style data-quality report: the corpus QA gate a production
+    // ingest runs before promoting a snapshot — one aggregate pass.
+    "q_data_quality" -> ((s, d) =>
+      T(s, d, "documents").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("n_empty_text"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .withColumn("ids_unique", col("n_distinct_ids") === col("n_rows"))
+        .withColumn("chars_in_bounds",
+          col("min_chars") >= 0 && col("max_chars") <= 1000000)),
+
     // Quantile sketch (percentile_approx) against the exact
     // interpolated percentile, same bounded-error gating.
     "q_approx_quantile" -> ((s, d) =>
@@ -1665,6 +1695,18 @@ object SparkEntry {
     "q_approx_distinct" -> ("SELECT l_returnflag, " +
       "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact, true AS ok " +
       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    "q_hll_union" -> ("SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact, " +
+      "true AS ok FROM lineitem"),
+
+    "q_data_quality" -> ("SELECT COUNT(*) AS n_rows, " +
+      "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids, " +
+      "CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text, " +
+      "CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang, " +
+      "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+      "COUNT(DISTINCT doc_id) = COUNT(*) AS ids_unique, " +
+      "(min(n_chars) >= 0 AND max(n_chars) <= 1000000) AS chars_in_bounds " +
+      "FROM documents"),
 
     "q_approx_quantile" -> ("SELECT o_orderpriority, " +
       "quantile_cont(o_totalprice, 0.5) AS p50_exact, true AS ok " +
