@@ -271,6 +271,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q18: top-100 via TakeOrderedAndProject, bounded exchanges") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q18"))
+      assert(p.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, p.toString)
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // lineitem groupBy + semi-join reuse the l_orderkey key; orders/
+      // customer attach; never one exchange per join side beyond that
+      assert(shuffles.size <= 5, s"q18 exchange storm (${shuffles.size}):\n$p")
+    }
+  }
+
+  test("q_window_range: one user_id exchange feeds the running frame") {
+    withoutAqe {
+      val p = planOf(q("q_window_range"))
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // hash(user_id) for the window + the presentation sort
+      assert(shuffles.size <= 2, s"window range should shuffle once + sort:\n$p")
+    }
+  }
+
   test("q_pmi: map-side combined gram aggregates, top-k without a global sort") {
     withoutAqe {
       val p = planOf(q("q_pmi"))
