@@ -78,8 +78,11 @@ object Bench {
         }
         var (best, ok) = once()
         var r = 1
-        val budget = if (best > SlowFloorSec) reps + 1 else reps
-        while (ok && r < budget && best > RetimeFloorSec) {
+        // The extra rep goes only to queries STILL above SlowFloorSec
+        // after the standard reps (budget recomputed each iteration —
+        // a fast query with one noisy first sample doesn't earn one).
+        while (ok && best > RetimeFloorSec &&
+               (r < reps || (r == reps && best > SlowFloorSec))) {
           val (t, o) = once()
           if (o && t < best) best = t
           r += 1

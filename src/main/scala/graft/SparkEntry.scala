@@ -982,16 +982,21 @@ object SparkEntry {
 
     // Deterministic pipeline sampling: multiplicative-hash gate (exact
     // in int64, portable across engines — reproducible corpus splits).
+    // doc_id is masked to 20 bits BEFORE the multiply so the product
+    // (< 2^20 · 2654435761 ≈ 2^51.3) can never overflow int64: Spark
+    // would wrap silently while DuckDB raises, so an unmasked gate
+    // diverges exactly at the >2^31-doc scale it exists for.
     "q_sample" -> ((s, d) =>
       T(s, d, "documents")
-        .filter((col("doc_id") * 2654435761L) % 100 < 10)
+        .filter((pmod(col("doc_id"), lit(1048576L)) * 2654435761L) % 100 < 10)
         .select("doc_id")
         .orderBy("doc_id")),
 
-    // Stratified per-language sample: top-20 per stratum by hash.
+    // Stratified per-language sample: top-20 per stratum by hash
+    // (same masked gate as q_sample — overflow-proof and portable).
     "q_stratified" -> ((s, d) => {
       val w = Window.partitionBy(col("lang"))
-        .orderBy((col("doc_id") * 2654435761L) % 97, col("doc_id"))
+        .orderBy((pmod(col("doc_id"), lit(1048576L)) * 2654435761L) % 97, col("doc_id"))
       T(s, d, "documents")
         .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
         .filter(col("rn") <= 20)
@@ -1183,7 +1188,7 @@ object SparkEntry {
       "members AS (SELECT doc_id, doc_id AS m FROM documents UNION SELECT src AS doc_id, dst AS m FROM reach) " +
       "SELECT doc_id, MIN(m) AS cluster_id FROM members GROUP BY doc_id ORDER BY doc_id"),
 
-    "q_sample" -> ("SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10 " +
+    "q_sample" -> ("SELECT doc_id FROM documents WHERE ((doc_id % 1048576) * 2654435761) % 100 < 10 " +
       "ORDER BY doc_id"),
 
     "dedup_passages" -> ("WITH toks AS (SELECT doc_id, " +
@@ -1216,7 +1221,7 @@ object SparkEntry {
       "WHERE cc.cluster_id = d.doc_id AND q.quality >= 0.1 ORDER BY d.doc_id"),
 
     "q_stratified" -> ("SELECT doc_id, lang FROM (SELECT doc_id, lang, " +
-      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 97, doc_id) AS rn " +
+      "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ((doc_id % 1048576) * 2654435761) % 97, doc_id) AS rn " +
       "FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id"),
 
     // CAST the SUM itself: DuckDB SUM(BIGINT) yields HUGEINT, which
@@ -1232,11 +1237,14 @@ object SparkEntry {
       "s AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS scale FROM v), " +
       "d AS (SELECT vec_id, v, scale, " +
       "list_transform(v, x -> CAST(round(x / scale) AS INTEGER) * scale) AS dv FROM s), " +
+      // range bound derived from len(v), not a hardcoded dim — a
+      // fixture with a different embedding width fails loudly instead
+      // of silently comparing over a 64-wide prefix.
       "m AS (SELECT vec_id, scale, " +
-      "list_max(list_transform(range(1,65), i -> abs(v[i] - dv[i]))) AS max_err, " +
-      "(list_reduce(list_transform(range(1,65), i -> v[i]*dv[i]), (x,y) -> x+y) / " +
-      "(sqrt(list_reduce(list_transform(range(1,65), i -> v[i]*v[i]), (x,y) -> x+y)) * " +
-      "sqrt(list_reduce(list_transform(range(1,65), i -> dv[i]*dv[i]), (x,y) -> x+y)))) AS cos_q FROM d) " +
+      "list_max(list_transform(range(1,len(v)+1), i -> abs(v[i] - dv[i]))) AS max_err, " +
+      "(list_reduce(list_transform(range(1,len(v)+1), i -> v[i]*dv[i]), (x,y) -> x+y) / " +
+      "(sqrt(list_reduce(list_transform(range(1,len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y)) * " +
+      "sqrt(list_reduce(list_transform(range(1,len(v)+1), i -> dv[i]*dv[i]), (x,y) -> x+y)))) AS cos_q FROM d) " +
       "SELECT vec_id, scale, max_err, cos_q, " +
       "(max_err <= scale * 0.5 + 1e-12 AND cos_q >= 0.999) AS ok FROM m ORDER BY vec_id"),
 
@@ -1428,7 +1436,7 @@ object SparkEntry {
       "FROM documents GROUP BY lang), " +
       "w2 AS (SELECT lang, CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight FROM w), " +
       "c AS (SELECT doc_id, d.lang AS lang, " +
-      "CAST(floor(weight) + CASE WHEN CAST((doc_id * 2654435761) % 1048576 AS DOUBLE) < " +
+      "CAST(floor(weight) + CASE WHEN CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) < " +
       "(weight - floor(weight)) * 1048576.0 THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
       "FROM documents d JOIN w2 USING (lang)) " +
       "SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id " +
@@ -1859,18 +1867,29 @@ object SparkEntry {
   }
 
   /** The sessionization CTE as DuckDB SQL (kept adjacent to
-    * [[sessionsOf]] so the two can't drift). */
-  private val duckSessions: String =
+    * [[sessionsOf]] so the two can't drift). `breakOp` is the
+    * gap-break comparator — the two session surfaces disagree at the
+    * EXACT boundary: the hand-rolled [[sessionsOf]] breaks only when
+    * gap > 30 min (an exactly-30-min gap stays in-session), while
+    * Spark's built-in session_window is half-open ([start, last+gap)):
+    * an event arriving exactly gapDuration later starts a NEW session,
+    * i.e. it breaks when gap >= 30 min. Each oracle states its own
+    * engine's convention so a fixture with minute-grid timestamps
+    * can't silently hash-mismatch. */
+  private def duckSessionsWith(breakOp: String): String =
     "WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS tus, " +
       "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
       "n AS (SELECT user_id, event_id, value, tus, " +
-      "CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM g), " +
+      s"CASE WHEN prev IS NULL OR tus - prev $breakOp 1800000000 THEN 1 ELSE 0 END AS ns FROM g), " +
       "sx AS (SELECT user_id, value, tus, CAST(SUM(ns) OVER (PARTITION BY user_id " +
       "ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n), " +
       "sess AS (SELECT user_id, session_id, COUNT(*) AS n_events, " +
       "min(tus) AS start_us, max(tus) AS end_us, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
       "FROM sx GROUP BY user_id, session_id) "
+
+  /** Oracle CTE for the hand-rolled sessionization (strict-> break). */
+  private val duckSessions: String = duckSessionsWith(">")
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sessionize" -> ((s, d) =>
@@ -1885,9 +1904,10 @@ object SparkEntry {
         .select("user_id", "session_id", "start_us", "end_us")
       val errors = T(s, d, "events").filter(col("event_type") === "error")
         .select(col("user_id"), unix_micros(col("ts")).as("err_us"))
+      // No explicit width: RangeJoin.autoWidth derives W from the
+      // median session span (one bounded 1-row aggregate).
       operators.RangeJoin.pointInIntervalByKey(errors, sessions,
-          Seq("user_id"), "err_us", "start_us", "end_us",
-          bucketWidth = 3600000000.0)
+          Seq("user_id"), "err_us", "start_us", "end_us")
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_errors"))
         .orderBy("user_id", "session_id")
@@ -1965,9 +1985,10 @@ object SparkEntry {
       val bands = s.range(50).select(col("id").as("band_id"),
         (col("id") * 10000.0).as("lo"),
         ((col("id") + 1) * 10000.0 - 0.01).as("hi"))
+      // No explicit width: derived from the median band span (~10k).
       operators.RangeJoin.pointInInterval(
           T(s, d, "orders").select("o_orderkey", "o_totalprice"),
-          bands, "o_totalprice", "lo", "hi", bucketWidth = 5000.0)
+          bands, "o_totalprice", "lo", "hi")
         .groupBy("band_id")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("band_id")
@@ -2012,7 +2033,9 @@ object SparkEntry {
       "WINDOW w AS (PARTITION BY user_id ORDER BY tus " +
       "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
 
-    "q_session_window" -> (duckSessions +
+    // >= break: Spark's session_window is half-open — see
+    // duckSessionsWith's doc for the boundary convention.
+    "q_session_window" -> (duckSessionsWith(">=") +
       "SELECT user_id, start_us, end_us + 1800000000 AS end_gap_us, n_events " +
       "FROM sess ORDER BY user_id, start_us"),
 

@@ -31,6 +31,45 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Auto bucket width from the data (one bounded single-row
+    * aggregate over the interval side — the small side by
+    * construction): W = max(median POSITIVE span, max span / 1024).
+    * The median-positive-span term is the sweet spot — a typical
+    * interval replicates to ~2 buckets while a bucket's fan-in stays
+    * near the local interval density. Zero-width (point) intervals are
+    * excluded from the median because a fleet of them would otherwise
+    * drive W toward 0 and make `sequence()` explode every long
+    * interval into billions of buckets — the only direction in which a
+    * bad W is UNSAFE (too-large W merely raises bucket fan-in, which
+    * stays a correct equi-join that AQE re-splits). The max-span/1024
+    * floor hard-bounds per-interval replication at ~1025 rows even
+    * when the span distribution is extremely skewed. Degenerate cases
+    * (no intervals, all point intervals) fall back to width 1. */
+  def autoWidth(intervals: DataFrame, loCol: String, hiCol: String): Double = {
+    val span = col(hiCol).cast("double") - col(loCol).cast("double")
+    val row = intervals.select(
+      percentile_approx(when(span > 0, span), lit(0.5), lit(10000)).as("p50"),
+      max(span).as("mx")).head()
+    val p50 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    val w = math.max(p50, mx / 1024.0)
+    if (w <= 0) 1.0 else w
+  }
+
+  /** [[pointInInterval]] with the bucket width derived from the data
+    * ([[autoWidth]]) instead of supplied by the caller. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String): DataFrame =
+    pointInInterval(points, intervals, pointCol, loCol, hiCol,
+      autoWidth(intervals, loCol, hiCol))
+
+  /** [[pointInIntervalByKey]] with a data-derived bucket width. */
+  def pointInIntervalByKey(points: DataFrame, intervals: DataFrame,
+                           keys: Seq[String], pointCol: String,
+                           loCol: String, hiCol: String): DataFrame =
+    pointInIntervalByKey(points, intervals, keys, pointCol, loCol, hiCol,
+      autoWidth(intervals, loCol, hiCol))
+
   /** Join `points` to every row of `intervals` whose CLOSED interval
     * [loCol, hiCol] contains pointCol. Column names must be disjoint
     * across the two frames. */

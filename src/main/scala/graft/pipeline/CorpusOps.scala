@@ -402,9 +402,15 @@ object CorpusOps {
   def resampleToMix(docs: DataFrame, groupCol: String = "source"): DataFrame = {
     val wts = domainMixWeights(docs, groupCol).select(col(groupCol), col("weight"))
     docs.join(broadcast(wts), groupCol)
+      // doc_id masked to 20 bits BEFORE the multiply: the unmasked
+      // product overflows int64 past doc_id ≈ 3.47e9 — Spark wraps
+      // silently, DuckDB raises — breaking portability exactly at the
+      // corpus scale this gate targets. Masked, the product tops out
+      // near 2^51.3 and both engines agree bit-for-bit.
       .withColumn("n_copies",
         (floor(col("weight")) +
-          when(pmod(col("doc_id") * 2654435761L, lit(1048576L)).cast("double") <
+          when(pmod(pmod(col("doc_id"), lit(1048576L)) * 2654435761L,
+              lit(1048576L)).cast("double") <
             (col("weight") - floor(col("weight"))) * 1048576.0, 1L)
             .otherwise(0L)).cast("long"))
       .filter(col("n_copies") > 0)

@@ -324,13 +324,26 @@ object Embeddings {
       (if (probeRadius >= 1) (0 until planes).map(b => col("bucket").bitwiseXOR(lit(1L << b)))
        else Seq.empty)
     val q = withBuckets(v.filter(col("vec_id") < queryMaxId), planes, tables)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("t"),
+      .select(col("vec_id").as("query_id"), col("t"),
         explode(array(probes: _*)).as("bucket"))
-    val scored = corpus.join(broadcast(q),
-        Seq("t", "bucket")).filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+    // Dedup CANDIDATE IDS before scoring (the nearDupPairs shape): a
+    // pair colliding in several tables/probes is scored once, not
+    // tables× times — the distinct runs over two longs instead of
+    // after the O(dim) cosine. Scoring then joins the deduped
+    // candidate set (queries × bucket-mates — small, broadcast with
+    // the query vectors attached) back to the corpus vectors, so the
+    // corpus is still scanned once and never shuffled.
+    val cands = corpus.select(col("vec_id"), col("t"), col("bucket"))
+      .join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val qv = v.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.select(col("vec_id").as("neighbor_id"), col("v"))
+      .join(broadcast(cands.join(qv, "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

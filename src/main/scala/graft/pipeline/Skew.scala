@@ -15,6 +15,21 @@ object Skew {
 
   private val SaltCol = "__graft_salt"
 
+  /** Salt derived from the FULL row content (every column hashed), not
+    * from `monotonically_increasing_id()`: the id is partition-
+    * dependent, so a map task recomputed after executor loss could
+    * re-salt rows differently — Spark then has to mark the stage
+    * indeterminate and rerun it wholesale, exactly the failure
+    * amplification a 100 TB job can't afford. A content hash is a pure
+    * function of the row: retries reproduce it bit-for-bit and the
+    * plan stays deterministic. Identical duplicate rows co-salt, which
+    * is harmless for aggregation (map-side combine collapses them per
+    * task anyway) and only weakens join salting if the hot key's rows
+    * are full-row duplicates — callers with that shape should carry a
+    * unique id column, which the hash then picks up. */
+  private def contentSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong))
+
   /** Skew-safe equi-join: the skewed (big) side gets a deterministic
     * row salt; the small side is replicated `salts` times; the join
     * key becomes (key, salt), so one hot key spreads over `salts`
@@ -24,8 +39,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val saltedBig = big.withColumn(SaltCol,
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salts.toLong)))
+    val saltedBig = big.withColumn(SaltCol, contentSalt(big, salts))
     val saltedSmall = small.withColumn(SaltCol,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(saltedSmall, keys :+ SaltCol).drop(SaltCol)
@@ -41,8 +55,7 @@ object Skew {
                 partials: Seq[(String, org.apache.spark.sql.Column, org.apache.spark.sql.Column)],
                 salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val salted = df.withColumn(SaltCol,
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
+    val salted = df.withColumn(SaltCol, contentSalt(df, salts))
     val phase1 = salted.groupBy((keys :+ SaltCol).map(col): _*)
       .agg(partials.head._2.as(partials.head._1),
         partials.tail.map(p => p._2.as(p._1)): _*)

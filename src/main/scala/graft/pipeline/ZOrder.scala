@@ -80,6 +80,17 @@ object ZOrder {
     */
   def skippingStats(df: DataFrame, x: Column, y: Column,
                     bits: Int = 8, buckets: Int = 64): DataFrame = {
+    // INTEGER columns only, enforced: the engine truncates per-row
+    // (cast long) while [[skippingStatsSql]] rescales the raw column —
+    // identical for integral types, but for fractional values Spark's
+    // cast truncates toward zero where DuckDB's CAST rounds, so the
+    // two restatements would silently diverge. Failing loudly here
+    // keeps the adjacent-oracle guarantee honest.
+    for (c <- Seq(x, y)) {
+      val dt = df.select(c).schema.head.dataType
+      require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+        s"skippingStats requires an integral column; got ${dt.typeName} for $c")
+    }
     require(bits >= 1 && bits <= 15, "bits must be in [1, 15]")
     require(buckets >= 1 && (buckets & (buckets - 1)) == 0 &&
       buckets <= (1 << bits), "buckets must be a power of two <= 2^bits")

@@ -223,6 +223,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(saltedAgg == plainAgg)
   }
 
+  test("salted plans contain no indeterminate expression (retry-safe)") {
+    // A partition-dependent salt (monotonically_increasing_id, rand)
+    // would force Spark to mark the stage indeterminate and rerun it
+    // wholesale after executor loss. The salt must be a pure function
+    // of row content so task retries reproduce it bit-for-bit.
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val o = Engine.table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+    val c = Engine.table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val joinPlan = graft.pipeline.Skew.saltedJoin(o, c, Seq("custkey"), salts = 8)
+      .queryExecution.analyzed
+    val aggPlan = graft.pipeline.Skew.saltedAgg(o, Seq("custkey"),
+      Seq(("cnt", count(lit(1)), sum(col("cnt")))), salts = 8)
+      .queryExecution.analyzed
+    for (plan <- Seq(joinPlan, aggPlan)) {
+      val indeterminate = plan.collect { case n =>
+        n.expressions.flatMap(_.collect { case x if !x.deterministic => x })
+      }.flatten
+      assert(indeterminate.isEmpty,
+        s"indeterminate expressions in salted plan: $indeterminate")
+    }
+  }
+
   test("approx_count_distinct lands within 5% of exact (sketch aggregate)") {
     import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
     val li = Engine.table(spark, sfDir, "lineitem")
