@@ -542,6 +542,53 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** IEEE 754 binary16 → float, from the 2-byte little-endian payload
+    * a parquet FLOAT16 column carries. Java 17 has no
+    * Float.float16ToFloat (arrives in 20), and Spark 4.1's parquet
+    * reader rejects the FLOAT16 logical type outright
+    * ([PARQUET_TYPE_ILLEGAL]) — so graft ingests the column as
+    * BinaryType (reference readers accept FLBA(2) into a binary
+    * vector) and widens with this expression: sign/exponent/mantissa
+    * are re-based to binary32 (exp + 112), subnormals normalized by
+    * shifting, Inf/NaN mapped to their binary32 patterns. Exact: every
+    * binary16 value is representable in binary32, so widening loses
+    * nothing — the coercion the reference applies natively
+    * (compute_value.rs:350-431). Codegen'd: the scan stays one fused
+    * span. */
+  object HalfToFloat {
+    /** bits = the 16-bit half-float pattern (0..0xFFFF). */
+    def toFloat(bits: Int): Float = {
+      val sign = (bits & 0x8000) << 16
+      var exp = (bits >>> 10) & 0x1f
+      var mant = bits & 0x3ff
+      if (exp == 31) // Inf / NaN
+        return java.lang.Float.intBitsToFloat(sign | 0x7f800000 | (mant << 13))
+      if (exp == 0) {
+        if (mant == 0) return java.lang.Float.intBitsToFloat(sign) // ±0
+        // subnormal: normalize into binary32's larger exponent range
+        while ((mant & 0x400) == 0) { mant <<= 1; exp -= 1 }
+        exp += 1
+        mant &= 0x3ff
+      }
+      java.lang.Float.intBitsToFloat(sign | ((exp + 112) << 23) | (mant << 13))
+    }
+    def fromBytes(b: Array[Byte]): Float =
+      if (b == null || b.length < 2) Float.NaN
+      else toFloat((b(0) & 0xff) | ((b(1) & 0xff) << 8))
+  }
+
+  case class HalfToFloatExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = FloatType
+    def compute(input: Any): Float =
+      HalfToFloat.fromBytes(input.asInstanceOf[Array[Byte]])
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("halfToFloat", this, classOf[HalfToFloatExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
@@ -566,4 +613,6 @@ object NativeExpressions {
     column(BloomMightContain(expression(key), bloom))
   def gopher_rep(text: Column): Column =
     column(GopherRep(expression(text)))
+  def half_to_float(c: Column): Column =
+    column(HalfToFloatExpr(expression(c)))
 }

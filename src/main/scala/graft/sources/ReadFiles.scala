@@ -136,9 +136,24 @@ object ReadFiles {
             .csv(path)
           case "json" => spark.read.json(path)
           case "orc" => spark.read.orc(path)
-          case _ => spark.read
-            .option("mergeSchema", args.getOrElse("mergeschema", "false"))
-            .parquet(path)
+          case _ =>
+            // Stock reader first (inference, mergeSchema, nested types
+            // all Spark's own); fall back to the widened ingestion
+            // path only when the footer carries a type Spark rejects
+            // (FLOAT16 — see WidenedParquet).
+            try spark.read
+              .option("mergeSchema", args.getOrElse("mergeschema", "false"))
+              .parquet(path)
+            catch {
+              case e: Throwable if {
+                var t: Throwable = e; var hit = false
+                while (t != null && !hit) {
+                  hit = Option(t.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL"))
+                  t = t.getCause
+                }
+                hit
+              } => WidenedParquet.read(spark, path)
+            }
         }
         // A collision-free view name per call site, unique across
         // concurrent statements.

@@ -137,6 +137,41 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(row.getDecimal(3).toString == "18446744073709551615")
   }
 
+  test("float16 parquet widens to float through read_files (WidenedParquet fallback)") {
+    import org.apache.spark.sql.functions.col
+    val path = getClass.getResource("/unsigned.parquet").getPath
+    // Spark's own reader must still reject it (the fallback's trigger).
+    intercept[Throwable] { spark.read.parquet(path).schema }
+    val df = ReadFiles.sql(spark,
+      s"select id, u8, u32, u64, f16 from read_files('$path') order by id")
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("f16") == "float")
+    assert(types("u8") == "smallint" && types("u32") == "bigint" &&
+      types("u64") == "decimal(20,0)")
+    // f16 = (id % 64) / 2 - 8 by fixture construction — exact halves.
+    val rows = df.limit(70).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getFloat(4) == ((id % 64) / 2.0f - 8.0f), s"id=$id")
+    }
+    assert(rows.map(_.getLong(0)).toSet == (0L until 70L).toSet)
+  }
+
+  test("HalfToFloat decodes every IEEE binary16 class") {
+    import graft.functions.NativeExpressions.HalfToFloat.toFloat
+    assert(toFloat(0x0000) == 0.0f && (1.0f / toFloat(0x0000)).isPosInfinity)
+    assert(toFloat(0x8000) == -0.0f && (1.0f / toFloat(0x8000)).isNegInfinity)
+    assert(toFloat(0x3C00) == 1.0f)
+    assert(toFloat(0xC000) == -2.0f)
+    assert(toFloat(0x7BFF) == 65504.0f)           // max finite
+    assert(toFloat(0x0400) == 6.103515625e-5f)    // min normal 2^-14
+    assert(toFloat(0x0001) == 5.9604644775390625e-8f) // min subnormal 2^-24
+    assert(toFloat(0x03FF) == 6.097555160522461e-5f)  // max subnormal
+    assert(toFloat(0x7C00).isPosInfinity && toFloat(0xFC00).isNegInfinity)
+    assert(toFloat(0x7E00).isNaN)
+    assert(toFloat(0x3555) == 0.33325195f)        // 1/3 rounded to f16
+  }
+
   test("read_files mergeschema unions drifted parquet schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     import spark.implicits._
