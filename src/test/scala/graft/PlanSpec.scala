@@ -405,4 +405,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("q_tpch_q17: correlated scalar subquery decorrelates to one agg + join") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q17"))
+      // never a nested-loop / cartesian re-evaluation per outer row
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, "cartesian product in decorrelated q17")
+      // lineitem is scanned exactly twice: outer fact + the per-partkey
+      // average — NOT once per part row
+      val liScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("lineitem")) => f
+      }
+      assert(liScans.size == 2, s"expected 2 lineitem scans, got ${liScans.size}:\n$p")
+      // the subquery aggregate keys on l_partkey (the correlation key)
+      assert(p.toString.contains("partial_avg"), p.toString)
+    }
+  }
+
+  test("q_tpch_q21: EXISTS/NOT EXISTS plan as semi/anti joins, three lineitem scans") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q21"))
+      val s = p.toString
+      assert(s.contains("LeftSemi"), s"no semi join:\n$s")
+      assert(s.contains("LeftAnti"), s"no anti join:\n$s")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, "nested-loop/cartesian in decorrelated q21")
+      val liScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("lineitem")) => f
+      }
+      assert(liScans.size == 3, s"expected 3 lineitem scans, got ${liScans.size}:\n$p")
+    }
+  }
 }
