@@ -296,6 +296,66 @@ object Embeddings {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Materialize the IVF index: the corpus written PARTITIONED BY
+    * quantizer cell, centroids alongside. This is the operator the
+    * in-query [[ivfTopK]] documents as its scale path — at 100 TB the
+    * index IS the ANN store: it is built once (train on a bounded
+    * sample, one assignment pass over the corpus, one partitioned
+    * write), and every query batch after that reads ONLY its probed
+    * cells' partitions via partition pruning — scan cost per batch
+    * drops from O(n) to O(n · nprobe / nlist) without any custom
+    * reader, because cell=K directories are exactly what Spark's
+    * PartitionFilters prune. Layout:
+    * `dir/corpus/cell=<i>/...parquet` (vec_id, v, nrm) and
+    * `dir/centroids/` (cell, centroid). Deterministic: same corpus →
+    * same centroids ([[trainCentroids]]) → byte-identical assignment. */
+  def writeIvfIndex(emb: DataFrame, dir: String,
+                    nlist: Int = 16, iters: Int = 3): Unit = {
+    val v = withNorm(emb)
+    val cents = trainCentroids(v, nlist, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    withCells(v, cents, 1).select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** ANN top-k over a [[writeIvfIndex]] layout. Identical emitted
+    * rows to [[ivfTopK]] (same centroids, same exact re-ranking, same
+    * tiebreaks) — only the access path differs: the probed cell set
+    * (≤ nlist ints, collected driver-side so it can become a LITERAL
+    * partition predicate — pruning needs literals) turns into
+    * `cell IN (...)`, and the corpus scan touches only those
+    * partitions. PlanSpec pins the PartitionFilters. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queryMaxId: Long, k: Int, nprobe: Int = 10): DataFrame = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+        .select("centroid").collect()
+        .map(_.getSeq[Double](0).toArray)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val q = withCells(
+        corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
+        cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    // Bounded driver collect: at most nlist distinct cell ids.
+    val probed: Array[Int] = q.select("cell").distinct().collect().map(_.getInt(0))
+    val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-table random-hyperplane LSH top-k: `tables` independent
     * hash tables of `planes` bits each; a vector lands in one bucket
     * per table, a query probes exactly its own bucket in each table,

@@ -406,6 +406,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("persisted IVF index: queries read only the probed cells' partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    graft.pipeline.Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    withoutAqe {
+      // nprobe=1: ten queries probe at most ten of the sixteen cells,
+      // so pruning must be visible in the partition count.
+      val p = planOf(graft.pipeline.Embeddings.ivfTopKIndexed(spark, dir, 10, 5, nprobe = 1))
+      val corpusScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      assert(corpusScans.nonEmpty, s"no partition-filtered corpus scan:\n$p")
+      val pruned = corpusScans.head
+      assert(pruned.partitionFilters.mkString.contains("cell"),
+        pruned.partitionFilters.mkString)
+      // static literal filters only — the DPP subquery (a bonus second
+      // pruning layer from the broadcast join) can't eval pre-execution
+      val staticFilters = pruned.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+      assert(staticFilters.nonEmpty, "no static cell IN (...) partition filter")
+      val selected = pruned.relation.location
+        .listFiles(staticFilters, Nil).length
+      assert(selected <= 10 && selected >= 1,
+        s"expected <=10 of 16 cell partitions after pruning, got $selected")
+    }
+  }
+
   test("q_tpch_q17: correlated scalar subquery decorrelates to one agg + join") {
     withoutAqe {
       val p = planOf(q("q_tpch_q17"))
