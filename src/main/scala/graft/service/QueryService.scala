@@ -59,7 +59,42 @@ final class QueryService(
     }
   }
 
-  def resultDir(queryId: String): String = s"$resultsRoot/$queryId"
+  /** Results are VERSIONED: data lives in `<root>/<id>/v<N>/`, and the
+    * live version is the highest N whose Spark `_SUCCESS` marker
+    * exists — an atomically-visible commit (the marker is created
+    * after every data file). Compaction writes v(N+1) beside v(N)
+    * instead of delete-then-rename into the same path, so a reader
+    * paging v(N) mid-swap keeps its files; new readers resolve to the
+    * compacted version. The previous version is retained as the
+    * readers' grace copy; versions older than that are pruned on the
+    * next compaction. */
+  private def queryRoot(queryId: String): String = s"$resultsRoot/$queryId"
+
+  private def versionDir(queryId: String, v: Int): String =
+    s"${queryRoot(queryId)}/v$v"
+
+  private val VersionName = "^v(\\d+)$".r
+
+  /** Committed version numbers, ascending (only dirs with _SUCCESS). */
+  private def committedVersions(queryId: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(queryRoot(queryId))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case VersionName(n)
+          if fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) =>
+          Some(n.toInt)
+        case _ => None
+      }
+    }.flatten.sorted
+  }
+
+  /** The live result directory: the latest committed version. */
+  def resultDir(queryId: String): String =
+    committedVersions(queryId).lastOption
+      .map(versionDir(queryId, _))
+      .getOrElse(versionDir(queryId, 1))
 
   /** RunQuery: submit one SQL statement; returns the query id
     * immediately (status Queued → Running → Complete/Error). */
@@ -72,7 +107,7 @@ final class QueryService(
       statuses.put(queryId, QueryStatus.Running)
       Try {
         val df = ReadFiles.sql(spark, sql, connections)
-        df.write.mode("overwrite").parquet(resultDir(queryId))
+        df.write.mode("overwrite").parquet(versionDir(queryId, 1))
       } match {
         case Success(_) => statuses.put(queryId, QueryStatus.Complete)
         case Failure(e) => statuses.put(queryId, QueryStatus.Error(String.valueOf(e.getMessage)))
@@ -113,26 +148,32 @@ final class QueryService(
 
   def reader(queryId: String): ResultReader = new ResultReader(spark, resultDir(queryId))
 
-  /** Compact a completed query's result directory toward
-    * `targetBytes` per file — the reference's declared materialization
-    * TODO (DEV_NOTES.md:117-122: many small per-record files). One
-    * job: read, repartition to ceil(total/target), rewrite, swap.
-    * Pages served after compaction see the same rows (cursor
-    * addresses change — compaction is for before a result is handed
-    * to readers, or callers re-cursor from 0). */
+  /** Compact a completed query's result toward `targetBytes` per file
+    * — the reference's declared materialization TODO
+    * (DEV_NOTES.md:117-122: many small per-record files). One job:
+    * read the live version, repartition to ceil(total/target), write
+    * the NEXT version beside it. The swap is atomic-by-visibility (a
+    * version exists only once its _SUCCESS marker does), and the
+    * previous version stays on disk as the grace copy for readers that
+    * opened it pre-compaction — their cursors keep working on the
+    * exact files they resolved. Versions older than the grace copy are
+    * pruned. New readers re-cursor from 0 on the compacted layout. */
   def compactResult(queryId: String, targetBytes: Long = 128L << 20): Unit = {
-    val dir = resultDir(queryId)
+    val versions = committedVersions(queryId)
+    require(versions.nonEmpty, s"no committed result for $queryId")
+    val cur = versions.last
+    val dir = versionDir(queryId, cur)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.listStatus(path)
       .filter(s => s.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact")
     spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
-    ()
+      .write.mode("overwrite").parquet(versionDir(queryId, cur + 1))
+    // prune everything older than the grace copy (the just-replaced cur)
+    versions.dropRight(1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionDir(queryId, v)), true)
+    }
   }
 }
 

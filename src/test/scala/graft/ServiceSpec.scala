@@ -251,6 +251,36 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(page.rows.size == 10)
   }
 
+  test("reader opened before compaction keeps paging through the swap") {
+    val id = svc.runQuery(
+      s"select l_orderkey, l_linenumber from read_files('$sfDir/lineitem.parquet') " +
+        "where l_orderkey < 500 order by l_orderkey, l_linenumber")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    val before = svc.reader(id)
+    val total = before.totalRows
+    val firstPage = before.read(ResultCursor(0, 0), 20)
+    assert(firstPage.rows.size == 20)
+    // swap happens while `before` still holds cursors into v1
+    svc.compactResult(id)
+    // the pre-compaction reader's files are the grace copy — paging on
+    // its existing cursors keeps working with identical rows
+    val resumed = before.read(firstPage.next.get, 20)
+    assert(resumed.rows.size == 20)
+    assert(before.read(ResultCursor(0, 0), 20).rows == firstPage.rows)
+    // a NEW reader resolves to the compacted version, same row set
+    val after = svc.reader(id)
+    assert(after.totalRows == total)
+    assert(after.files.length == 1)
+    // a second swap: the v2 reader survives it (grace), v1 is pruned
+    svc.compactResult(id)
+    assert(after.read(ResultCursor(0, 0), 20).rows.size == 20)
+    val queryRoot = new java.io.File(s"$root/$id")
+    val versions = queryRoot.listFiles().filter(_.getName.startsWith("v")).map(_.getName).sorted
+    assert(versions.sameElements(Array("v2", "v3")), versions.mkString(","))
+    // and the newest reader sees the fully-compacted layout
+    assert(svc.reader(id).totalRows == total)
+  }
+
   test("runScript executes statements in order with independent statuses") {
     val ids = svc.runScript(
       s"""select 1 as one from read_files('$sfDir/region.parquet');
