@@ -61,4 +61,53 @@ object CorpusIngest {
       .join(fps, Seq("fp_a", "fp_b"), "left_anti")
       .drop("fp_a", "fp_b")
   }
+
+  /** The full ingest pipeline, end to end: [[cleanStream]] (horizon
+    * dedup + quality gate + annotation) → [[dedupAgainstSnapshot]]
+    * (seen-in-snapshot) → foreachBatch: batch-dedup against what has
+    * ALREADY LANDED in `outDir` (TextDedup.incrementalDedup — Bloom
+    * prefilter, exact verify) → parquet append.
+    *
+    * Exactly-once-by-content: Structured Streaming's foreachBatch is
+    * at-least-once — after a crash between sink write and commit-log
+    * write, the batch is REDELIVERED on restart. The landed-corpus
+    * anti-join makes the redelivered append a no-op (every row of the
+    * replayed batch is already in `outDir`), so the sink converges to
+    * exactly-once without any transactional sink machinery — the same
+    * idempotence argument Delta's txn-id dedup makes, expressed as
+    * content identity, and it ALSO catches content duplicates beyond
+    * the watermark horizon (the case in-stream state cannot see).
+    * Restart-safe by construction: offsets + dedup state live in
+    * `checkpointDir`; StreamingSpec kills the query mid-stream,
+    * deletes the last commit record (forcing a redelivery), restarts,
+    * and proves the output row set is exactly the clean set. */
+  def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
+             checkpointDir: String, watermark: String = "1 hour",
+             minQuality: Double = 0.0,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cleaned = dedupAgainstSnapshot(
+      cleanStream(docs, watermark, minQuality), snapshot)
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val landed =
+          try {
+            val l = spark.read.parquet(outDir)
+            if (l.columns.contains("text")) Some(l) else None
+          } catch { case _: Exception => None } // first batch: nothing landed
+        val fresh = landed match {
+          case Some(l) =>
+            val cleanIds = graft.pipeline.TextDedup.incrementalDedup(batch, l)
+            batch.join(cleanIds, "doc_id")
+          case None => batch
+        }
+        fresh.write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
 }

@@ -182,6 +182,66 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("end-to-end ingest: checkpoint restart + forced redelivery stays exactly-once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_e2e").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val chkDir = s"$tmp/chk"
+    val good1 = "the quick brown fox jumps over the lazy dog and runs to town " * 4
+    val good2 = "a completely different document about ships and the open sea " * 4
+    val good3 = "third unique document text with many plain words in it today " * 4
+    val junk = "!!! ??? !!! ,,, ;;; !!!"
+    val snapText = "a fine corpus snapshot document that is in the base already " * 4
+    val snapshot = Seq((100L, snapText)).toDF("doc_id", "text")
+    def writeFile(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit = {
+      rows.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(inDir)
+      Thread.sleep(20) // distinct mod-times keep file->batch order stable
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def startIngest() = CorpusIngest.ingest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1)
+    def landedIds: Seq[Long] =
+      spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // run 1: one file — clean doc, junk (quality-gated), in-stream
+    // content dup, snapshot dup
+    writeFile(Seq((1L, ts(5), good1), (2L, ts(6), junk),
+      (3L, ts(7), good1), (4L, ts(8), snapText)))
+    val q1 = startIngest()
+    q1.awaitTermination(120000); q1.stop()
+    assert(landedIds == Seq(1L), s"run1 landed $landedIds")
+
+    // force a redelivery: drop the last commit record, as if the
+    // process died between the sink write and the commit-log write
+    val commits = new java.io.File(s"$chkDir/commits").listFiles()
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists()) crc.delete() // else the local FS rejects the re-commit rename
+
+    // run 2: two more files. good2 advances the watermark far enough
+    // to evict good1's in-stream fingerprint, so the good1 re-arrival
+    // in the NEXT file can only be caught by the landed-corpus batch
+    // dedup — the seen-ever path state cannot cover.
+    writeFile(Seq((5L, ts(600), good2)))
+    writeFile(Seq((6L, ts(610), good1), (7L, ts(615), good3)))
+    val q2 = startIngest()
+    q2.awaitTermination(120000); q2.stop()
+    // exactly-once by content: the redelivered first batch appended
+    // nothing (doc 1 already landed), doc 6's text is a landed dup
+    assert(landedIds == Seq(1L, 5L, 7L), s"run2 landed $landedIds")
+
+    // a third restart with no new input changes nothing
+    val q3 = startIngest()
+    q3.awaitTermination(120000); q3.stop()
+    assert(landedIds == Seq(1L, 5L, 7L), s"run3 landed $landedIds")
+  }
+
   test("built-in session_window closes a session after the gap + watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
