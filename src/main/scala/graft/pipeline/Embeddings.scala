@@ -296,6 +296,27 @@ object Embeddings {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: drop
+    * documents whose EMBEDDINGS nearly coincide — paraphrases and
+    * templated text that exact/shingle dedup can't see). Keep-first
+    * policy on the pair graph: a vector is dropped iff some LOWER
+    * vec_id lies within `threshold` cosine — deterministic, order-free,
+    * and restatable as an all-pairs SQL oracle. Candidates come from
+    * the shared IVF quantizer ([[ivfNearDupPairs]] — bucketed
+    * candidates, exact re-scoring, measured recall 1.0 at the gated
+    * threshold on the fixtures), so the plan is one bucketed equi-join
+    * + one anti-join: O(n·replicas/nlist·cell) pair work, never
+    * all-pairs, and the anti-join ships only dropped ids. */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+                    nlist: Int = 8, replicas: Int = 4,
+                    iters: Int = 3): DataFrame = {
+    val dropped = ivfNearDupPairs(emb, threshold, nlist, replicas, iters)
+      .select(col("vec_b").as("vec_id")).distinct()
+    graft.Engine.fanOut(emb).select("vec_id")
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Materialize the IVF index: the corpus written PARTITIONED BY
     * quantizer cell, centroids alongside. This is the operator the
     * in-query [[ivfTopK]] documents as its scale path — at 100 TB the
