@@ -542,6 +542,27 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Count-min-sketch floor probe over a long key: true iff the
+    * sketch's estimate is >= `minCount`. CMS never UNDERestimates, so
+    * false can never hide a truly heavy key — the probe is a sound
+    * prefilter whose survivors are exactly-verified downstream (the
+    * BloomMightContain pattern, for frequency instead of membership).
+    * The sketch ships once per executor as a reference object and the
+    * probe is a plain call inside the scan's codegen span. */
+  case class CmsAtLeast(child: Expression,
+      cms: org.apache.spark.util.sketch.CountMinSketch, minCount: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    def compute(input: Any): Boolean =
+      cms.estimateCount(input.asInstanceOf[Long]) >= minCount
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmsAtLeast", this, classOf[CmsAtLeast].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** IEEE 754 binary16 → float, from the 2-byte little-endian payload
     * a parquet FLOAT16 column carries. Java 17 has no
     * Float.float16ToFloat (arrives in 20), and Spark 4.1's parquet
@@ -615,4 +636,7 @@ object NativeExpressions {
     column(GopherRep(expression(text)))
   def half_to_float(c: Column): Column =
     column(HalfToFloatExpr(expression(c)))
+  def cms_at_least(key: Column,
+      cms: org.apache.spark.util.sketch.CountMinSketch, minCount: Long): Column =
+    column(CmsAtLeast(expression(key), cms, minCount))
 }

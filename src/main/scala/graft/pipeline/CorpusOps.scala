@@ -284,6 +284,33 @@ object CorpusOps {
     * aggregate before the exchange (hot grams combine map-side, so a
     * billion-way skew on one boilerplate gram ships one row per task),
     * TakeOrderedAndProject for the top-k — never a global sort. */
+  /** Exact corpus-wide heavy-hitter tokens (count >= minCount) with a
+    * COUNT-MIN-SKETCH prefilter — the frequency analogue of the Bloom
+    * pattern in TextDedup.incrementalDedup. Build: one treeAggregate
+    * pass folds every token hash into a mergeable CMS (only the final
+    * `eps`-wide sketch lands on the driver, shipped once per
+    * executor). Probe: the second scan keeps only tokens the sketch
+    * estimates at >= minCount — CMS never underestimates, so no true
+    * heavy hitter is lost — and only those survivors shuffle into the
+    * exact groupBy that removes the sketch's overestimates. Emitted
+    * counts are EXACT; the sketch only bounds the exchange: at 100 TB
+    * the long tail (the overwhelming majority of distinct tokens)
+    * dies map-side inside the scan's codegen span instead of
+    * shuffling, and sketch memory is fixed by (eps, confidence), not
+    * by corpus cardinality. Hash collisions can only ADD a spurious
+    * candidate (removed by the exact count), never drop one. */
+  def heavyHitterTokens(docs: DataFrame, minCount: Long,
+                        eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
+    val toks = graft.Engine.fanOut(docs)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val cms = toks.stat.countMinSketch(col("h"), eps, confidence, seed = 42)
+    toks.filter(graft.functions.NativeExpressions.cms_at_least(col("h"), cms, minCount))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("tok"))
+  }
+
   def topNgrams(docs: DataFrame, k: Int = 3, topK: Int = 20): DataFrame = {
     require(k >= 1, "k must be positive")
     docs.select(TextAnalysis.tokens(col("text")).as("w"))

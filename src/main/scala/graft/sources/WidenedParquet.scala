@@ -123,18 +123,6 @@ object WidenedParquet {
     try reader.getFooter.getFileMetaData.getSchema finally reader.close()
   }
 
-  /** True if the layout needs this path at all (any FLOAT16 column) —
-    * callers use the stock reader otherwise, keeping inference,
-    * mergeSchema, and nested types on Spark's own code. */
-  def needsWidening(message: MessageType): Boolean = {
-    import scala.jdk.CollectionConverters._
-    message.getFields.asScala.exists(f => f.isPrimitive &&
-      (f.asPrimitiveType().getLogicalTypeAnnotation match {
-        case _: Float16LogicalTypeAnnotation => true
-        case _ => false
-      }))
-  }
-
   /** Read `path` with the widened schema; FLOAT16 columns arrive as
     * FloatType (decoded in-scan), everything else per the matrix
     * above. */

@@ -406,6 +406,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_heavy_hitters: sketch probe filters below the exchange, partial count above it") {
+    withoutAqe {
+      val p = planOf(q("q_heavy_hitters"))
+      val s = p.toString
+      // the CMS probe must sit BELOW the hashpartitioning exchange —
+      // the long tail dies map-side, only candidates shuffle
+      val exchange = s.indexOf("Exchange hashpartitioning")
+      val probe = s.toLowerCase.indexOf("cmsatleast")
+      assert(exchange > 0, s)
+      assert(probe > exchange, s"CMS probe not below the exchange:\n$s")
+      // and the survivors still combine map-side before shipping
+      assert(s.indexOf("partial_count", exchange) > exchange, s)
+    }
+  }
+
   test("persisted IVF index: queries read only the probed cells' partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
