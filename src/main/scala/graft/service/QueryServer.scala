@@ -29,6 +29,10 @@ import java.nio.charset.StandardCharsets
   *   {"type":"get_query_data","query_id":"...","file_idx":0,
   *    "file_row_group_idx":0,"row_idx":0,"limit":10,
   *    "forward":true,"allow_overflow":true[,"format":"arrow"]}
+  *   {"type":"watch_query","query_id":"..."} — generic ok now, then a
+  *    pushed {"type":"query_update",...} line when the query reaches a
+  *    terminal status (the reference's polling-loop TODO,
+  *    DEV_NOTES.md:196-198, done push-first).
   *
   * `format:"arrow"` returns the page as ONE Arrow IPC stream
   * (base64 `arrow_ipc` field) instead of JSON `rows` — the
@@ -99,24 +103,54 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new PrintWriter(sock.getOutputStream, true, StandardCharsets.UTF_8)
     var connId: Option[String] = None
+    // Pushed lines (watch_query updates) come from service threads;
+    // the lock keeps them from interleaving with response lines.
+    def writeLine(resp: JValue): Unit = out.synchronized {
+      out.println(JsonMethods.compact(JsonMethods.render(resp)))
+    }
     try {
       var line = in.readLine()
       while (line != null) {
+        // afterAck runs AFTER the response line is on the wire, so a
+        // pushed query_update can never precede its watch ack.
+        var afterAck: () => Unit = () => ()
         val resp =
           try {
             val req = JsonMethods.parse(line)
-            if ((req \ "type").extractOpt[String].contains("identify")) {
-              val id = (req \ "connection_id").extract[String]
-              connId.foreach(deregister) // re-identify replaces
-              connId = Some(id)
-              register(id)
-              JObject("type" -> JString("identify_resp"),
-                "worker_id" -> JString(workerId),
-                "connection_id" -> JString(id))
-            } else handle(req)
+            (req \ "type").extractOpt[String] match {
+              case Some("identify") =>
+                val id = (req \ "connection_id").extract[String]
+                connId.foreach(deregister) // re-identify replaces
+                connId = Some(id)
+                register(id)
+                JObject("type" -> JString("identify_resp"),
+                  "worker_id" -> JString(workerId),
+                  "connection_id" -> JString(id))
+              case Some("watch_query") =>
+                // push-based completion (the reference's polling-loop
+                // TODO): generic ok now, a query_update line when the
+                // query reaches a terminal status.
+                val id = (req \ "query_id").extract[String]
+                afterAck = () => svc.onTerminal(id) { s =>
+                  val status = s match {
+                    case QueryStatus.Complete =>
+                      List[JField]("status" -> JString("complete"))
+                    case QueryStatus.Error(m) =>
+                      List[JField]("status" -> JString("error"), "message" -> JString(m))
+                    case _ => List[JField]("status" -> JString("running"))
+                  }
+                  writeLine(JObject(
+                    ("type" -> (JString("query_update"): JValue)) ::
+                      ("query_id" -> (JString(id): JValue)) :: status))
+                }
+                JObject("type" -> JString("watch_query_resp"),
+                  "query_id" -> JString(id))
+              case _ => handle(req)
+            }
           }
           catch { case e: Exception => err(String.valueOf(e.getMessage)) }
-        out.println(JsonMethods.compact(JsonMethods.render(resp)))
+        writeLine(resp)
+        afterAck()
         line = in.readLine()
       }
     } catch {

@@ -47,6 +47,41 @@ final class QueryService(
 
   def status(queryId: String): Option[QueryStatus] = Option(statuses.get(queryId))
 
+  // Terminal-status watchers — the push half of the protocol (the
+  // reference's polling-loop TODO, DEV_NOTES.md:196-198: "client sends
+  // a request ... receive a generic ok ... the query handler will push
+  // an update to the client when the query completes").
+  private val watchers = new ConcurrentHashMap[
+    String, java.util.concurrent.CopyOnWriteArrayList[QueryStatus => Unit]]()
+
+  /** Invoke `cb` EXACTLY ONCE when `queryId` reaches a terminal status
+    * (immediately if it already has; with Error("query not found") for
+    * an unknown id). Safe against the submit/complete race: the
+    * watcher list is removed atomically on fire, and registration
+    * re-checks status after adding. */
+  def onTerminal(queryId: String)(cb: QueryStatus => Unit): Unit = {
+    def isTerminal(s: QueryStatus) = s match {
+      case QueryStatus.Complete | QueryStatus.Error(_) => true
+      case _ => false
+    }
+    status(queryId) match {
+      case None => cb(QueryStatus.Error("query not found"))
+      case Some(s) if isTerminal(s) => cb(s)
+      case Some(_) =>
+        watchers.computeIfAbsent(queryId,
+          _ => new java.util.concurrent.CopyOnWriteArrayList).add(cb)
+        // the query may have fired between the check and the add — the
+        // atomic remove in fireTerminal makes the re-fire exactly-once
+        status(queryId).filter(isTerminal).foreach(fireTerminal(queryId, _))
+    }
+  }
+
+  private def fireTerminal(queryId: String, s: QueryStatus): Unit = {
+    val list = watchers.remove(queryId)
+    if (list != null) list.forEach(cb =>
+      try cb(s) catch { case _: Exception => () })
+  }
+
   private def evictTerminal(): Unit = {
     while (statuses.size > maxTrackedStatuses) {
       val oldest = submissionOrder.poll()
@@ -109,8 +144,13 @@ final class QueryService(
         val df = ReadFiles.sql(spark, sql, connections)
         df.write.mode("overwrite").parquet(versionDir(queryId, 1))
       } match {
-        case Success(_) => statuses.put(queryId, QueryStatus.Complete)
-        case Failure(e) => statuses.put(queryId, QueryStatus.Error(String.valueOf(e.getMessage)))
+        case Success(_) =>
+          statuses.put(queryId, QueryStatus.Complete)
+          fireTerminal(queryId, QueryStatus.Complete)
+        case Failure(e) =>
+          val s = QueryStatus.Error(String.valueOf(e.getMessage))
+          statuses.put(queryId, s)
+          fireTerminal(queryId, s)
       }
     }
     queryId

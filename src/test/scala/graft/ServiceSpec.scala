@@ -251,6 +251,49 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(page.rows.size == 10)
   }
 
+  test("watch_query pushes a terminal update instead of polling") {
+    val server = new graft.service.QueryServer(svc)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+      def call(json: String): String = { out.println(json); in.readLine() }
+
+      // watch a live query: ack first, pushed update when it lands
+      val runResp = call(
+        s"""{"type":"run_query","query":"select r_name from read_files('$sfDir/region.parquet')"}""")
+      val id = """"query_id":"([^"]+)"""".r.findFirstMatchIn(runResp).get.group(1)
+      val ack = call(s"""{"type":"watch_query","query_id":"$id"}""")
+      assert(ack.contains("watch_query_resp") && ack.contains(id), ack)
+      val push = in.readLine() // blocks until the server pushes
+      assert(push.contains("query_update") && push.contains(id) &&
+        push.contains("\"status\":\"complete\""), push)
+
+      // watching an already-terminal query pushes immediately
+      val ack2 = call(s"""{"type":"watch_query","query_id":"$id"}""")
+      assert(ack2.contains("watch_query_resp"))
+      val push2 = in.readLine()
+      assert(push2.contains("\"status\":\"complete\""), push2)
+
+      // a failing query pushes its error
+      val badResp = call(
+        """{"type":"run_query","query":"select * from read_files('/no/such.parquet')"}""")
+      val badId = """"query_id":"([^"]+)"""".r.findFirstMatchIn(badResp).get.group(1)
+      assert(call(s"""{"type":"watch_query","query_id":"$badId"}""")
+        .contains("watch_query_resp"))
+      val push3 = in.readLine()
+      assert(push3.contains("\"status\":\"error\"") &&
+        push3.contains("PATH_NOT_FOUND"), push3)
+
+      // unknown id: ack, then an immediate not-found error update
+      assert(call("""{"type":"watch_query","query_id":"nope"}""")
+        .contains("watch_query_resp"))
+      val push4 = in.readLine()
+      assert(push4.contains("query not found"), push4)
+      sock.close()
+    } finally server.close()
+  }
+
   test("reader opened before compaction keeps paging through the swap") {
     val id = svc.runQuery(
       s"select l_orderkey, l_linenumber from read_files('$sfDir/lineitem.parquet') " +

@@ -33,6 +33,21 @@ class Client:
         return json.loads(self.rfile.readline())
 
     def run(self, sql, timeout_s=120):
+        """Push-based completion: watch_query acks immediately, then the
+        server pushes a query_update line when the query lands — no
+        polling loop (the reference's DEV_NOTES polling TODO)."""
+        qid = self.call(type="run_query", query=sql)["query_id"]
+        ack = self.call(type="watch_query", query_id=qid)
+        if ack.get("type") != "watch_query_resp":
+            raise RuntimeError(f"watch failed: {ack}")
+        self.sock.settimeout(timeout_s)
+        update = json.loads(self.rfile.readline())  # blocks until pushed
+        if update.get("status") == "complete":
+            return qid
+        raise RuntimeError(update.get("message", str(update)))
+
+    def run_polling(self, sql, timeout_s=120):
+        """The poll-loop variant, kept for protocol coverage."""
         qid = self.call(type="run_query", query=sql)["query_id"]
         deadline = time.time() + timeout_s
         while time.time() < deadline:
