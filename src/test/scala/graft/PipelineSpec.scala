@@ -223,6 +223,29 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(saltedAgg == plainAgg)
   }
 
+  test("PQ codes honor the storage contract; reconstruction clears the gate floor") {
+    import org.apache.spark.sql.functions.{avg, max, min, size}
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    val codes = graft.pipeline.Embeddings.pqEncode(emb, m = 16, k = 64, iters = 10)
+    val shape = codes.select(
+      min(size(col("codes"))).as("mn"), max(size(col("codes"))).as("mx"),
+      max(org.apache.spark.sql.functions.array_max(col("codes"))).as("cmax"),
+      min(org.apache.spark.sql.functions.array_min(col("codes"))).as("cmin")).collect()(0)
+    // 16 codes of <=6 bits each — the 32x-compressed layout the
+    // docstring claims (64 float32 -> 16 small ints)
+    assert(shape.getInt(0) == 16 && shape.getInt(1) == 16)
+    assert(shape.getInt(2) < 64 && shape.getInt(3) >= 0)
+    val dec = graft.pipeline.Embeddings.pqDecode(codes,
+      m = 16, k = 64, iters = 10, source = emb)
+    val v = emb.select(col("vec_id"),
+      graft.pipeline.Embeddings.asDouble(col("embedding")).as("v"))
+    val stats = v.join(dec, "vec_id")
+      .select(graft.pipeline.Embeddings.cosine(col("v"), col("vhat")).as("cq"))
+      .agg(min("cq").as("mn"), avg("cq").as("av")).collect()(0)
+    assert(stats.getDouble(0) >= 0.85, s"min cos_q ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) >= 0.90, s"mean cos_q ${stats.getDouble(1)}")
+  }
+
   test("salted plans contain no indeterminate expression (retry-safe)") {
     // A partition-dependent salt (monotonically_increasing_id, rand)
     // would force Spark to mark the stage indeterminate and rerun it
