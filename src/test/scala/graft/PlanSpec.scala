@@ -241,6 +241,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q8: 8-table snowflake broadcasts all dims, no cartesian") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q8"))
+      val s = p.toString
+      // region + both nation sides broadcast; p_type filter pushed
+      assert(s.contains("EqualTo(r_name,ASIA)"), s)
+      assert(s.contains("EqualTo(p_type,ECONOMY)"), s)
+      val broadcasts = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.size >= 3, s"region + 2x nation must broadcast:\n$p")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, "cartesian/BNL in q8")
+    }
+  }
+
   test("dedup_bloom_incr: bloom-negative rows bypass the only join") {
     withoutAqe {
       val p = planOf(q("dedup_bloom_incr"))
