@@ -259,6 +259,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q19: OR-of-ANDs join stays a hash join on the extracted equi key") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q19"))
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.nonEmpty, s"no hash/SMJ join in q19:\n$p")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, "q19 degenerated to a nested loop")
+    }
+  }
+
   test("dedup_bloom_incr: bloom-negative rows bypass the only join") {
     withoutAqe {
       val p = planOf(q("dedup_bloom_incr"))
