@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
+    SparkEntry.oracleSfDir = sfDir // path-referencing oracles (q_rowid)
     // Optional 3rd arg: comma-separated query-name subset (local iteration aid).
     val only = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -129,7 +129,7 @@ object ReadFiles {
           .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
         val path = connections.resolve(args.get("connection"), m.group(1))
         val fmt = args.getOrElse("format", inferFormat(path))
-        val df = fmt match {
+        val base = fmt match {
           case "csv" => spark.read
             .option("header", args.getOrElse("header", "true"))
             .option("inferSchema", args.getOrElse("inferschema", "true"))
@@ -155,6 +155,18 @@ object ReadFiles {
               } => WidenedParquet.read(spark, path)
             }
         }
+        // rowid=>'true': STABLE record identity per row — the
+        // reference assigns record ids during the scan
+        // (read_files_task.rs:156-289); Spark's `_metadata` struct
+        // carries the same (file, physical row position) identity
+        // without a window or an indeterminate id. Parquet only (the
+        // row-index metadata column is a parquet-reader feature).
+        val df =
+          if (args.get("rowid").contains("true") && fmt == "parquet")
+            base.select(org.apache.spark.sql.functions.col("*"),
+              org.apache.spark.sql.functions.col("_metadata.file_name").as("_file"),
+              org.apache.spark.sql.functions.col("_metadata.row_index").as("_row_id"))
+          else base
         // A collision-free view name per call site, unique across
         // concurrent statements.
         val view =

@@ -172,6 +172,23 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(toFloat(0x3555) == 0.33325195f)        // 1/3 rounded to f16
   }
 
+  test("read_files rowid option exposes stable (file, row position) identity") {
+    import org.apache.spark.sql.functions.col
+    val df = ReadFiles.sql(spark,
+      s"select r_regionkey, _file, _row_id from read_files('$sfDir/region.parquet', rowid=>'true')")
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getString(1).endsWith("region.parquet")))
+    // physical positions: a permutation of 0..n-1, and rereading gives
+    // the SAME ids (deterministic identity, unlike
+    // monotonically_increasing_id)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until 5L).toSeq)
+    val again = ReadFiles.sql(spark,
+      s"select r_regionkey, _row_id from read_files('$sfDir/region.parquet', rowid=>'true')")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(again(r.getInt(0)) == r.getLong(2)))
+  }
+
   test("read_files mergeschema unions drifted parquet schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     import spark.implicits._
