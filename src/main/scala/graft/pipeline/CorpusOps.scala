@@ -138,6 +138,62 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-group contamination audit — the REPORT companion to
+    * [[decontaminate]] (same eval-gram broadcast join) answering the
+    * question a data owner asks before dropping anything: how much of
+    * each source/language overlaps the eval set? Counts are exact;
+    * frac is an exact integer ratio, so the report is engine-portable.
+    * Same plan shape as decontaminate: eval grams broadcast, train
+    * grams never shuffle, one aggregate per group. */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame,
+                          groupCol: String, k: Int = 10): DataFrame = {
+    val trainG = graft.Engine.fanOut(train)
+      .select(col("doc_id"),
+        explode(TextDedup.shingleHashes(col("text"), k)).as("g"))
+    val evalG = evalSet
+      .select(explode(TextDedup.shingleHashes(col("text"), k)).as("g"))
+      .distinct()
+    val bad = trainG.join(broadcast(evalG), "g").select("doc_id").distinct()
+      .withColumn("contaminated", lit(1L))
+    train.select(col("doc_id"), col(groupCol))
+      .join(bad, Seq("doc_id"), "left")
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("contaminated"), lit(0L))).as("n_contaminated"))
+      .withColumn("frac_contaminated",
+        col("n_contaminated").cast("double") / col("n_docs"))
+      .orderBy(groupCol)
+  }
+
+  /** Temperature-weighted mixture reweighting — the multilingual-LM
+    * generalization of [[domainMixWeights]]' uniform target: target
+    * share ∝ frac^(1/τ) (τ=1 natural mix, τ→∞ uniform; the τ≈2-5
+    * band is the standard multilingual compromise). weight_g =
+    * target_g / frac_g, so `weight` multiplies per-doc sampling rates
+    * exactly like the uniform version's output.
+    *
+    * Determinism: the default τ=2 path scores with sqrt — IEEE
+    * requires sqrt correctly rounded, so both engines produce the same
+    * doubles — and the normalizer sums scores through DECIMAL(18,12),
+    * which is order-free. Other τ use pow(), whose last-ulp behavior
+    * is libm-dependent; oracle-gated paths should stick to τ=2. */
+  def temperatureMixWeights(docs: DataFrame, groupCol: String,
+                            tau: Double = 2.0): DataFrame = {
+    require(tau > 0, "temperature must be positive")
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val score =
+      if (tau == 2.0) sqrt(col("frac")) else pow(col("frac"), lit(1.0 / tau))
+    docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(all))
+      .withColumn("frac", col("n_docs").cast("double") / col("total"))
+      .withColumn("s", score.cast("decimal(18,12)"))
+      .withColumn("z", sum("s").over(all))
+      .select(col(groupCol), col("n_docs"), col("frac"),
+        (col("s").cast("double") / col("z").cast("double") / col("frac"))
+          .as("weight"))
+      .orderBy(groupCol)
+  }
+
   /** Gopher-style repetition signals, one scan, no shuffle:
     *  - rep_word_frac: fraction of word occurrences that are repeats
     *    (1 − distinct/total);
