@@ -129,12 +129,18 @@ object ReadFiles {
           .map(a => a.group(1).toLowerCase -> a.group(2)).toMap
         val path = connections.resolve(args.get("connection"), m.group(1))
         val fmt = args.getOrElse("format", inferFormat(path))
+        // mode=>'permissive' (default; malformed rows → nulls) |
+        // 'dropmalformed' | 'failfast' — Spark's malformed-record
+        // policies surfaced through the TVF for text formats, where
+        // real-world files are never as clean as the schema claims.
+        val parseMode = args.getOrElse("mode", "PERMISSIVE").toUpperCase
         val base = fmt match {
           case "csv" => spark.read
             .option("header", args.getOrElse("header", "true"))
             .option("inferSchema", args.getOrElse("inferschema", "true"))
+            .option("mode", parseMode)
             .csv(path)
-          case "json" => spark.read.json(path)
+          case "json" => spark.read.option("mode", parseMode).json(path)
           case "orc" => spark.read.orc(path)
           case _ =>
             // Stock reader first (inference, mergeSchema, nested types

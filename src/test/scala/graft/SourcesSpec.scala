@@ -189,6 +189,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(again(r.getInt(0)) == r.getLong(2)))
   }
 
+  test("read_files mode option: dropmalformed skips bad JSON lines, failfast raises") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_malformed").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/d.json"),
+      """{"id": 1, "s": "ok"}
+        |{not json at all
+        |{"id": 3, "s": "also ok"}
+        |""".stripMargin)
+    val dropped = ReadFiles.sql(spark,
+      s"select id, s from read_files('$tmp/d.json', mode=>'dropmalformed') order by id")
+      .collect()
+    assert(dropped.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // permissive (default): the malformed line survives as nulls
+    val permissive = ReadFiles.sql(spark,
+      s"select id, s from read_files('$tmp/d.json')").collect()
+    assert(permissive.length == 3)
+    assert(permissive.count(_.isNullAt(0)) == 1)
+    intercept[Throwable] {
+      ReadFiles.sql(spark,
+        s"select id, s from read_files('$tmp/d.json', mode=>'failfast')").collect()
+    }
+  }
+
   test("read_files mergeschema unions drifted parquet schemas") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_drift").toString
     import spark.implicits._
