@@ -137,6 +137,8 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
                       List[JField]("status" -> JString("complete"))
                     case QueryStatus.Error(m) =>
                       List[JField]("status" -> JString("error"), "message" -> JString(m))
+                    case QueryStatus.Cancelled =>
+                      List[JField]("status" -> JString("cancelled"))
                     case _ => List[JField]("status" -> JString("running"))
                   }
                   writeLine(JObject(
@@ -178,10 +180,17 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
         case Some(QueryStatus.Queued) => JObject("status" -> JString("queued"))
         case Some(QueryStatus.Running) => JObject("status" -> JString("running"))
         case Some(QueryStatus.Complete) => JObject("status" -> JString("complete"))
+        case Some(QueryStatus.Cancelled) => JObject("status" -> JString("cancelled"))
         case Some(QueryStatus.Error(m)) =>
           JObject("status" -> JString("error"), "message" -> JString(m))
       }
       JObject(("type" -> JString("get_query_status_resp")) :: status.obj)
+
+    case Some("cancel_query") =>
+      val id = (req \ "query_id").extract[String]
+      JObject("type" -> JString("cancel_query_resp"),
+        "query_id" -> JString(id),
+        "cancelled" -> JBool(svc.cancel(id)))
 
     case Some("get_query_data") =>
       val id = (req \ "query_id").extract[String]

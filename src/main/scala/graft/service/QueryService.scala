@@ -17,6 +17,8 @@ object QueryStatus {
   case object Running extends QueryStatus
   case object Complete extends QueryStatus
   final case class Error(message: String) extends QueryStatus
+  /** Terminal: the client asked for the query to stop. */
+  case object Cancelled extends QueryStatus
 }
 
 /** The engine's client-facing service: accepts SQL scripts, executes
@@ -61,7 +63,7 @@ final class QueryService(
     * re-checks status after adding. */
   def onTerminal(queryId: String)(cb: QueryStatus => Unit): Unit = {
     def isTerminal(s: QueryStatus) = s match {
-      case QueryStatus.Complete | QueryStatus.Error(_) => true
+      case QueryStatus.Complete | QueryStatus.Error(_) | QueryStatus.Cancelled => true
       case _ => false
     }
     status(queryId) match {
@@ -87,11 +89,32 @@ final class QueryService(
       val oldest = submissionOrder.poll()
       if (oldest == null) return
       statuses.get(oldest) match {
-        case QueryStatus.Complete | QueryStatus.Error(_) => statuses.remove(oldest); ()
+        case QueryStatus.Complete | QueryStatus.Error(_) | QueryStatus.Cancelled =>
+          statuses.remove(oldest); ()
         case null => ()
         case _ => submissionOrder.add(oldest); return // still running: stop here
       }
     }
+  }
+
+  // --- cancellation -------------------------------------------------
+  // Each query executes under a Spark job group named by its query id
+  // (thread-local, set in the executing Future), so cancel maps to
+  // cancelJobGroup — Spark interrupts the query's active jobs, the
+  // write aborts, and the versioned result layout guarantees readers
+  // never see the torn output (no _SUCCESS → not a committed version).
+  private val cancelRequested =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Request cancellation. True if the query was still live (the
+    * terminal status will become Cancelled); false if already
+    * terminal or unknown. */
+  def cancel(queryId: String): Boolean = status(queryId) match {
+    case Some(QueryStatus.Queued) | Some(QueryStatus.Running) =>
+      cancelRequested.add(queryId)
+      spark.sparkContext.cancelJobGroup(queryId)
+      true
+    case _ => false
   }
 
   /** Results are VERSIONED: data lives in `<root>/<id>/v<N>/`, and the
@@ -140,18 +163,28 @@ final class QueryService(
     evictTerminal()
     Future {
       statuses.put(queryId, QueryStatus.Running)
-      Try {
-        val df = ReadFiles.sql(spark, sql, connections)
-        df.write.mode("overwrite").parquet(versionDir(queryId, 1))
-      } match {
-        case Success(_) =>
-          statuses.put(queryId, QueryStatus.Complete)
-          fireTerminal(queryId, QueryStatus.Complete)
-        case Failure(e) =>
-          val s = QueryStatus.Error(String.valueOf(e.getMessage))
-          statuses.put(queryId, s)
-          fireTerminal(queryId, s)
-      }
+      val terminal =
+        if (cancelRequested.contains(queryId)) QueryStatus.Cancelled
+        else {
+          // job group scoped to this execution thread; jobs the query
+          // submits are cancellable as a unit by query id
+          spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
+            interruptOnCancel = true)
+          val r = Try {
+            val df = ReadFiles.sql(spark, sql, connections)
+            df.write.mode("overwrite").parquet(versionDir(queryId, 1))
+          }
+          spark.sparkContext.clearJobGroup()
+          r match {
+            case Success(_) if cancelRequested.contains(queryId) => QueryStatus.Cancelled
+            case Success(_) => QueryStatus.Complete
+            case Failure(_) if cancelRequested.contains(queryId) => QueryStatus.Cancelled
+            case Failure(e) => QueryStatus.Error(String.valueOf(e.getMessage))
+          }
+        }
+      cancelRequested.remove(queryId)
+      statuses.put(queryId, terminal)
+      fireTerminal(queryId, terminal)
     }
     queryId
   }
@@ -247,11 +280,14 @@ final class ResultReader(spark: SparkSession, dir: String) {
 
   private val conf = spark.sessionState.newHadoopConf()
 
-  /** part-files sorted by name = write order (Spark task order). */
+  /** part-files sorted by name = write order (Spark task order).
+    * A missing directory (query cancelled/failed before any commit)
+    * reads as an empty result, not an exception. */
   lazy val files: Array[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(conf)
-    fs.listStatus(path).map(_.getPath)
+    if (!fs.exists(path)) Array.empty
+    else fs.listStatus(path).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
       .map(_.toString).sorted
   }

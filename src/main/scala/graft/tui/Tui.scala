@@ -108,6 +108,7 @@ final class TuiApp(
   def statusIcon(i: Int): String = status(i) match {
     case Some(QueryStatus.Complete) => "OK "
     case Some(QueryStatus.Error(_)) => "ERR"
+    case Some(QueryStatus.Cancelled) => "CAN"
     case Some(QueryStatus.Running) => "RUN"
     case _ => "..."
   }
@@ -182,7 +183,8 @@ final class TuiApp(
   def render(width: Int = 100): String = {
     val sb = new StringBuilder
     val done = ids.indices.count(i => status(i) match {
-      case Some(QueryStatus.Complete) | Some(QueryStatus.Error(_)) => true
+      case Some(QueryStatus.Complete) | Some(QueryStatus.Error(_)) |
+           Some(QueryStatus.Cancelled) => true
       case _ => false
     })
     val qMark = if (pane == QueriesPane) "*" else " "

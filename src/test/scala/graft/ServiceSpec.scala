@@ -251,6 +251,29 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(page.rows.size == 10)
   }
 
+  test("cancel stops a running query; terminal status Cancelled, no torn result") {
+    // a deliberately expensive statement: lineitem x lineitem count
+    val id = svc.runQuery(
+      s"select count(*) as n from read_files('$sfDir/lineitem.parquet') a, " +
+        s"read_files('$sfDir/lineitem.parquet') b")
+    // wait until the query's job group has ACTIVE jobs, then cancel
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 30000
+    while (tracker.getJobIdsForGroup(id).isEmpty
+        && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(tracker.getJobIdsForGroup(id).nonEmpty, "query never started a job")
+    assert(svc.cancel(id), "cancel should report the query as live")
+    val terminal = svc.awaitComplete(id, 60000)
+    assert(terminal == QueryStatus.Cancelled, s"got $terminal")
+    // no committed result version: the reader sees an empty file set
+    assert(svc.reader(id).files.isEmpty)
+    // cancelling a terminal query is a no-op=false; service still works
+    assert(!svc.cancel(id))
+    val id2 = svc.runQuery(
+      s"select r_regionkey from read_files('$sfDir/region.parquet')")
+    assert(svc.awaitComplete(id2) == QueryStatus.Complete)
+  }
+
   test("watch_query pushes a terminal update instead of polling") {
     val server = new graft.service.QueryServer(svc)
     try {
