@@ -439,6 +439,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in the final plan)") {
+    // One hot key owns half the big side. With broadcast disabled and
+    // the skew thresholds scaled to the fixture, AQE must re-plan the
+    // sort-merge join's hot partition into splits at runtime — the
+    // mechanism Engine.tune relies on for residual skew the salted
+    // operators don't cover.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8KB")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(300000).select(
+        when(col("id") < 150000, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      val small = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = big.join(small, "k")
+      // execute THIS dataset's own plan (a write/count would build a
+      // fresh QueryExecution and leave this one unfinalized)
+      joined.queryExecution.toRdd.count()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("isFinalPlan=true"), s)
+      assert(s.contains("skew=true"), s"AQE did not mark the join skewed:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_heavy_hitters: sketch probe filters below the exchange, partial count above it") {
     withoutAqe {
       val p = planOf(q("q_heavy_hitters"))
