@@ -251,6 +251,17 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(page.rows.size == 10)
   }
 
+  test("EXPLAIN statements flow through the service as plan-text results") {
+    val id = svc.runQuery(
+      s"explain select r_regionkey from read_files('$sfDir/region.parquet') where r_regionkey > 1")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    val rows = svc.reader(id).read(service.ResultCursor(0, 0), 10).rows
+    assert(rows.nonEmpty)
+    val plan = rows.map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Physical Plan"), plan)
+    assert(plan.contains("PushedFilters"), s"filter not pushed in explained plan:\n$plan")
+  }
+
   test("cancel stops a running query; terminal status Cancelled, no torn result") {
     // a deliberately expensive statement: lineitem x lineitem count
     val id = svc.runQuery(
