@@ -114,6 +114,59 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Audio windowing plan — the STFT/feature-frame geometry an audio
+    * pipeline computes before any DSP: one row per (doc, window) with
+    * the sample offset a decoder would seek to, at `win` samples per
+    * window hopping by `hop` (the 25ms/10ms shape at whatever sample
+    * rate the payload implies; 1 byte = 1 PCM sample stands in for the
+    * stubbed codec, as in [[decodeStub]]). Metadata-driven and
+    * map-side only: the payload is untouched until [[windowEnergy]]
+    * projects it, so at scale the plan is scan → generate with no
+    * shuffle and no payload IO. */
+  def audioWindows(docs: DataFrame, win: Int = 64, hop: Int = 32): DataFrame = {
+    require(win > 0 && hop > 0)
+    asMediaTable(docs)
+      .select(col("doc_id"), col("meta.declared_bytes").as("n_samples"))
+      .filter(col("n_samples") >= win)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ((col("n_samples") - win) / hop).cast("long"))).as("window_idx"))
+      .select(col("doc_id"), col("window_idx"),
+        (col("window_idx") * hop).as("sample_offset"),
+        lit(win.toLong).as("window_samples"))
+      .orderBy("doc_id", "window_idx")
+  }
+
+  /** Per-window RMS energy over the REAL payload bytes — the
+    * feature-extract stage ([[decodeStub]]'s loop, per window): swap
+    * the byte read for a PCM decode and this is frame energy / a VAD
+    * front end. Partition-local Dataset.mapPartitions; payloads never
+    * shuffle. */
+  final case class WindowEnergy(doc_id: Long, window_idx: Long, rms: Double)
+
+  def windowEnergy(media: DataFrame, win: Int = 64, hop: Int = 32): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          if (n < win) Iterator.empty
+          else (0 to (n - win) / hop).iterator.map { w =>
+            val off = w * hop
+            var ss = 0.0
+            var i = 0
+            while (i < win) {
+              val b = (bytes(off + i) & 0xff).toDouble
+              ss += b * b; i += 1
+            }
+            WindowEnergy(id, w.toLong, math.sqrt(ss / win))
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Metadata-only projection (no decode): deterministic fake frame
     * geometry derived from payload size — the oracle-checkable slice
     * of the multimodal path. */

@@ -201,6 +201,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("windowEnergy computes per-window RMS over the real payload bytes") {
+    import spark.implicits._
+    val text = "abcdefgh" * 16 // 128 bytes -> windows at 0, 32, 64 (win=64, hop=32)
+    val docs = Seq((7L, text, "en", "src", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = graft.pipeline.Multimodal.asMediaTable(docs)
+    val rows = graft.pipeline.Multimodal.windowEnergy(media)
+      .orderBy("doc_id", "window_idx").collect()
+    assert(rows.length == 3)
+    val bytes = text.getBytes("UTF-8")
+    rows.foreach { r =>
+      val off = r.getLong(1).toInt * 32
+      val expected = math.sqrt(
+        bytes.slice(off, off + 64).map(b => { val v = (b & 0xff).toDouble; v * v }).sum / 64)
+      assert(r.getDouble(2) == expected, s"window ${r.getLong(1)}")
+    }
+    // geometry agrees with the metadata-driven plan, row for row
+    val geo = graft.pipeline.Multimodal.audioWindows(docs).collect()
+    assert(geo.map(g => (g.getLong(0), g.getLong(1))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("salted join and salted agg equal their unsalted forms") {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val o = Engine.table(spark, sfDir, "orders")
