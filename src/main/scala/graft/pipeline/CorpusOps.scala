@@ -194,6 +194,37 @@ object CorpusOps {
       .orderBy(groupCol)
   }
 
+  /** Column profiler — the "look before you train" table audit: one
+    * output row per profiled column with row/null/distinct counts and
+    * min/max rendered to strings. One aggregate job; Catalyst plans
+    * the multi-column distinct counts via a single Expand (rows ×
+    * #cols map-side, combined before the exchange). Numeric min/max
+    * should be pre-cast to DECIMAL by the caller when engine-portable
+    * rendering matters (double→string formatting is engine-specific;
+    * decimal→string is not). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val total = count(lit(1)).as("__total")
+    val row = df.agg(total, aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"),
+        col("__total").as("n_rows"),
+        (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    row.select(explode(array(perCol: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+
   /** Gopher-style repetition signals, one scan, no shuffle:
     *  - rep_word_frac: fraction of word occurrences that are repeats
     *    (1 − distinct/total);
