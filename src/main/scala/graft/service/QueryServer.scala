@@ -152,7 +152,9 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
           }
           catch { case e: Exception => err(String.valueOf(e.getMessage)) }
         writeLine(resp)
-        afterAck()
+        // a watch on an already-terminal query pushes synchronously —
+        // a peer that acked and vanished must not kill the serve loop
+        try afterAck() catch { case _: Exception => () }
         line = in.readLine()
       }
     } catch {

@@ -113,6 +113,13 @@ final class QueryService(
     case Some(QueryStatus.Queued) | Some(QueryStatus.Running) =>
       cancelRequested.add(queryId)
       spark.sparkContext.cancelJobGroup(queryId)
+      // the query may have reached terminal between the status read
+      // and the flag add — the future then never sweeps the flag (ids
+      // are never reused, so this is only hygiene, not correctness)
+      status(queryId) match {
+        case Some(QueryStatus.Queued) | Some(QueryStatus.Running) => ()
+        case _ => cancelRequested.remove(queryId); ()
+      }
       true
     case _ => false
   }
