@@ -241,6 +241,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q7: OR-paired nation condition stays on broadcast joins, no cartesian") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q7"))
+      val broadcasts = p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(broadcasts.size >= 2, s"both nation sides must broadcast:\n$p")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, "cartesian/BNL in q7")
+    }
+  }
+
+  test("q_tpch_q15: the revenue view computes at most twice, max broadcasts into the filter") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q15"))
+      // the uncorrelated MAX is a scalar subquery (one extra aggregate
+      // over the view), not a per-row re-evaluation: lineitem appears
+      // at most twice in the whole plan
+      val liScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("lineitem")) => f
+      }
+      assert(liScans.size <= 2, s"expected <=2 lineitem scans, got ${liScans.size}:\n$p")
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, "cartesian in q15")
+    }
+  }
+
   test("q_tpch_q8: 8-table snowflake broadcasts all dims, no cartesian") {
     withoutAqe {
       val p = planOf(q("q_tpch_q8"))
