@@ -201,7 +201,9 @@ object CorpusOps {
     * #cols map-side, combined before the exchange). Numeric min/max
     * should be pre-cast to DECIMAL by the caller when engine-portable
     * rendering matters (double→string formatting is engine-specific;
-    * decimal→string is not). */
+    * decimal→string is not). String min/max assume binary (codepoint)
+    * collation on both sides — true for Spark and DuckDB defaults; a
+    * locale-collated column would order differently. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
