@@ -138,6 +138,24 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Materialize TRAINING SHARDS — the last step of the corpus build:
+    * documents land in `dir` partitioned by shard, where a shard is
+    * `seqsPerShard` consecutive packed sequences (so each shard holds
+    * ≈ seqsPerShard × seqLen tokens, the unit a data loader streams).
+    * The assignment is [[packSequences]]' value-keyed prefix sum — a
+    * pure function of the corpus, so a re-run writes byte-identical
+    * shard membership (auditable, resumable); the write is an ordinary
+    * partitioned parquet write, so shard pruning (read shard K only)
+    * is Spark's own PartitionFilters at load time. */
+  def writeShards(docs: DataFrame, dir: String, seqLen: Long = 4096,
+                  seqsPerShard: Long = 64): Unit = {
+    val assigned = packSequences(docs, seqLen)
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+      .select("doc_id", "n_tokens", "seq_id", "shard_id")
+    docs.join(assigned, "doc_id")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
+  }
+
   /** Per-group contamination audit — the REPORT companion to
     * [[decontaminate]] (same eval-gram broadcast join) answering the
     * question a data owner asks before dropping anything: how much of

@@ -35,6 +35,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(seqIds.distinct.length > 1, "budget should produce multiple shards")
   }
 
+  test("writeShards materializes deterministic, prunable training shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    CorpusOps.writeShards(docs, dir, seqLen = 1024, seqsPerShard = 8)
+    val back = spark.read.parquet(dir)
+    // all docs land exactly once, with their text intact
+    assert(back.count() == docs.count())
+    assert(back.columns.contains("text") && back.columns.contains("shard_id"))
+    // shard membership = seq_id div 8 of the pure prefix-sum packing
+    val want = CorpusOps.packSequences(docs, 1024)
+      .withColumn("shard_id", expr("seq_id div 8L"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    back.selectExpr("doc_id", "cast(shard_id as long) AS shard_id").collect()
+      .foreach(r => assert(want(r.getLong(0)) == r.getLong(1)))
+    // loading one shard partition-prunes (the data-loader read path)
+    val one = spark.read.parquet(dir).filter(col("shard_id") === 0)
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "shard read must partition-prune")
+    // a re-run writes identical membership (auditable/resumable)
+    CorpusOps.writeShards(docs, dir, seqLen = 1024, seqsPerShard = 8)
+    spark.read.parquet(dir).selectExpr("doc_id", "cast(shard_id as long) AS shard_id")
+      .collect().foreach(r => assert(want(r.getLong(0)) == r.getLong(1)))
+  }
+
   // --- decontamination ---------------------------------------------
 
   test("decontaminate drops exactly the train docs sharing a k-gram with eval") {
