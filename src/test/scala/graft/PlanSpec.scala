@@ -583,4 +583,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(liScans.size == 3, s"expected 3 lineitem scans, got ${liScans.size}:\n$p")
     }
   }
+
+  test("q_tpch_q2: correlated MIN over derived partsupp decorrelates to equi-joins") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q2"))
+      // the min-cost subquery must become a per-part aggregate joined
+      // back on ps_partkey — never a per-outer-row re-evaluation
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"cartesian product in decorrelated q2:\n$p")
+      val s = p.toString
+      assert(s.contains("min(") || s.contains("partial_min"), s"no min aggregate:\n$s")
+    }
+  }
+
+  test("q_tpch_q12: derived-column predicates evaluate below the orders join") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q12"))
+      // the shipmode/commit/receipt predicates are pure lineitem
+      // functions, so the filter must sit on the lineitem side of the
+      // join — the join sees pre-filtered rows, not the full fact
+      val pushed = p.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("MAIL") &&
+            f.collectLeaves().exists {
+              case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+                sc.relation.location.inputFiles.exists(_.contains("lineitem"))
+              case _ => false
+            } &&
+            f.find {
+              case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+              case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+              case _ => false
+            }.isEmpty => f
+      }
+      assert(pushed.nonEmpty, s"shipmode filter not pushed below the join:\n$p")
+    }
+  }
 }
