@@ -102,6 +102,66 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Hash modulus for [[shuffleRank]] — prime, so the multiplicative
+    * hash scatters residues evenly. */
+  private val ShuffleMod = 9999991L
+
+  /** Deterministic global corpus shuffle: a dense permutation rank
+    * (0..N−1) over a Knuth multiplicative hash of doc_id — the
+    * "shuffle example order before sharding" step every training
+    * pipeline needs so each shard is an i.i.d. sample of the corpus
+    * rather than a contiguous slice of it. `ORDER BY rand()` is
+    * neither reproducible nor retry-stable; this is both: the rank is
+    * a pure function of (doc_id, seed), so re-running — or recomputing
+    * a lost partition — lands every document in the same place.
+    *
+    * Scale shape: the same value-keyed two-pass rank as
+    * [[packSequences]] — bucket by hash range, count per bucket (≤
+    * `parts` rows through the driver-scale offsets frame), then
+    * row_number within each bucket plus the bucket's exclusive offset.
+    * No single-partition global sort, no `spark_partition_id()`, pure
+    * lineage. The hash masks doc_id to 2^20 before the multiply (the
+    * [[resampleToMix]] overflow convention, portable to any engine's
+    * int64); ids congruent mod 2^20 tie on the hash and fall back to
+    * doc_id order — harmless until a single hash residue holds >10⁶
+    * documents, and the tiebreak keeps the permutation total either
+    * way. */
+  def shuffleRank(docs: DataFrame, seed: Long = 0L, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val width = ShuffleMod / p + 1
+    val keyed = graft.Engine.fanOut(docs).select(col("doc_id"),
+      expr(s"pmod(pmod(doc_id + ${seed}L, 1048576) * 2654435761, ${ShuffleMod}L)").as("h"))
+      .withColumn("bk", expr(s"h div ${width}L"))
+    val offs = keyed.groupBy("bk").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(
+          Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("bk", "off")
+    val w = Window.partitionBy("bk").orderBy("h", "doc_id")
+    keyed.join(broadcast(offs), "bk")
+      .withColumn("shuffle_rank",
+        col("off") + row_number().over(w).cast("long") - 1L)
+      .select("doc_id", "shuffle_rank")
+  }
+
+  /** [[shuffleRank]] ∘ [[packSequences]]: pack documents into
+    * fixed-budget training sequences in SHUFFLED order — the actual
+    * shard-assembly composition (shuffle first, then pack, then
+    * [[writeShards]]-style partitioning by seq_id group). The dense
+    * rank feeds packSequences as its ordering id, which also makes its
+    * range buckets perfectly even regardless of doc_id skew. */
+  def packShuffled(docs: DataFrame, budget: Long, seed: Long = 0L): DataFrame = {
+    val ranked = docs.join(shuffleRank(docs, seed), "doc_id")
+    val packed = packSequences(
+      ranked.select(col("shuffle_rank").as("doc_id"), col("text")), budget)
+      .withColumnRenamed("doc_id", "shuffle_rank")
+    packed.join(ranked.select("doc_id", "shuffle_rank"), "shuffle_rank")
+      .select("doc_id", "shuffle_rank", "n_tokens", "seq_id")
+      .orderBy("shuffle_rank")
+  }
+
   /** Eval-set decontamination: drop every training document that
     * shares at least one word k-gram with any document in `evalSet`
     * (the GPT-3/PaLM n-gram-overlap rule). Returns the CLEAN training

@@ -35,6 +35,48 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(seqIds.distinct.length > 1, "budget should produce multiple shards")
   }
 
+  test("shuffleRank is a dense deterministic permutation, partition-invariant") {
+    val a = CorpusOps.shuffleRank(docs, seed = 7, parts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = CorpusOps.shuffleRank(docs, seed = 7, parts = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)),
+      "rank must not depend on the bucket count")
+    // dense permutation: ranks are exactly 0..N-1
+    val ranks = a.map(_._2).sorted
+    assert(ranks.sameElements(ranks.indices.map(_.toLong)), "not a dense permutation")
+    // equals the single-threaded definition: sort by (hash, doc_id)
+    val want = a.map { case (id, _) =>
+      (id, ((id + 7) % 1048576L) * 2654435761L % 9999991L)
+    }.sortBy { case (id, h) => (h, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.sortBy(_._1)
+    assert(a.sortBy(_._1).sameElements(want))
+    // a different seed produces a different order (it actually shuffles)
+    val c = CorpusOps.shuffleRank(docs, seed = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!c.sortBy(_._1).sameElements(a.sortBy(_._1)), "seed must change the permutation")
+  }
+
+  test("shuffleRank plans with no corpus-wide unpartitioned window") {
+    // the only global window allowed is the offsets frame over the
+    // <= parts bucket-count rows; the per-row rank must partition by bk
+    val p = CorpusOps.shuffleRank(docs, seed = 7).queryExecution.executedPlan
+    val globalWindows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    globalWindows.foreach { w =>
+      val aggBelow = w.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+        case _ => false
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window over raw corpus rows (not the bucket frame):\n$w")
+    }
+  }
+
   test("writeShards materializes deterministic, prunable training shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     CorpusOps.writeShards(docs, dir, seqLen = 1024, seqsPerShard = 8)
