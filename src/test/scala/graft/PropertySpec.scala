@@ -232,6 +232,29 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("shuffleRank is a dense permutation on adversarial id distributions") {
+    import spark.implicits._
+    // sparse, clustered, singleton, and 2^20-congruent (hash-tie) ids
+    val idSets: Seq[Seq[Long]] = Seq(
+      Seq(0L),
+      Seq(5L, 1048581L, 2097157L), // all ≡ 5 (mod 2^20): pure tiebreak path
+      (0L until 200L).map(_ * 1000003L), // sparse
+      (0L until 200L) ++ (900000L until 900200L), // two dense clusters
+      samples(Gen.choose(0L, 1L << 40), 300).distinct)
+    idSets.foreach { ids =>
+      val df = ids.toDF("doc_id")
+      val got = pipeline.CorpusOps.shuffleRank(df, seed = 3, parts = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == ids.length)
+      assert(got.map(_._2).sorted.sameElements(ids.indices.map(_.toLong)),
+        s"not dense for ids=${ids.take(5)}...")
+      val want = ids.map(id => (id, ((id + 3) % 1048576L) * 2654435761L % 9999991L))
+        .sortBy { case (id, h) => (h, id) }.map(_._1).zipWithIndex
+        .map { case (id, i) => (id, i.toLong) }.sortBy(_._1)
+      assert(got.sortBy(_._1).sameElements(want), s"rank mismatch for ids=${ids.take(5)}...")
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
