@@ -153,11 +153,17 @@ object CorpusOps {
     * rank feeds packSequences as its ordering id, which also makes its
     * range buckets perfectly even regardless of doc_id skew. */
   def packShuffled(docs: DataFrame, budget: Long, seed: Long = 0L): DataFrame = {
-    val ranked = docs.join(shuffleRank(docs, seed), "doc_id")
+    // The rank frame is referenced twice (pack ordering + the
+    // doc_id↔rank map) and recomputed both times — it is 16 bytes/row,
+    // so the second pass is one narrow scan+window; only the map-back
+    // side stays text-free. A 100 TB build would materialize the rank
+    // once next to the corpus instead.
+    val rank = shuffleRank(docs, seed)
     val packed = packSequences(
-      ranked.select(col("shuffle_rank").as("doc_id"), col("text")), budget)
+      docs.join(rank, "doc_id")
+        .select(col("shuffle_rank").as("doc_id"), col("text")), budget)
       .withColumnRenamed("doc_id", "shuffle_rank")
-    packed.join(ranked.select("doc_id", "shuffle_rank"), "shuffle_rank")
+    packed.join(rank, "shuffle_rank")
       .select("doc_id", "shuffle_rank", "n_tokens", "seq_id")
       .orderBy("shuffle_rank")
   }
