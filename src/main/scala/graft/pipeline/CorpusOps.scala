@@ -212,10 +212,21 @@ object CorpusOps {
     * pure function of the corpus, so a re-run writes byte-identical
     * shard membership (auditable, resumable); the write is an ordinary
     * partitioned parquet write, so shard pruning (read shard K only)
-    * is Spark's own PartitionFilters at load time. */
+    * is Spark's own PartitionFilters at load time.
+    *
+    * `shuffleSeed` packs in [[shuffleRank]] order instead of doc_id
+    * order, so each shard is an i.i.d. sample of the corpus rather
+    * than a contiguous doc_id slice — still a pure function of
+    * (corpus, seed), so every determinism property above holds. */
   def writeShards(docs: DataFrame, dir: String, seqLen: Long = 4096,
-                  seqsPerShard: Long = 64): Unit = {
-    val assigned = packSequences(docs, seqLen)
+                  seqsPerShard: Long = 64,
+                  shuffleSeed: Option[Long] = None): Unit = {
+    val packed = shuffleSeed match {
+      case Some(s) => packShuffled(docs, seqLen, s)
+        .select("doc_id", "n_tokens", "seq_id")
+      case None => packSequences(docs, seqLen)
+    }
+    val assigned = packed
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
       .select("doc_id", "n_tokens", "seq_id", "shard_id")
     docs.join(assigned, "doc_id")

@@ -102,6 +102,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       .collect().foreach(r => assert(want(r.getLong(0)) == r.getLong(1)))
   }
 
+  test("writeShards with a shuffle seed mixes doc_id ranges into each shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuf_shards").toString
+    CorpusOps.writeShards(docs, dir, seqLen = 1024, seqsPerShard = 8,
+      shuffleSeed = Some(7L))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // membership = seq_id div 8 of the SHUFFLED packing, deterministically
+    val want = CorpusOps.packShuffled(docs, 1024, seed = 7L)
+      .withColumn("shard_id", expr("seq_id div 8L"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    back.selectExpr("doc_id", "cast(shard_id as long) AS shard_id").collect()
+      .foreach(r => assert(want(r.getLong(0)) == r.getLong(1)))
+    // the point of shuffling: shard 0 is no longer the lowest doc_ids.
+    // Under doc_id-ordered packing, shard 0's max doc_id < shard 1's
+    // min; after shuffling the ranges must interleave.
+    val byShard = back.selectExpr("doc_id", "cast(shard_id as long) AS shard_id")
+      .collect().groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0))).toMap
+    if (byShard.size > 1) {
+      val lo = byShard.keys.min
+      val s0 = byShard(lo)
+      val rest = byShard.collect { case (k, v) if k != lo => v }.flatten
+      assert(s0.max > rest.min, "shuffled shard 0 should interleave doc_id ranges")
+    }
+  }
+
   // --- decontamination ---------------------------------------------
 
   test("decontaminate drops exactly the train docs sharing a k-gram with eval") {
