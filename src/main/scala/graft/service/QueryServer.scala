@@ -194,6 +194,31 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
         "query_id" -> JString(id),
         "cancelled" -> JBool(svc.cancel(id)))
 
+    // Runtime metrics: the scan/shuffle/spill profile of a query
+    // (the reference's heartbeat/TaskData status surface, rolled up
+    // per query instead of per operator).
+    case Some("get_query_metrics") =>
+      val id = (req \ "query_id").extract[String]
+      svc.metrics(id) match {
+        case None => err("no metrics for query")
+        case Some(m) => JObject(
+          "type" -> JString("get_query_metrics_resp"),
+          "query_id" -> JString(id),
+          "num_jobs" -> JInt(BigInt(m.numJobs)),
+          "num_stages" -> JInt(BigInt(m.numStages)),
+          "num_tasks" -> JInt(BigInt(m.numTasks)),
+          "input_rows" -> JInt(BigInt(m.inputRows)),
+          "input_bytes" -> JInt(BigInt(m.inputBytes)),
+          "output_rows" -> JInt(BigInt(m.outputRows)),
+          "output_bytes" -> JInt(BigInt(m.outputBytes)),
+          "shuffle_read_bytes" -> JInt(BigInt(m.shuffleReadBytes)),
+          "shuffle_write_bytes" -> JInt(BigInt(m.shuffleWriteBytes)),
+          "memory_spill_bytes" -> JInt(BigInt(m.memorySpillBytes)),
+          "disk_spill_bytes" -> JInt(BigInt(m.diskSpillBytes)),
+          "executor_run_time_ms" -> JInt(BigInt(m.executorRunTimeMs)),
+          "wall_time_ms" -> JInt(BigInt(m.wallTimeMs)))
+      }
+
     case Some("get_query_data") =>
       val id = (req \ "query_id").extract[String]
       svc.status(id) match {

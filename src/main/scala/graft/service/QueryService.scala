@@ -40,6 +40,18 @@ final class QueryService(
     implicit ec: ExecutionContext = ExecutionContext.global) {
 
   private val statuses = new ConcurrentHashMap[String, QueryStatus]()
+
+  // Runtime metrics, attributed by job group (= query id). One
+  // listener per service instance; bounded like the status map.
+  private val metricsCollector = new MetricsCollector(maxTrackedStatuses)
+  spark.sparkContext.addSparkListener(metricsCollector)
+
+  /** Scan/shuffle/spill/time metrics for a query, or None if unknown
+    * (never submitted, evicted, or no job has started yet). Metrics
+    * arrive via the async listener bus, so a snapshot taken at the
+    * completion instant can trail the last stage by a few ms. */
+  def metrics(queryId: String): Option[QueryMetrics] =
+    metricsCollector.snapshot(queryId)
   // Submission order for eviction: terminal statuses beyond
   // maxTrackedStatuses are dropped oldest-first, so a long-lived
   // service tracks bounded state (the reference keeps per-query state
@@ -170,6 +182,7 @@ final class QueryService(
     evictTerminal()
     Future {
       statuses.put(queryId, QueryStatus.Running)
+      val startedAt = System.currentTimeMillis()
       val terminal =
         if (cancelRequested.contains(queryId)) QueryStatus.Cancelled
         else {
@@ -190,6 +203,7 @@ final class QueryService(
           }
         }
       cancelRequested.remove(queryId)
+      metricsCollector.setWallTime(queryId, System.currentTimeMillis() - startedAt)
       statuses.put(queryId, terminal)
       fireTerminal(queryId, terminal)
     }

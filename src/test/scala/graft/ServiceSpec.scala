@@ -146,6 +146,44 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("query metrics: scan volume attributed to the query, served over the wire") {
+    val id = svc.runQuery(
+      s"select l_orderkey, l_quantity from read_files('$sfDir/lineitem.parquet') where l_orderkey < 100")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    // listener bus is async — poll briefly for the final stage's metrics
+    val deadline = System.currentTimeMillis() + 10000
+    def m = svc.metrics(id)
+    while ((m.isEmpty || m.get.inputRows == 0 || m.get.wallTimeMs == 0)
+        && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    val got = m.getOrElse(fail("no metrics recorded"))
+    assert(got.numJobs >= 1 && got.numStages >= 1 && got.numTasks >= 1)
+    // the scan reads the whole fixture's rows (filter is not a
+    // row-group boundary here), all attributed to THIS query id
+    assert(got.inputRows > 0 && got.inputBytes > 0)
+    assert(got.outputRows > 0, "parquet write rows must be attributed")
+    assert(got.wallTimeMs > 0)
+    assert(got.memorySpillBytes == 0 && got.diskSpillBytes == 0,
+      "a 5-row-group scan must not spill")
+    // unknown id → no metrics
+    assert(svc.metrics("nope").isEmpty)
+
+    // the same numbers over the wire protocol
+    val server = new graft.service.QueryServer(svc)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+      def call(json: String): String = { out.println(json); in.readLine() }
+      val resp = call(s"""{"type":"get_query_metrics","query_id":"$id"}""")
+      assert(resp.contains("get_query_metrics_resp"), resp)
+      assert(resp.contains(s""""input_rows":${got.inputRows}"""), resp)
+      assert(resp.contains(""""wall_time_ms":"""), resp)
+      val none = call("""{"type":"get_query_metrics","query_id":"nope"}""")
+      assert(none.contains("\"type\":\"error\""), none)
+      sock.close()
+    } finally server.close()
+  }
+
   test("identify handshake: connection registers and the worker identifies back") {
     val server = new graft.service.QueryServer(svc)
     try {

@@ -78,6 +78,18 @@ class Client:
         reader = pa.ipc.open_stream(io.BytesIO(buf))
         return reader.read_all()
 
+    def metrics(self, qid, timeout_s=10):
+        """Runtime metrics (scan/shuffle/spill/time). The listener bus
+        is async — poll briefly until the scan rows land."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            resp = self.call(type="get_query_metrics", query_id=qid)
+            if resp.get("type") == "get_query_metrics_resp" \
+                    and resp.get("input_rows", 0) > 0:
+                return resp
+            time.sleep(0.1)
+        return resp
+
 
 def main():
     port, sql = int(sys.argv[1]), sys.argv[2]
@@ -95,6 +107,10 @@ def main():
     print(f"{n} rows via JSON pages")
     tbl = c.page_arrow(qid)
     print(f"arrow page: {tbl.num_rows} rows, schema: {tbl.schema}")
+    m = c.metrics(qid)
+    print(f"metrics: {m.get('input_rows')} rows / {m.get('input_bytes')} B scanned, "
+          f"{m.get('shuffle_read_bytes')} B shuffled, "
+          f"{m.get('wall_time_ms')} ms wall")
 
 
 if __name__ == "__main__":
