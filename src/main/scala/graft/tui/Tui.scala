@@ -98,6 +98,7 @@ final class TuiApp(
   var selected: Int = 0
   var pane: Pane = QueriesPane
   var showErrs: Boolean = false
+  var showMetrics: Boolean = false
   var exited: Boolean = false
 
   private val readers = new Array[ResultReader](ids.length)
@@ -135,6 +136,7 @@ final class TuiApp(
   def onKey(k: Key): Unit = k match {
     case Key.Char('q') => exited = true
     case Key.Char('e') => showErrs = !showErrs
+    case Key.Char('m') => showMetrics = !showMetrics
     case Key.Tab => pane = if (pane == QueriesPane) DataPane else QueriesPane
     case Key.Up if statements.nonEmpty =>
       pane match {
@@ -221,7 +223,17 @@ final class TuiApp(
         sb.append(s"$dMark Data: query $selected ").append("-" * 10).append('\n')
         sb.append("  (no result yet)").append('\n')
     }
-    sb.append("keys: up/down(k/j) move | tab pane | e errors | q quit").append('\n')
+    if (showMetrics) {
+      svc.metrics(ids(selected)) match {
+        case Some(m) =>
+          sb.append(s"  metrics: scan ${m.inputRows} rows/${m.inputBytes} B" +
+            s" | shuffle r/w ${m.shuffleReadBytes}/${m.shuffleWriteBytes} B" +
+            s" | spill ${m.memorySpillBytes + m.diskSpillBytes} B" +
+            s" | ${m.executorRunTimeMs} ms exec / ${m.wallTimeMs} ms wall").append('\n')
+        case None => sb.append("  metrics: (none yet)").append('\n')
+      }
+    }
+    sb.append("keys: up/down(k/j) move | tab pane | e errors | m metrics | q quit").append('\n')
     sb.result()
   }
 }

@@ -95,6 +95,22 @@ class TuiSpec extends AnyFunSuite with SparkFixture {
     assert(a.render().contains("(no result yet)"))
   }
 
+  test("m toggles the selected query's runtime metrics line") {
+    val a = app()
+    assert(!a.render().contains("metrics:"))
+    a.onKey(Key.Char('m'))
+    // listener bus is async — poll until the scan rows land
+    val deadline = System.currentTimeMillis() + 10000
+    var frame = a.render()
+    while (!frame.contains("scan") && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25); frame = a.render()
+    }
+    assert(frame.contains("metrics: scan"), frame)
+    assert(frame.contains("shuffle r/w"), frame)
+    a.onKey(Key.Char('m'))
+    assert(!a.render().contains("metrics:"))
+  }
+
   test("decodeChunk carries a split CSI sequence across read boundaries") {
     val esc = 0x1b.toByte
     // chunk ends mid-sequence: ESC alone, then '[A' in the next read
