@@ -184,6 +184,27 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     } finally server.close()
   }
 
+  test("concurrent queries attribute metrics to their own job groups") {
+    // two queries over different tables, in flight together — each
+    // must see its OWN scan volume (job group is a thread-local of the
+    // executing future; cross-attribution would corrupt both)
+    val idA = svc.runQuery(
+      s"select r_regionkey from read_files('$sfDir/region.parquet')")
+    val idB = svc.runQuery(
+      s"select n_nationkey from read_files('$sfDir/nation.parquet')")
+    assert(svc.awaitComplete(idA) == QueryStatus.Complete)
+    assert(svc.awaitComplete(idB) == QueryStatus.Complete)
+    val deadline = System.currentTimeMillis() + 10000
+    def ready(id: String) = svc.metrics(id).exists(m => m.inputRows > 0)
+    while ((!ready(idA) || !ready(idB)) && System.currentTimeMillis() < deadline)
+      Thread.sleep(25)
+    val a = svc.metrics(idA).getOrElse(fail("no metrics for A"))
+    val b = svc.metrics(idB).getOrElse(fail("no metrics for B"))
+    assert(a.inputRows == 5, s"region scan rows: $a")
+    assert(b.inputRows == 25, s"nation scan rows: $b")
+    assert(a.outputRows == 5 && b.outputRows == 25)
+  }
+
   test("identify handshake: connection registers and the worker identifies back") {
     val server = new graft.service.QueryServer(svc)
     try {
