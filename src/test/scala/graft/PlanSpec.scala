@@ -597,6 +597,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_tpch_q11: HAVING threshold is one reused scalar subquery, no nested loop") {
+    withoutAqe {
+      val p = planOf(q("q_tpch_q11"))
+      // the global-total subquery must be an independent scalar
+      // subquery evaluated once and broadcast into the filter — never
+      // a join-per-group or cartesian re-aggregation
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"cartesian in q11:\n$p")
+      // nested loops may only broadcast the partsupp derivation's tiny
+      // frames (the 4-row quad union / the 1-row supplier count) —
+      // i.e. a constant frame or a global (groupless) aggregate, never
+      // raw table rows
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j.right
+      }.foreach { build =>
+        val hasScan = build.find {
+          case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+          case _ => false
+        }.nonEmpty
+        val oneRowAgg = build.find {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _ => false
+        }.nonEmpty
+        assert(!hasScan || oneRowAgg,
+          s"nested loop broadcasts raw table rows in q11:\n$build")
+      }
+      val scalarSubqueries = p.collect { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect {
+          case s: org.apache.spark.sql.execution.ScalarSubquery => s
+        })
+      assert(scalarSubqueries.nonEmpty, s"no scalar subquery in q11's filter:\n$p")
+    }
+  }
+
   test("q_tpch_q12: derived-column predicates evaluate below the orders join") {
     withoutAqe {
       val p = planOf(q("q_tpch_q12"))
