@@ -472,20 +472,54 @@ object Embeddings {
     * drops from O(n) to O(n · nprobe / nlist) without any custom
     * reader, because cell=K directories are exactly what Spark's
     * PartitionFilters prune. Layout:
-    * `dir/corpus/cell=<i>/...parquet` (vec_id, v, nrm) and
-    * `dir/centroids/` (cell, centroid). Deterministic: same corpus →
-    * same centroids ([[trainCentroids]]) → byte-identical assignment. */
+    * `dir/corpus/cell=<i>/...parquet` (vec_id, v, nrm, codes),
+    * `dir/centroids/` (cell, centroid), `dir/codebooks/`
+    * (sub, code, codeword). Deterministic: same corpus → same
+    * centroids/codebooks ([[trainCentroids]], [[pqCodebooks]]) →
+    * byte-identical assignment and codes.
+    *
+    * The `codes` column is the PQ storage tier of the SAME index
+    * (faiss IVFADC layout: inverted lists carry the compressed codes;
+    * full vectors ride alongside here as the refine tier). One index
+    * serves both read paths: [[ivfTopKIndexed]] (cell-pruned exact
+    * scan — reads v/nrm, never codes) and [[ivfPqTopKIndexed]]
+    * (cell-pruned ADC shortlist over 32×-compressed codes + exact
+    * refine) — column pruning keeps each path's scan narrow. */
   def writeIvfIndex(emb: DataFrame, dir: String,
-                    nlist: Int = 16, iters: Int = 3): Unit = {
+                    nlist: Int = 16, iters: Int = 3,
+                    pqM: Int = 16, pqK: Int = 64, pqIters: Int = 10): Unit = {
     val v = withNorm(emb)
     val cents = trainCentroids(v, nlist, iters)
+    val books = pqCodebooks(v.select(col("vec_id"), col("v")), pqM, pqK, pqIters)
     val spark = emb.sparkSession
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    withCells(v, cents, 1).select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    books.zipWithIndex.toSeq.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+    }.toDF("sub", "code", "codeword")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    withCells(v, cents, 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.NativeExpressions.pq_encode(col("v"), books).as("codes"),
+        col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** Load the PQ codebooks persisted by [[writeIvfIndex]]. Bounded
+    * driver collect: m × k codewords (16×64×4 doubles at the gated
+    * settings) — the codebooks must live on the driver to become
+    * codegen reference objects for the ADC expressions. */
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("sub", "code").collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val k = rows.iterator.map(_.getInt(1)).max + 1
+    val books = Array.fill(m, k)(Array.empty[Double])
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    books
   }
 
   /** ANN top-k over a [[writeIvfIndex]] layout. Identical emitted
@@ -513,6 +547,82 @@ object Embeddings {
       .join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The full faiss-IVFADC-with-refine read path over a
+    * [[writeIvfIndex]] layout — the composition of the index's two
+    * tiers ([[ivfTopKIndexed]]'s cell pruning × [[pqTopKReranked]]'s
+    * ADC shortlist + exact refine):
+    *
+    *   1. probe: queries score all nlist centroids, keep `nprobe`
+    *      cells; the probed union (≤ nlist ints, collected so it can
+    *      be a LITERAL predicate) becomes `cell IN (...)` — Spark's
+    *      PartitionFilters prune every other `cell=K` directory.
+    *   2. ADC shortlist: WITHIN the probed partitions only, score the
+    *      32×-compressed `codes` column (decode against the persisted
+    *      codebooks, inside the scan's codegen span) and keep the
+    *      `shortlist` best per query.
+    *   3. refine: re-rank only the shortlist with the EXACT cosine
+    *      against the full-precision vectors — read from the same
+    *      probed partitions.
+    *
+    * At 100 TB each tier multiplies: the scan reads nprobe/nlist of
+    * the corpus, the bytes read per scanned vector are the 8-16-byte
+    * codes (not the 256-byte vector — column pruning keeps `v` out of
+    * the ADC scan), and only shortlist×queries full vectors are ever
+    * touched. Emitted values are exact (the refine tier); PQ + probe
+    * approximation only affects candidate coverage. With the gated
+    * (m, codebook, shortlist) settings the shortlist covers the
+    * probed-cell top-k completely on the fixtures, so the output
+    * EQUALS [[ivfTopKIndexed]] row-for-row — the ann_ivfpq_exact gate
+    * pins that equality in-engine, and the contract oracle pins the
+    * k-ranked-rows shape. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queryMaxId: Long, k: Int, nprobe: Int = 10,
+                       shortlist: Int = 50): DataFrame = {
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+        .select("centroid").collect()
+        .map(_.getSeq[Double](0).toArray)
+    val books = readCodebooks(spark, dir)
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val q = withCells(
+        corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
+        cents, nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    // Bounded driver collect: at most nlist distinct cell ids.
+    val probed: Array[Int] = q.select("cell").distinct().collect().map(_.getInt(0))
+    // ADC tier: decode codes once per scanned row (inside the pruned
+    // scan's codegen span), score every probed-cell row per query.
+    val adc = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.NativeExpressions.pq_decode(col("codes"), books).as("vhat"))
+      .withColumn("nhat", norm(col("vhat")))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("vhat")) / (col("qnrm") * col("nhat"))).as("cos_adc"))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_adc").desc, col("neighbor_id"))
+    val cand = adc.withColumn("r", row_number().over(ws))
+      .filter(col("r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // Refine tier: exact cosine for shortlist×queries pairs only,
+    // full vectors read from the same probed partitions.
+    val qv = corpus.filter(col("vec_id") < queryMaxId)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+      .join(broadcast(cand.join(qv, "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -547,6 +547,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IVFADC: ADC scan is partition-pruned AND reads codes, not full vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    graft.pipeline.Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    withoutAqe {
+      val p = planOf(graft.pipeline.Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5, nprobe = 1))
+      val corpusScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      // both tiers (ADC shortlist + exact refine) read the index pruned
+      assert(corpusScans.size >= 2, s"expected >=2 pruned corpus scans:\n$p")
+      corpusScans.foreach { sc =>
+        val staticFilters = sc.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        assert(staticFilters.nonEmpty, "no static cell IN (...) partition filter")
+        val selected = sc.relation.location.listFiles(staticFilters, Nil).length
+        assert(selected <= 10 && selected >= 1,
+          s"expected <=10 of 16 cell partitions after pruning, got $selected")
+      }
+      // the ADC tier's bytes-per-vector claim: the scan that feeds the
+      // shortlist reads the compressed codes column and NOT the
+      // full-precision vector (column pruning keeps `v` out)
+      val adcScans = corpusScans.filter(_.schema.fieldNames.contains("codes"))
+      assert(adcScans.nonEmpty, s"no corpus scan reading codes:\n$p")
+      adcScans.foreach { sc =>
+        assert(!sc.schema.fieldNames.contains("v"),
+          s"ADC scan reads full vectors: ${sc.schema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+
   test("q_tpch_q17: correlated scalar subquery decorrelates to one agg + join") {
     withoutAqe {
       val p = planOf(q("q_tpch_q17"))
