@@ -154,11 +154,11 @@ object CorpusOps {
     * range buckets perfectly even regardless of doc_id skew. */
   def packShuffled(docs: DataFrame, budget: Long, seed: Long = 0L): DataFrame = {
     // The rank frame is referenced twice (pack ordering + the
-    // doc_id↔rank map) and recomputed both times — it is 16 bytes/row,
-    // so the second pass is one narrow scan+window; only the map-back
-    // side stays text-free. A 100 TB build would materialize the rank
-    // once next to the corpus instead.
-    val rank = shuffleRank(docs, seed)
+    // doc_id↔rank map); materialize it ONCE — 16 bytes/row — so the
+    // corpus keys are scanned and window-ranked a single time. With a
+    // session checkpoint dir configured the blocks are durable
+    // (multi-hour 100 TB builds); without one, executor-local.
+    val rank = TextDedup.materialize(shuffleRank(docs, seed), eager = true)
     val packed = packSequences(
       docs.join(rank, "doc_id")
         .select(col("shuffle_rank").as("doc_id"), col("text")), budget)

@@ -170,7 +170,7 @@ object TextDedup {
     * localCheckpoint — executor-memory blocks, faster, but an executor
     * loss fails the job (lineage is truncated, nothing can recompute)
     * and the caller must rerun. */
-  private def materialize(df: DataFrame, eager: Boolean): DataFrame =
+  private[pipeline] def materialize(df: DataFrame, eager: Boolean): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager)
     else df.localCheckpoint(eager)
 

@@ -547,6 +547,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("packShuffled: rank frame is materialized once (no duplicate window subtree)") {
+    val docs = Engine.table(spark, sfDir, "documents")
+    val out = graft.pipeline.CorpusOps.packShuffled(docs, 4096, seed = 7L)
+    // The rank frame is referenced twice (pack ordering + map-back).
+    // After the eager materialization both references must be scans of
+    // the checkpointed frame — the shuffleRank hash expression (its
+    // Knuth constant) may appear ZERO times in the final plan, not
+    // once per reference.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("2654435761"),
+      s"shuffleRank recomputed inside packShuffled's plan:\n$plan")
+    val rdds = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.ExternalRDD[_] => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if l.getClass.getSimpleName == "LogicalRDD" => l
+    }
+    assert(rdds.size >= 2, s"expected both rank references to scan the materialized frame:\n${out.queryExecution.optimizedPlan}")
+  }
+
   test("IVFADC: ADC scan is partition-pruned AND reads codes, not full vectors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
