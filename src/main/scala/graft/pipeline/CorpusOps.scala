@@ -291,19 +291,32 @@ object CorpusOps {
 
   /** Column profiler — the "look before you train" table audit: one
     * output row per profiled column with row/null/distinct counts and
-    * min/max rendered to strings. One aggregate job; Catalyst plans
-    * the multi-column distinct counts via a single Expand (rows ×
-    * #cols map-side, combined before the exchange). Numeric min/max
-    * should be pre-cast to DECIMAL by the caller when engine-portable
-    * rendering matters (double→string formatting is engine-specific;
-    * decimal→string is not). String min/max assume binary (codepoint)
-    * collation on both sides — true for Spark and DuckDB defaults; a
-    * locale-collated column would order differently. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * min/max rendered to strings. One aggregate job.
+    *
+    * Distinct counts default to `approx_count_distinct` (HLL++,
+    * 2% relative error): mergeable fixed-size partials, one pass, no
+    * Expand. `exact = true` switches to `countDistinct`, which
+    * Catalyst plans through an Expand that multiplies every scanned
+    * row ×(#cols+1) and shuffles full column VALUES as aggregation
+    * state — at 100 TB a 10-column exact profile is an 11× row blowup
+    * with unbounded state, so exact is the opt-in (fixture-scale
+    * audits, the oracle gate), approx the default. A PlanSpec pin
+    * keeps the default path Expand-free.
+    *
+    * Numeric min/max should be pre-cast to DECIMAL by the caller when
+    * engine-portable rendering matters (double→string formatting is
+    * engine-specific; decimal→string is not). String min/max assume
+    * binary (codepoint) collation on both sides — true for Spark and
+    * DuckDB defaults; a locale-collated column would order
+    * differently. */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
+      val nd = if (exact) countDistinct(col(c))
+               else approx_count_distinct(col(c), rsd = 0.02)
       Seq(count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
+        nd.as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

@@ -547,6 +547,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("profile default (approx) plans without Expand; exact opt-in keeps it") {
+    val orders = Engine.table(spark, sfDir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    withoutAqe {
+      val approx = planOf(graft.pipeline.CorpusOps.profile(orders, cols))
+      val approxExpands = approx.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(approxExpands.isEmpty,
+        s"approx profile still plans an Expand (row blowup at scale):\n$approx")
+      val exact = planOf(graft.pipeline.CorpusOps.profile(orders, cols, exact = true))
+      val exactExpands = exact.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e }
+      assert(exactExpands.nonEmpty, "sanity: exact path should use Expand")
+    }
+    // approx and exact agree on everything except distinct counts, and
+    // the approx distincts are within HLL++ tolerance on the fixture
+    val a = graft.pipeline.CorpusOps.profile(orders, cols)
+      .select("column", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = graft.pipeline.CorpusOps.profile(orders, cols, exact = true)
+      .select("column", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    cols.foreach { c =>
+      assert(math.abs(a(c) - e(c)) <= math.max(4L, (e(c) * 0.05).toLong),
+        s"$c: approx ${a(c)} vs exact ${e(c)}")
+    }
+  }
+
   test("packShuffled: rank frame is materialized once (no duplicate window subtree)") {
     val docs = Engine.table(spark, sfDir, "documents")
     val out = graft.pipeline.CorpusOps.packShuffled(docs, 4096, seed = 7L)
