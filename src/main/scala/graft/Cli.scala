@@ -61,6 +61,7 @@ object Cli {
           println(s"-- query $i [$id]: still $other (timeout)")
       }
     }
+    svc.close()
     spark.stop()
   }
 

@@ -1,6 +1,6 @@
 package graft.service
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 import java.util.concurrent.ConcurrentHashMap
 
@@ -63,6 +63,11 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
 
   private val byGroup = new ConcurrentHashMap[String, Acc]()
   private val stageToGroup = new ConcurrentHashMap[Int, String]()
+  // stage ids per job, so job end can purge stages that never complete
+  // (skipped stages reusing shuffle output, stages of cancelled jobs)
+  // — without this a long-lived service leaks one stageToGroup entry
+  // per such stage despite the maxTracked bound on byGroup
+  private val jobToStages = new ConcurrentHashMap[Int, Seq[Int]]()
   private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   override def onJobStart(j: SparkListenerJobStart): Unit = {
@@ -73,6 +78,17 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
     evict()
     acc.synchronized { acc.jobs += 1 }
     j.stageIds.foreach(sid => stageToGroup.put(sid, group))
+    jobToStages.put(j.jobId, j.stageIds)
+    ()
+  }
+
+  override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+    val stages = jobToStages.remove(e.jobId)
+    if (stages != null)
+      // listener-bus ordering guarantees every StageCompleted for this
+      // job was already delivered; whatever is still registered here
+      // will never complete — drop it
+      stages.foreach(sid => stageToGroup.remove(sid))
   }
 
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {

@@ -97,6 +97,10 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
   acceptor.setDaemon(true)
   acceptor.start()
 
+  // NOTE: does not close `svc` — the server does not own the service
+  // (one service may back several servers, and tests share one across
+  // server lifecycles); the constructor of the QueryService calls its
+  // close() to release the metrics listener.
   def close(): Unit = { running = false; server.close() }
 
   private def serve(sock: Socket): Unit = {

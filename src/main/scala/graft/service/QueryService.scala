@@ -70,9 +70,15 @@ final class QueryService(
 
   /** Invoke `cb` EXACTLY ONCE when `queryId` reaches a terminal status
     * (immediately if it already has; with Error("query not found") for
-    * an unknown id). Safe against the submit/complete race: the
-    * watcher list is removed atomically on fire, and registration
-    * re-checks status after adding. */
+    * an unknown id). Exactly-once is by OWNERSHIP TRANSFER: a callback
+    * fires only after a successful `list.remove(cb)` — both the
+    * fire-side drain and the registration's terminal re-check claim
+    * callbacks that way, so whichever side wins the remove fires it
+    * and the other does nothing. (The previous design re-fired via the
+    * watchers MAP on the re-check; a concurrent fireTerminal could
+    * remove the list from the map after `computeIfAbsent` but snapshot
+    * it before the `add`, leaving the callback stranded in an orphaned
+    * list — a watch_query client would then block forever.) */
   def onTerminal(queryId: String)(cb: QueryStatus => Unit): Unit = {
     def isTerminal(s: QueryStatus) = s match {
       case QueryStatus.Complete | QueryStatus.Error(_) | QueryStatus.Cancelled => true
@@ -82,18 +88,35 @@ final class QueryService(
       case None => cb(QueryStatus.Error("query not found"))
       case Some(s) if isTerminal(s) => cb(s)
       case Some(_) =>
-        watchers.computeIfAbsent(queryId,
-          _ => new java.util.concurrent.CopyOnWriteArrayList).add(cb)
-        // the query may have fired between the check and the add — the
-        // atomic remove in fireTerminal makes the re-fire exactly-once
-        status(queryId).filter(isTerminal).foreach(fireTerminal(queryId, _))
+        val list = watchers.computeIfAbsent(queryId,
+          _ => new java.util.concurrent.CopyOnWriteArrayList)
+        list.add(cb)
+        // the query may have reached terminal between the check and the
+        // add; claim the callback back directly — not via the map, which
+        // fireTerminal may already have emptied
+        status(queryId).filter(isTerminal).foreach { s =>
+          if (list.remove(cb)) {
+            try cb(s) catch { case _: Exception => () }
+          }
+          // if this registration re-created the map entry after the
+          // fire-side drain removed it, drop the now-empty list
+          if (list.isEmpty) { watchers.remove(queryId, list); () }
+        }
     }
   }
 
   private def fireTerminal(queryId: String, s: QueryStatus): Unit = {
     val list = watchers.remove(queryId)
-    if (list != null) list.forEach(cb =>
-      try cb(s) catch { case _: Exception => () })
+    if (list != null) {
+      // drain by remove-then-fire so a racing onTerminal re-check (which
+      // claims its own callback the same way) can never double-fire one
+      while (!list.isEmpty) {
+        val cb = try list.remove(0) catch {
+          case _: IndexOutOfBoundsException => null
+        }
+        if (cb != null) { try cb(s) catch { case _: Exception => () } }
+      }
+    }
   }
 
   private def evictTerminal(): Unit = {
@@ -120,11 +143,19 @@ final class QueryService(
 
   /** Request cancellation. True if the query was still live (the
     * terminal status will become Cancelled); false if already
-    * terminal or unknown. */
+    * terminal or unknown.
+    *
+    * Uses cancelJobGroupAndFutureJobs, not cancelJobGroup: a cancel
+    * landing BETWEEN a multi-job query's jobs (or before its first
+    * job) has no active job to kill, and plain cancelJobGroup would
+    * let every later job run to completion — the query would burn
+    * cluster resources to the end while being reported Cancelled.
+    * The and-future form kills jobs submitted after the cancel too
+    * (query ids are never reused, so the sticky group flag is safe). */
   def cancel(queryId: String): Boolean = status(queryId) match {
     case Some(QueryStatus.Queued) | Some(QueryStatus.Running) =>
       cancelRequested.add(queryId)
-      spark.sparkContext.cancelJobGroup(queryId)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(queryId)
       // the query may have reached terminal between the status read
       // and the flag add — the future then never sweeps the flag (ids
       // are never reused, so this is only hygiene, not correctness)
@@ -173,6 +204,42 @@ final class QueryService(
       .map(versionDir(queryId, _))
       .getOrElse(versionDir(queryId, 1))
 
+  // --- restart recovery --------------------------------------------
+  // Results survive on disk (versioned dirs + _SUCCESS) but statuses
+  // are process-local — without rehydration a restarted service
+  // answers "query not found" for every pre-restart id even though
+  // reader(id) could serve the committed bytes. On construction, every
+  // query id with a committed version under resultsRoot comes back as
+  // Complete. Cancelled queries never leave a committed root (deleted
+  // at terminal time) and crash-interrupted writes never commit
+  // _SUCCESS, so rehydration can only resurrect results that were
+  // truly complete. (The reference shares the original limitation:
+  // query_handler_state.rs:92-117 keeps state in the handler map.)
+  locally {
+    try {
+      val root = new org.apache.hadoop.fs.Path(resultsRoot)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) {
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(id => committedVersions(id).nonEmpty)
+          .sorted // deterministic eviction order for pre-restart ids
+          .foreach { id =>
+            if (statuses.putIfAbsent(id, QueryStatus.Complete) == null)
+              submissionOrder.add(id)
+          }
+        evictTerminal()
+      }
+    } catch { case _: Exception => () } // unreadable root = empty history
+  }
+
+  /** Detach the service from the shared SparkContext: without this,
+    * every construction (service restarts within one driver, test
+    * suites) leaves another MetricsCollector on the listener bus, each
+    * processing every event and holding up to maxTracked accumulator
+    * maps. Idempotent. */
+  def close(): Unit =
+    spark.sparkContext.removeSparkListener(metricsCollector)
+
   /** RunQuery: submit one SQL statement; returns the query id
     * immediately (status Queued → Running → Complete/Error). */
   def runQuery(sql: String): String = {
@@ -203,6 +270,18 @@ final class QueryService(
           }
         }
       cancelRequested.remove(queryId)
+      // status and disk must agree: a cancel that lost the race with
+      // the write (the result committed with _SUCCESS before the
+      // cancel took effect) would otherwise leave a Cancelled status
+      // over a resolvable result — and a restarted service would
+      // rehydrate it as Complete
+      if (terminal == QueryStatus.Cancelled) {
+        try {
+          val root = new org.apache.hadoop.fs.Path(queryRoot(queryId))
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(root, true); ()
+        } catch { case _: Exception => () }
+      }
       metricsCollector.setWallTime(queryId, System.currentTimeMillis() - startedAt)
       statuses.put(queryId, terminal)
       fireTerminal(queryId, terminal)

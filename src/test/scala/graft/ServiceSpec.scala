@@ -517,4 +517,44 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.status(ids(2)).contains(QueryStatus.Complete))
     assert(svc.reader(ids(2)).totalRows == 25)
   }
+
+  test("restart recovery: a new service over the same root serves pre-restart results") {
+    val id = svc.runQuery(
+      s"select n_nationkey, n_name from read_files('$sfDir/nation.parquet') order by n_nationkey")
+    assert(svc.awaitComplete(id) == QueryStatus.Complete)
+    val failedId = svc.runQuery("select * from read_files('/no/such/path.parquet')")
+    svc.awaitComplete(failedId)
+
+    // "restart": a fresh service instance over the same results root
+    // (fresh process-local maps, same disk state)
+    val svc2 = new QueryService(spark, root)
+    try {
+      // committed result rehydrates as Complete and pages by id
+      assert(svc2.status(id).contains(QueryStatus.Complete))
+      val r = svc2.reader(id)
+      assert(r.totalRows == 25)
+      val page = r.read(ResultCursor(0, 0), 5)
+      assert(page.rows.size == 5 && page.rows.head.getInt(0) == 0)
+      // a query that never committed (Error) stays unknown — recovery
+      // resurrects only results that truly completed
+      assert(svc2.status(failedId).isEmpty)
+    } finally svc2.close()
+  }
+
+  test("cancelled query leaves no committed result for recovery to resurrect") {
+    val id = svc.runQuery(
+      s"select count(*) as n from read_files('$sfDir/lineitem.parquet') a, " +
+        s"read_files('$sfDir/lineitem.parquet') b")
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis() + 30000
+    while (tracker.getJobIdsForGroup(id).isEmpty
+        && System.currentTimeMillis() < deadline) Thread.sleep(10)
+    assert(svc.cancel(id))
+    assert(svc.awaitComplete(id, 60000) == QueryStatus.Cancelled)
+    // disk agrees with the Cancelled status: no committed version, so
+    // a restarted service reports the id unknown rather than Complete
+    val svc2 = new QueryService(spark, root)
+    try assert(svc2.status(id).isEmpty)
+    finally svc2.close()
+  }
 }
