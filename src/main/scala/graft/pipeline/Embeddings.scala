@@ -485,12 +485,20 @@ object Embeddings {
     * scan — reads v/nrm, never codes) and [[ivfPqTopKIndexed]]
     * (cell-pruned ADC shortlist over 32×-compressed codes + exact
     * refine) — column pruning keeps each path's scan narrow. */
+  /** `trainOn`: train centroids/codebooks on this frame instead of the
+    * full corpus — the 100 TB pattern (train on a bounded sample or
+    * the initial batch, assign everything against the frozen model).
+    * It is also what makes [[appendToIvfIndex]] exactly equivalent to
+    * a fresh build: append = assignment against frozen parameters, so
+    * base-build + append ≡ full build trained on the base. */
   def writeIvfIndex(emb: DataFrame, dir: String,
                     nlist: Int = 16, iters: Int = 3,
-                    pqM: Int = 16, pqK: Int = 64, pqIters: Int = 10): Unit = {
+                    pqM: Int = 16, pqK: Int = 64, pqIters: Int = 10,
+                    trainOn: Option[DataFrame] = None): Unit = {
     val v = withNorm(emb)
-    val cents = trainCentroids(v, nlist, iters)
-    val books = pqCodebooks(v.select(col("vec_id"), col("v")), pqM, pqK, pqIters)
+    val t = trainOn.map(withNorm).getOrElse(v)
+    val cents = trainCentroids(t, nlist, iters)
+    val books = pqCodebooks(t.select(col("vec_id"), col("v")), pqM, pqK, pqIters)
     val spark = emb.sparkSession
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
@@ -500,11 +508,50 @@ object Embeddings {
       bk.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    encodeForIndex(v, cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /** Assign + PQ-encode a corpus frame against FROZEN index
+    * parameters — the one shared map-side pass both the initial build
+    * and every append run. */
+  private def encodeForIndex(v: DataFrame, cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): DataFrame =
     withCells(v, cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"),
         graft.functions.NativeExpressions.pq_encode(col("v"), books).as("codes"),
         col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+
+  /** Incremental index maintenance: append a new corpus batch to an
+    * existing [[writeIvfIndex]] layout WITHOUT rewriting it. The
+    * centroids and codebooks are frozen (read back from the index),
+    * the new vectors are assigned and encoded in one map-side pass,
+    * and the write APPENDS files inside the matching `cell=K`
+    * directories — existing partitions' files are untouched, so the
+    * cost is O(batch), not O(index). Because assignment is a pure
+    * function of (vector, frozen parameters), base-build + appends is
+    * file-layout-different but ROW-IDENTICAL to a fresh full build
+    * trained on the same frame (PipelineSpec proves query equality for
+    * both read paths), and every read path ([[ivfTopKIndexed]],
+    * [[ivfPqTopKIndexed]]) picks up appended vectors with no change:
+    * partition pruning prunes directories, not write generations.
+    *
+    * This is what makes the index maintainable under streaming ingest
+    * ([[graft.streaming.CorpusIngest.ingest]] composes it per landed
+    * micro-batch): the alternative — re-train + full rewrite per
+    * batch — is O(index) per batch and loses cell stability. Frozen
+    * centroids drift from the data distribution as the corpus grows;
+    * the operational answer at scale is periodic full rebuilds (a new
+    * index dir, atomically swapped), not per-batch retraining. */
+  def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents: Array[Array[Double]] =
+      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+        .select("centroid").collect()
+        .map(_.getSeq[Double](0).toArray)
+    val books = readCodebooks(spark, dir)
+    encodeForIndex(withNorm(newEmb), cents, books)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
   }
 
   /** Load the PQ codebooks persisted by [[writeIvfIndex]]. Bounded

@@ -81,11 +81,31 @@ object CorpusIngest {
     * `checkpointDir`; StreamingSpec kills the query mid-stream,
     * deletes the last commit record (forcing a redelivery), restarts,
     * and proves the output row set is exactly the clean set. */
+  /** `embedder` + `ivfIndexDir` compose incremental ANN index
+    * maintenance into the ingest: after each micro-batch's fresh rows
+    * land, `embedder(fresh)` maps them to (vec_id, embedding) and
+    * [[graft.pipeline.Embeddings.appendToIvfIndex]] assigns them
+    * against the index's FROZEN centroids/codebooks and appends the
+    * matching cell partitions — O(batch) per trigger, the index stays
+    * queryable throughout (appends add files; pruning prunes
+    * directories). Bootstrap the index once from the snapshot
+    * (writeIvfIndex) before starting the stream.
+    *
+    * Failure window, stated honestly: the corpus append is
+    * exactly-once-by-content (below), but the index append is a
+    * separate non-transactional write — a crash BETWEEN the corpus
+    * append and the index append loses that batch's index rows (the
+    * redelivered batch anti-joins to empty, so nothing re-appends).
+    * The failure degrades ANN recall only, never corpus correctness,
+    * and the periodic full rebuild that frozen-centroid drift already
+    * requires (see appendToIvfIndex's Scaladoc) reconciles it. */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
              trigger: org.apache.spark.sql.streaming.Trigger =
-               org.apache.spark.sql.streaming.Trigger.AvailableNow())
+               org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+             embedder: Option[DataFrame => DataFrame] = None,
+             ivfIndexDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -105,8 +125,20 @@ object CorpusIngest {
             batch.join(cleanIds, "doc_id")
           case None => batch
         }
-        fresh.write.mode("append").parquet(outDir)
-        ()
+        // referenced twice when indexing (corpus append + embed):
+        // materialize the micro-batch once
+        val indexed = (embedder, ivfIndexDir) match {
+          case (Some(_), Some(_)) => fresh.persist()
+          case _ => fresh
+        }
+        indexed.write.mode("append").parquet(outDir)
+        (embedder, ivfIndexDir) match {
+          case (Some(embed), Some(dir)) =>
+            graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
+            indexed.unpersist()
+            ()
+          case _ => ()
+        }
       }
       .start()
   }

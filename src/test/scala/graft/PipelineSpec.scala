@@ -87,6 +87,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8 (got ${ivf.size} pairs)")
   }
 
+  test("appendToIvfIndex: base build + appends equal a fresh build with the same frozen params") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_fullb").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val restA = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
+    val restB = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0)
+    // incremental: build on base, append two batches against frozen params
+    Embeddings.writeIvfIndex(base, dirA, nlist = 16)
+    Embeddings.appendToIvfIndex(restA, dirA)
+    Embeddings.appendToIvfIndex(restB, dirA)
+    // fresh full build with the SAME parameters (trained on base)
+    Embeddings.writeIvfIndex(emb, dirB, nlist = 16, trainOn = Some(base))
+    // both read paths agree row-for-row — append is pure assignment
+    val a = Embeddings.ivfTopKIndexed(spark, dirA, 10, 5).collect().toSeq
+    val b = Embeddings.ivfTopKIndexed(spark, dirB, 10, 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val pa = Embeddings.ivfPqTopKIndexed(spark, dirA, 10, 5).collect().toSeq
+    val pb = Embeddings.ivfPqTopKIndexed(spark, dirB, 10, 5).collect().toSeq
+    assert(pa == pb && pa.nonEmpty)
+    // appended rows really live in the index (not a rewrite artifact)
+    val total = spark.read.parquet(s"$dirA/corpus").count()
+    assert(total == emb.count(), s"index rows $total != corpus ${emb.count()}")
+  }
+
   test("IVF training is deterministic across invocations") {
     val v = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
     val again = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq

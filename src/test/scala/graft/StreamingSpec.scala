@@ -242,6 +242,53 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(landedIds == Seq(1L, 5L, 7L), s"run3 landed $landedIds")
   }
 
+  test("ingest with embedder maintains the IVF index incrementally per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_ivf").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val chkDir = s"$tmp/chk"; val idxDir = s"$tmp/ivf"
+    // deterministic fake embedder: 8 hash-derived doubles per text —
+    // the real system would plug a model here; the Spark-side plumbing
+    // (schema, frozen-param assignment, partition append) is what this
+    // test exercises
+    def embedder(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id").as("vec_id"),
+        array((0 until 8).map(i =>
+          (pmod(xxhash64(col("text"), lit(i)), lit(1000L)).cast("double") / 500.0) - 1.0): _*)
+          .as("embedding"))
+    val snapshot = Seq(
+      (100L, "a fine corpus snapshot document that is in the base already " * 4),
+      (101L, "another snapshot document full of plain ordinary words here too " * 4))
+      .toDF("doc_id", "text")
+    // bootstrap: index trained on and built from the snapshot's embeddings
+    graft.pipeline.Embeddings.writeIvfIndex(embedder(snapshot), idxDir,
+      nlist = 4, pqM = 4, pqK = 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq((1L, ts(5), "the quick brown fox jumps over the lazy dog and runs to town " * 4),
+        (2L, ts(6), "a completely different document about ships and the open sea " * 4))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val q = CorpusIngest.ingest(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1,
+      embedder = Some(embedder), ivfIndexDir = Some(idxDir))
+    q.awaitTermination(120000); q.stop()
+    val landed = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(1L, 2L), s"landed $landed")
+    // the index now holds snapshot + landed vectors, assigned to cells
+    val idx = spark.read.parquet(s"$idxDir/corpus")
+    val ids = idx.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 100L, 101L), s"index ids $ids")
+    assert(idx.columns.contains("codes") && idx.columns.contains("cell"))
+    // and the indexed read path serves the appended vectors
+    val res = graft.pipeline.Embeddings.ivfTopKIndexed(spark, idxDir, 3, 2, nprobe = 4)
+    assert(res.filter(col("query_id") === 1L).count() == 2)
+  }
+
   test("built-in session_window closes a session after the gap + watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
