@@ -98,8 +98,17 @@ object Bench {
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","errors":$errors}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
+    try java.nio.file.Files.writeString(absOut, line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    // The LAST stdout line is a SHORT self-contained summary: a
+    // log-tail capture that truncates the full per-query line from the
+    // front still ends with one complete parseable JSON object (with a
+    // pointer to the full per-query file) — the full record above and
+    // in the file stays authoritative.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""n_queries":${results.count(_._3)},"sf":"$sfDir","errors":$errors,""" +
+      s""""queries_file":"$absOut"}""")
     spark.stop()
   }
 }
