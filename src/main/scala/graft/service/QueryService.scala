@@ -59,7 +59,68 @@ final class QueryService(
   // service-hardening improvement over that).
   private val submissionOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def status(queryId: String): Option[QueryStatus] = Option(statuses.get(queryId))
+  // Streaming queries adopted under the service surface (status /
+  // cancel / metrics / watch parity with batch queries). Keyed by the
+  // StreamingQuery's runId — Structured Streaming runs every
+  // micro-batch job under a job group named by the run id, so the
+  // SAME MetricsCollector attribution that serves batch queries
+  // serves streams with no extra wiring.
+  private val streamingQueries =
+    new ConcurrentHashMap[String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  // Push half for streams: without this, a stream's terminal status
+  // would only be observed on the next status() poll — a watch_query
+  // client would hang on a stream that self-terminated.
+  private val streamingListener =
+    new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        refreshStreaming(e.runId.toString)
+    }
+  spark.streams.addListener(streamingListener)
+
+  /** Adopt a running [[org.apache.spark.sql.streaming.StreamingQuery]]
+    * (e.g. a [[graft.streaming.CorpusIngest.ingest]] handle): it
+    * becomes visible through the whole service surface — status()
+    * (Running → Complete/Error/Cancelled), cancel() (stops the
+    * stream), metrics() and the get_query_metrics wire request
+    * (micro-batch scan/shuffle volume, attributed by run-id job
+    * group), and onTerminal/watch_query push. Returns the service
+    * query id (= the stream's run id). */
+  def registerStreaming(q: org.apache.spark.sql.streaming.StreamingQuery): String = {
+    val id = q.runId.toString
+    streamingQueries.put(id, q)
+    statuses.put(id, QueryStatus.Running)
+    submissionOrder.add(id)
+    evictTerminal()
+    id
+  }
+
+  /** Lazily observe a registered stream's self-termination (finished
+    * AvailableNow trigger, source failure): statuses transition on the
+    * next status read, exactly once (the map removal is the CAS). */
+  private def refreshStreaming(queryId: String): Unit = {
+    val q = streamingQueries.get(queryId)
+    if (q != null && !q.isActive) {
+      val terminal = q.exception match {
+        case Some(e) => QueryStatus.Error(String.valueOf(e.message))
+        case None => QueryStatus.Complete
+      }
+      if (streamingQueries.remove(queryId, q)) {
+        statuses.put(queryId, terminal)
+        fireTerminal(queryId, terminal)
+      }
+    }
+  }
+
+  def status(queryId: String): Option[QueryStatus] = {
+    refreshStreaming(queryId)
+    Option(statuses.get(queryId))
+  }
 
   // Terminal-status watchers — the push half of the protocol (the
   // reference's polling-loop TODO, DEV_NOTES.md:196-198: "client sends
@@ -152,7 +213,23 @@ final class QueryService(
     * cluster resources to the end while being reported Cancelled.
     * The and-future form kills jobs submitted after the cancel too
     * (query ids are never reused, so the sticky group flag is safe). */
-  def cancel(queryId: String): Boolean = status(queryId) match {
+  def cancel(queryId: String): Boolean = {
+    // streaming: stop the query; the map removal CAS settles a race
+    // with refreshStreaming observing self-termination first
+    val sq = streamingQueries.get(queryId)
+    if (sq != null) {
+      if (streamingQueries.remove(queryId, sq)) {
+        try sq.stop() catch { case _: Exception => () }
+        statuses.put(queryId, QueryStatus.Cancelled)
+        fireTerminal(queryId, QueryStatus.Cancelled)
+        return true
+      }
+      return false
+    }
+    cancelBatch(queryId)
+  }
+
+  private def cancelBatch(queryId: String): Boolean = status(queryId) match {
     case Some(QueryStatus.Queued) | Some(QueryStatus.Running) =>
       cancelRequested.add(queryId)
       spark.sparkContext.cancelJobGroupAndFutureJobs(queryId)
@@ -237,8 +314,11 @@ final class QueryService(
     * suites) leaves another MetricsCollector on the listener bus, each
     * processing every event and holding up to maxTracked accumulator
     * maps. Idempotent. */
-  def close(): Unit =
+  def close(): Unit = {
     spark.sparkContext.removeSparkListener(metricsCollector)
+    try spark.streams.removeListener(streamingListener)
+    catch { case _: Exception => () } // never added twice; remove of absent is a no-op guard
+  }
 
   /** RunQuery: submit one SQL statement; returns the query id
     * immediately (status Queued → Running → Complete/Error). */
@@ -310,11 +390,11 @@ final class QueryService(
 
   def awaitComplete(queryId: String, timeoutMs: Long = 300000): QueryStatus = {
     val deadline = System.currentTimeMillis() + timeoutMs
-    var s: QueryStatus = statuses.get(queryId)
+    var s: QueryStatus = status(queryId).orNull
     while ((s == QueryStatus.Queued || s == QueryStatus.Running)
         && System.currentTimeMillis() < deadline) {
       Thread.sleep(25)
-      s = statuses.get(queryId)
+      s = status(queryId).orNull // status() also observes stream self-termination
     }
     s
   }

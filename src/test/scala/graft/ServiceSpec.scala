@@ -518,6 +518,79 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.reader(ids(2)).totalRows == 25)
   }
 
+  test("streaming ingest adopts the full service surface: status, metrics, wire cancel, push") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svc_stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val chkDir = s"$tmp/chk"
+    val text = "a perfectly ordinary document with plenty of plain words in it " * 4
+    Seq((1L, new java.sql.Timestamp(5L * 60000), text)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val snapshot = Seq((100L, "snapshot base doc")).toDF("doc_id", "text")
+    // ProcessingTime trigger: the stream stays alive until stopped —
+    // the shape a service-managed continuous ingest actually has
+    val q = graft.streaming.CorpusIngest.ingest(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+    val id = svc.registerStreaming(q)
+    try {
+      assert(svc.status(id).contains(QueryStatus.Running))
+      // metrics attribution: Structured Streaming runs micro-batch jobs
+      // under a job group named by the run id — the SAME collector path
+      // as batch queries must see the stream's scan volume
+      val deadline = System.currentTimeMillis() + 60000
+      while (svc.metrics(id).forall(m => m.numJobs < 1 || m.numTasks < 1)
+          && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val m = svc.metrics(id).getOrElse(fail("no streaming metrics attributed"))
+      assert(m.numJobs >= 1 && m.numTasks >= 1, s"got $m")
+
+      // watch_query push fires on cancel, and cancel flows over the wire
+      val fired = new java.util.concurrent.LinkedBlockingQueue[QueryStatus]()
+      svc.onTerminal(id)(fired.put)
+      val server = new graft.service.QueryServer(svc)
+      try {
+        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(sock.getInputStream))
+        def call(json: String): String = { out.println(json); in.readLine() }
+        val mResp = call(s"""{"type":"get_query_metrics","query_id":"$id"}""")
+        assert(mResp.contains("get_query_metrics_resp"), mResp)
+        val cResp = call(s"""{"type":"cancel_query","query_id":"$id"}""")
+        assert(cResp.contains("cancel_query_resp"), cResp)
+        sock.close()
+      } finally server.close()
+      assert(fired.poll(30, java.util.concurrent.TimeUnit.SECONDS) == QueryStatus.Cancelled)
+      assert(svc.status(id).contains(QueryStatus.Cancelled))
+      assert(!q.isActive, "cancel must stop the StreamingQuery")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("self-terminating stream (AvailableNow) reaches Complete through the service") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_svc_stream2").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val chkDir = s"$tmp/chk"
+    val text = "another perfectly ordinary document with plenty of plain words " * 4
+    // NOT epoch 0: an event time equal to the stream's initial
+    // watermark (0) is dropped as late by dropDuplicatesWithinWatermark
+    Seq((1L, new java.sql.Timestamp(5L * 60000), text)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val snapshot = Seq((100L, "snapshot base doc")).toDF("doc_id", "text")
+    val q = graft.streaming.CorpusIngest.ingest(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes")
+    val id = svc.registerStreaming(q)
+    assert(svc.awaitComplete(id, 120000) == QueryStatus.Complete)
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
+
   test("restart recovery: a new service over the same root serves pre-restart results") {
     val id = svc.runQuery(
       s"select n_nationkey, n_name from read_files('$sfDir/nation.parquet') order by n_nationkey")
