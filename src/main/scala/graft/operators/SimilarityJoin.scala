@@ -14,10 +14,16 @@ import org.apache.spark.sql.functions._
   * Xiao et al. WWW'08 — re-expressed as three declarative joins):
   *
   *   1. trigram document-frequency table: one groupBy over exploded
-  *      trigrams. The CHARACTER trigram alphabet is bounded (≤ |Σ|³ ≈
-  *      tens of thousands observed), so this table is broadcastable at
-  *      ANY corpus scale — frequency ordering costs no shuffle on the
-  *      data path.
+  *      trigrams. For ASCII-ish corpora the CHARACTER trigram alphabet
+  *      is bounded (≤ |Σ|³ ≈ tens of thousands observed), so the table
+  *      broadcasts regardless of corpus size — frequency ordering then
+  *      costs no shuffle on the data path. For large-alphabet corpora
+  *      (CJK/unicode: millions+ of distinct character trigrams) a
+  *      forced broadcast is a driver OOM — pass
+  *      `broadcastFreq = false` and the frequency join plans as a
+  *      keyed shuffle instead (AQE may still demote it to a broadcast
+  *      at runtime if the aggregate turns out small; results are
+  *      identical either way, see OperatorsSpec's CJK fixture).
   *   2. prefix candidates: each string sorts its trigrams rarest-first
   *      by (df, gram) — a GLOBAL total order — and emits only its
   *      first |T| − ceil(θ·|T|) + 1 grams. Two strings with
@@ -64,7 +70,8 @@ object SimilarityJoin {
     * n_shared, n_union) — integer-exact, so the result hashes
     * identically against an all-pairs oracle. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
-               thetaNum: Int, thetaDen: Int): DataFrame = {
+               thetaNum: Int, thetaDen: Int,
+               broadcastFreq: Boolean = true): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
     val g = graft.Engine.fanOut(df)
@@ -72,12 +79,13 @@ object SimilarityJoin {
       .withColumn("gs", trigrams(col("s")))
       .filter(size(col("gs")) > 0)
       .select("id", "gs")
-    // (1) bounded-alphabet document frequencies — broadcast
+    // (1) document frequencies — broadcast only when the caller vouches
+    // for a bounded alphabet (ASCII trigrams); shuffled join otherwise
     val freq = g.select(explode(col("gs")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
     // (2) rarest-first prefixes under the (df, gram) total order
     val prefixes = g.select(col("id"), col("gs"), explode(col("gs")).as("gram"))
-      .join(broadcast(freq), "gram")
+      .join(if (broadcastFreq) broadcast(freq) else freq, "gram")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sg"),
         first(col("gs")).as("gs"))

@@ -184,15 +184,25 @@ object TextDedup {
     * through [[materialize]], so lineage never replays; configure a
     * checkpoint dir to make the materializations durable at scale. */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20): DataFrame =
+    clustersFromPairs(docs, ngramJaccardPairs(docs, k, threshold), maxIters)
+
+  /** Connected components over ANY similarity-pair frame (columns
+    * `doc_a`, `doc_b`) — the clustering half of [[nearDupClusters]],
+    * factored out so other pair producers (e.g.
+    * [[graft.operators.SimilarityJoin]] fuzzy title linkage) reuse the
+    * same label propagation instead of reimplementing it. NOTE: eagerly
+    * materializes the pair frame at call time (one Spark job); with no
+    * checkpoint dir configured the fallback is localCheckpoint, whose
+    * blocks do not survive executor loss. */
+  def clustersFromPairs(docs: DataFrame, pairFrame: DataFrame,
+                        maxIters: Int = 20): DataFrame = {
     // Materialize the pair join BEFORE symmetrizing: a union of the
     // raw plan with its swap evaluates the whole inverted-index join
     // twice inside one job (the exchange is reused but the post-
     // shuffle verify work is not); union over the materialized frame
     // reads cached blocks twice instead.
-    val pairs = materialize(
-      ngramJaccardPairs(docs, k, threshold).select("doc_a", "doc_b"),
-      eager = true)
+    val pairs = materialize(pairFrame.select("doc_a", "doc_b"), eager = true)
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

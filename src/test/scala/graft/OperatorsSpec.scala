@@ -65,4 +65,38 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
       "n_nationkey", "n_regionkey + 1", "upper(n_name) AS u", "n_regionkey * 2")
     assert(out.columns.toSeq == Seq("n_nationkey", "unnamed_0", "u", "unnamed_1"))
   }
+
+  test("similarity join equals naive all-pairs Jaccard on a CJK fixture, " +
+      "broadcast and shuffled paths identical") {
+    import spark.implicits._
+    // Large-alphabet (CJK) titles alongside ASCII ones: the exact case
+    // where a forced broadcast of the trigram-frequency table is the
+    // wrong plan at scale — broadcastFreq=false must give the same rows.
+    val data = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"),
+      (3L, "completely different text about database engines"),
+      (4L, "多言語コーパスの重複排除と類似検索の試験データです"),
+      (5L, "多言語コーパスの重複排除と類似検索の試験データだよ"),
+      (6L, "ab"), // below trigram length: no grams, never pairs
+      (7L, "streaming ingestion with exactly once semantics"),
+      (8L, "streaming ingestion with exactly-once semantics"))
+    def grams(s: String): Set[String] =
+      if (s.length >= 3) s.sliding(3).toSet else Set.empty
+    val want = (for {
+      (ia, sa) <- data; (ib, sb) <- data if ia < ib
+      ga = grams(sa); gb = grams(sb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size; uni = ga.size + gb.size - inter
+      if inter * 3 >= uni * 2
+    } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+    assert(want.nonEmpty) // fixture must actually exercise the join
+    val df = data.toDF("id", "s")
+    def run(bcast: Boolean): Set[(Long, Long, Long, Long)] =
+      graft.operators.SimilarityJoin.selfJoin(df, "id", "s", 2, 3, bcast)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(run(bcast = true) == want)
+    assert(run(bcast = false) == want)
+  }
 }

@@ -739,4 +739,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(pushed.nonEmpty, s"shipmode filter not pushed below the join:\n$p")
     }
   }
+
+  test("q_sim_join: frequency table broadcasts, and no join is cartesian") {
+    withoutAqe {
+      val p = planOf(q("q_sim_join"))
+      // the trigram document-frequency join must be a broadcast — the
+      // DF table is bounded for ASCII corpora, and forcing it keeps
+      // the data-sized side from shuffling for the frequency lookup
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty, s"no broadcast hash join in q_sim_join:\n$p")
+      // prefix filtering is exact equi-join blocking: a cartesian or
+      // nested-loop anywhere means the blocking collapsed to all-pairs
+      assert(p.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+      }.isEmpty, s"cartesian/nested-loop join in q_sim_join:\n$p")
+    }
+  }
 }
