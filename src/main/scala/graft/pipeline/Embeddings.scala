@@ -551,7 +551,93 @@ object Embeddings {
         .map(_.getSeq[Double](0).toArray)
     val books = readCodebooks(spark, dir)
     encodeForIndex(withNorm(newEmb), cents, books)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+      .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, dir))
+  }
+
+  /** Resolve the LIVE corpus generation of a [[writeIvfIndex]] layout:
+    * the highest `corpus_v<N>` directory whose `_SUCCESS` marker
+    * exists (a compaction generation is visible only once its writing
+    * job committed), falling back to the initial build's `corpus`.
+    * Every read path and [[appendToIvfIndex]] resolves through here,
+    * so a generation swap is atomic-by-visibility — the same
+    * convention as the service's versioned results
+    * ([[graft.service.QueryService.compactResult]]). */
+  private[graft] def liveCorpusDir(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("corpus_v") => n.stripPrefix("corpus_v") }
+        .collect { case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt }
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus_v$v/_SUCCESS")))
+    if (committed.isEmpty) s"$dir/corpus" else s"$dir/corpus_v${committed.max}"
+  }
+
+  /** Per-cell compaction of an IVF index's accumulated append files —
+    * the maintenance step that keeps [[appendToIvfIndex]] (and the
+    * streaming ingest that composes it per micro-batch,
+    * [[graft.streaming.CorpusIngest.ingest]]) from degenerating into
+    * the classic small-file explosion: one appended file per cell per
+    * trigger, forever. (The reference names the same debt for its own
+    * materializations — /root/reference/DEV_NOTES.md:117-122.)
+    *
+    * Cells holding more than `maxFilesPerCell` parquet files are
+    * rewritten — ONE Spark job, `repartition(cols=cell)` so each
+    * oversized cell lands in a single task and therefore a single
+    * output file; cells already within bound are carried into the new
+    * generation by raw file copy (no decode/encode, and on an object
+    * store a server-side copy). The copy runs FIRST, so the new
+    * `corpus_v<N+1>` becomes visible (its `_SUCCESS`, written by the
+    * Spark job's commit) only when complete. The predecessor stays on
+    * disk as the grace copy for readers that resolved it
+    * pre-compaction; older generations are pruned. Returns the number
+    * of cells compacted (0 = nothing to do, no generation written).
+    *
+    * Single-maintenance-writer by design: appends and compaction are
+    * serialized in the ingest's foreachBatch; two concurrent
+    * compactions would race on the same generation number. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxFilesPerCell: Int = 4): Int = {
+    require(maxFilesPerCell >= 1, s"maxFilesPerCell $maxFilesPerCell must be >= 1")
+    val live = liveCorpusDir(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    def parquets(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val cellDirs = fs.listStatus(livePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+    val (oversized, within) = cellDirs.partition(d => parquets(d.getPath).length > maxFilesPerCell)
+    if (oversized.isEmpty) return 0
+    val liveVersion =
+      if (live.endsWith("/corpus")) 0 else live.substring(live.lastIndexOf("_v") + 2).toInt
+    val next = s"$dir/corpus_v${liveVersion + 1}"
+    // carry within-bound cells first — invisible until _SUCCESS lands
+    within.foreach { d =>
+      val dst = new org.apache.hadoop.fs.Path(s"$next/${d.getPath.getName}")
+      fs.mkdirs(dst)
+      parquets(d.getPath).foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, f.getPath.getName), false, conf)
+      }
+    }
+    val cells = oversized.map(_.getPath.getName.stripPrefix("cell=").toInt).toIndexedSeq
+    spark.read.parquet(live)
+      .filter(col("cell").isin(cells: _*))
+      .repartition(cells.length, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(next)
+    // prune generations older than the grace copy (the just-replaced live)
+    (0 until liveVersion).foreach { v =>
+      val old = new org.apache.hadoop.fs.Path(
+        if (v == 0) s"$dir/corpus" else s"$dir/corpus_v$v")
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    oversized.length
   }
 
   /** Load the PQ codebooks persisted by [[writeIvfIndex]]. Bounded
@@ -582,7 +668,7 @@ object Embeddings {
       spark.read.parquet(s"$dir/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)
@@ -639,7 +725,7 @@ object Embeddings {
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
     val books = readCodebooks(spark, dir)
-    val corpus = spark.read.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)

@@ -98,21 +98,33 @@ object CorpusIngest {
     * redelivered batch anti-joins to empty, so nothing re-appends).
     * The failure degrades ANN recall only, never corpus correctness,
     * and the periodic full rebuild that frozen-centroid drift already
-    * requires (see appendToIvfIndex's Scaladoc) reconciles it. */
+    * requires (see appendToIvfIndex's Scaladoc) reconciles it.
+    *
+    * `compactIndexEvery`: every N-th micro-batch, after the index
+    * append, run [[graft.pipeline.Embeddings.compactIvfIndex]] —
+    * per-batch appends add one file per touched cell per trigger, so
+    * at streaming cadence file counts grow without bound unless a
+    * compaction rewrites them (the small-file explosion the
+    * reference's own notes flag, DEV_NOTES.md:117-122). Compaction
+    * runs inside foreachBatch, so it is serialized with appends (the
+    * single-maintenance-writer requirement) and visibility is atomic:
+    * in-flight readers keep the generation they resolved. 0 = off. */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
              trigger: org.apache.spark.sql.streaming.Trigger =
                org.apache.spark.sql.streaming.Trigger.AvailableNow(),
              embedder: Option[DataFrame => DataFrame] = None,
-             ivfIndexDir: Option[String] = None)
+             ivfIndexDir: Option[String] = None,
+             compactIndexEvery: Int = 0,
+             maxIndexFilesPerCell: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val landed =
           try {
@@ -136,7 +148,14 @@ object CorpusIngest {
           case (Some(embed), Some(dir)) =>
             graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
             indexed.unpersist()
-            ()
+            // cadence keyed to batchId (not a closure counter) so a
+            // restart resumes the schedule instead of resetting it
+            if (compactIndexEvery > 0 && batchId > 0 &&
+                batchId % compactIndexEvery == 0) {
+              graft.pipeline.Embeddings.compactIvfIndex(
+                spark, dir, maxIndexFilesPerCell)
+              ()
+            }
           case _ => ()
         }
       }

@@ -111,6 +111,57 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(total == emb.count(), s"index rows $total != corpus ${emb.count()}")
   }
 
+  test("compactIvfIndex bounds per-cell file counts; both read paths unchanged") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_cfresh").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    Embeddings.writeIvfIndex(base, dirA, nlist = 16)
+    // four appended batches — at streaming cadence every one adds a
+    // file per touched cell, the small-file growth compaction bounds
+    (0 until 4).foreach { i =>
+      Embeddings.appendToIvfIndex(
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 4 === i), dirA)
+    }
+    Embeddings.writeIvfIndex(emb, dirB, nlist = 16, trainOn = Some(base))
+    val fs = new java.io.File(dirA)
+    def cellFileCounts(corpus: String): Map[String, Int] =
+      new java.io.File(corpus).listFiles().toSeq
+        .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    assert(cellFileCounts(s"$dirA/corpus").values.max > 2,
+      "fixture never accumulated small files — compaction untested")
+    val compacted = Embeddings.compactIvfIndex(spark, dirA, maxFilesPerCell = 2)
+    assert(compacted > 0)
+    // new live generation: committed (has _SUCCESS), bounded per cell
+    val live = new java.io.File(s"$dirA/corpus_v1")
+    assert(new java.io.File(live, "_SUCCESS").exists(), "generation not committed")
+    assert(cellFileCounts(live.toString).values.max <= 2,
+      s"cells still oversized: ${cellFileCounts(live.toString)}")
+    // grace copy retained for readers that resolved the old generation
+    assert(new java.io.File(s"$dirA/corpus").exists())
+    // both read paths equal the fresh frozen-param build, row-for-row
+    assert(Embeddings.ivfTopKIndexed(spark, dirA, 10, 5).collect().toSeq ==
+      Embeddings.ivfTopKIndexed(spark, dirB, 10, 5).collect().toSeq)
+    assert(Embeddings.ivfPqTopKIndexed(spark, dirA, 10, 5).collect().toSeq ==
+      Embeddings.ivfPqTopKIndexed(spark, dirB, 10, 5).collect().toSeq)
+    // appends keep flowing into the live generation; a second
+    // compaction writes v2 and prunes the v0 base (grace moves to v1)
+    Embeddings.appendToIvfIndex(
+      emb.filter(col("vec_id") % 3 === 0).limit(0), dirA) // no-op append is fine
+    val again = Embeddings.compactIvfIndex(spark, dirA, maxFilesPerCell = 2)
+    assert(again == 0, "nothing oversized after compaction — must be a no-op")
+    (0 until 4).foreach { i =>
+      Embeddings.appendToIvfIndex(
+        emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 4 === i), dirA)
+    }
+    assert(Embeddings.compactIvfIndex(spark, dirA, maxFilesPerCell = 2) > 0)
+    assert(new java.io.File(s"$dirA/corpus_v2/_SUCCESS").exists())
+    assert(!new java.io.File(s"$dirA/corpus").exists(), "v0 base not pruned")
+    assert(new java.io.File(s"$dirA/corpus_v1").exists(), "grace copy pruned")
+    assert(fs.exists())
+  }
+
   test("IVF training is deterministic across invocations") {
     val v = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
     val again = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq

@@ -271,11 +271,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     Seq((1L, ts(5), "the quick brown fox jumps over the lazy dog and runs to town " * 4),
         (2L, ts(6), "a completely different document about ships and the open sea " * 4))
       .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
-    val q = CorpusIngest.ingest(
-      spark.readStream.schema(schema).parquet(inDir),
-      snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1,
-      embedder = Some(embedder), ivfIndexDir = Some(idxDir))
-    q.awaitTermination(120000); q.stop()
+    def runIngest(): Unit = {
+      val q = CorpusIngest.ingest(
+        spark.readStream.schema(schema).parquet(inDir),
+        snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1,
+        embedder = Some(embedder), ivfIndexDir = Some(idxDir),
+        compactIndexEvery = 1, maxIndexFilesPerCell = 1)
+      q.awaitTermination(120000); q.stop()
+    }
+    runIngest()
     val landed = spark.read.parquet(outDir).select("doc_id")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(landed == Seq(1L, 2L), s"landed $landed")
@@ -287,6 +291,19 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     // and the indexed read path serves the appended vectors
     val res = graft.pipeline.Embeddings.ivfTopKIndexed(spark, idxDir, 3, 2, nprobe = 4)
     assert(res.filter(col("query_id") === 1L).count() == 2)
+    // second trigger (batchId 1) hits the compaction cadence: the
+    // per-batch appends consolidate into a committed new generation
+    // and the read path still serves every vector
+    Seq((8L, ts(20), "yet another new document with enough plain words to pass the gate " * 4))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runIngest()
+    val live = graft.pipeline.Embeddings.liveCorpusDir(spark, idxDir)
+    assert(live.contains("corpus_v"), s"no compacted generation: $live")
+    val ids2 = spark.read.parquet(live).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2 == Seq(1L, 2L, 8L, 100L, 101L), s"post-compaction ids $ids2")
+    val res2 = graft.pipeline.Embeddings.ivfTopKIndexed(spark, idxDir, 3, 2, nprobe = 4)
+    assert(res2.filter(col("query_id") === 1L).count() == 2)
   }
 
   test("built-in session_window closes a session after the gap + watermark") {
