@@ -88,11 +88,9 @@ object Cli {
       return
     }
     val spark = Engine.session("graft-tui")
-    val sequential = scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-        val t = new Thread(r, "graft-tui-exec"); t.setDaemon(true); t
-      }))
-    val svc = new QueryService(spark, resultsRoot)(sequential)
+    // one admission slot = sequential statement execution, the
+    // reference TUI's one-at-a-time semantics (client_tui.rs)
+    val svc = new QueryService(spark, resultsRoot, maxConcurrentQueries = 1)
     val ids = statements.map(svc.runQuery)
     val app = new graft.tui.TuiApp(svc, statements, ids, pageSize)
 

@@ -31,6 +31,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR mode + QueryService's per-slot pools = concurrent service
+      // queries share the cluster instead of head-of-line blocking
+      // (context-level conf: must be set at session creation)
+      .config("spark.scheduler.mode", "FAIR")
       .withExtensions(new sources.GraftExtensions)
       .getOrCreate()
     tune(spark)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 import scala.concurrent.{ExecutionContext, Future}
+
 import scala.util.{Failure, Success, Try}
 
 /** Query lifecycle status — mirror of the reference's
@@ -36,10 +37,36 @@ final class QueryService(
     spark: SparkSession,
     resultsRoot: String,
     connections: Connections = Connections(),
-    maxTrackedStatuses: Int = 10000)(
-    implicit ec: ExecutionContext = ExecutionContext.global) {
+    maxTrackedStatuses: Int = 10000,
+    maxConcurrentQueries: Int = 8) {
 
   private val statuses = new ConcurrentHashMap[String, QueryStatus]()
+
+  // --- admission control -------------------------------------------
+  // Statements execute on this bounded pool, NOT an unbounded global
+  // one: N concurrent scripts submit N statements, but only
+  // `maxConcurrentQueries` run Spark jobs at once — the rest sit in
+  // the pool's FIFO queue with status Queued. This is the Spark
+  // mapping of the reference's admission control (greedy claim against
+  // per-worker compute budgets, query_handler_state.rs:421-466): the
+  // "budget" here is a slot, because Spark itself load-balances the
+  // tasks of admitted queries. Each slot thread runs its queries in
+  // its own FAIR scheduler pool (one pool per slot — bounded pool
+  // count), so under spark.scheduler.mode=FAIR (set by
+  // Engine.session) concurrent admitted queries get equal cluster
+  // shares and one heavy script cannot starve the service; under
+  // default FIFO mode the pool property is inert.
+  private val admission = java.util.concurrent.Executors.newFixedThreadPool(
+    maxConcurrentQueries,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-query-slot-${n.getAndIncrement()}")
+        t.setDaemon(true)
+        t
+      }
+    })
+  private val admissionEc = ExecutionContext.fromExecutor(admission)
 
   // Runtime metrics, attributed by job group (= query id). One
   // listener per service instance; bounded like the status map.
@@ -318,10 +345,13 @@ final class QueryService(
     spark.sparkContext.removeSparkListener(metricsCollector)
     try spark.streams.removeListener(streamingListener)
     catch { case _: Exception => () } // never added twice; remove of absent is a no-op guard
+    admission.shutdown() // queued statements are abandoned; running ones finish
   }
 
   /** RunQuery: submit one SQL statement; returns the query id
-    * immediately (status Queued → Running → Complete/Error). */
+    * immediately (status Queued → Running → Complete/Error). The
+    * statement stays Queued until an admission slot frees up — see the
+    * admission pool above. */
   def runQuery(sql: String): String = {
     val queryId = UUID.randomUUID().toString
     statuses.put(queryId, QueryStatus.Queued)
@@ -337,11 +367,16 @@ final class QueryService(
           // submits are cancellable as a unit by query id
           spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
             interruptOnCancel = true)
+          // one FAIR pool per slot thread: equal shares across admitted
+          // queries when the context runs spark.scheduler.mode=FAIR
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+            Thread.currentThread().getName)
           val r = Try {
             val df = ReadFiles.sql(spark, sql, connections)
             df.write.mode("overwrite").parquet(versionDir(queryId, 1))
           }
           spark.sparkContext.clearJobGroup()
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           r match {
             case Success(_) if cancelRequested.contains(queryId) => QueryStatus.Cancelled
             case Success(_) => QueryStatus.Complete
@@ -365,7 +400,7 @@ final class QueryService(
       metricsCollector.setWallTime(queryId, System.currentTimeMillis() - startedAt)
       statuses.put(queryId, terminal)
       fireTerminal(queryId, terminal)
-    }
+    }(admissionEc)
     queryId
   }
 

@@ -630,4 +630,43 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     try assert(svc2.status(id).isEmpty)
     finally svc2.close()
   }
+
+  test("admission control: statements beyond the slots wait as Queued, then all complete") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft_admission").toString
+    val svc2 = new QueryService(spark, root2, maxConcurrentQueries = 2)
+    AdmissionGate.reset()
+    spark.udf.register("graft_test_block",
+      () => { AdmissionGate.latch.await(); 1 })
+    try {
+      // two statements claim both slots and block on the gate
+      val holding = Seq.fill(2)(svc2.runQuery("select graft_test_block() as x"))
+      val deadline = System.currentTimeMillis() + 30000
+      while (!holding.forall(id => svc2.status(id).contains(QueryStatus.Running))
+          && System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(holding.forall(id => svc2.status(id).contains(QueryStatus.Running)))
+      // overflow statements must report Queued — and STAY queued while
+      // the slots are full, proving they run no Spark work yet
+      val overflow = Seq.fill(2)(svc2.runQuery(
+        s"select r_regionkey from read_files('$sfDir/region.parquet')"))
+      Thread.sleep(300)
+      assert(overflow.forall(id => svc2.status(id).contains(QueryStatus.Queued)),
+        overflow.map(svc2.status).toString)
+      // release the gate: every statement completes
+      AdmissionGate.latch.countDown()
+      (holding ++ overflow).foreach { id =>
+        assert(svc2.awaitComplete(id) == QueryStatus.Complete, id)
+      }
+    } finally {
+      AdmissionGate.latch.countDown() // never leave slot threads blocked
+      svc2.close()
+    }
+  }
+}
+
+/** Static gate for the admission-control test: the blocking UDF must
+  * reference state reachable without closure capture (a latch captured
+  * in the lambda would have to serialize). */
+object AdmissionGate {
+  @volatile var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = { latch = new java.util.concurrent.CountDownLatch(1) }
 }
