@@ -59,24 +59,40 @@ object SimilarityJoin {
   /** Distinct character trigrams of `s` (strings shorter than 3 chars
     * have none — guarded, because Spark's `sequence(1, n)` DESCENDS
     * for n < 1 instead of returning empty). */
-  private def trigrams(s: Column): Column =
+  def charTrigrams(s: Column): Column =
     when(length(s) >= 3,
       array_distinct(transform(sequence(lit(1), length(s) - 2),
         i => substring(s, i, lit(3)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct k-word shingles of `s` (same tokenization as the dedup
+    * family, [[graft.pipeline.TextDedup.shingles]]). */
+  def wordShingles(k: Int)(s: Column): Column =
+    graft.pipeline.TextDedup.shingles(s, k)
+
   /** All pairs (id_a < id_b) from `df` whose `strCol` values have
-    * trigram Jaccard ≥ thetaNum/thetaDen. Output: (id_a, id_b,
+    * gram-set Jaccard ≥ thetaNum/thetaDen. Output: (id_a, id_b,
     * n_shared, n_union) — integer-exact, so the result hashes
-    * identically against an all-pairs oracle. */
+    * identically against an all-pairs oracle.
+    *
+    * `grams` picks the set representation, and the choice is a
+    * PERFORMANCE contract, not just a semantic one: prefix-join
+    * fan-out is Σ df(gram)² over prefix grams, so the gram scheme must
+    * give the corpus a large-enough alphabet that document frequencies
+    * stay small. [[charTrigrams]] (default) fits names/URLs/short
+    * free-form strings; for word-sequence strings over a small
+    * vocabulary (templated titles — tiny character-trigram alphabet,
+    * huge dfs, measured 60M candidate rows on a 5k-doc fixture where
+    * word shingles give 121k) use [[wordShingles]]. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
                thetaNum: Int, thetaDen: Int,
-               broadcastFreq: Boolean = true): DataFrame = {
+               broadcastFreq: Boolean = true,
+               grams: Column => Column = charTrigrams): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
     val g = graft.Engine.fanOut(df)
       .select(col(idCol).as("id"), col(strCol).as("s"))
-      .withColumn("gs", trigrams(col("s")))
+      .withColumn("gs", grams(col("s")))
       .filter(size(col("gs")) > 0)
       .select("id", "gs")
     // (1) document frequencies — broadcast only when the caller vouches
