@@ -90,13 +90,17 @@ object Bench {
         (name, best, ok)
       }
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    // paths are interpolated into JSON — escape, or a quote/backslash
+    // in a path yields an unparseable line (defeating the summary line)
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","errors":$errors}"""
+      s""""queries":$qs,"sf":${jstr(sfDir)},"errors":$errors}"""
     println(line)
     val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
     try java.nio.file.Files.writeString(absOut, line + "\n")
@@ -107,8 +111,8 @@ object Bench {
     // pointer to the full per-query file) — the full record above and
     // in the file stays authoritative.
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""n_queries":${results.count(_._3)},"sf":"$sfDir","errors":$errors,""" +
-      s""""queries_file":"$absOut"}""")
+      s""""n_queries":${results.count(_._3)},"sf":${jstr(sfDir)},"errors":$errors,""" +
+      s""""queries_file":${jstr(absOut.toString)}}""")
     spark.stop()
   }
 }

@@ -151,7 +151,15 @@ object CorpusOps {
     * shard-assembly composition (shuffle first, then pack, then
     * [[writeShards]]-style partitioning by seq_id group). The dense
     * rank feeds packSequences as its ordering id, which also makes its
-    * range buckets perfectly even regardless of doc_id skew. */
+    * range buckets perfectly even regardless of doc_id skew.
+    *
+    * EAGER: constructing this frame runs one Spark job — the rank
+    * frame materializes at call time (checkpoint, or localCheckpoint
+    * when no checkpoint dir is configured) so the rank is computed
+    * exactly once however many downstream actions read it. With only
+    * a localCheckpoint, the materialized blocks do NOT survive
+    * executor loss — configure `sparkContext.setCheckpointDir` for a
+    * retry-durable pipeline (same caveat as TextDedup.materialize). */
   def packShuffled(docs: DataFrame, budget: Long, seed: Long = 0L): DataFrame = {
     // The rank frame is referenced twice (pack ordering + the
     // doc_id↔rank map); materialize it ONCE — 16 bytes/row — so the

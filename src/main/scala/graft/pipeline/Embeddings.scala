@@ -177,7 +177,12 @@ object Embeddings {
         .limit(math.max(nlist, sampleCap))
         .select(col("v")).collect()
         .map(r => r.getSeq[Double](0).toArray)
-    if (sample.isEmpty) return Array.fill(nlist)(Array(0.0))
+    // fail loud, not degenerate: a silent all-zero quantizer would
+    // assign every later vector to cell 0 — an index that "works"
+    // while scanning the whole corpus per probe
+    require(sample.nonEmpty,
+      "trainCentroids: training frame is empty — a quantizer cannot be " +
+        "trained on zero vectors (check the corpus path / trainOn frame)")
     val dim = sample.iterator.map(_.length).max
     var cents: Array[Array[Double]] =
       sample.take(nlist).map(a => normalize(java.util.Arrays.copyOf(a, dim))) ++
@@ -420,7 +425,15 @@ object Embeddings {
     * same exact-equality oracle (ann_pq). At 100 TB the win is the
     * scan tier: ADC reads 8 bytes/vector (32×-compressed codes)
     * instead of 256, and only shortlist×queries full vectors are ever
-    * touched. */
+    * touched.
+    *
+    * SCALE STEER: this variant is deliberately FLAT — the ADC tier
+    * still touches every corpus row per query batch (O(corpus),
+    * however cheap per row). It exists as the un-indexed tier of the
+    * family; at warehouse scale use [[ivfPqTopKIndexed]] over a
+    * persisted [[writeIvfIndex]] layout, which multiplies the same ADC
+    * arithmetic by cell pruning (nprobe/nlist of the corpus read, and
+    * only codes bytes for the pruned scan). */
   def pqTopKReranked(emb: DataFrame, queryMaxId: Long, k: Int,
                      shortlist: Int = 25, m: Int = 16, codebook: Int = 64,
                      iters: Int = 10): DataFrame = {
@@ -779,7 +792,14 @@ object Embeddings {
     * Scale path: the corpus is hashed once (one narrow table of
     * (table, bucket, vec_id)); queries shuffle by (table, bucket), so
     * a query batch touches only its buckets' partitions instead of
-    * scanning the corpus. */
+    * scanning the corpus.
+    *
+    * SCALE STEER: this call re-hashes the corpus per invocation — the
+    * in-query demonstration tier. For a standing 100 TB corpus, prefer
+    * the persisted-index family ([[writeIvfIndex]] +
+    * [[ivfTopKIndexed]] / [[ivfPqTopKIndexed]]): build once, prune
+    * `cell=K` directories per query batch, maintain incrementally via
+    * [[appendToIvfIndex]] + [[compactIvfIndex]]. */
   def lshTopK(emb: DataFrame, queryMaxId: Long, k: Int,
               planes: Int = 4, tables: Int = 16, probeRadius: Int = 1): DataFrame = {
     val v = graft.Engine.fanOut(emb)

@@ -84,11 +84,19 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
 
   override def onJobEnd(e: SparkListenerJobEnd): Unit = {
     val stages = jobToStages.remove(e.jobId)
-    if (stages != null)
-      // listener-bus ordering guarantees every StageCompleted for this
-      // job was already delivered; whatever is still registered here
-      // will never complete — drop it
-      stages.foreach(sid => stageToGroup.remove(sid))
+    if (stages != null) {
+      // a stage can be shared with a concurrent job that reuses its
+      // shuffle output — keep the mapping while any live job still
+      // claims the stage id, purge only the rest. For successfully
+      // completed jobs every owned StageCompleted was already
+      // delivered (listener-bus ordering); for cancelled/failed jobs
+      // a zombie stage may post a late completion AFTER this purge —
+      // that stage's metrics are dropped, which is the right call:
+      // the query is terminal and its snapshot already shipped
+      val live = new scala.collection.mutable.HashSet[Int]
+      jobToStages.values().forEach(s => live ++= s)
+      stages.foreach(sid => if (!live.contains(sid)) stageToGroup.remove(sid))
+    }
   }
 
   override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {

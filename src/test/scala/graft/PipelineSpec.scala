@@ -162,6 +162,16 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fs.exists())
   }
 
+  test("quantizer training fails loud on an empty training frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      Embeddings.writeIvfIndex(emb.filter(col("vec_id") < 0), dir, nlist = 4)
+    }
+    // the alternative — a silent all-zero quantizer — assigns every
+    // vector to cell 0: an index that scans the corpus per probe
+    assert(e.getMessage.contains("zero vectors"), e.getMessage)
+  }
+
   test("IVF training is deterministic across invocations") {
     val v = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
     val again = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
