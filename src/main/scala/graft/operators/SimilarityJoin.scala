@@ -3,12 +3,13 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Set-similarity self-join over strings — the record-linkage /
-  * fuzzy-match operator (find near-identical names, titles, URLs):
-  * emit every pair whose character-trigram Jaccard similarity reaches
-  * `thetaNum/thetaDen`. The threshold is a RATIONAL and the verify
-  * compares with integer cross-multiplication, so engine and oracle
-  * agree bit-for-bit with no float in the decision path.
+/** Set-similarity joins over strings — the record-linkage /
+  * fuzzy-match operators (find near-identical names, titles, URLs):
+  * emit every pair whose gram-set Jaccard similarity reaches
+  * `thetaNum/thetaDen`, within one table ([[selfJoin]]) or across two
+  * ([[join]]). The threshold is a RATIONAL and the verify compares
+  * with integer cross-multiplication, so engine and oracle agree
+  * bit-for-bit with no float in the decision path.
   *
   * Plan (AllPairs/PPJoin prefix filtering — Bayardo et al. WWW'07,
   * Xiao et al. WWW'08 — re-expressed as three declarative joins):
@@ -88,38 +89,77 @@ object SimilarityJoin {
                thetaNum: Int, thetaDen: Int,
                broadcastFreq: Boolean = true,
                grams: Column => Column = charTrigrams): DataFrame = {
-    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
-      s"theta $thetaNum/$thetaDen must be in (0, 1]")
-    val g = graft.Engine.fanOut(df)
+    val g = gramSets(df, idCol, strCol, grams)
+    candidateVerify(g, g, self = true, thetaNum, thetaDen, broadcastFreq)
+  }
+
+  /** Two-table (R×S) set-similarity join — record linkage proper:
+    * every (left, right) pair whose gram-set Jaccard ≥
+    * thetaNum/thetaDen. `id_a` comes from `left`, `id_b` from `right`
+    * (the id spaces are independent — a left id never pairs against
+    * another left id). Same prefix-filter plan as [[selfJoin]], with
+    * one R×S refinement: the (df, gram) total order is computed over
+    * the UNION of both sides' gram sets — the prefix theorem needs ONE
+    * common order across every compared pair, and a per-side order
+    * would break the recall-1.0 guarantee. */
+  def join(left: DataFrame, leftId: String, leftStr: String,
+           right: DataFrame, rightId: String, rightStr: String,
+           thetaNum: Int, thetaDen: Int,
+           broadcastFreq: Boolean = true,
+           grams: Column => Column = charTrigrams): DataFrame =
+    candidateVerify(
+      gramSets(left, leftId, leftStr, grams),
+      gramSets(right, rightId, rightStr, grams),
+      self = false, thetaNum, thetaDen, broadcastFreq)
+
+  private def gramSets(df: DataFrame, idCol: String, strCol: String,
+                       grams: Column => Column): DataFrame =
+    graft.Engine.fanOut(df)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .withColumn("gs", grams(col("s")))
       .filter(size(col("gs")) > 0)
       .select("id", "gs")
+
+  /** The shared prefix-filter → equi-join → integer-exact-verify core.
+    * `self = true` compares one frame against itself (`ga` and `gb`
+    * must be the same frame) and keeps only id_a < id_b; `self =
+    * false` compares left against right with no id constraint. */
+  private def candidateVerify(ga: DataFrame, gb: DataFrame, self: Boolean,
+                              thetaNum: Int, thetaDen: Int,
+                              broadcastFreq: Boolean): DataFrame = {
+    require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
+      s"theta $thetaNum/$thetaDen must be in (0, 1]")
     // (1) document frequencies — broadcast only when the caller vouches
-    // for a bounded alphabet (ASCII trigrams); shuffled join otherwise
-    val freq = g.select(explode(col("gs")).as("gram"))
+    // for a bounded alphabet (ASCII trigrams); shuffled join otherwise.
+    // R×S: one order over BOTH sides (see join's Scaladoc).
+    val freq = (if (self) ga else ga.unionByName(gb))
+      .select(explode(col("gs")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
     // (2) rarest-first prefixes under the (df, gram) total order
-    val prefixes = g.select(col("id"), col("gs"), explode(col("gs")).as("gram"))
-      .join(if (broadcastFreq) broadcast(freq) else freq, "gram")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sg"),
-        first(col("gs")).as("gs"))
-      .withColumn("n", size(col("gs")))
-      // prefix length = n - ceil(theta * n) + 1, in exact integers
-      .withColumn("plen",
-        col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
-      .select(col("id"),
-        explode(expr("transform(slice(sg, 1, plen), x -> x.gram)")).as("gram"))
-    val cand = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+    def prefixes(g: DataFrame): DataFrame =
+      g.select(col("id"), col("gs"), explode(col("gs")).as("gram"))
+        .join(if (broadcastFreq) broadcast(freq) else freq, "gram")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sg"),
+          first(col("gs")).as("gs"))
+        .withColumn("n", size(col("gs")))
+        // prefix length = n - ceil(theta * n) + 1, in exact integers
+        .withColumn("plen",
+          col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
+        .select(col("id"),
+          explode(expr("transform(slice(sg, 1, plen), x -> x.gram)")).as("gram"))
+    val pa = prefixes(ga)
+    val pb = if (self) pa else prefixes(gb)
+    val joinCond =
+      if (self) col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
+      else col("a.gram") === col("b.gram")
+    val cand = pa.as("a").join(pb.as("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // (3) exact verify on the full trigram sets, integer decision
-    val ga = g.select(col("id").as("id_a"), col("gs").as("gs_a"))
-    val gb = g.select(col("id").as("id_b"), col("gs").as("gs_b"))
-    cand.join(ga, "id_a").join(gb, "id_b")
+    // (3) exact verify on the full gram sets, integer decision
+    val va = ga.select(col("id").as("id_a"), col("gs").as("gs_a"))
+    val vb = gb.select(col("id").as("id_b"), col("gs").as("gs_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("n_shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn("n_union",
         (size(col("gs_a")) + size(col("gs_b"))).cast("long") - col("n_shared"))

@@ -99,4 +99,34 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     assert(run(bcast = true) == want)
     assert(run(bcast = false) == want)
   }
+
+  test("two-table similarity join equals naive cross Jaccard; id spaces stay independent") {
+    import spark.implicits._
+    // overlapping id values across the two tables: a left id must only
+    // ever pair a RIGHT id (1 appears on both sides and must self-pair)
+    val leftData = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "streaming ingestion with exactly once semantics"),
+      (3L, "nothing like anything on the other side at all"))
+    val rightData = Seq(
+      (1L, "the quick brown fox jumped over the lazy dog"),
+      (2L, "totally unrelated content right here in this row"),
+      (8L, "streaming ingestion with exactly-once semantics"))
+    def grams(s: String): Set[String] =
+      if (s.length >= 3) s.sliding(3).toSet else Set.empty
+    val want = (for {
+      (ia, sa) <- leftData; (ib, sb) <- rightData
+      ga = grams(sa); gb = grams(sb) if ga.nonEmpty && gb.nonEmpty
+      inter = (ga & gb).size; uni = ga.size + gb.size - inter
+      if inter * 3 >= uni * 2
+    } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+    assert(want.nonEmpty && want.exists { case (a, b, _, _) => a == 1L && b == 1L })
+    val got = graft.operators.SimilarityJoin.join(
+        leftData.toDF("id", "s"), "id", "s",
+        rightData.toDF("id", "s"), "id", "s", 2, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
