@@ -85,12 +85,22 @@ object SimilarityJoin {
     * vocabulary (templated titles — tiny character-trigram alphabet,
     * huge dfs, measured 60M candidate rows on a 5k-doc fixture where
     * word shingles give 121k) use [[wordShingles]]. */
+  /** `prefixDfCap`: drop grams with df above the cap from PREFIXES
+    * only (the [[graft.pipeline.TextDedup]] df-ceiling convention) —
+    * an EXPLICIT recall trade the caller opts into for corpora where
+    * even rare-prefix fan-out runs hot: candidate work per gram is
+    * df², so capping bounds the worst gram's contribution. Precision
+    * stays 1.0 (the verify is still exact); recall drops only for
+    * pairs whose every shared prefix gram is hotter than the cap
+    * (OperatorsSpec pins both directions). None = exact, recall 1.0. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
                thetaNum: Int, thetaDen: Int,
                broadcastFreq: Boolean = true,
-               grams: Column => Column = charTrigrams): DataFrame = {
+               grams: Column => Column = charTrigrams,
+               prefixDfCap: Option[Long] = None): DataFrame = {
     val g = gramSets(df, idCol, strCol, grams)
-    candidateVerify(g, g, self = true, thetaNum, thetaDen, broadcastFreq)
+    candidateVerify(g, g, self = true, thetaNum, thetaDen, broadcastFreq,
+      prefixDfCap)
   }
 
   /** Two-table (R×S) set-similarity join — record linkage proper:
@@ -106,11 +116,12 @@ object SimilarityJoin {
            right: DataFrame, rightId: String, rightStr: String,
            thetaNum: Int, thetaDen: Int,
            broadcastFreq: Boolean = true,
-           grams: Column => Column = charTrigrams): DataFrame =
+           grams: Column => Column = charTrigrams,
+           prefixDfCap: Option[Long] = None): DataFrame =
     candidateVerify(
       gramSets(left, leftId, leftStr, grams),
       gramSets(right, rightId, rightStr, grams),
-      self = false, thetaNum, thetaDen, broadcastFreq)
+      self = false, thetaNum, thetaDen, broadcastFreq, prefixDfCap)
 
   private def gramSets(df: DataFrame, idCol: String, strCol: String,
                        grams: Column => Column): DataFrame =
@@ -126,9 +137,11 @@ object SimilarityJoin {
     * false` compares left against right with no id constraint. */
   private def candidateVerify(ga: DataFrame, gb: DataFrame, self: Boolean,
                               thetaNum: Int, thetaDen: Int,
-                              broadcastFreq: Boolean): DataFrame = {
+                              broadcastFreq: Boolean,
+                              prefixDfCap: Option[Long]): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
+    require(prefixDfCap.forall(_ >= 1), s"prefixDfCap $prefixDfCap must be >= 1")
     // (1) document frequencies — broadcast only when the caller vouches
     // for a bounded alphabet (ASCII trigrams); shuffled join otherwise.
     // R×S: one order over BOTH sides (see join's Scaladoc).
@@ -146,8 +159,11 @@ object SimilarityJoin {
         // prefix length = n - ceil(theta * n) + 1, in exact integers
         .withColumn("plen",
           col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
-        .select(col("id"),
-          explode(expr("transform(slice(sg, 1, plen), x -> x.gram)")).as("gram"))
+        .select(col("id"), explode(expr("slice(sg, 1, plen)")).as("pg"))
+        // df-cap applies to PREFIX EMISSION only — the rarest-first
+        // order (and therefore plen) is computed over all grams
+        .filter(prefixDfCap.map(c => col("pg.df") <= c).getOrElse(lit(true)))
+        .select(col("id"), col("pg.gram").as("gram"))
     val pa = prefixes(ga)
     val pb = if (self) pa else prefixes(gb)
     val joinCond =

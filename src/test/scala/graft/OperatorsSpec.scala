@@ -129,4 +129,25 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
       .toSet
     assert(got == want, s"got $got\nwant $want")
   }
+
+  test("prefixDfCap: no-op above max df, graceful recall-only loss below") {
+    import spark.implicits._
+    // every pair here shares ONLY hot grams in its prefixes, so a cap
+    // below their df must lose exactly those pairs — never gain any
+    val df = Seq(
+      (1L, "aaabbbccc"), (2L, "aaabbbccd"), (3L, "aaabbbcce"),
+      (4L, "zzzyyyxxx"), (5L, "unrelated")).toDF("id", "s")
+    def run(cap: Option[Long]): Set[(Long, Long)] =
+      graft.operators.SimilarityJoin
+        .selfJoin(df, "id", "s", 1, 2, prefixDfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = run(None)
+    assert(exact.nonEmpty)
+    // cap >= every df: identical result (recall 1.0 preserved)
+    assert(run(Some(1000L)) == exact)
+    // cap of 1 drops every shared prefix gram (shared => df >= 2):
+    // candidates vanish, and the loss is one-directional (subset)
+    val capped = run(Some(1L))
+    assert(capped.subsetOf(exact) && capped.isEmpty, s"capped $capped")
+  }
 }
