@@ -159,16 +159,23 @@ object SimilarityJoin {
         // prefix length = n - ceil(theta * n) + 1, in exact integers
         .withColumn("plen",
           col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
-        .select(col("id"), explode(expr("slice(sg, 1, plen)")).as("pg"))
+        .select(col("id"), col("n"), explode(expr("slice(sg, 1, plen)")).as("pg"))
         // df-cap applies to PREFIX EMISSION only — the rarest-first
         // order (and therefore plen) is computed over all grams
         .filter(prefixDfCap.map(c => col("pg.df") <= c).getOrElse(lit(true)))
-        .select(col("id"), col("pg.gram").as("gram"))
+        .select(col("id"), col("n"), col("pg.gram").as("gram"))
     val pa = prefixes(ga)
     val pb = if (self) pa else prefixes(gb)
+    // AllPairs length filter, LOSSLESS: J ≥ θ ⇒ θ·|∪| ≤ |∩| ≤ min, so
+    // min(na,nb)·θden ≥ max(na,nb)·θnum — prunes size-incompatible
+    // candidates inside the equi-join before the distinct
+    val lengthCompatible =
+      col("a.n") * thetaDen >= col("b.n") * thetaNum &&
+        col("b.n") * thetaDen >= col("a.n") * thetaNum
     val joinCond =
-      if (self) col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
-      else col("a.gram") === col("b.gram")
+      if (self) col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
+        lengthCompatible
+      else col("a.gram") === col("b.gram") && lengthCompatible
     val cand = pa.as("a").join(pb.as("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
