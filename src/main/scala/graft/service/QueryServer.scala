@@ -33,6 +33,8 @@ import java.nio.charset.StandardCharsets
   *    pushed {"type":"query_update",...} line when the query reaches a
   *    terminal status (the reference's polling-loop TODO,
   *    DEV_NOTES.md:196-198, done push-first).
+  *   {"type":"get_service_stats"} — admission snapshot
+  *    (queued/running/slots).
   *
   * `format:"arrow"` returns the page as ONE Arrow IPC stream
   * (base64 `arrow_ipc` field) instead of JSON `rows` — the
@@ -197,6 +199,16 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
       JObject("type" -> JString("cancel_query_resp"),
         "query_id" -> JString(id),
         "cancelled" -> JBool(svc.cancel(id)))
+
+    // Admission observability: how many statements wait for a slot,
+    // how many hold one, and the slot count — what a client reads
+    // before deciding to queue more work on this service.
+    case Some("get_service_stats") =>
+      val s = svc.admissionStats
+      JObject("type" -> JString("get_service_stats_resp"),
+        "queued" -> JInt(BigInt(s.queued)),
+        "running" -> JInt(BigInt(s.running)),
+        "slots" -> JInt(BigInt(s.slots)))
 
     // Runtime metrics: the scan/shuffle/spill profile of a query
     // (the reference's heartbeat/TaskData status surface, rolled up

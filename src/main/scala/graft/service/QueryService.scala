@@ -149,6 +149,25 @@ final class QueryService(
     Option(statuses.get(queryId))
   }
 
+  /** Point-in-time admission picture: statements waiting for a slot,
+    * statements holding one, and the slot count — what a service
+    * operator reads to size `maxConcurrentQueries` (the reference's
+    * worker-state surface answers the same question per compute
+    * budget). Registered STREAMS are excluded: they run on Spark's
+    * streaming machinery and never hold an admission slot. */
+  def admissionStats: ServiceStats = {
+    var queued = 0
+    var running = 0
+    statuses.forEach { (id, s) =>
+      if (!streamingQueries.containsKey(id)) s match {
+        case QueryStatus.Queued => queued += 1
+        case QueryStatus.Running => running += 1
+        case _ => ()
+      }
+    }
+    ServiceStats(queued, running, maxConcurrentQueries)
+  }
+
   // Terminal-status watchers — the push half of the protocol (the
   // reference's polling-loop TODO, DEV_NOTES.md:196-198: "client sends
   // a request ... receive a generic ok ... the query handler will push
@@ -464,6 +483,9 @@ final class QueryService(
     }
   }
 }
+
+/** Admission snapshot served by [[QueryService.admissionStats]]. */
+final case class ServiceStats(queued: Int, running: Int, slots: Int)
 
 /** Cursor into a materialized result — the reference's
   * `(file_idx, row_group_idx, row_idx)` triple

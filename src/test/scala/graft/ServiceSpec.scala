@@ -651,6 +651,22 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
       Thread.sleep(300)
       assert(overflow.forall(id => svc2.status(id).contains(QueryStatus.Queued)),
         overflow.map(svc2.status).toString)
+      // the admission snapshot sees the same picture, locally and over
+      // the wire
+      assert(svc2.admissionStats == graft.service.ServiceStats(2, 2, 2))
+      val server = new graft.service.QueryServer(svc2)
+      try {
+        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        out.println("""{"type":"get_service_stats"}""")
+        val resp = in.readLine()
+        assert(resp.contains("get_service_stats_resp") &&
+          resp.contains("\"queued\":2") && resp.contains("\"running\":2") &&
+          resp.contains("\"slots\":2"), resp)
+        sock.close()
+      } finally server.close()
       // release the gate: every statement completes
       AdmissionGate.latch.countDown()
       (holding ++ overflow).foreach { id =>

@@ -78,6 +78,11 @@ class Client:
         reader = pa.ipc.open_stream(io.BytesIO(buf))
         return reader.read_all()
 
+    def service_stats(self):
+        """Admission snapshot: statements queued for a slot, running in
+        one, and the slot count."""
+        return self.call(type="get_service_stats")
+
     def metrics(self, qid, timeout_s=10):
         """Runtime metrics (scan/shuffle/spill/time). The listener bus
         is async — poll briefly until the scan rows land."""
@@ -111,6 +116,9 @@ def main():
     print(f"metrics: {m.get('input_rows')} rows / {m.get('input_bytes')} B scanned, "
           f"{m.get('shuffle_read_bytes')} B shuffled, "
           f"{m.get('wall_time_ms')} ms wall")
+    s = c.service_stats()
+    print(f"service: {s.get('queued')} queued / {s.get('running')} running "
+          f"of {s.get('slots')} slots")
 
 
 if __name__ == "__main__":
