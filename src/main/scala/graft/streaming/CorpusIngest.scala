@@ -108,7 +108,13 @@ object CorpusIngest {
     * reference's own notes flag, DEV_NOTES.md:117-122). Compaction
     * runs inside foreachBatch, so it is serialized with appends (the
     * single-maintenance-writer requirement) and visibility is atomic:
-    * in-flight readers keep the generation they resolved. 0 = off. */
+    * in-flight readers keep the generation they resolved. 0 = off.
+    *
+    * `outputFilesPerBatch`: coalesce each micro-batch's corpus append
+    * to at most N files — the OUTPUT side of the same small-file debt
+    * (a batch otherwise writes one file per upstream partition per
+    * trigger). Bounds file GROWTH RATE to N/trigger; 0 = off (leave
+    * the planner's partitioning alone, right when batches are large). */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
@@ -117,7 +123,8 @@ object CorpusIngest {
              embedder: Option[DataFrame => DataFrame] = None,
              ivfIndexDir: Option[String] = None,
              compactIndexEvery: Int = 0,
-             maxIndexFilesPerCell: Int = 4)
+             maxIndexFilesPerCell: Int = 4,
+             outputFilesPerBatch: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -125,6 +132,10 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // watermark advancement triggers trailing EMPTY batches (state
+        // eviction commits) — skip them, or every trigger appends an
+        // empty parquet file and probes the landed corpus for nothing
+        if (batch.isEmpty) () else {
         val spark = batch.sparkSession
         val landed =
           try {
@@ -143,7 +154,9 @@ object CorpusIngest {
           case (Some(_), Some(_)) => fresh.persist()
           case _ => fresh
         }
-        indexed.write.mode("append").parquet(outDir)
+        val sink = if (outputFilesPerBatch > 0) indexed.coalesce(outputFilesPerBatch)
+                   else indexed
+        sink.write.mode("append").parquet(outDir)
         (embedder, ivfIndexDir) match {
           case (Some(embed), Some(dir)) =>
             graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
@@ -157,6 +170,7 @@ object CorpusIngest {
               ()
             }
           case _ => ()
+        }
         }
       }
       .start()

@@ -276,7 +276,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         spark.readStream.schema(schema).parquet(inDir),
         snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1,
         embedder = Some(embedder), ivfIndexDir = Some(idxDir),
-        compactIndexEvery = 1, maxIndexFilesPerCell = 1)
+        compactIndexEvery = 1, maxIndexFilesPerCell = 1,
+        outputFilesPerBatch = 1)
       q.awaitTermination(120000); q.stop()
     }
     runIngest()
@@ -304,6 +305,11 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(ids2 == Seq(1L, 2L, 8L, 100L, 101L), s"post-compaction ids $ids2")
     val res2 = graft.pipeline.Embeddings.ivfTopKIndexed(spark, idxDir, 3, 2, nprobe = 4)
     assert(res2.filter(col("query_id") === 1L).count() == 2)
+    // outputFilesPerBatch=1 bounds corpus file growth to one data file
+    // per trigger (two triggers ran)
+    val outFiles = new java.io.File(outDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(outFiles <= 2, s"output corpus has $outFiles files after 2 triggers")
   }
 
   test("built-in session_window closes a session after the gap + watermark") {
