@@ -740,21 +740,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q_sim_join: frequency table broadcasts, and no join is cartesian") {
+  test("similarity joins: frequency table broadcasts, and no join is cartesian") {
     withoutAqe {
-      val p = planOf(q("q_sim_join"))
-      // the trigram document-frequency join must be a broadcast — the
-      // DF table is bounded for ASCII corpora, and forcing it keeps
-      // the data-sized side from shuffling for the frequency lookup
-      assert(p.collect {
-        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-      }.nonEmpty, s"no broadcast hash join in q_sim_join:\n$p")
-      // prefix filtering is exact equi-join blocking: a cartesian or
-      // nested-loop anywhere means the blocking collapsed to all-pairs
-      assert(p.collect {
-        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-        case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
-      }.isEmpty, s"cartesian/nested-loop join in q_sim_join:\n$p")
+      for (name <- Seq("q_sim_join", "q_sim_link")) {
+        val p = planOf(q(name))
+        // the gram document-frequency join must be a broadcast — the
+        // DF table is bounded for healthy gram schemes, and forcing it
+        // keeps the data-sized side from shuffling for the frequency
+        // lookup
+        assert(p.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }.nonEmpty, s"no broadcast hash join in $name:\n$p")
+        // prefix filtering is exact equi-join blocking: a cartesian or
+        // nested-loop anywhere means the blocking collapsed to all-pairs
+        assert(p.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+          case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
+        }.isEmpty, s"cartesian/nested-loop join in $name:\n$p")
+      }
     }
   }
 }
