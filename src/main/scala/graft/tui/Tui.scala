@@ -190,7 +190,10 @@ final class TuiApp(
       case _ => false
     })
     val qMark = if (pane == QueriesPane) "*" else " "
-    sb.append(s"$qMark Queries ($done/${ids.length} done) ").append("-" * 20).append('\n')
+    val adm = svc.admissionStats
+    sb.append(s"$qMark Queries ($done/${ids.length} done" +
+      s" | ${adm.queued} queued/${adm.running} running of ${adm.slots} slot" +
+      s"${if (adm.slots == 1) "" else "s"}) ").append("-" * 20).append('\n')
     statements.indices.foreach { i =>
       val sel = if (i == selected) ">" else " "
       val st = status(i).map {

@@ -39,6 +39,8 @@ class TuiSpec extends AnyFunSuite with SparkFixture {
     val frame = a.render()
     assert(frame.contains("[OK ]"))
     assert(frame.contains("[ERR]"))
+    // admission snapshot in the header (all terminal here: 0/0 of 8)
+    assert(frame.contains("0 queued/0 running of 8 slots"), frame)
     assert(!frame.contains("PATH_NOT_FOUND"))
     a.onKey(Key.Char('e'))
     assert(a.render().contains("PATH_NOT_FOUND"))
