@@ -159,16 +159,20 @@ object SimilarityJoin {
         // prefix length = n - ceil(theta * n) + 1, in exact integers
         .withColumn("plen",
           col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
-        .select(col("id"), col("n"), explode(expr("slice(sg, 1, plen)")).as("pg"))
+        // posexplode: position in the rarest-first order feeds the
+        // positional filter below
+        .select(col("id"), col("n"),
+          posexplode(expr("slice(sg, 1, plen)")).as(Seq("pos0", "pg")))
         // df-cap applies to PREFIX EMISSION only — the rarest-first
         // order (and therefore plen) is computed over all grams
         .filter(prefixDfCap.map(c => col("pg.df") <= c).getOrElse(lit(true)))
-        .select(col("id"), col("n"), col("pg.gram").as("gram"))
+        .select(col("id"), col("n"), (col("pos0") + 1).as("pos"),
+          col("pg.gram").as("gram"))
     val pa = prefixes(ga)
     val pb = if (self) pa else prefixes(gb)
     // AllPairs length filter, LOSSLESS: J ≥ θ ⇒ θ·|∪| ≤ |∩| ≤ min, so
     // min(na,nb)·θden ≥ max(na,nb)·θnum — prunes size-incompatible
-    // candidates inside the equi-join before the distinct
+    // candidates inside the equi-join before the aggregation
     val lengthCompatible =
       col("a.n") * thetaDen >= col("b.n") * thetaNum &&
         col("b.n") * thetaDen >= col("a.n") * thetaNum
@@ -176,9 +180,32 @@ object SimilarityJoin {
       if (self) col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
         lengthCompatible
       else col("a.gram") === col("b.gram") && lengthCompatible
+    // PPJoin positional filter, LOSSLESS: J ≥ θ ⟺ |∩| ≥
+    // θ/(1+θ)·(|A|+|B|) =: α. A prefix match at 1-based rarest-first
+    // positions (i, j) bounds the total overlap by
+    // 1 + min(|A|−i, |B|−j) (this shared gram plus whatever follows it
+    // on BOTH sides of the common order). A true pair's FIRST shared
+    // prefix gram attains the bound, so keeping pairs where ANY match
+    // reaches α (max over matches, computed by the same aggregation
+    // that replaces the old distinct) drops no true pair — only
+    // candidates that share merely tail-end prefix grams.
+    // The α test is exact integer arithmetic: max_ub ≥ ⌈θnum·nsum /
+    // (θnum+θden)⌉ ⟺ max_ub·(θnum+θden) ≥ θnum·nsum for integer
+    // max_ub. The bound is only guaranteed tight at a pair's FIRST
+    // shared gram, which for a true pair always lies inside both
+    // prefixes — under prefixDfCap that gram may be dropped, so the
+    // positional filter COMPOUNDS the cap's documented recall trade
+    // (never the exact path's).
+    val ubound = lit(1) +
+      least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos"))
     val cand = pa.as("a").join(pb.as("b"), joinCond)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ubound.as("ub"),
+        (col("a.n") + col("b.n")).as("nsum"))
+      .groupBy("id_a", "id_b")
+      .agg(max(col("ub")).as("max_ub"), first(col("nsum")).as("nsum"))
+      .filter(col("max_ub") * (thetaNum + thetaDen) >= col("nsum") * thetaNum)
+      .select("id_a", "id_b")
     // (3) exact verify on the full gram sets, integer decision
     val va = ga.select(col("id").as("id_a"), col("gs").as("gs_a"))
     val vb = gb.select(col("id").as("id_b"), col("gs").as("gs_b"))

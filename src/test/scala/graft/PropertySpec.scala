@@ -255,6 +255,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("similarity selfJoin equals naive all-pairs on random corpora (prefix+length+positional filters lossless)") {
+    // the three candidate filters (prefix, length, positional) each
+    // claim losslessness by theorem — this drives random corpora at
+    // several thresholds so the claims never rest on the fixtures
+    val strGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "xy", "大数"))
+    } yield ws.mkString("")
+    val corpusGen: Gen[List[String]] = Gen.listOfN(12, strGen)
+    def grams(s: String): Set[String] =
+      if (s.length >= 3) s.sliding(3).toSet else Set.empty
+    forAll(corpusGen, Gen.oneOf((1, 3), (1, 2), (2, 3), (4, 5), (1, 1))) {
+      (texts, theta) =>
+        import spark.implicits._
+        val (num, den) = theta
+        val data = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        val want = (for {
+          (ia, sa) <- data; (ib, sb) <- data if ia < ib
+          ga = grams(sa); gb = grams(sb) if ga.nonEmpty && gb.nonEmpty
+          inter = (ga & gb).size; uni = ga.size + gb.size - inter
+          if inter * den >= uni * num
+        } yield (ia, ib, inter.toLong, uni.toLong)).toSet
+        val got = graft.operators.SimilarityJoin
+          .selfJoin(data.toDF("id", "s"), "id", "s", num, den)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got == want,
+          s"theta=$num/$den corpus=${texts.mkString("[", ",", "]")}\n got $got\nwant $want")
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
