@@ -241,6 +241,45 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
   }
 
+  /** Corpus version diff — the dataset-audit a pipeline owner runs
+    * between two corpus snapshots before retraining: per group
+    * (source, language, ...), how many documents were added, removed,
+    * and kept, BY CONTENT. Identity is the house 128-bit content
+    * fingerprint (two independent xxhash64 seeds — the exact-dedup
+    * convention, collision odds ~n²/2¹²⁹), so the exchanges carry 16
+    * bytes + group per row, never the text, and renamed/moved doc_ids
+    * with identical text count as kept. One full-outer join on the
+    * fingerprint and one aggregate: at 100 TB both sides reduce
+    * map-side to fingerprints before the only data-sized exchange.
+    * (The reference has no snapshot tooling; this extends its
+    * materialization lifecycle the way `compactResult` does.) */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 groupCol: String): DataFrame = {
+    // one row per distinct content; group = MIN over the content's
+    // rows, so attribution is deterministic when duplicate text spans
+    // groups (dropDuplicates would keep an arbitrary row's group)
+    def fp(df: DataFrame): DataFrame = graft.Engine.fanOut(df)
+      .select(col(groupCol).as("g"),
+        xxhash64(col("text")).as("fp_a"),
+        xxhash64(lit("graft.dedup.salt"), col("text")).as("fp_b"))
+      .groupBy("fp_a", "fp_b").agg(min(col("g")).as("g"))
+    val o = fp(oldCorpus).withColumn("in_old", lit(1L))
+    val n = fp(newCorpus).withColumn("in_new", lit(1L))
+      .withColumnRenamed("g", "g_new")
+    o.join(n, Seq("fp_a", "fp_b"), "full_outer")
+      .select(coalesce(col("g_new"), col("g")).as(groupCol),
+        coalesce(col("in_old"), lit(0L)).as("in_old"),
+        coalesce(col("in_new"), lit(0L)).as("in_new"))
+      .groupBy(groupCol)
+      .agg(sum(when(col("in_new") === 1L && col("in_old") === 0L, 1L)
+          .otherwise(0L)).as("n_added"),
+        sum(when(col("in_old") === 1L && col("in_new") === 0L, 1L)
+          .otherwise(0L)).as("n_removed"),
+        sum(when(col("in_old") === 1L && col("in_new") === 1L, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group contamination audit — the REPORT companion to
     * [[decontaminate]] (same eval-gram broadcast join) answering the
     * question a data owner asks before dropping anything: how much of
