@@ -241,6 +241,31 @@ object CorpusOps {
       .write.mode("overwrite").partitionBy("shard_id").parquet(dir)
   }
 
+  /** Deterministic train/val/test split assignment: `weights` are
+    * (label, integer percent) summing to 100; each doc lands in the
+    * label whose cumulative range contains its hash bucket. The bucket
+    * is the house PORTABLE multiplicative hash of doc_id (the
+    * q_sample/q_stratified/shuffleRank convention — overflow-proof
+    * integer arithmetic any engine reproduces), so membership is a
+    * pure function of doc_id: stable under retries, partitioning, AQE,
+    * and re-runs on a grown corpus (old docs never migrate splits —
+    * the property eval reproducibility depends on). Zero exchanges:
+    * the assignment is one codegen'd projection. */
+  def assignSplits(docs: DataFrame,
+                   weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0) &&
+      weights.map(_._2).sum == 100,
+      s"weights must be positive integer percents summing to 100: $weights")
+    val bucket = (pmod(col("doc_id"), lit(1048576L)) * 2654435761L) % 100
+    val cum = weights.map(_._2).scanLeft(0)(_ + _).tail
+    val assigned = weights.zip(cum).init
+      .foldRight(lit(weights.last._1): org.apache.spark.sql.Column) {
+        case (((label, _), hi), elseCol) =>
+          when(bucket < hi, lit(label)).otherwise(elseCol)
+      }
+    docs.withColumn("split", assigned)
+  }
+
   /** Corpus version diff — the dataset-audit a pipeline owner runs
     * between two corpus snapshots before retraining: per group
     * (source, language, ...), how many documents were added, removed,
