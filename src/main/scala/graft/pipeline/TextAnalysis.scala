@@ -144,6 +144,71 @@ object TextAnalysis {
       regexp_replace(c, lit(re), lit(token))
     }
 
+  /** Corpus-self-trained interpolated bigram language-model scoring —
+    * the CCNet-style "perplexity filter" of web-corpus pipelines:
+    * documents whose token transitions are improbable under a model
+    * of the corpus itself (boilerplate, gibberish, wrong-language
+    * residue) surface with high negative-log-likelihood.
+    *
+    * Model: add-alpha smoothed bigram interpolated with the unigram
+    * distribution. For each transition (w1, w2) of a document:
+    *
+    *   p = lambda * (c(w1,w2) + alpha) / (c(w1) + alpha * V)
+    *     + (1 - lambda) * (c(w2) + alpha) / (N + alpha * V)
+    *
+    * where c() are corpus counts, N total tokens, V vocabulary size.
+    * Output per doc: `n_bigrams`, `sum_nll` = sum of -ln(p) over
+    * transitions (each term rounded through DECIMAL(18,12) so the
+    * transcendental ln — the one non-IEEE-portable step — compares
+    * equal across engines; the decimal SUM is exact), and
+    * `avg_nll` = sum_nll / n_bigrams (pure IEEE division).
+    *
+    * Plan shape at 100 TB: ONE scan explodes transitions straight
+    * into a hash aggregate keyed (doc_id, w1, w2) — the only exchange
+    * the raw token stream crosses; every later join moves only
+    * aggregated (distinct-bigram or vocabulary-sized) rows. Bigram
+    * and unigram count tables are map-side-combined aggregates of the
+    * same scan; (N, V) ride a broadcast. No iteration, no UDF — the
+    * whole model is two count tables and codegen'd arithmetic.
+    *
+    * Reference analog: none — its scalar surface is arithmetic over
+    * scanned columns only (`compute_value.rs:117-209`); corpus-level
+    * model scoring is beyond-reference surface. */
+  def lmScore(docs: DataFrame, alpha: Double = 0.5,
+              lambda: Double = 0.9): DataFrame = {
+    val toks = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    // (w[i], w[i+1]) pairs: transform-with-index over the first n-1
+    // tokens — stays inside codegen, no posexplode/self-join.
+    val bi = toks
+      .select(col("doc_id"), explode(transform(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        (t, i) => struct(t.as("w1"), col("w")(i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val bigramCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uni = toks.select(explode(col("w")).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum("c").as("nTot"), count(lit(1)).as("v"))
+    val p =
+      (lit(lambda) * (col("cb").cast("double") + lit(alpha)) /
+        (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))) +
+      (lit(1.0 - lambda) * (col("c2").cast("double") + lit(alpha)) /
+        (col("nTot").cast("double") + lit(alpha) * col("v").cast("double")))
+    val scored = perDoc
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(uni.select(col("wd"), col("c").as("c1")), col("w1") === col("wd")).drop("wd")
+      .join(uni.select(col("wd"), col("c").as("c2")), col("w2") === col("wd")).drop("wd")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n"),
+        (-log(p)).cast("decimal(18,12)").as("t12"))
+    scored.groupBy("doc_id")
+      .agg(sum("n").cast("long").as("n_bigrams"),
+        sum(col("n").cast("decimal(10,0)") * col("t12")).cast("double").as("sum_nll"))
+      .withColumn("avg_nll", col("sum_nll") / col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc, ch) = (acc * 31 + codepoint(ch)) mod 1_000_000_007.
     * One 64-bit value per doc — the cheap exact-dup / shard-routing

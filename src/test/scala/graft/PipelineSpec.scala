@@ -388,6 +388,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("lmScore matches an independent in-memory reimplementation") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b a b c"), (1L, "a c"), (2L, "b b a"), (3L, "c a b a b c"))
+    val got = TextAnalysis.lmScore(corpus.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_nll"),
+          r.getAs[Double]("avg_nll")))).toMap
+    val toks = corpus.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (k, xs) => k -> xs.size }
+    val n = uni.values.sum.toDouble
+    val v = uni.size.toDouble
+    val bc = toks.flatMap { case (_, w) => w.zip(w.tail) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.size }
+    def term(b: (String, String)): BigDecimal = {
+      val p = 0.9 * (bc(b) + 0.5) / (uni(b._1) + 0.5 * v) +
+        (1.0 - 0.9) * (uni(b._2) + 0.5) / (n + 0.5 * v)
+      BigDecimal(-math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    toks.foreach { case (id, w) =>
+      val bs = w.zip(w.tail)
+      val sum = bs.map(term).sum
+      assert(got(id)._1 == bs.size, s"doc $id bigram count")
+      assert(got(id)._2 == sum.toDouble, s"doc $id sum_nll")
+      assert(got(id)._3 == sum.toDouble / bs.size, s"doc $id avg_nll")
+    }
+  }
+
   test("language scores count stopword hits") {
     val row = TextAnalysis.languageId(docs).filter("doc_id = 0").collect()(0)
     val text = docs.filter("doc_id = 0").collect()(0).getAs[String]("text")
