@@ -24,7 +24,9 @@ import java.nio.charset.StandardCharsets
   *
   * Requests:
   *   {"type":"identify","connection_id":"..."}
-  *   {"type":"run_query","query":"select ..."}
+  *   {"type":"run_query","query":"select ..."[,"timeout_ms":N]} —
+  *    optional per-statement runtime budget (see
+  *    QueryService.runQuery)
   *   {"type":"get_query_status","query_id":"..."}
   *   {"type":"get_query_data","query_id":"...","file_idx":0,
   *    "file_row_group_idx":0,"row_idx":0,"limit":10,
@@ -178,7 +180,12 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
 
   private def handle(req: JValue): JValue = (req \ "type").extractOpt[String] match {
     case Some("run_query") =>
-      val id = svc.runQuery((req \ "query").extract[String])
+      val sql = (req \ "query").extract[String]
+      // optional per-statement runtime budget; omitted = service default
+      val id = (req \ "timeout_ms").extractOpt[Long] match {
+        case Some(t) => svc.runQuery(sql, t)
+        case None => svc.runQuery(sql)
+      }
       JObject("type" -> JString("run_query_resp"), "query_id" -> JString(id))
 
     case Some("get_query_status") =>

@@ -38,7 +38,8 @@ final class QueryService(
     resultsRoot: String,
     connections: Connections = Connections(),
     maxTrackedStatuses: Int = 10000,
-    maxConcurrentQueries: Int = 8) {
+    maxConcurrentQueries: Int = 8,
+    queryTimeoutMs: Long = 0) {
 
   private val statuses = new ConcurrentHashMap[String, QueryStatus]()
 
@@ -248,6 +249,27 @@ final class QueryService(
   private val cancelRequested =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // --- deadlines ----------------------------------------------------
+  // A statement's runtime budget (`queryTimeoutMs` service-wide, or a
+  // per-statement override) is enforced by a single timer thread that
+  // fires the SAME job-group cancel as a user cancel — the budget
+  // counts RUNNING time only, not queue wait, so admission backlog
+  // never eats a statement's budget. The terminal status is
+  // Error("[QUERY_TIMEOUT] ...") rather than Cancelled: the user
+  // didn't ask for it, and a script driver retrying Cancelled
+  // statements must not silently retry ones the service evicted for
+  // cost. (The reference has no runtime bound at all — a runaway
+  // query holds its per-worker budget forever; this is the
+  // service-hardening improvement over query_handler_state.rs.)
+  private val timedOut =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val deadlineTimer =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-query-deadline")
+      t.setDaemon(true)
+      t
+    })
+
   /** Request cancellation. True if the query was still live (the
     * terminal status will become Cancelled); false if already
     * terminal or unknown.
@@ -365,13 +387,23 @@ final class QueryService(
     try spark.streams.removeListener(streamingListener)
     catch { case _: Exception => () } // never added twice; remove of absent is a no-op guard
     admission.shutdown() // queued statements are abandoned; running ones finish
+    deadlineTimer.shutdownNow(); ()
   }
 
   /** RunQuery: submit one SQL statement; returns the query id
     * immediately (status Queued → Running → Complete/Error). The
     * statement stays Queued until an admission slot frees up — see the
-    * admission pool above. */
-  def runQuery(sql: String): String = {
+    * admission pool above. Runs under the service-wide
+    * `queryTimeoutMs` budget (0 = unbounded). */
+  def runQuery(sql: String): String = runQuery(sql, queryTimeoutMs)
+
+  /** RunQuery with a per-statement runtime budget overriding the
+    * service default. The budget counts Running time only (queue wait
+    * under admission is free); on expiry the statement's job group is
+    * cancelled and it terminates as Error("[QUERY_TIMEOUT] ...").
+    * A statement whose result COMMITS before the timer lands stays
+    * Complete — a deadline never discards a finished result. */
+  def runQuery(sql: String, timeoutMs: Long): String = {
     val queryId = UUID.randomUUID().toString
     statuses.put(queryId, QueryStatus.Queued)
     submissionOrder.add(queryId)
@@ -390,16 +422,31 @@ final class QueryService(
           // queries when the context runs spark.scheduler.mode=FAIR
           spark.sparkContext.setLocalProperty("spark.scheduler.pool",
             Thread.currentThread().getName)
+          // arm the deadline only while Running; the guard keeps a
+          // late-firing timer from touching an already-terminal query
+          val deadline =
+            if (timeoutMs > 0)
+              Some(deadlineTimer.schedule(new Runnable {
+                override def run(): Unit =
+                  if (statuses.get(queryId) == QueryStatus.Running
+                      && timedOut.add(queryId))
+                    spark.sparkContext.cancelJobGroupAndFutureJobs(queryId)
+              }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+            else None
           val r = Try {
             val df = ReadFiles.sql(spark, sql, connections)
             df.write.mode("overwrite").parquet(versionDir(queryId, 1))
           }
+          deadline.foreach(_.cancel(false))
           spark.sparkContext.clearJobGroup()
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
           r match {
             case Success(_) if cancelRequested.contains(queryId) => QueryStatus.Cancelled
             case Success(_) => QueryStatus.Complete
             case Failure(_) if cancelRequested.contains(queryId) => QueryStatus.Cancelled
+            case Failure(_) if timedOut.contains(queryId) =>
+              QueryStatus.Error(s"[QUERY_TIMEOUT] statement exceeded its " +
+                s"$timeoutMs ms runtime budget and was cancelled")
             case Failure(e) => QueryStatus.Error(String.valueOf(e.getMessage))
           }
         }
@@ -418,6 +465,10 @@ final class QueryService(
       }
       metricsCollector.setWallTime(queryId, System.currentTimeMillis() - startedAt)
       statuses.put(queryId, terminal)
+      // after the terminal status is visible, so a timer that read
+      // Running just before can no longer re-add (same hygiene-only
+      // caveat as the cancelRequested sweep above)
+      timedOut.remove(queryId)
       fireTerminal(queryId, terminal)
     }(admissionEc)
     queryId

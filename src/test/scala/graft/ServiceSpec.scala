@@ -631,6 +631,37 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     finally svc2.close()
   }
 
+  test("query deadline: a statement over its runtime budget terminates as QUERY_TIMEOUT") {
+    val root2 = java.nio.file.Files.createTempDirectory("graft_deadline").toString
+    val svc2 = new QueryService(spark, root2, queryTimeoutMs = 700)
+    DeadlineGate.reset()
+    spark.udf.register("graft_test_stall",
+      () => { DeadlineGate.latch.await(); 1 })
+    try {
+      // a per-statement override outlives the tight service default
+      // (also absorbs first-query warmup, which the 700 ms default
+      // would legitimately kill)
+      val fast = svc2.runQuery(
+        s"select r_regionkey from read_files('$sfDir/region.parquet')", 60000)
+      assert(svc2.awaitComplete(fast) == QueryStatus.Complete)
+      // a stalled statement is cancelled by the timer and reports the
+      // budget error, NOT Cancelled (nobody asked for a cancel)
+      val slow = svc2.runQuery("select graft_test_stall() as x")
+      svc2.awaitComplete(slow, 30000) match {
+        case QueryStatus.Error(m) =>
+          assert(m.contains("[QUERY_TIMEOUT]") && m.contains("700 ms"), m)
+        case other => fail(s"expected QUERY_TIMEOUT error, got $other")
+      }
+      // within-budget statements still complete under the default
+      DeadlineGate.latch.countDown()
+      val roomy = svc2.runQuery("select graft_test_stall() as y", 60000)
+      assert(svc2.awaitComplete(roomy) == QueryStatus.Complete)
+    } finally {
+      DeadlineGate.latch.countDown() // never leave a slot thread blocked
+      svc2.close()
+    }
+  }
+
   test("admission control: statements beyond the slots wait as Queued, then all complete") {
     val root2 = java.nio.file.Files.createTempDirectory("graft_admission").toString
     val svc2 = new QueryService(spark, root2, maxConcurrentQueries = 2)
@@ -683,6 +714,13 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
   * reference state reachable without closure capture (a latch captured
   * in the lambda would have to serialize). */
 object AdmissionGate {
+  @volatile var latch = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = { latch = new java.util.concurrent.CountDownLatch(1) }
+}
+
+/** Static gate for the deadline test (same closure-capture constraint
+  * as [[AdmissionGate]]). */
+object DeadlineGate {
   @volatile var latch = new java.util.concurrent.CountDownLatch(1)
   def reset(): Unit = { latch = new java.util.concurrent.CountDownLatch(1) }
 }
