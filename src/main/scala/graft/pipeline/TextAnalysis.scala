@@ -163,13 +163,17 @@ object TextAnalysis {
     * equal across engines; the decimal SUM is exact), and
     * `avg_nll` = sum_nll / n_bigrams (pure IEEE division).
     *
-    * Plan shape at 100 TB: ONE scan explodes transitions straight
-    * into a hash aggregate keyed (doc_id, w1, w2) — the only exchange
-    * the raw token stream crosses; every later join moves only
-    * aggregated (distinct-bigram or vocabulary-sized) rows. Bigram
-    * and unigram count tables are map-side-combined aggregates of the
-    * same scan; (N, V) ride a broadcast. No iteration, no UDF — the
-    * whole model is two count tables and codegen'd arithmetic.
+    * Plan shape at 100 TB: TWO passes over the corpus — transitions
+    * explode straight into a hash aggregate keyed (doc_id, w1, w2),
+    * tokens into one keyed by word; those are the only exchanges the
+    * raw token stream crosses, and every later stage derives from
+    * them (bigram counts re-aggregate the per-doc table; vocabulary
+    * totals re-aggregate the unigram table), moving only
+    * distinct-bigram or vocabulary-sized rows. The shared subtrees
+    * canonicalize identically, so AQE reuses each shuffle stage
+    * instead of re-scanning per consumer. (N, V) ride a broadcast.
+    * No iteration, no UDF — the whole model is two count tables and
+    * codegen'd arithmetic.
     *
     * Reference analog: none — its scalar surface is arithmetic over
     * scanned columns only (`compute_value.rs:117-209`); corpus-level
@@ -186,7 +190,8 @@ object TextAnalysis {
         (t, i) => struct(t.as("w1"), col("w")(i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
-    val bigramCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // derived from perDoc, not from a second pass over the transitions
+    val bigramCounts = perDoc.groupBy("w1", "w2").agg(sum("n").as("cb"))
     val uni = toks.select(explode(col("w")).as("wd"))
       .groupBy("wd").agg(count(lit(1)).as("c"))
     val totals = uni.agg(sum("c").as("nTot"), count(lit(1)).as("v"))

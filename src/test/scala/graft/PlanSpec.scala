@@ -399,6 +399,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text_lm_score: AQE stage reuse collapses the model to two corpus passes") {
+    // lmScore's count tables are all derived from two shared subtrees
+    // (the per-doc bigram aggregate and the unigram aggregate), so at
+    // runtime AQE must REUSE their shuffle stages rather than re-scan
+    // the corpus per consumer: 5 logical scan branches, 2 physical
+    // corpus passes.
+    val df = q("text_lm_score")
+    df.queryExecution.toRdd.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"), s)
+    // the adaptive plan prints Final AND Initial sections; only the
+    // final one is what ran
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(reused >= 3, s"expected >=3 reused exchanges, got $reused:\n$s")
+    assert(scans <= 2, s"expected <=2 live corpus scans, got $scans:\n$s")
+  }
+
   test("hive-partitioned write prunes partitions at read time") {
     // The first-line data-skipping story (complementing z-order):
     // a partitionBy write + a partition-key predicate must become a
