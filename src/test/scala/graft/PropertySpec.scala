@@ -287,6 +287,39 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lmScore equals the in-memory bigram model on random corpora") {
+    // the DECIMAL(18,12) rounding contract must hold for arbitrary
+    // token distributions, not just the fixture vocabulary
+    val corpusGen: Gen[List[String]] = Gen.listOfN(8, textGen)
+    forAll(corpusGen) { texts =>
+      import spark.implicits._
+      val data = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val got = graft.pipeline.TextAnalysis.lmScore(data.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_nll")))).toMap
+      val toks = data.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+      val uni = toks.flatMap(_._2).groupBy(identity).map { case (k, xs) => k -> xs.size }
+      val n = uni.values.sum.toDouble
+      val v = uni.size.toDouble
+      val bc = toks.flatMap { case (_, w) => w.zip(w.tail) }
+        .groupBy(identity).map { case (k, xs) => k -> xs.size }
+      def term(b: (String, String)): BigDecimal = {
+        val p = 0.9 * (bc(b) + 0.5) / (uni(b._1) + 0.5 * v) +
+          (1.0 - 0.9) * (uni(b._2) + 0.5) / (n + 0.5 * v)
+        BigDecimal(-math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      toks.foreach { case (id, w) =>
+        val bs = w.zip(w.tail)
+        if (bs.isEmpty) assert(!got.contains(id))
+        else {
+          assert(got(id)._1 == bs.size, s"doc $id of $texts")
+          assert(got(id)._2 == bs.map(term).sum.toDouble, s"doc $id of $texts")
+        }
+      }
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
