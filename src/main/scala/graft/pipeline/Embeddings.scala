@@ -653,6 +653,44 @@ object Embeddings {
     oversized.length
   }
 
+  /** Operational snapshot of a [[writeIvfIndex]] layout — what sizes
+    * the compaction cadence and spots hot centroids: one row per cell
+    * with row count, parquet file count, and on-disk bytes, plus the
+    * live generation number. File geometry comes from filesystem
+    * metadata (no data read; bounded by nlist cells), row counts from
+    * one group-by over the live corpus scan (parquet footer counts —
+    * no vector decode: the aggregate prunes every data column).
+    *
+    * A cell with many times the mean row count is a skewed centroid
+    * (queries probing it scan disproportionately — rebuild with more
+    * lists or finer training); a cell with many small files is
+    * append debt ([[compactIvfIndex]] due). */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val live = liveCorpusDir(spark, dir)
+    val gen =
+      if (live.endsWith("/corpus")) 0
+      else live.substring(live.lastIndexOf("_v") + 2).toInt
+    val root = new org.apache.hadoop.fs.Path(live)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val geo = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter { f =>
+          val n = f.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        (d.getPath.getName.stripPrefix("cell=").toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq.toDF("cell", "n_files", "bytes")
+    spark.read.parquet(live)
+      .groupBy("cell").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(geo), "cell")
+      .withColumn("generation", lit(gen))
+      .orderBy("cell")
+  }
+
   /** Load the PQ codebooks persisted by [[writeIvfIndex]]. Bounded
     * driver collect: m × k codewords (16×64×4 doubles at the gated
     * settings) — the codebooks must live on the driver to become

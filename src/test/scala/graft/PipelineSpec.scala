@@ -131,8 +131,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
           d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
     assert(cellFileCounts(s"$dirA/corpus").values.max > 2,
       "fixture never accumulated small files — compaction untested")
+    // the ops snapshot sees the same append debt the filesystem does
+    val statsBefore = Embeddings.ivfIndexStats(spark, dirA).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("bytes"), r.getAs[Int]("generation")))).toMap
+    assert(statsBefore.values.forall(_._4 == 0), "live generation should be 0 pre-compaction")
+    assert(statsBefore.values.map(_._2).max > 2, "stats missed the small-file debt")
+    assert(statsBefore.values.forall(v => v._3 > 0))
+    statsBefore.foreach { case (cell, (nRows, nFiles, _, _)) =>
+      assert(nFiles == cellFileCounts(s"$dirA/corpus")(s"cell=$cell").toLong, s"cell $cell")
+      assert(nRows > 0)
+    }
     val compacted = Embeddings.compactIvfIndex(spark, dirA, maxFilesPerCell = 2)
     assert(compacted > 0)
+    // post-compaction: same rows, bounded files, bumped generation
+    val statsAfter = Embeddings.ivfIndexStats(spark, dirA).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("bytes"), r.getAs[Int]("generation")))).toMap
+    assert(statsAfter.values.forall(_._4 == 1))
+    assert(statsAfter.values.map(_._2).max <= 2)
+    assert(statsAfter.keySet == statsBefore.keySet)
+    assert(statsAfter.view.mapValues(_._1).toMap ==
+      statsBefore.view.mapValues(_._1).toMap, "compaction changed row counts")
     // new live generation: committed (has _SUCCESS), bounded per cell
     val live = new java.io.File(s"$dirA/corpus_v1")
     assert(new java.io.File(live, "_SUCCESS").exists(), "generation not committed")
