@@ -150,12 +150,14 @@ object SimilarityJoin {
       .groupBy("gram").agg(count(lit(1)).as("df"))
     // (2) rarest-first prefixes under the (df, gram) total order
     def prefixes(g: DataFrame): DataFrame =
-      g.select(col("id"), col("gs"), explode(col("gs")).as("gram"))
+      g.select(col("id"), explode(col("gs")).as("gram"))
         .join(if (broadcastFreq) broadcast(freq) else freq, "gram")
         .groupBy("id")
+        // one row per distinct gram, so count(*) IS |gs| — the full
+        // gram array never crosses this exchange (it re-joins only in
+        // the verify step, where it is actually needed)
         .agg(array_sort(collect_list(struct(col("df"), col("gram")))).as("sg"),
-          first(col("gs")).as("gs"))
-        .withColumn("n", size(col("gs")))
+          count(lit(1)).cast("int").as("n"))
         // prefix length = n - ceil(theta * n) + 1, in exact integers
         .withColumn("plen",
           col("n") - expr(s"($thetaNum * n + $thetaDen - 1) div $thetaDen").cast("int") + 1)
