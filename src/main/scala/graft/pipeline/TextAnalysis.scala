@@ -214,6 +214,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing over [[lmScore]]: label each
+    * document `head` / `middle` / `tail` by the corpus TERCILES of
+    * avg_nll (head = most-probable third — the bucket CCNet keeps or
+    * upsamples). The two cut values come from one exact-percentile
+    * aggregate and ride a broadcast; documents then bucket in a
+    * map-side comparison — the 100 TB-safe alternative to ntile(),
+    * whose single global sort window would serialize the corpus
+    * through one partition. Cuts round through DECIMAL(18,12): the
+    * percentile interpolation is the only arithmetic here whose
+    * last-ULP behavior engines may disagree on. */
+  def lmBuckets(docs: DataFrame, alpha: Double = 0.5,
+                lambda: Double = 0.9): DataFrame = {
+    val nll = lmScore(docs, alpha, lambda)
+    val cuts = nll.agg(
+      percentile(col("avg_nll"), lit(1.0 / 3))
+        .cast("decimal(18,12)").cast("double").as("c1"),
+      percentile(col("avg_nll"), lit(2.0 / 3))
+        .cast("decimal(18,12)").cast("double").as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprint over the document's characters:
     * fold(acc, ch) = (acc * 31 + codepoint(ch)) mod 1_000_000_007.
     * One 64-bit value per doc — the cheap exact-dup / shard-routing
