@@ -475,6 +475,43 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Semantic decontamination: drop from `train` every vector whose
+    * cosine to ANY `evalSet` vector reaches `threshold` — the
+    * embedding-space analog of [[graft.pipeline.CorpusOps.decontaminate]]'s
+    * n-gram overlap (paraphrased eval leakage that shares no exact
+    * grams still lands next to its source in embedding space).
+    *
+    * Candidates come from a SHARED IVF cell assignment: centroids
+    * train on train ∪ eval (one common quantizer — a per-side
+    * quantizer would break cross-set cell collision), both sides
+    * assign with `replicas`-way multi-probe, and the candidate join is
+    * an equi-join on cell — never an all-pairs nested loop. Each
+    * candidate re-scores with the exact cosine, so precision is 1.0;
+    * recall matches [[ivfNearDupPairs]] at the same parameters (the
+    * pair space is a subset of the within-union pair space). At
+    * 100 TB the eval side is tiny and broadcasts through the join;
+    * the train side crosses one cell-keyed exchange. */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+                            threshold: Double, nlist: Int = 8,
+                            replicas: Int = 4, iters: Int = 3): DataFrame = {
+    val vt = withNorm(train)
+    val ve = withNorm(evalSet)
+    val cents = trainCentroids(vt.unionByName(ve), nlist, iters)
+    val ct = withCells(vt, cents, replicas).select(col("vec_id"), col("cell"))
+    val ce = withCells(ve, cents, replicas)
+      .select(col("vec_id").as("eval_id"), col("cell"))
+    val cands = ct.join(ce, "cell")
+      .select(col("vec_id"), col("eval_id")).distinct()
+    val a = vt.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = ve.select(col("vec_id").as("eval_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val contaminated = cands.join(a, "vec_id").join(b, "eval_id")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select("vec_id").distinct()
+    graft.Engine.fanOut(train).select("vec_id")
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Materialize the IVF index: the corpus written PARTITIONED BY
     * quantizer cell, centroids alongside. This is the operator the
     * in-query [[ivfTopK]] documents as its scale path — at 100 TB the

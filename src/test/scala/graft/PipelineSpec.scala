@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.{Embeddings, Multimodal, TextAnalysis, TextDedup}
-import org.apache.spark.sql.functions.{col, sqrt}
+import org.apache.spark.sql.functions.{col, expr, sqrt}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PipelineSpec extends AnyFunSuite with SparkFixture {
@@ -230,6 +230,28 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(lsh == exact)
+  }
+
+  test("semanticDecontaminate equals the exact cross-set cosine filter") {
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    val evalSet = emb.filter(col("vec_id") % 10 === 0)
+    val got = Embeddings.semanticDecontaminate(train, evalSet, 0.45)
+      .collect().map(_.getLong(0)).toSet
+    // exact reference: brute-force cross cosine (fixture-sized only)
+    def norms(df: org.apache.spark.sql.DataFrame, p: String) = df
+      .select(col("vec_id").as(s"${p}_id"),
+        expr("transform(embedding, x -> cast(x as double))").as(s"v$p"))
+      .withColumn(s"${p}_nrm",
+        sqrt(expr(s"aggregate(transform(v$p, x -> x * x), 0d, (acc, x) -> acc + x)")))
+    val a = norms(train, "a")
+    val b = norms(evalSet, "b")
+    val contaminated = a.crossJoin(b)
+      .filter(expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)") /
+        (col("a_nrm") * col("b_nrm")) >= 0.45)
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    val want = train.select("vec_id").collect().map(_.getLong(0)).toSet -- contaminated
+    assert(got == want)
+    assert(contaminated.nonEmpty, "fixture has no cross-set near-dups — gate is vacuous")
   }
 
   test("nearDupClusters is identical under reliable checkpointing") {
