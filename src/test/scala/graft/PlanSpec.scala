@@ -405,6 +405,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // runtime AQE must REUSE their shuffle stages rather than re-scan
     // the corpus per consumer: 5 logical scan branches, 2 physical
     // corpus passes.
+    // Other suites in the shared session may have cached `documents`;
+    // a cache hit substitutes InMemoryTableScan for the parquet scan
+    // and invalidates both counters below, so pin against a clean
+    // cache.
+    spark.catalog.clearCache()
     val df = q("text_lm_score")
     df.queryExecution.toRdd.count()
     val s = df.queryExecution.executedPlan.toString

@@ -656,6 +656,24 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
       DeadlineGate.latch.countDown()
       val roomy = svc2.runQuery("select graft_test_stall() as y", 60000)
       assert(svc2.awaitComplete(roomy) == QueryStatus.Complete)
+      // the wire's optional timeout_ms reaches the same budget path
+      DeadlineGate.reset()
+      val server = new graft.service.QueryServer(svc2)
+      try {
+        val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        out.println("""{"type":"run_query","query":"select graft_test_stall() as z","timeout_ms":500}""")
+        val qid = in.readLine()
+        assert(qid.contains("run_query_resp"), qid)
+        out.println(qid.replaceAll(""".*"query_id":"([^"]+)".*""",
+          """{"type":"watch_query","query_id":"$1"}"""))
+        assert(in.readLine().contains("watch_query_resp"))
+        val update = in.readLine() // pushed at terminal
+        assert(update.contains("QUERY_TIMEOUT"), update)
+        sock.close()
+      } finally server.close()
     } finally {
       DeadlineGate.latch.countDown() // never leave a slot thread blocked
       svc2.close()

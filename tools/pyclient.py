@@ -32,11 +32,16 @@ class Client:
         self.sock.sendall((json.dumps(req) + "\n").encode())
         return json.loads(self.rfile.readline())
 
-    def run(self, sql, timeout_s=120):
+    def run(self, sql, timeout_s=120, server_timeout_ms=None):
         """Push-based completion: watch_query acks immediately, then the
         server pushes a query_update line when the query lands — no
-        polling loop (the reference's DEV_NOTES polling TODO)."""
-        qid = self.call(type="run_query", query=sql)["query_id"]
+        polling loop (the reference's DEV_NOTES polling TODO).
+        server_timeout_ms sets the statement's server-side runtime
+        budget (the service cancels it and reports [QUERY_TIMEOUT])."""
+        req = dict(type="run_query", query=sql)
+        if server_timeout_ms is not None:
+            req["timeout_ms"] = server_timeout_ms
+        qid = self.call(**req)["query_id"]
         ack = self.call(type="watch_query", query_id=qid)
         if ack.get("type") != "watch_query_resp":
             raise RuntimeError(f"watch failed: {ack}")
