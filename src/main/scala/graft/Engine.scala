@@ -52,16 +52,31 @@ object Engine {
     // not support natively; read as long and convert (see table()).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Foreign parquet writers mark timestamps isAdjustedToUTC=false;
+    // with NTZ inference on, such columns surface as TIMESTAMP_NTZ and
+    // break instant functions (unix_micros & co). The engine's contract
+    // is instant semantics under the UTC session zone, so read every
+    // parquet timestamp flavor as TIMESTAMP. table() casts as a second
+    // line of defense for sessions that bypass tune().
+    c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
   }
 
   /** Load one testdata table. Normalizes the `events.ts` nanosecond
-    * timestamp (read as long under nanosAsLong) back to a timestamp. */
+    * timestamp (read as long under nanosAsLong) back to a timestamp,
+    * and any TIMESTAMP_NTZ column (foreign writer, NTZ inference on)
+    * to TIMESTAMP — session TZ is UTC, so the instant is unambiguous. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, n) =>
+      d.withColumn(n, col(n).cast(org.apache.spark.sql.types.TimestampType)))
   }
 
   /** Register every testdata table as a temp view (for spark.sql paths). */

@@ -22,8 +22,21 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // DuckDB's TIMESTAMP is naive; the engine's is an instant under
+      // the UTC session zone. Dump instants as their UTC wall time
+      // (TIMESTAMP_NTZ) so the driver's pandas compare sees the same
+      // dtype on both sides — value bytes are unchanged.
+      try {
+        val res = fn(spark, sfDir)
+        val tsCols = res.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }
+        tsCols.foldLeft(res)((d, c) => d.withColumn(c,
+            org.apache.spark.sql.functions.col(c).cast(
+              org.apache.spark.sql.types.TimestampNTZType)))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

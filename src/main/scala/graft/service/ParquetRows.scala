@@ -37,7 +37,9 @@ object ParquetRows {
         case DOUBLE => g.getDouble(i, 0)
         case INT32 => logical match {
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
-            java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong)
+            // match Spark's default collect() convention
+            // (spark.sql.datetime.java8API.enabled=false): java.sql.Date
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(g.getInteger(i, 0).toLong))
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
             BigDecimal(BigInt(g.getInteger(i, 0)), d.getScale)
           case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation if it.getBitWidth <= 16 =>
@@ -54,9 +56,11 @@ object ParquetRows {
             }
             val instant = java.time.Instant.EPOCH.plus(micros,
               java.time.temporal.ChronoUnit.MICROS)
-            // Spark 4 java8 datetime convention: Instant for TIMESTAMP
-            // (UTC-adjusted), LocalDateTime for TIMESTAMP_NTZ.
-            if (ts.isAdjustedToUTC) instant
+            // Match Spark's default collect() convention
+            // (spark.sql.datetime.java8API.enabled=false):
+            // java.sql.Timestamp for TIMESTAMP (UTC-adjusted),
+            // LocalDateTime for TIMESTAMP_NTZ (always java.time).
+            if (ts.isAdjustedToUTC) java.sql.Timestamp.from(instant)
             else java.time.LocalDateTime.ofInstant(instant, java.time.ZoneOffset.UTC)
           case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
             BigDecimal(BigInt(g.getLong(i, 0)), d.getScale)
