@@ -604,6 +604,57 @@ object Embeddings {
       .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, dir))
   }
 
+  /** Logical deletes for a [[writeIvfIndex]] layout — the
+    * takedown / right-to-erasure path a training-data index needs.
+    * Writes the ids as a tombstone file under `dir/tombstones/`;
+    * cost is O(batch) like [[appendToIvfIndex]] — no corpus file is
+    * touched. Both read paths ([[ivfTopKIndexed]],
+    * [[ivfPqTopKIndexed]]) anti-join the tombstone set, so a deleted
+    * vector stops appearing as a neighbor AND as a query immediately;
+    * the bytes are physically purged by the next [[compactIvfIndex]],
+    * which rewrites every cell holding a tombstoned row and then
+    * drops the consumed tombstone files inside the same
+    * generation-swap. (Reference analog: the materialization-cleanup
+    * debt its DEV_NOTES.md:117-122 names for its own artifacts.)
+    *
+    * Same single-maintenance-writer discipline as append/compact:
+    * deletes are serialized with compaction by the caller (the
+    * ingest's foreachBatch), not locked here. */
+  def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfIndex(ids.toDF("vec_id"), dir)
+  }
+
+  /** The distinct tombstoned ids of an index, or None when no
+    * tombstone file exists (the common case — the read paths add no
+    * join at all then). */
+  private def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      Some(spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct())
+    else None
+  }
+
+  /** Live corpus rows: the live generation minus tombstoned ids. The
+    * anti-join sits ABOVE the scan, so `cell IN (...)` partition
+    * pruning below it is untouched; the tombstone side is small
+    * between compactions (purge resets it), so AQE plans the anti as
+    * a broadcast-hash join — no corpus shuffle. */
+  private def liveRows(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
+    tombstoneIds(spark, dir)
+      .map(t => corpus.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(corpus)
+  }
+
   /** Resolve the LIVE corpus generation of a [[writeIvfIndex]] layout:
     * the highest `corpus_v<N>` directory whose `_SUCCESS` marker
     * exists (a compaction generation is visible only once its writing
@@ -633,12 +684,16 @@ object Embeddings {
     * trigger, forever. (The reference names the same debt for its own
     * materializations — /root/reference/DEV_NOTES.md:117-122.)
     *
-    * Cells holding more than `maxFilesPerCell` parquet files are
-    * rewritten — ONE Spark job, `repartition(cols=cell)` so each
-    * oversized cell lands in a single task and therefore a single
-    * output file; cells already within bound are carried into the new
-    * generation by raw file copy (no decode/encode, and on an object
-    * store a server-side copy). The copy runs FIRST, so the new
+    * Cells holding more than `maxFilesPerCell` parquet files — plus
+    * every cell holding a [[deleteFromIvfIndex]] tombstoned row,
+    * whose bytes this pass physically purges — are rewritten: ONE
+    * Spark job, `repartition(cols=cell)` so each rewritten cell lands
+    * in a single task and therefore a single output file; cells
+    * already within bound are carried into the new generation by raw
+    * file copy (no decode/encode, and on an object store a
+    * server-side copy). Consumed tombstone files are dropped once the
+    * purged generation commits, so the read paths shed their
+    * anti-join. The copy runs FIRST, so the new
     * `corpus_v<N+1>` becomes visible (its `_SUCCESS`, written by the
     * Spark job's commit) only when complete. The predecessor stays on
     * disk as the grace copy for readers that resolved it
@@ -662,8 +717,34 @@ object Embeddings {
       }
     val cellDirs = fs.listStatus(livePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-    val (oversized, within) = cellDirs.partition(d => parquets(d.getPath).length > maxFilesPerCell)
-    if (oversized.isEmpty) return 0
+    // Tombstone purge rides the same generation swap: snapshot the
+    // tombstone FILES up front (a concurrent delete lands a new file
+    // we must not drop), find the cells holding tombstoned rows
+    // (bounded collect: ≤ nlist ints), and force those cells into the
+    // rewrite set — a raw file copy cannot drop rows.
+    val tombs = tombstoneIds(spark, dir)
+    val tombFiles: Array[org.apache.hadoop.fs.Path] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      else Array.empty
+    }
+    val tombCells: Set[Int] = tombs match {
+      case None => Set.empty
+      case Some(t) => spark.read.parquet(live).join(t, Seq("vec_id"))
+        .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    }
+    val (rewrite, within) = cellDirs.partition { d =>
+      parquets(d.getPath).length > maxFilesPerCell ||
+        tombCells.contains(d.getPath.getName.stripPrefix("cell=").toInt)
+    }
+    if (rewrite.isEmpty) {
+      // Nothing to rewrite: consumed tombstones match no live row
+      // (already purged, or never existed) — drop them so the read
+      // paths shed the anti-join.
+      tombFiles.foreach(f => fs.delete(f, false))
+      return 0
+    }
     val liveVersion =
       if (live.endsWith("/corpus")) 0 else live.substring(live.lastIndexOf("_v") + 2).toInt
     val next = s"$dir/corpus_v${liveVersion + 1}"
@@ -676,9 +757,10 @@ object Embeddings {
           new org.apache.hadoop.fs.Path(dst, f.getPath.getName), false, conf)
       }
     }
-    val cells = oversized.map(_.getPath.getName.stripPrefix("cell=").toInt).toIndexedSeq
-    spark.read.parquet(live)
+    val cells = rewrite.map(_.getPath.getName.stripPrefix("cell=").toInt).toIndexedSeq
+    val toRewrite = spark.read.parquet(live)
       .filter(col("cell").isin(cells: _*))
+    tombs.map(t => toRewrite.join(t, Seq("vec_id"), "left_anti")).getOrElse(toRewrite)
       .repartition(cells.length, col("cell"))
       .write.mode("append").partitionBy("cell").parquet(next)
     // prune generations older than the grace copy (the just-replaced live)
@@ -687,7 +769,10 @@ object Embeddings {
         if (v == 0) s"$dir/corpus" else s"$dir/corpus_v$v")
       if (fs.exists(old)) fs.delete(old, true)
     }
-    oversized.length
+    // purge complete in the new generation → consume the snapshotted
+    // tombstone files (a delete that raced in stays for the next pass)
+    tombFiles.foreach(f => fs.delete(f, false))
+    rewrite.length
   }
 
   /** Operational snapshot of a [[writeIvfIndex]] layout — what sizes
@@ -756,7 +841,7 @@ object Embeddings {
       spark.read.parquet(s"$dir/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
+    val corpus = liveRows(spark, dir)
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)
@@ -813,7 +898,7 @@ object Embeddings {
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
     val books = readCodebooks(spark, dir)
-    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
+    val corpus = liveRows(spark, dir)
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)

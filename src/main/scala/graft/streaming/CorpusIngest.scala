@@ -110,6 +110,14 @@ object CorpusIngest {
     * single-maintenance-writer requirement) and visibility is atomic:
     * in-flight readers keep the generation they resolved. 0 = off.
     *
+    * Takedown deletes compose through the same cadence with no extra
+    * wiring: [[graft.pipeline.Embeddings.deleteFromIvfIndex]] is an
+    * O(batch) tombstone append callable while the stream runs (read
+    * paths exclude the ids immediately), and the NEXT scheduled
+    * compaction physically purges them — compactIvfIndex snapshots
+    * the tombstone files it consumes, so a delete racing the purge
+    * survives to the following pass instead of being dropped.
+    *
     * `outputFilesPerBatch`: coalesce each micro-batch's corpus append
     * to at most N files — the OUTPUT side of the same small-file debt
     * (a batch otherwise writes one file per upstream partition per

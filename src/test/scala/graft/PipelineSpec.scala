@@ -184,6 +184,50 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fs.exists())
   }
 
+  test("deleteFromIvfIndex: tombstoned vectors leave both read paths; compaction purges the bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delete").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    val before = Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq
+    val beforePq = Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq
+    // delete two corpus-side neighbors that the pre-delete top-k cites,
+    // and one query vector (ids < 10 are queries)
+    val victimNeighbors = before.map(_.getLong(1)).filter(_ >= 10).distinct.take(2)
+    val victims = victimNeighbors :+ 3L
+    Embeddings.deleteFromIvfIndex(spark, dir, victims)
+    // both read paths exclude the ids immediately — as neighbors AND queries
+    val after = Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq
+    val afterPq = Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq
+    for (rows <- Seq(after, afterPq)) {
+      assert(rows.nonEmpty)
+      assert(!rows.exists(r => victims.contains(r.getLong(1))), "deleted id served as neighbor")
+      assert(!rows.exists(r => r.getLong(0) == 3L), "deleted id served as query")
+    }
+    assert(after != before, "delete had no observable effect")
+    // logical delete only: bytes still on disk, one tombstone file
+    val rowsOnDisk = spark.read.parquet(s"$dir/corpus").count()
+    assert(rowsOnDisk == emb.count())
+    assert(new java.io.File(s"$dir/tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    // compaction purges: per-index row count drops by the victim count,
+    // tombstones are consumed, results are unchanged vs pre-compaction
+    assert(Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 4) > 0)
+    val stats = Embeddings.ivfIndexStats(spark, dir)
+    val purgedRows = stats.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .collect()(0).getLong(0)
+    assert(purgedRows == emb.count() - victims.size, "compaction did not purge tombstoned rows")
+    assert(stats.select("generation").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(new java.io.File(s"$dir/tombstones").listFiles() == null ||
+      !new java.io.File(s"$dir/tombstones").listFiles().exists(_.getName.endsWith(".parquet")),
+      "consumed tombstone files not dropped")
+    assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq == after)
+    assert(Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq == afterPq)
+    assert(beforePq.nonEmpty) // sanity: PQ path exercised pre-delete too
+    // deleting an id with no live row: consumed without a rewrite
+    Embeddings.deleteFromIvfIndex(spark, dir, Seq(victims.head))
+    assert(Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 4) == 0)
+    assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq == after)
+  }
+
   test("quantizer training fails loud on an empty training frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     val e = intercept[IllegalArgumentException] {
