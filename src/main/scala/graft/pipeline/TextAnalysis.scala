@@ -178,36 +178,54 @@ object TextAnalysis {
     * Reference analog: none — its scalar surface is arithmetic over
     * scanned columns only (`compute_value.rs:117-209`); corpus-level
     * model scoring is beyond-reference surface. */
+  /** `groupCol`: condition the model on a partition of the corpus —
+    * the CCNet shape is one LM PER LANGUAGE, because a corpus-global
+    * model misgrades minority languages (their transitions look
+    * improbable under majority-language statistics). Every count
+    * table gains the group key, so c(w1,w2), c(w), and (N, V) are all
+    * within-group; a document is scored only against its own group's
+    * model. Grouped output carries the group column. Plan shape is
+    * unchanged — the group key rides the existing aggregate and join
+    * keys, and per-group (N, V) (≤ #groups rows) still broadcasts. */
   def lmScore(docs: DataFrame, alpha: Double = 0.5,
-              lambda: Double = 0.9): DataFrame = {
+              lambda: Double = 0.9, groupCol: Option[String] = None): DataFrame = {
+    val g = groupCol.toSeq
+    val gc = g.map(col)
     val toks = graft.Engine.fanOut(docs)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id") +: gc :+ tokens(col("text")).as("w"): _*)
     // (w[i], w[i+1]) pairs: transform-with-index over the first n-1
     // tokens — stays inside codegen, no posexplode/self-join.
     val bi = toks
-      .select(col("doc_id"), explode(transform(
+      .select(col("doc_id") +: gc :+ explode(transform(
         slice(col("w"), lit(1), size(col("w")) - 1),
-        (t, i) => struct(t.as("w1"), col("w")(i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+        (t, i) => struct(t.as("w1"), col("w")(i + 1).as("w2")))).as("b"): _*)
+      .select(col("doc_id") +: gc :+ col("b.w1").as("w1") :+ col("b.w2").as("w2"): _*)
+    val perDoc = bi.groupBy((Seq("doc_id") ++ g ++ Seq("w1", "w2")).map(col): _*)
+      .agg(count(lit(1)).as("n"))
     // derived from perDoc, not from a second pass over the transitions
-    val bigramCounts = perDoc.groupBy("w1", "w2").agg(sum("n").as("cb"))
-    val uni = toks.select(explode(col("w")).as("wd"))
-      .groupBy("wd").agg(count(lit(1)).as("c"))
-    val totals = uni.agg(sum("c").as("nTot"), count(lit(1)).as("v"))
+    val bigramCounts = perDoc.groupBy((g ++ Seq("w1", "w2")).map(col): _*)
+      .agg(sum("n").as("cb"))
+    val uni = toks.select(gc :+ explode(col("w")).as("wd"): _*)
+      .groupBy((g :+ "wd").map(col): _*).agg(count(lit(1)).as("c"))
+    val totals =
+      if (g.isEmpty) uni.agg(sum("c").as("nTot"), count(lit(1)).as("v"))
+      else uni.groupBy(gc: _*).agg(sum("c").as("nTot"), count(lit(1)).as("v"))
     val p =
       (lit(lambda) * (col("cb").cast("double") + lit(alpha)) /
         (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))) +
       (lit(1.0 - lambda) * (col("c2").cast("double") + lit(alpha)) /
         (col("nTot").cast("double") + lit(alpha) * col("v").cast("double")))
-    val scored = perDoc
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(uni.select(col("wd"), col("c").as("c1")), col("w1") === col("wd")).drop("wd")
-      .join(uni.select(col("wd"), col("c").as("c2")), col("w2") === col("wd")).drop("wd")
-      .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("n"),
-        (-log(p)).cast("decimal(18,12)").as("t12"))
-    scored.groupBy("doc_id")
+    val withCounts = perDoc
+      .join(bigramCounts, g ++ Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("wd", "w1").withColumnRenamed("c", "c1"), g :+ "w1")
+      .join(uni.withColumnRenamed("wd", "w2").withColumnRenamed("c", "c2"), g :+ "w2")
+    val withTotals =
+      if (g.isEmpty) withCounts.crossJoin(broadcast(totals))
+      else withCounts.join(broadcast(totals), g)
+    val scored = withTotals
+      .select(col("doc_id") +: gc :+ col("n") :+
+        (-log(p)).cast("decimal(18,12)").as("t12"): _*)
+    scored.groupBy((Seq("doc_id") ++ g).map(col): _*)
       .agg(sum("n").cast("long").as("n_bigrams"),
         sum(col("n").cast("decimal(10,0)") * col("t12")).cast("double").as("sum_nll"))
       .withColumn("avg_nll", col("sum_nll") / col("n_bigrams"))

@@ -184,6 +184,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fs.exists())
   }
 
+  test("lmScore groupCol: per-language scores equal the global model run on each language slice") {
+    // Conditioning correctness: a grouped run over the mixed corpus
+    // must agree EXACTLY (decimal-rounded nll terms) with running the
+    // ungrouped model on each language's slice in isolation — i.e.
+    // no count, vocabulary, or (N, V) leaks across groups.
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(langs.size > 1, "fixture must be multilingual for this test to bite")
+    val grouped = TextAnalysis.lmScore(docs, groupCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val sliced = langs.flatMap { l =>
+      TextAnalysis.lmScore(docs.filter(col("lang") === l))
+        .collect().map(r => (r.getLong(0), l) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    }.toMap
+    assert(grouped.nonEmpty && grouped == sliced)
+    // and the conditioning moves scores: a minority-language doc's
+    // within-group nll differs from its corpus-global nll
+    val global = TextAnalysis.lmScore(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(grouped.exists { case ((id, _), (_, _, avg)) => global(id) != avg },
+      "per-language conditioning changed nothing — grouping is inert")
+  }
+
   test("deleteFromIvfIndex: tombstoned vectors leave both read paths; compaction purges the bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_delete").toString
     Embeddings.writeIvfIndex(emb, dir, nlist = 16)
