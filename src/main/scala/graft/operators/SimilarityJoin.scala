@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   *      broadcasts regardless of corpus size — frequency ordering then
   *      costs no shuffle on the data path. For large-alphabet corpora
   *      (CJK/unicode: millions+ of distinct character trigrams) a
-  *      forced broadcast is a driver OOM — pass
-  *      `broadcastFreq = false` and the frequency join plans as a
-  *      keyed shuffle instead (AQE may still demote it to a broadcast
-  *      at runtime if the aggregate turns out small; results are
-  *      identical either way, see OperatorsSpec's CJK fixture).
+  *      forced broadcast is a driver OOM — there the frequency join
+  *      plans as a keyed shuffle instead. By default the choice is
+  *      AUTOMATIC: a one-pass HLL probe of the distinct-gram count
+  *      picks broadcast iff the alphabet is bounded
+  *      ([[shouldBroadcastFreq]]); `broadcastFreq = Some(b)` skips the
+  *      probe and forces the plan (results are identical either way,
+  *      see OperatorsSpec's CJK fixture).
   *   2. prefix candidates: each string sorts its trigrams rarest-first
   *      by (df, gram) — a GLOBAL total order — and emits only its
   *      first |T| − ceil(θ·|T|) + 1 grams. Two strings with
@@ -93,9 +95,13 @@ object SimilarityJoin {
     * stays 1.0 (the verify is still exact); recall drops only for
     * pairs whose every shared prefix gram is hotter than the cap
     * (OperatorsSpec pins both directions). None = exact, recall 1.0. */
+  /** `broadcastFreq`: None (default) decides automatically from a
+    * bounded distinct-gram probe (one HLL pass over the gram stream —
+    * see [[shouldBroadcastFreq]]); Some(b) skips the probe and forces
+    * the plan, for callers who already know their alphabet. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
                thetaNum: Int, thetaDen: Int,
-               broadcastFreq: Boolean = true,
+               broadcastFreq: Option[Boolean] = None,
                grams: Column => Column = charTrigrams,
                prefixDfCap: Option[Long] = None): DataFrame = {
     val g = gramSets(df, idCol, strCol, grams)
@@ -115,7 +121,7 @@ object SimilarityJoin {
   def join(left: DataFrame, leftId: String, leftStr: String,
            right: DataFrame, rightId: String, rightStr: String,
            thetaNum: Int, thetaDen: Int,
-           broadcastFreq: Boolean = true,
+           broadcastFreq: Option[Boolean] = None,
            grams: Column => Column = charTrigrams,
            prefixDfCap: Option[Long] = None): DataFrame =
     candidateVerify(
@@ -135,19 +141,41 @@ object SimilarityJoin {
     * `self = true` compares one frame against itself (`ga` and `gb`
     * must be the same frame) and keeps only id_a < id_b; `self =
     * false` compares left against right with no id constraint. */
+  /** Frequency tables up to this many distinct grams broadcast
+    * (~50 MB of hashed (short-string, long) entries — comfortably
+    * inside executor broadcast budgets); larger alphabets shuffle.
+    * The probe that feeds this bound is what makes the choice safe on
+    * corpora the caller has never profiled: a forced broadcast of a
+    * CJK-scale trigram alphabet (millions+ of distinct grams) is a
+    * driver OOM at 100 TB. */
+  private[graft] val AutoBroadcastMaxDistinctGrams: Long = 1000000L
+
+  /** The auto `broadcastFreq` decision: ONE map-side HLL pass over the
+    * exploded gram stream (±5 % at the bound — sketch-sized shuffle,
+    * no materialization), compared against `maxDistinct`. Distinct-
+    * gram count is exactly the documented scale lever of this family:
+    * it bounds both the broadcast's size and the Σdf² candidate
+    * fan-out regime. */
+  private[graft] def shouldBroadcastFreq(gramStream: DataFrame,
+      maxDistinct: Long = AutoBroadcastMaxDistinctGrams): Boolean =
+    gramStream.agg(approx_count_distinct(col("gram"), 0.05))
+      .collect()(0).getLong(0) <= maxDistinct
+
   private def candidateVerify(ga: DataFrame, gb: DataFrame, self: Boolean,
                               thetaNum: Int, thetaDen: Int,
-                              broadcastFreq: Boolean,
+                              broadcastFreqOpt: Option[Boolean],
                               prefixDfCap: Option[Long]): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
     require(prefixDfCap.forall(_ >= 1), s"prefixDfCap $prefixDfCap must be >= 1")
-    // (1) document frequencies — broadcast only when the caller vouches
-    // for a bounded alphabet (ASCII trigrams); shuffled join otherwise.
+    // (1) document frequencies — broadcast for a bounded alphabet
+    // (ASCII trigrams); shuffled join otherwise. Auto (None) probes the
+    // distinct-gram count instead of trusting the caller.
     // R×S: one order over BOTH sides (see join's Scaladoc).
-    val freq = (if (self) ga else ga.unionByName(gb))
+    val gramStream = (if (self) ga else ga.unionByName(gb))
       .select(explode(col("gs")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val broadcastFreq = broadcastFreqOpt.getOrElse(shouldBroadcastFreq(gramStream))
+    val freq = gramStream.groupBy("gram").agg(count(lit(1)).as("df"))
     // (2) rarest-first prefixes under the (df, gram) total order
     def prefixes(g: DataFrame): DataFrame =
       g.select(col("id"), explode(col("gs")).as("gram"))

@@ -91,13 +91,45 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     } yield (ia, ib, inter.toLong, uni.toLong)).toSet
     assert(want.nonEmpty) // fixture must actually exercise the join
     val df = data.toDF("id", "s")
-    def run(bcast: Boolean): Set[(Long, Long, Long, Long)] =
+    def run(bcast: Option[Boolean]): Set[(Long, Long, Long, Long)] =
       graft.operators.SimilarityJoin.selfJoin(df, "id", "s", 2, 3, bcast)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
-    assert(run(bcast = true) == want)
-    assert(run(bcast = false) == want)
+    assert(run(bcast = Some(true)) == want)
+    assert(run(bcast = Some(false)) == want)
+    assert(run(bcast = None) == want) // auto probe: same rows either way
+  }
+
+  test("broadcastFreq auto mode: probe picks shuffled for a CJK-scale alphabet, broadcast for ASCII") {
+    import spark.implicits._
+    // Two corpora of equal size whose gram-alphabet GROWTH differs —
+    // the property the probe discriminates on. ASCII titles drawn from
+    // a small word vocabulary: trigram alphabet saturates (bounded
+    // regardless of corpus size). CJK-style strings over a wide
+    // codepoint range: distinct trigrams keep growing with the corpus.
+    val ascii = (0 until 400).map { i =>
+      (i.toLong, Seq("alpha", "beta", "gamma", "delta", "epsilon")
+        .map(w => w + (i % 3)).mkString(" "))
+    }.toDF("id", "s")
+    val cjk = (0 until 400).map { i =>
+      (i.toLong, (0 until 40).map(j => (0x4E00 + (i * 131 + j * 7919) % 20000)
+        .toChar).mkString)
+    }.toDF("id", "s")
+    def stream(df: org.apache.spark.sql.DataFrame) =
+      df.select(org.apache.spark.sql.functions.explode(
+        graft.operators.SimilarityJoin.charTrigrams(
+          org.apache.spark.sql.functions.col("s"))).as("gram"))
+    // One threshold, scaled to the fixture as the production default is
+    // scaled to executor broadcast budgets: the decision must FLIP on
+    // the alphabet-growth property alone.
+    val maxDistinct = 2000L
+    assert(graft.operators.SimilarityJoin.shouldBroadcastFreq(stream(ascii), maxDistinct),
+      "bounded ASCII trigram alphabet must broadcast")
+    assert(!graft.operators.SimilarityJoin.shouldBroadcastFreq(stream(cjk), maxDistinct),
+      "CJK-scale trigram alphabet must shuffle")
+    // and the production default is generous enough for real ASCII corpora
+    assert(graft.operators.SimilarityJoin.AutoBroadcastMaxDistinctGrams >= 100000L)
   }
 
   test("two-table similarity join equals naive cross Jaccard; id spaces stay independent") {
