@@ -32,7 +32,8 @@ final case class QueryMetrics(
     memorySpillBytes: Long,
     diskSpillBytes: Long,
     executorRunTimeMs: Long,
-    wallTimeMs: Long)
+    wallTimeMs: Long,
+    queueWaitMs: Long)
 
 /** SparkListener that attributes task metrics to queries by job
   * group id (QueryService runs each query under a job group named by
@@ -59,6 +60,7 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
     var memSpill = 0L; var diskSpill = 0L
     var runMs = 0L
     @volatile var wallMs = 0L
+    @volatile var queueWaitMs = 0L
   }
 
   private val byGroup = new ConcurrentHashMap[String, Acc]()
@@ -121,11 +123,21 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
     }
   }
 
-  /** Service-side wall clock (submit → terminal), set once by the
-    * execution future; the only field not sourced from task metrics. */
+  /** Service-side wall clock (slot claim → terminal), set once by the
+    * execution future; not sourced from task metrics. */
   def setWallTime(group: String, ms: Long): Unit = {
     val acc = byGroup.computeIfAbsent(group, _ => { order.add(group); new Acc })
     acc.wallMs = ms
+  }
+
+  /** Admission queue wait (submit → slot claim), set once when the
+    * query leaves Queued — the reference's status lifecycle implies
+    * exactly this split (query_handler_state.rs:28-61 separates
+    * Queued from Running); an operator reads it to tell "the cluster
+    * is slow" apart from "the service is backlogged". */
+  def setQueueWait(group: String, ms: Long): Unit = {
+    val acc = byGroup.computeIfAbsent(group, _ => { order.add(group); new Acc })
+    acc.queueWaitMs = ms
   }
 
   def snapshot(group: String): Option[QueryMetrics] =
@@ -133,7 +145,7 @@ final class MetricsCollector(maxTracked: Int = 10000) extends SparkListener {
       a.synchronized {
         QueryMetrics(a.jobs, a.stages, a.tasks, a.inRows, a.inBytes,
           a.outRows, a.outBytes, a.shufRead, a.shufWrite,
-          a.memSpill, a.diskSpill, a.runMs, a.wallMs)
+          a.memSpill, a.diskSpill, a.runMs, a.wallMs, a.queueWaitMs)
       }
     }
 

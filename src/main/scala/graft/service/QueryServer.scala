@@ -239,7 +239,8 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
           "memory_spill_bytes" -> JInt(BigInt(m.memorySpillBytes)),
           "disk_spill_bytes" -> JInt(BigInt(m.diskSpillBytes)),
           "executor_run_time_ms" -> JInt(BigInt(m.executorRunTimeMs)),
-          "wall_time_ms" -> JInt(BigInt(m.wallTimeMs)))
+          "wall_time_ms" -> JInt(BigInt(m.wallTimeMs)),
+          "queue_wait_ms" -> JInt(BigInt(m.queueWaitMs)))
       }
 
     case Some("get_query_data") =>

@@ -408,9 +408,14 @@ final class QueryService(
     statuses.put(queryId, QueryStatus.Queued)
     submissionOrder.add(queryId)
     evictTerminal()
+    val submittedAt = System.currentTimeMillis()
     Future {
       statuses.put(queryId, QueryStatus.Running)
       val startedAt = System.currentTimeMillis()
+      // queue wait = submit → slot claim; recorded up front so a
+      // backlogged service is observable WHILE the query runs, not
+      // only after it terminates
+      metricsCollector.setQueueWait(queryId, startedAt - submittedAt)
       val terminal =
         if (cancelRequested.contains(queryId)) QueryStatus.Cancelled
         else {

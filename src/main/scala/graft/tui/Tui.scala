@@ -232,7 +232,8 @@ final class TuiApp(
           sb.append(s"  metrics: scan ${m.inputRows} rows/${m.inputBytes} B" +
             s" | shuffle r/w ${m.shuffleReadBytes}/${m.shuffleWriteBytes} B" +
             s" | spill ${m.memorySpillBytes + m.diskSpillBytes} B" +
-            s" | ${m.executorRunTimeMs} ms exec / ${m.wallTimeMs} ms wall").append('\n')
+            s" | ${m.executorRunTimeMs} ms exec / ${m.wallTimeMs} ms wall" +
+            s" / ${m.queueWaitMs} ms queued").append('\n')
         case None => sb.append("  metrics: (none yet)").append('\n')
       }
     }

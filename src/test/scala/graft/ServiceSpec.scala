@@ -721,6 +721,30 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
       (holding ++ overflow).foreach { id =>
         assert(svc2.awaitComplete(id) == QueryStatus.Complete, id)
       }
+      // queue-wait attribution: the overflow statements sat Queued
+      // behind the latched slots (>= the 300 ms queued-assert sleep
+      // above), the slot-holders were admitted immediately — the
+      // metric is what separates "backlogged service" from "slow
+      // query". Served locally and over the wire.
+      val overflowWait = svc2.metrics(overflow.head).get.queueWaitMs
+      val holdingWait = svc2.metrics(holding.head).get.queueWaitMs
+      assert(overflowWait >= 300, s"overflow queue wait $overflowWait ms")
+      assert(holdingWait < overflowWait,
+        s"slot-holder waited $holdingWait ms, overflow $overflowWait ms")
+      val server2 = new graft.service.QueryServer(svc2)
+      try {
+        val sock = new java.net.Socket("127.0.0.1", server2.boundPort)
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream))
+        out.println(s"""{"type":"get_query_metrics","query_id":"${overflow.head}"}""")
+        val resp = in.readLine()
+        assert(resp.contains("queue_wait_ms"), resp)
+        val wire = """"queue_wait_ms":(\d+)""".r.findFirstMatchIn(resp)
+          .map(_.group(1).toLong)
+        assert(wire.exists(_ == overflowWait), s"wire $wire != local $overflowWait")
+        sock.close()
+      } finally server2.close()
     } finally {
       AdmissionGate.latch.countDown() // never leave slot threads blocked
       svc2.close()

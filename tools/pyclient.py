@@ -120,7 +120,8 @@ def main():
     m = c.metrics(qid)
     print(f"metrics: {m.get('input_rows')} rows / {m.get('input_bytes')} B scanned, "
           f"{m.get('shuffle_read_bytes')} B shuffled, "
-          f"{m.get('wall_time_ms')} ms wall")
+          f"{m.get('wall_time_ms')} ms wall, "
+          f"{m.get('queue_wait_ms')} ms queued")
     s = c.service_stats()
     print(f"service: {s.get('queued')} queued / {s.get('running')} running "
           f"of {s.get('slots')} slots")
