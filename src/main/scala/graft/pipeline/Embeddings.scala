@@ -630,6 +630,36 @@ object Embeddings {
     deleteFromIvfIndex(ids.toDF("vec_id"), dir)
   }
 
+  /** Reconcile a [[writeIvfIndex]] layout against the corpus of
+    * record: append corpus vectors the index is missing, tombstone
+    * index vectors the corpus no longer holds. Returns
+    * (appended, orphaned) counts — the ops report.
+    *
+    * This is the repair op for the ingest's documented
+    * non-transactional window ([[graft.streaming.CorpusIngest.ingest]]:
+    * a crash between the corpus append and the index append loses that
+    * batch's index rows; the reverse order would strand orphans) and
+    * for any other drift between the two stores. Both diffs are
+    * id-only anti-joins — 8 bytes per row crosses the exchanges,
+    * column pruning keeps vectors out until the append actually needs
+    * them — and the repairs reuse the incremental machinery
+    * ([[appendToIvfIndex]] / [[deleteFromIvfIndex]]), so
+    * reconciliation is O(drift), not O(index), plus the id scans.
+    * Idempotent: a second run returns (0, 0). Same
+    * single-maintenance-writer discipline as append/compact. */
+  def reconcileIvfIndex(emb: DataFrame, dir: String): (Long, Long) = {
+    val spark = emb.sparkSession
+    val indexIds = liveRows(spark, dir).select("vec_id")
+    val corpusIds = emb.select("vec_id")
+    val missing = emb.join(indexIds, Seq("vec_id"), "left_anti")
+    val nMissing = missing.count()
+    if (nMissing > 0) appendToIvfIndex(missing, dir)
+    val orphaned = indexIds.join(corpusIds, Seq("vec_id"), "left_anti")
+    val nOrphaned = orphaned.count()
+    if (nOrphaned > 0) deleteFromIvfIndex(orphaned, dir)
+    (nMissing, nOrphaned)
+  }
+
   /** The distinct tombstoned ids of an index, or None when no
     * tombstone file exists (the common case — the read paths add no
     * join at all then). */

@@ -242,19 +242,27 @@ object TextAnalysis {
     * through one partition. Cuts round through DECIMAL(18,12): the
     * percentile interpolation is the only arithmetic here whose
     * last-ULP behavior engines may disagree on. */
+  /** `groupCol`: CCNet buckets per language — both the model AND the
+    * terciles condition on the group (a shared tercile over mixed
+    * languages would put whole minority languages in `tail`). Cuts
+    * stay a broadcast: ≤ #groups rows. */
   def lmBuckets(docs: DataFrame, alpha: Double = 0.5,
-                lambda: Double = 0.9): DataFrame = {
-    val nll = lmScore(docs, alpha, lambda)
-    val cuts = nll.agg(
-      percentile(col("avg_nll"), lit(1.0 / 3))
-        .cast("decimal(18,12)").cast("double").as("c1"),
-      percentile(col("avg_nll"), lit(2.0 / 3))
-        .cast("decimal(18,12)").cast("double").as("c2"))
-    nll.crossJoin(broadcast(cuts))
-      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+                lambda: Double = 0.9, groupCol: Option[String] = None): DataFrame = {
+    val nll = lmScore(docs, alpha, lambda, groupCol)
+    val c1 = percentile(col("avg_nll"), lit(1.0 / 3))
+      .cast("decimal(18,12)").cast("double").as("c1")
+    val c2 = percentile(col("avg_nll"), lit(2.0 / 3))
+      .cast("decimal(18,12)").cast("double").as("c2")
+    val withCuts = groupCol match {
+      case None => nll.crossJoin(broadcast(nll.agg(c1, c2)))
+      case Some(g) => nll.join(broadcast(nll.groupBy(g).agg(c1, c2)), g)
+    }
+    withCuts
+      .select(col("doc_id") +: groupCol.map(col).toSeq :+
+        col("n_bigrams") :+ col("avg_nll") :+
         when(col("avg_nll") <= col("c1"), "head")
           .when(col("avg_nll") <= col("c2"), "middle")
-          .otherwise("tail").as("bucket"))
+          .otherwise("tail").as("bucket"): _*)
       .orderBy("doc_id")
   }
 

@@ -97,8 +97,12 @@ object CorpusIngest {
     * append and the index append loses that batch's index rows (the
     * redelivered batch anti-joins to empty, so nothing re-appends).
     * The failure degrades ANN recall only, never corpus correctness,
-    * and the periodic full rebuild that frozen-centroid drift already
-    * requires (see appendToIvfIndex's Scaladoc) reconciles it.
+    * and either repair closes it: the periodic full rebuild that
+    * frozen-centroid drift already requires (see appendToIvfIndex's
+    * Scaladoc), or the cheaper targeted
+    * [[graft.pipeline.Embeddings.reconcileIvfIndex]] — an id-level
+    * diff of corpus vs index that appends the lost batch and
+    * tombstones orphans, O(drift) not O(index).
     *
     * `compactIndexEvery`: every N-th micro-batch, after the index
     * append, run [[graft.pipeline.Embeddings.compactIvfIndex]] —

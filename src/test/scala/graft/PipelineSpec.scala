@@ -252,6 +252,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq == after)
   }
 
+  test("reconcileIvfIndex repairs lost index appends and orphaned index rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_reconcile").toString
+    val dirRef = java.nio.file.Files.createTempDirectory("graft_ivf_recref").toString
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val lostBatch = emb.filter(col("vec_id") % 3 === 0)
+    Embeddings.writeIvfIndex(base, dir, nlist = 16)
+    // crash window 1: corpus grew, index append was lost → the index
+    // is missing lostBatch. Reconciling against the full corpus
+    // appends exactly those rows...
+    val (appended, orphaned) = Embeddings.reconcileIvfIndex(emb, dir)
+    assert(appended == lostBatch.count() && orphaned == 0)
+    // ...and the repaired index equals a fresh frozen-param build
+    Embeddings.writeIvfIndex(emb, dirRef, nlist = 16, trainOn = Some(base))
+    assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq ==
+      Embeddings.ivfTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
+    assert(Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq ==
+      Embeddings.ivfPqTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
+    // crash window 2 (reverse order): index rows whose docs never
+    // landed — reconcile against a corpus missing them tombstones the
+    // orphans, and the read paths exclude them
+    val shrunk = emb.filter(col("vec_id") % 5 =!= 1)
+    val orphanIds = emb.filter(col("vec_id") % 5 === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (app2, orph2) = Embeddings.reconcileIvfIndex(shrunk, dir)
+    assert(app2 == 0 && orph2 == orphanIds.size.toLong)
+    val served = Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect()
+    assert(served.nonEmpty &&
+      !served.exists(r => orphanIds.contains(r.getLong(1)) || orphanIds.contains(r.getLong(0))))
+    // idempotent: nothing left to repair
+    assert(Embeddings.reconcileIvfIndex(shrunk, dir) == ((0L, 0L)))
+  }
+
   test("quantizer training fails loud on an empty training frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     val e = intercept[IllegalArgumentException] {
