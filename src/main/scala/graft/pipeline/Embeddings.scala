@@ -843,6 +843,45 @@ object Embeddings {
       .orderBy("cell")
   }
 
+  /** Quantizer drift snapshot of a [[writeIvfIndex]] layout — the
+    * signal that the periodic full rebuild (which frozen-centroid
+    * maintenance defers to, see [[appendToIvfIndex]]) is actually DUE:
+    * per cell, the live vectors' mean and max cosine distance to their
+    * frozen centroid. A healthy cell's mean tracks its build-time
+    * value; a cell whose appends drifted from the training
+    * distribution shows a rising mean (its vectors are far from the
+    * centroid that claims them → probes ranked by centroid score stop
+    * finding them → recall decays silently — THIS is the number that
+    * decays before any query visibly fails).
+    *
+    * One pass over the live corpus (tombstones excluded — deleted
+    * vectors must not keep a cell looking drifted), centroids ride a
+    * broadcast (nlist rows), distances reduce in a map-side-combined
+    * aggregate. Compare the `overall` row across snapshots for the
+    * rebuild trigger; per-cell rows localize which region drifted. */
+  def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), transform(col("centroid"), _.cast("double")).as("cent"))
+    val live = liveRows(spark, dir)
+      .select(col("cell"), col("v"), col("nrm"))
+      .join(broadcast(cents), "cell")
+      .withColumn("cdist",
+        lit(1.0) - dot(col("v"), col("cent")) /
+          (col("nrm") * sqrt(dot(col("cent"), col("cent")))))
+    val perCell = live.groupBy("cell")
+      .agg(count(lit(1)).as("n_rows"),
+        avg(col("cdist")).as("mean_dist"),
+        max(col("cdist")).as("max_dist"))
+    val overall = live.agg(count(lit(1)).as("n_rows"),
+        avg(col("cdist")).as("mean_dist"),
+        max(col("cdist")).as("max_dist"))
+      .withColumn("cell", lit(-1))
+      .select("cell", "n_rows", "mean_dist", "max_dist")
+    perCell.unionByName(overall).orderBy("cell")
+  }
+
   /** Load the PQ codebooks persisted by [[writeIvfIndex]]. Bounded
     * driver collect: m × k codewords (16×64×4 doubles at the gated
     * settings) — the codebooks must live on the driver to become

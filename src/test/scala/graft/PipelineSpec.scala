@@ -284,6 +284,42 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Embeddings.reconcileIvfIndex(shrunk, dir) == ((0L, 0L)))
   }
 
+  test("ivfDriftStats: appends off the training distribution raise drift; deletes restore it") {
+    import org.apache.spark.sql.functions.{lit, transform => atransform}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    def overall(): (Long, Double) = {
+      val r = Embeddings.ivfDriftStats(spark, dir)
+        .filter(col("cell") === -1).collect()(0)
+      (r.getAs[Long]("n_rows"), r.getAs[Double]("mean_dist"))
+    }
+    val (n0, mean0) = overall()
+    assert(n0 == emb.count())
+    assert(mean0 > 0.0 && mean0 < 2.0)
+    // per-cell rows cover every live cell, distances are valid cosines
+    val cells = Embeddings.ivfDriftStats(spark, dir).filter(col("cell") >= 0).collect()
+    assert(cells.map(_.getAs[Long]("n_rows")).sum == n0)
+    assert(cells.forall { r =>
+      val m = r.getAs[Double]("mean_dist"); m >= -1e-9 && m <= 2.0 &&
+        r.getAs[Double]("max_dist") >= m - 1e-9
+    })
+    // appends from a DIFFERENT distribution (negated vectors — far
+    // from every centroid trained on the originals): drift rises
+    val drifted = emb.select((col("vec_id") + 10000).as("vec_id"),
+      atransform(col("embedding"), x => -x).as("embedding"), col("label"))
+    Embeddings.appendToIvfIndex(drifted, dir)
+    val (n1, mean1) = overall()
+    assert(n1 == 2 * n0)
+    assert(mean1 > mean0, s"drifted appends did not raise mean dist ($mean0 -> $mean1)")
+    // right-to-erasure on the drifted batch: stats exclude tombstoned
+    // vectors immediately — the snapshot returns to the build state
+    // (mean within float-reduction tolerance: the tombstone anti-join
+    // changes partition-level aggregation order)
+    Embeddings.deleteFromIvfIndex(drifted.select("vec_id"), dir)
+    val (n2, mean2) = overall()
+    assert(n2 == n0 && math.abs(mean2 - mean0) < 1e-9)
+  }
+
   test("quantizer training fails loud on an empty training frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     val e = intercept[IllegalArgumentException] {
