@@ -423,6 +423,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(scans <= 2, s"expected <=2 live corpus scans, got $scans:\n$s")
   }
 
+  test("text_lm_lang: the grouped model keeps AQE stage reuse — no per-consumer re-scan") {
+    // Same reuse contract as text_lm_score, for the per-language
+    // variant: the group key rides the existing aggregate/join keys,
+    // so the shared subtrees (per-doc bigram aggregate, unigram
+    // aggregate — now keyed by language) must still canonicalize
+    // identically and reuse their shuffle stages. Without reuse the
+    // grouped model re-scans the corpus per count table — 5+ passes
+    // instead of the languageId pass + two model passes, a real cost
+    // multiplier at 100 TB.
+    spark.catalog.clearCache()
+    val df = q("text_lm_lang")
+    df.queryExecution.toRdd.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("isFinalPlan=true"), s)
+    val finalPlan = s.split("== Initial Plan ==")(0)
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    val scans = "Scan parquet".r.findAllIn(finalPlan).length
+    assert(reused >= 3, s"expected >=3 reused exchanges, got $reused:\n$s")
+    assert(scans <= 3, s"expected <=3 live corpus scans, got $scans:\n$s")
+  }
+
   test("hive-partitioned write prunes partitions at read time") {
     // The first-line data-skipping story (complementing z-order):
     // a partitionBy write + a partition-key predicate must become a

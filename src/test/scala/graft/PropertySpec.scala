@@ -320,6 +320,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("grouped lmScore equals the global model on each group slice, on random corpora") {
+    // conditioning must introduce no cross-group count leakage for ANY
+    // token distribution or group assignment — the PipelineSpec check
+    // on the fixture languages, generalized
+    val corpusGen: Gen[List[String]] = Gen.listOfN(10, textGen)
+    val groupsGen: Gen[List[Int]] = Gen.listOfN(10, Gen.choose(0, 2))
+    forAll(corpusGen, groupsGen) { (texts, groups) =>
+      import spark.implicits._
+      val data = texts.zip(groups).zipWithIndex
+        .map { case ((s, g), i) => (i.toLong, s, s"g$g") }
+      val df = data.toDF("doc_id", "text", "grp")
+      val grouped = graft.pipeline.TextAnalysis.lmScore(df, groupCol = Some("grp"))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp")) ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_nll")))).toMap
+      val sliced = data.map(_._3).distinct.flatMap { g =>
+        graft.pipeline.TextAnalysis.lmScore(df.filter(col("grp") === g))
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), g) ->
+            ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("sum_nll"))))
+      }.toMap
+      assert(grouped == sliced, s"corpus=$texts groups=$groups")
+    }
+  }
+
   test("exact dedup fingerprints: equal texts collide, sampled unequal texts don't") {
     forAll(Gen.listOfN(20, textGen)) { texts =>
       import spark.implicits._
