@@ -595,13 +595,14 @@ object Embeddings {
     * index dir, atomically swapped), not per-batch retraining. */
   def appendToIvfIndex(newEmb: DataFrame, dir: String): Unit = {
     val spark = newEmb.sparkSession
+    val root = liveIndexRoot(spark, dir)
     val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val books = readCodebooks(spark, dir)
+    val books = readCodebooks(spark, root)
     encodeForIndex(withNorm(newEmb), cents, books)
-      .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, dir))
+      .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, root))
   }
 
   /** Logical deletes for a [[writeIvfIndex]] layout — the
@@ -620,9 +621,11 @@ object Embeddings {
     * Same single-maintenance-writer discipline as append/compact:
     * deletes are serialized with compaction by the caller (the
     * ingest's foreachBatch), not locked here. */
-  def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit =
+  def deleteFromIvfIndex(ids: DataFrame, dir: String): Unit = {
+    val root = liveIndexRoot(ids.sparkSession, dir)
     ids.select(col(ids.columns.head).cast("long").as("vec_id"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+      .coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+  }
 
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                          dir: String, ids: Seq[Long]): Unit = {
@@ -660,6 +663,73 @@ object Embeddings {
     (nMissing, nOrphaned)
   }
 
+  /** Full retrain + atomic swap — the "periodic full rebuild" the
+    * frozen-parameter maintenance story defers to ([[appendToIvfIndex]]
+    * Scaladoc; [[ivfDriftStats]] is the trigger): a NEW self-contained
+    * index generation `dir/gen_v<G>` (centroids, codebooks, corpus —
+    * trained on `emb`, the corpus of record) is built BESIDE the live
+    * one and becomes visible only when its `_INDEX_SUCCESS` marker
+    * lands, so readers never observe a half-written quantizer; the
+    * replaced generation stays as the grace copy for readers that
+    * resolved it pre-swap, older generations are pruned (the same
+    * convention [[compactIvfIndex]] applies one level down to corpus
+    * generations). Every read, append, delete, compaction, stats, and
+    * reconcile entry point resolves [[liveIndexRoot]] first, so the
+    * swap needs no caller coordination. Tombstones do NOT carry over:
+    * the rebuild derives from the corpus of record, which is
+    * authoritative — a previously deleted id present in `emb` is
+    * legitimately part of the new generation. Returns the new
+    * generation number. Single-maintenance-writer like append/compact. */
+  def rebuildIvfIndex(emb: DataFrame, dir: String,
+                      nlist: Int = 16, iters: Int = 3,
+                      pqM: Int = 16, pqK: Int = 64, pqIters: Int = 10): Int = {
+    val spark = emb.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = liveIndexRoot(spark, dir)
+    val curGen = if (cur == dir) 0 else cur.substring(cur.lastIndexOf("_v") + 2).toInt
+    val next = curGen + 1
+    val target = s"$dir/gen_v$next"
+    writeIvfIndex(emb, target, nlist, iters, pqM, pqK, pqIters)
+    fs.create(new org.apache.hadoop.fs.Path(s"$target/_INDEX_SUCCESS")).close()
+    // prune generations older than the grace copy (the just-replaced
+    // live); generation 0 is the base layout's own subdirectories
+    (0 until curGen).foreach { g =>
+      if (g == 0)
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n == "centroids" || n == "codebooks" || n == "tombstones" ||
+              n == "corpus" || n.startsWith("corpus_v")
+          }
+          .foreach(p => fs.delete(p, true))
+      else {
+        val old = new org.apache.hadoop.fs.Path(s"$dir/gen_v$g")
+        if (fs.exists(old)) fs.delete(old, true)
+      }
+    }
+    next
+  }
+
+  /** Resolve the LIVE index generation of a layout that may have been
+    * [[rebuildIvfIndex]]-swapped: the highest `gen_v<G>` child whose
+    * `_INDEX_SUCCESS` marker exists, else the base layout itself.
+    * Idempotent on an already-resolved root (a generation dir has no
+    * `gen_v` children). */
+  private[graft] def liveIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (!fs.exists(root)) Array.empty[Int]
+      else fs.listStatus(root).map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen_v") => n.stripPrefix("gen_v") }
+        .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt }
+        .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/gen_v$g/_INDEX_SUCCESS")))
+    if (committed.isEmpty) dir else s"$dir/gen_v${committed.max}"
+  }
+
   /** The distinct tombstoned ids of an index, or None when no
     * tombstone file exists (the common case — the read paths add no
     * join at all then). */
@@ -679,8 +749,9 @@ object Embeddings {
     * a broadcast-hash join — no corpus shuffle. */
   private def liveRows(spark: org.apache.spark.sql.SparkSession,
                        dir: String): DataFrame = {
-    val corpus = spark.read.parquet(liveCorpusDir(spark, dir))
-    tombstoneIds(spark, dir)
+    val root = liveIndexRoot(spark, dir)
+    val corpus = spark.read.parquet(liveCorpusDir(spark, root))
+    tombstoneIds(spark, root)
       .map(t => corpus.join(t, Seq("vec_id"), "left_anti"))
       .getOrElse(corpus)
   }
@@ -736,7 +807,8 @@ object Embeddings {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                       maxFilesPerCell: Int = 4): Int = {
     require(maxFilesPerCell >= 1, s"maxFilesPerCell $maxFilesPerCell must be >= 1")
-    val live = liveCorpusDir(spark, dir)
+    val root = liveIndexRoot(spark, dir)
+    val live = liveCorpusDir(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     val livePath = new org.apache.hadoop.fs.Path(live)
     val fs = livePath.getFileSystem(conf)
@@ -752,9 +824,9 @@ object Embeddings {
     // we must not drop), find the cells holding tombstoned rows
     // (bounded collect: ≤ nlist ints), and force those cells into the
     // rewrite set — a raw file copy cannot drop rows.
-    val tombs = tombstoneIds(spark, dir)
+    val tombs = tombstoneIds(spark, root)
     val tombFiles: Array[org.apache.hadoop.fs.Path] = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
       if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       else Array.empty
@@ -777,7 +849,7 @@ object Embeddings {
     }
     val liveVersion =
       if (live.endsWith("/corpus")) 0 else live.substring(live.lastIndexOf("_v") + 2).toInt
-    val next = s"$dir/corpus_v${liveVersion + 1}"
+    val next = s"$root/corpus_v${liveVersion + 1}"
     // carry within-bound cells first — invisible until _SUCCESS lands
     within.foreach { d =>
       val dst = new org.apache.hadoop.fs.Path(s"$next/${d.getPath.getName}")
@@ -796,7 +868,7 @@ object Embeddings {
     // prune generations older than the grace copy (the just-replaced live)
     (0 until liveVersion).foreach { v =>
       val old = new org.apache.hadoop.fs.Path(
-        if (v == 0) s"$dir/corpus" else s"$dir/corpus_v$v")
+        if (v == 0) s"$root/corpus" else s"$root/corpus_v$v")
       if (fs.exists(old)) fs.delete(old, true)
     }
     // purge complete in the new generation → consume the snapshotted
@@ -820,7 +892,7 @@ object Embeddings {
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import spark.implicits._
-    val live = liveCorpusDir(spark, dir)
+    val live = liveCorpusDir(spark, liveIndexRoot(spark, dir))
     val gen =
       if (live.endsWith("/corpus")) 0
       else live.substring(live.lastIndexOf("_v") + 2).toInt
@@ -862,7 +934,8 @@ object Embeddings {
   def ivfDriftStats(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import spark.implicits._
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val root = liveIndexRoot(spark, dir)
+    val cents = spark.read.parquet(s"$root/centroids")
       .select(col("cell"), transform(col("centroid"), _.cast("double")).as("cent"))
     val live = liveRows(spark, dir)
       .select(col("cell"), col("v"), col("nrm"))
@@ -906,11 +979,12 @@ object Embeddings {
     * partitions. PlanSpec pins the PartitionFilters. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queryMaxId: Long, k: Int, nprobe: Int = 10): DataFrame = {
+    val root = liveIndexRoot(spark, dir)
     val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val corpus = liveRows(spark, dir)
+    val corpus = liveRows(spark, root)
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)
@@ -962,12 +1036,13 @@ object Embeddings {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queryMaxId: Long, k: Int, nprobe: Int = 10,
                        shortlist: Int = 50): DataFrame = {
+    val root = liveIndexRoot(spark, dir)
     val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val books = readCodebooks(spark, dir)
-    val corpus = liveRows(spark, dir)
+    val books = readCodebooks(spark, root)
+    val corpus = liveRows(spark, root)
     val q = withCells(
         corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
         cents, nprobe)

@@ -320,6 +320,63 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(n2 == n0 && math.abs(mean2 - mean0) < 1e-9)
   }
 
+  test("rebuildIvfIndex: retrain + atomic generation swap; lifecycle ops follow the live root") {
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    val dirRef = java.nio.file.Files.createTempDirectory("graft_ivf_rbref").toString
+    val negated = emb.select((col("vec_id") + 10000).as("vec_id"),
+      atransform(col("embedding"), x => -x).as("embedding"), col("label"))
+    val corpusOfRecord = emb.unionByName(negated)
+    def overallMean(d: String): Double =
+      Embeddings.ivfDriftStats(spark, d).filter(col("cell") === -1)
+        .collect()(0).getAs[Double]("mean_dist")
+    def totalRows(d: String): Long =
+      Embeddings.ivfIndexStats(spark, d)
+        .agg(org.apache.spark.sql.functions.sum("n_rows")).collect()(0).getLong(0)
+    // old generation: trained on emb only, then the corpus grows a
+    // second mode (negated vectors) the frozen quantizer fits badly,
+    // and picks up a delete that must NOT survive the rebuild
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    Embeddings.appendToIvfIndex(negated, dir)
+    Embeddings.deleteFromIvfIndex(spark, dir, Seq(10003L))
+    val meanOld = overallMean(dir)
+    // rebuild from the corpus of record: retrained quantizer, new
+    // self-contained generation, visible only after _INDEX_SUCCESS
+    assert(Embeddings.rebuildIvfIndex(corpusOfRecord, dir, nlist = 16) == 1)
+    assert(new java.io.File(s"$dir/gen_v1/_INDEX_SUCCESS").exists())
+    assert(new java.io.File(s"$dir/corpus").exists(), "grace copy pruned too early")
+    // retraining on both modes fits them: drift drops
+    val meanNew = overallMean(dir)
+    assert(meanNew < meanOld, s"rebuild did not reduce drift ($meanOld -> $meanNew)")
+    // the swapped index IS a fresh full build (same training input)
+    Embeddings.writeIvfIndex(corpusOfRecord, dirRef, nlist = 16)
+    assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq ==
+      Embeddings.ivfTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
+    assert(Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq ==
+      Embeddings.ivfPqTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
+    // the old generation's tombstone did not carry over — the corpus
+    // of record is authoritative and still holds 10003
+    assert(totalRows(dir) == corpusOfRecord.count())
+    // post-swap lifecycle ops follow the live root: appends land in
+    // gen_v1, deletes tombstone there, compaction purges there
+    val batch = emb.select((col("vec_id") + 30000).as("vec_id"),
+      col("embedding"), col("label"))
+    Embeddings.appendToIvfIndex(batch, dir)
+    assert(totalRows(dir) == corpusOfRecord.count() + batch.count())
+    Embeddings.deleteFromIvfIndex(spark, dir, Seq(30007L))
+    assert(new java.io.File(s"$dir/gen_v1/tombstones").exists(),
+      "delete did not resolve the live root")
+    assert(Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 2) > 0)
+    assert(totalRows(dir) == corpusOfRecord.count() + batch.count() - 1)
+    // second rebuild: base layout pruned (grace moves to gen_v1)
+    assert(Embeddings.rebuildIvfIndex(corpusOfRecord, dir, nlist = 16) == 2)
+    assert(!new java.io.File(s"$dir/corpus").exists(), "base corpus not pruned")
+    assert(!new java.io.File(s"$dir/centroids").exists(), "base centroids not pruned")
+    assert(new java.io.File(s"$dir/gen_v1").exists(), "grace generation pruned")
+    assert(totalRows(dir) == corpusOfRecord.count())
+    assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().nonEmpty)
+  }
+
   test("quantizer training fails loud on an empty training frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     val e = intercept[IllegalArgumentException] {
