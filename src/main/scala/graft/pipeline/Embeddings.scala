@@ -650,6 +650,16 @@ object Embeddings {
     * reconciliation is O(drift), not O(index), plus the id scans.
     * Idempotent: a second run returns (0, 0). Same
     * single-maintenance-writer discipline as append/compact. */
+  /** The live vector ids of an index (tombstones excluded) — the
+    * id-level surface to reconcile against when embeddings are
+    * expensive to recompute: diff doc ids against this, then embed
+    * ONLY the missing docs ([[graft.streaming.CorpusIngest.ingest]]'s
+    * `reconcileIndexEvery` does exactly that — embedder cost stays
+    * O(drift), not O(corpus)). */
+  def ivfIndexIds(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): DataFrame =
+    liveRows(spark, dir).select("vec_id")
+
   def reconcileIvfIndex(emb: DataFrame, dir: String): (Long, Long) = {
     val spark = emb.sparkSession
     val indexIds = liveRows(spark, dir).select("vec_id")

@@ -126,7 +126,17 @@ object CorpusIngest {
     * to at most N files — the OUTPUT side of the same small-file debt
     * (a batch otherwise writes one file per upstream partition per
     * trigger). Bounds file GROWTH RATE to N/trigger; 0 = off (leave
-    * the planner's partitioning alone, right when batches are large). */
+    * the planner's partitioning alone, right when batches are large).
+    *
+    * `reconcileIndexEvery`: every N-th micro-batch, diff the index's
+    * live ids against the corpus of record (snapshot ∪ landed), embed
+    * and append docs the index is missing, tombstone index rows whose
+    * docs are gone — the SELF-HEALING counterpart of the crash window
+    * documented above, so a lost index append is repaired on the next
+    * cadence hit instead of waiting for the periodic rebuild. The
+    * diff is id-only; the embedder runs over O(drift) docs, which is
+    * what makes the cadence affordable when embedding is model
+    * inference. 0 = off. */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
@@ -136,7 +146,8 @@ object CorpusIngest {
              ivfIndexDir: Option[String] = None,
              compactIndexEvery: Int = 0,
              maxIndexFilesPerCell: Int = 4,
-             outputFilesPerBatch: Int = 0)
+             outputFilesPerBatch: Int = 0,
+             reconcileIndexEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -180,6 +191,22 @@ object CorpusIngest {
               graft.pipeline.Embeddings.compactIvfIndex(
                 spark, dir, maxIndexFilesPerCell)
               ()
+            }
+            if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
+              import org.apache.spark.sql.functions.col
+              // corpus of record = snapshot ∪ everything landed (this
+              // batch included — its write committed above)
+              val record = snapshot.select(col("doc_id"), col("text"))
+                .unionByName(
+                  spark.read.parquet(outDir).select(col("doc_id"), col("text")))
+              val idxIds = graft.pipeline.Embeddings.ivfIndexIds(spark, dir)
+                .withColumnRenamed("vec_id", "doc_id")
+              val missing = record.join(idxIds, Seq("doc_id"), "left_anti")
+              if (!missing.isEmpty)
+                graft.pipeline.Embeddings.appendToIvfIndex(embed(missing), dir)
+              val orphans = idxIds.join(record, Seq("doc_id"), "left_anti")
+              if (!orphans.isEmpty)
+                graft.pipeline.Embeddings.deleteFromIvfIndex(orphans, dir)
             }
           case _ => ()
         }

@@ -716,11 +716,20 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
           resp.contains("\"slots\":2"), resp)
         sock.close()
       } finally server.close()
+      // cancel-while-Queued: a statement cancelled before it ever
+      // claims a slot must terminate Cancelled when the slot frees up,
+      // not run to Complete
+      val cancelQueued = svc2.runQuery(
+        s"select r_regionkey from read_files('$sfDir/region.parquet')")
+      assert(svc2.status(cancelQueued).contains(QueryStatus.Queued))
+      svc2.cancel(cancelQueued)
       // release the gate: every statement completes
       AdmissionGate.latch.countDown()
       (holding ++ overflow).foreach { id =>
         assert(svc2.awaitComplete(id) == QueryStatus.Complete, id)
       }
+      assert(svc2.awaitComplete(cancelQueued) == QueryStatus.Cancelled,
+        "queued-then-cancelled statement must not run")
       // queue-wait attribution: the overflow statements sat Queued
       // behind the latched slots (>= the 300 ms queued-assert sleep
       // above), the slot-holders were admitted immediately — the

@@ -312,6 +312,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(outFiles <= 2, s"output corpus has $outFiles files after 2 triggers")
   }
 
+  test("ingest reconcile cadence heals a damaged index: missing rows appended, orphans tombstoned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_rec").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val chkDir = s"$tmp/chk"; val idxDir = s"$tmp/ivf"
+    def embedder(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("doc_id").as("vec_id"),
+        array((0 until 8).map(i =>
+          (pmod(xxhash64(col("text"), lit(i)), lit(1000L)).cast("double") / 500.0) - 1.0): _*)
+          .as("embedding"))
+    val snapshot = Seq(
+      (100L, "a fine corpus snapshot document that is in the base already " * 4),
+      (101L, "another snapshot document full of plain ordinary words here too " * 4))
+      .toDF("doc_id", "text")
+    // DAMAGED bootstrap: the index is missing snapshot doc 101 (a lost
+    // index append) and carries vector 999 whose doc never existed (a
+    // stranded orphan from the reverse crash order)
+    val damaged = embedder(snapshot.filter(col("doc_id") === 100L))
+      .unionByName(embedder(Seq((999L, "phantom document never landed anywhere " * 4))
+        .toDF("doc_id", "text")))
+    graft.pipeline.Embeddings.writeIvfIndex(damaged, idxDir, nlist = 4, pqM = 4, pqK = 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq((1L, ts(5), "the quick brown fox jumps over the lazy dog and runs to town " * 4))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val q = CorpusIngest.ingest(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.1,
+      embedder = Some(embedder), ivfIndexDir = Some(idxDir),
+      reconcileIndexEvery = 1)
+    q.awaitTermination(120000); q.stop()
+    // the cadence healed both directions: 101 (lost append) and 1
+    // (this trigger's batch rode the normal append) present, 999 gone
+    val ids = graft.pipeline.Embeddings.ivfIndexIds(spark, idxDir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 100L, 101L), s"live index ids $ids")
+    // and the read path agrees (999 never serves, 101 can)
+    val res = graft.pipeline.Embeddings.ivfTopKIndexed(spark, idxDir, 2, 3, nprobe = 4)
+      .collect()
+    assert(res.nonEmpty && !res.exists(r => r.getLong(1) == 999L))
+  }
+
   test("built-in session_window closes a session after the gap + watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
