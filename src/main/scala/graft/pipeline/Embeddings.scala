@@ -990,21 +990,49 @@ object Embeddings {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queryMaxId: Long, k: Int, nprobe: Int = 10): DataFrame = {
     val root = liveIndexRoot(spark, dir)
+    val corpus = liveRows(spark, root)
+    ivfSearch(spark, root, corpus,
+      corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
+      k, nprobe, excludeSelf = true)
+  }
+
+  /** The SERVING read path: top-k over the persisted index for
+    * EXTERNAL query vectors — `queries` = (id, embedding) rows that
+    * need not exist in the corpus (the self-querying [[ivfTopKIndexed]]
+    * is the audit/dedup shape; this is what an application with fresh
+    * query embeddings calls). Identical probe → literal `cell IN` →
+    * partition-pruned scan machinery; no self-exclusion, because the
+    * query id space is independent of the corpus id space. */
+  def ivfTopKIndexedFor(queries: DataFrame, dir: String, k: Int,
+                        nprobe: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    val root = liveIndexRoot(spark, dir)
+    val qn = withNorm(queries.select(
+      col(queries.columns.head).cast("long").as("vec_id"),
+      col(queries.columns(1)).as("embedding")))
+    ivfSearch(spark, root, liveRows(spark, root), qn, k, nprobe,
+      excludeSelf = false)
+  }
+
+  /** Shared probe → prune → exact-score → top-k core of the indexed
+    * read paths. `qn` = (vec_id, v, nrm) query rows; `excludeSelf`
+    * drops corpus rows whose id equals the query id (the self-query
+    * audit shape). */
+  private def ivfSearch(spark: org.apache.spark.sql.SparkSession,
+                        root: String, corpus: DataFrame, qn: DataFrame,
+                        k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
-    val corpus = liveRows(spark, root)
-    val q = withCells(
-        corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
-        cents, nprobe)
+    val q = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
     // Bounded driver collect: at most nlist distinct cell ids.
     val probed: Array[Int] = q.select("cell").distinct().collect().map(_.getInt(0))
     val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window

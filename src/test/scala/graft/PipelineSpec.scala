@@ -320,6 +320,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(n2 == n0 && math.abs(mean2 - mean0) < 1e-9)
   }
 
+  test("ivfTopKIndexedFor: external query vectors equal the self-query path modulo self-match") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_extq").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    // feed the SAME vectors as external queries: the serving path must
+    // retrieve rank 1 = the vector itself (it IS in the corpus), and
+    // ranks 2..k+1 = exactly what the self-query audit path ranks 1..k
+    val external = emb.filter(col("vec_id") < 10).select("vec_id", "embedding", "label")
+    val served = Embeddings.ivfTopKIndexedFor(external, dir, k = 6, nprobe = 5).collect()
+    val self = served.filter(r => r.getLong(3) == 1L)
+    assert(self.length == 10, "every external query must find itself first")
+    assert(self.forall(r => r.getLong(0) == r.getLong(1) &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    val shifted = served.filter(_.getLong(3) > 1L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3) - 1)).toSeq
+    val audit = Embeddings.ivfTopKIndexed(spark, dir, 10, 5, nprobe = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(shifted == audit)
+    // truly external ids (not in the corpus id space) serve fine too
+    import spark.implicits._
+    val fresh = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 777000).as("qid"), col("embedding"))
+    val freshServed = Embeddings.ivfTopKIndexedFor(fresh, dir, k = 3, nprobe = 5)
+      .collect()
+    assert(freshServed.length == 9 &&
+      freshServed.forall(r => r.getLong(0) >= 777000L && r.getLong(1) < 777000L))
+  }
+
   test("rebuildIvfIndex: retrain + atomic generation swap; lifecycle ops follow the live root") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
