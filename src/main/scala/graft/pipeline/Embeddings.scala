@@ -1075,15 +1075,42 @@ object Embeddings {
                        queryMaxId: Long, k: Int, nprobe: Int = 10,
                        shortlist: Int = 50): DataFrame = {
     val root = liveIndexRoot(spark, dir)
+    val corpus = liveRows(spark, root)
+    ivfPqSearch(spark, root, corpus,
+      corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
+      k, nprobe, shortlist, excludeSelf = true)
+  }
+
+  /** The ADC SERVING path for external query vectors —
+    * [[ivfPqTopKIndexedFor]] is to [[ivfPqTopKIndexed]] what
+    * [[ivfTopKIndexedFor]] is to [[ivfTopKIndexed]]: same probe →
+    * pruned ADC shortlist → exact refine, but queries = (id,
+    * embedding) rows from the application rather than the corpus, and
+    * no self-exclusion. This is the production 100 TB read: fresh
+    * query embeddings against the compressed tier. */
+  def ivfPqTopKIndexedFor(queries: DataFrame, dir: String, k: Int,
+                          nprobe: Int = 10, shortlist: Int = 50): DataFrame = {
+    val spark = queries.sparkSession
+    val root = liveIndexRoot(spark, dir)
+    val qn = withNorm(queries.select(
+      col(queries.columns.head).cast("long").as("vec_id"),
+      col(queries.columns(1)).as("embedding")))
+    ivfPqSearch(spark, root, liveRows(spark, root), qn, k, nprobe, shortlist,
+      excludeSelf = false)
+  }
+
+  /** Shared probe → ADC shortlist → exact-refine core of the PQ read
+    * paths (same qn/excludeSelf contract as [[ivfSearch]]). */
+  private def ivfPqSearch(spark: org.apache.spark.sql.SparkSession,
+                          root: String, corpus: DataFrame, qn: DataFrame,
+                          k: Int, nprobe: Int, shortlist: Int,
+                          excludeSelf: Boolean): DataFrame = {
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
         .map(_.getSeq[Double](0).toArray)
     val books = readCodebooks(spark, root)
-    val corpus = liveRows(spark, root)
-    val q = withCells(
-        corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
-        cents, nprobe)
+    val q = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
     // Bounded driver collect: at most nlist distinct cell ids.
@@ -1095,7 +1122,7 @@ object Embeddings {
         graft.functions.NativeExpressions.pq_decode(col("codes"), books).as("vhat"))
       .withColumn("nhat", norm(col("vhat")))
       .join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("vhat")) / (col("qnrm") * col("nhat"))).as("cos_adc"))
     val ws = org.apache.spark.sql.expressions.Window
@@ -1105,7 +1132,7 @@ object Embeddings {
       .select(col("query_id"), col("neighbor_id"))
     // Refine tier: exact cosine for shortlist×queries pairs only,
     // full vectors read from the same probed partitions.
-    val qv = corpus.filter(col("vec_id") < queryMaxId)
+    val qv = qn
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))

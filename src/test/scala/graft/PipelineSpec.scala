@@ -345,6 +345,14 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect()
     assert(freshServed.length == 9 &&
       freshServed.forall(r => r.getLong(0) >= 777000L && r.getLong(1) < 777000L))
+    // the ADC serving tier agrees with the exact serving tier row for
+    // row (the same refine-recovers-exact property ann_ivfpq_exact
+    // pins for the self-query paths)
+    val pqServed = Embeddings.ivfPqTopKIndexedFor(external, dir, k = 6, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val exactServed = served
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(pqServed == exactServed)
   }
 
   test("rebuildIvfIndex: retrain + atomic generation swap; lifecycle ops follow the live root") {
