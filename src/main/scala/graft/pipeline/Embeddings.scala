@@ -633,6 +633,27 @@ object Embeddings {
     deleteFromIvfIndex(ids.toDF("vec_id"), dir)
   }
 
+  /** The vector ids of an index — by default the LIVE ids (tombstones
+    * excluded), which is what queries see; `includeTombstoned = true`
+    * adds ids that are deleted but not yet purged, which is what
+    * RECONCILIATION must diff against (a tombstoned id is not
+    * "missing" — re-appending it would resurrect a takedown). This is
+    * the id-level surface to reconcile against when embeddings are
+    * expensive to recompute: diff doc ids against it, then embed ONLY
+    * the missing docs ([[graft.streaming.CorpusIngest.ingest]]'s
+    * `reconcileIndexEvery` does exactly that — embedder cost stays
+    * O(drift), not O(corpus)). */
+  def ivfIndexIds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  includeTombstoned: Boolean = false): DataFrame = {
+    val root = liveIndexRoot(spark, dir)
+    if (includeTombstoned)
+      spark.read.parquet(liveCorpusDir(spark, root)).select("vec_id")
+        .unionByName(tombstoneIds(spark, root)
+          .getOrElse(spark.range(0).select(col("id").as("vec_id"))))
+        .distinct()
+    else liveRows(spark, root).select("vec_id")
+  }
+
   /** Reconcile a [[writeIvfIndex]] layout against the corpus of
     * record: append corpus vectors the index is missing, tombstone
     * index vectors the corpus no longer holds. Returns
@@ -648,28 +669,28 @@ object Embeddings {
     * them — and the repairs reuse the incremental machinery
     * ([[appendToIvfIndex]] / [[deleteFromIvfIndex]]), so
     * reconciliation is O(drift), not O(index), plus the id scans.
-    * Idempotent: a second run returns (0, 0). Same
-    * single-maintenance-writer discipline as append/compact. */
-  /** The live vector ids of an index (tombstones excluded) — the
-    * id-level surface to reconcile against when embeddings are
-    * expensive to recompute: diff doc ids against this, then embed
-    * ONLY the missing docs ([[graft.streaming.CorpusIngest.ingest]]'s
-    * `reconcileIndexEvery` does exactly that — embedder cost stays
-    * O(drift), not O(corpus)). */
-  def ivfIndexIds(spark: org.apache.spark.sql.SparkSession,
-                  dir: String): DataFrame =
-    liveRows(spark, dir).select("vec_id")
-
+    * "Missing" is judged against ALL index ids including tombstoned
+    * ones: a takedown whose doc still sits in the corpus of record
+    * stays deleted — reconciliation repairs DRIFT, it does not
+    * overrule deletes (remove the doc from the corpus of record to
+    * make erasure permanent end-to-end). Idempotent: a second run
+    * returns (0, 0). Same single-maintenance-writer discipline as
+    * append/compact. */
   def reconcileIvfIndex(emb: DataFrame, dir: String): (Long, Long) = {
     val spark = emb.sparkSession
-    val indexIds = liveRows(spark, dir).select("vec_id")
+    val allIds = ivfIndexIds(spark, dir, includeTombstoned = true)
+    val liveIds = ivfIndexIds(spark, dir)
     val corpusIds = emb.select("vec_id")
-    val missing = emb.join(indexIds, Seq("vec_id"), "left_anti")
+    val missing = emb.join(allIds, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nMissing = missing.count()
     if (nMissing > 0) appendToIvfIndex(missing, dir)
-    val orphaned = indexIds.join(corpusIds, Seq("vec_id"), "left_anti")
+    missing.unpersist(blocking = false)
+    val orphaned = liveIds.join(corpusIds, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOrphaned = orphaned.count()
     if (nOrphaned > 0) deleteFromIvfIndex(orphaned, dir)
+    orphaned.unpersist(blocking = false)
     (nMissing, nOrphaned)
   }
 
@@ -830,17 +851,24 @@ object Embeddings {
     val cellDirs = fs.listStatus(livePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
     // Tombstone purge rides the same generation swap: snapshot the
-    // tombstone FILES up front (a concurrent delete lands a new file
-    // we must not drop), find the cells holding tombstoned rows
-    // (bounded collect: ≤ nlist ints), and force those cells into the
-    // rewrite set — a raw file copy cannot drop rows.
-    val tombs = tombstoneIds(spark, root)
+    // tombstone FILES first, then read ids from EXACTLY those files —
+    // a concurrent delete landing between a dir-level id read and a
+    // later file listing would otherwise be consumed without its rows
+    // ever entering the purge set. With the file snapshot as the
+    // single source, a racing delete is simply not consumed and
+    // survives to the next pass. Tombstoned cells (bounded collect:
+    // ≤ nlist ints) force into the rewrite set — a raw file copy
+    // cannot drop rows.
     val tombFiles: Array[org.apache.hadoop.fs.Path] = {
       val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
       if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
       else Array.empty
     }
+    val tombs: Option[DataFrame] =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+        .select("vec_id").distinct())
     val tombCells: Set[Int] = tombs match {
       case None => Set.empty
       case Some(t) => spark.read.parquet(live).join(t, Seq("vec_id"))

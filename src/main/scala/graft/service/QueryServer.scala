@@ -302,6 +302,13 @@ final class QueryServer(svc: QueryService, port: Int = 0) {
     case d: BigDecimal => JDecimal(d)
     case s: String => JString(s)
     case b: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(b))
-    case other => JString(String.valueOf(other)) // dates/timestamps → ISO-8601
+    // java.sql types render via toString in the JVM DEFAULT zone — a
+    // non-UTC host would shift instants on the wire. Serialize the
+    // instant/day explicitly so the wire format stays ISO-8601 UTC
+    // regardless of host TZ (and regardless of the collect()
+    // convention the in-process ResultReader mirrors).
+    case t: java.sql.Timestamp => JString(t.toInstant.toString)
+    case d: java.sql.Date => JString(d.toLocalDate.toString)
+    case other => JString(String.valueOf(other)) // java.time types → ISO-8601
   }
 }

@@ -199,12 +199,18 @@ object CorpusIngest {
               val record = snapshot.select(col("doc_id"), col("text"))
                 .unionByName(
                   spark.read.parquet(outDir).select(col("doc_id"), col("text")))
-              val idxIds = graft.pipeline.Embeddings.ivfIndexIds(spark, dir)
+              // "missing" diffs against ALL index ids incl. tombstoned
+              // — a takedown whose doc still sits in the landed corpus
+              // must stay deleted, not be resurrected by the cadence
+              val allIds = graft.pipeline.Embeddings
+                .ivfIndexIds(spark, dir, includeTombstoned = true)
                 .withColumnRenamed("vec_id", "doc_id")
-              val missing = record.join(idxIds, Seq("doc_id"), "left_anti")
+              val missing = record.join(allIds, Seq("doc_id"), "left_anti")
               if (!missing.isEmpty)
                 graft.pipeline.Embeddings.appendToIvfIndex(embed(missing), dir)
-              val orphans = idxIds.join(record, Seq("doc_id"), "left_anti")
+              val liveIds = graft.pipeline.Embeddings.ivfIndexIds(spark, dir)
+                .withColumnRenamed("vec_id", "doc_id")
+              val orphans = liveIds.join(record, Seq("doc_id"), "left_anti")
               if (!orphans.isEmpty)
                 graft.pipeline.Embeddings.deleteFromIvfIndex(orphans, dir)
             }

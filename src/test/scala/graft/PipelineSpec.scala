@@ -269,6 +269,15 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       Embeddings.ivfTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
     assert(Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq ==
       Embeddings.ivfPqTopKIndexed(spark, dirRef, 10, 5).collect().toSeq)
+    // a takedown whose doc still sits in the corpus of record STAYS
+    // deleted: reconcile repairs drift, it does not overrule deletes —
+    // the tombstoned id is not "missing", so the run is a no-op and
+    // the read paths keep excluding it
+    Embeddings.deleteFromIvfIndex(spark, dir, Seq(5L))
+    assert(Embeddings.reconcileIvfIndex(emb, dir) == ((0L, 0L)),
+      "reconcile resurrected a tombstoned id")
+    assert(!Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect()
+      .exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
     // crash window 2 (reverse order): index rows whose docs never
     // landed — reconcile against a corpus missing them tombstones the
     // orphans, and the read paths exclude them
