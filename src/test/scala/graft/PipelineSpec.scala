@@ -421,6 +421,83 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().nonEmpty)
   }
 
+  test("index lifecycle state machine: random op interleavings track the model's live set") {
+    // The round-10 review bugs (reconcile resurrecting tombstones,
+    // compaction consuming a racing delete) were INTERACTION bugs
+    // between individually-correct lifecycle ops. This drives random
+    // interleavings of the whole op vocabulary against an in-memory
+    // model of (corpus of record, live index ids) and checks the
+    // index's visible id set after every step.
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val rng = new scala.util.Random(20260813L)
+    val dims = emb // id source: reuse fixture vectors, remapped ids
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val remap = ids.map(i => i -> (i % 500)).toDF("vec_id", "src")
+      dims.select(col("vec_id").as("src"), col("embedding"), col("label"))
+        .join(remap, "src")
+        .select(col("vec_id"),
+          // perturb by id so remapped copies aren't byte-identical
+          atransform(col("embedding"),
+            x => x + (col("vec_id") % 7).cast("float") / 1000f).as("embedding"),
+          col("label"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sm").toString
+    var nextId = 1000L
+    var corpusOfRecord = Set.empty[Long] // what reconcile treats as truth
+    var live = Set.empty[Long]           // ids queries must see
+    // bootstrap
+    val base = (0 until 40).map(_ => { val i = nextId; nextId += 1; i })
+    Embeddings.writeIvfIndex(vecs(base), dir, nlist = 8, pqM = 4, pqK = 8)
+    corpusOfRecord ++= base; live ++= base
+    def observed(): Set[Long] =
+      Embeddings.ivfIndexIds(spark, dir).collect().map(_.getLong(0)).toSet
+    val ops = Seq("append", "delete", "compact", "reconcile", "rebuild")
+    var history = List.empty[String]
+    for (step <- 0 until 14) {
+      val op = ops(rng.nextInt(ops.length)) match {
+        // delete needs a live id; degrade to append when none
+        case "delete" if live.isEmpty => "append"
+        case o => o
+      }
+      history ::= op
+      op match {
+        case "append" =>
+          val batch = (0 until 1 + rng.nextInt(6)).map(_ => { val i = nextId; nextId += 1; i })
+          Embeddings.appendToIvfIndex(vecs(batch), dir)
+          corpusOfRecord ++= batch; live ++= batch
+        case "delete" =>
+          val victims = rng.shuffle(live.toSeq).take(1 + rng.nextInt(3))
+          Embeddings.deleteFromIvfIndex(spark, dir, victims)
+          // a takedown also leaves the corpus of record here —
+          // otherwise reconcile would legitimately re-append it
+          corpusOfRecord --= victims; live --= victims
+        case "compact" =>
+          Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 2); ()
+        case "reconcile" =>
+          val (app, orph) = Embeddings.reconcileIvfIndex(vecs(corpusOfRecord.toSeq), dir)
+          // the model and index already agree outside crash windows
+          assert(app == 0 && orph == 0,
+            s"reconcile repaired ($app, $orph) on an undamaged index after ${history.reverse}")
+        case "rebuild" =>
+          Embeddings.rebuildIvfIndex(vecs(corpusOfRecord.toSeq), dir,
+            nlist = 8, pqM = 4, pqK = 8)
+          // rebuild derives from the corpus of record — tombstones of
+          // ids REMOVED from the record must not resurrect
+          live = corpusOfRecord
+      }
+      assert(observed() == live,
+        s"after ${history.reverse.mkString("->")}: index ${observed().size} ids, model ${live.size}")
+    }
+    // end-to-end: the read path serves exactly the model's live set
+    val served = Embeddings.ivfTopKIndexedFor(
+        vecs(live.toSeq.sorted.take(5)).select("vec_id", "embedding"), dir, k = 3, nprobe = 8)
+      .collect()
+    assert(served.nonEmpty &&
+      served.forall(r => live.contains(r.getLong(1))),
+      "read path served an id outside the model's live set")
+  }
+
   test("quantizer training fails loud on an empty training frame") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_empty").toString
     val e = intercept[IllegalArgumentException] {

@@ -639,6 +639,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(rdds.size >= 2, s"expected both rank references to scan the materialized frame:\n${out.queryExecution.optimizedPlan}")
   }
 
+  test("serving path: external-query scan is partition-pruned like the self-query path") {
+    // ivfTopKIndexedFor shares the probe → literal cell IN core with
+    // the audit path; this pins that the SERVING shape (the one an
+    // application actually calls at 100 TB) keeps the pruning — an
+    // accidental corpus-wide scan here would be invisible to the
+    // row-equality specs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfserve_plan").toString
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    graft.pipeline.Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    withoutAqe {
+      val p = planOf(graft.pipeline.Embeddings.ivfTopKIndexedFor(queries, dir, 5, nprobe = 2))
+      val corpusScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      assert(corpusScans.nonEmpty, s"no pruned corpus scan in the serving plan:\n$p")
+      corpusScans.foreach { sc =>
+        val staticFilters = sc.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        assert(staticFilters.nonEmpty, "no static cell IN (...) partition filter")
+        val selected = sc.relation.location.listFiles(staticFilters, Nil).length
+        assert(selected <= 10 && selected >= 1,
+          s"expected a pruned subset of 16 cell partitions, got $selected")
+      }
+    }
+  }
+
   test("IVFADC: ADC scan is partition-pruned AND reads codes, not full vectors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
