@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   *      (CJK/unicode: millions+ of distinct character trigrams) a
   *      forced broadcast is a driver OOM — there the frequency join
   *      plans as a keyed shuffle instead. By default the choice is
-  *      AUTOMATIC: a one-pass HLL probe of the distinct-gram count
-  *      picks broadcast iff the alphabet is bounded
-  *      ([[shouldBroadcastFreq]]); `broadcastFreq = Some(b)` skips the
-  *      probe and forces the plan (results are identical either way,
-  *      see OperatorsSpec's CJK fixture).
+  *      AUTOMATIC and ZERO-COST: the freq join is planned unhinted and
+  *      AQE's runtime shuffled→broadcast conversion broadcasts iff the
+  *      BUILT freq exchange is small (below
+  *      `spark.sql.adaptive.autoBroadcastJoinThreshold`) — the decision
+  *      reads the size of an aggregate the plan computes anyway, so no
+  *      extra pass over the gram stream ever runs (the round-10 HLL
+  *      pre-probe re-scanned and re-exploded the whole corpus per join
+  *      call; it is gone). `broadcastFreq = Some(b)` forces the plan
+  *      statically for callers who already know their alphabet
+  *      (results are identical either way, see OperatorsSpec's CJK
+  *      fixture).
   *   2. prefix candidates: each string sorts its trigrams rarest-first
   *      by (df, gram) — a GLOBAL total order — and emits only its
   *      first |T| − ceil(θ·|T|) + 1 grams. Two strings with
@@ -95,10 +101,12 @@ object SimilarityJoin {
     * stays 1.0 (the verify is still exact); recall drops only for
     * pairs whose every shared prefix gram is hotter than the cap
     * (OperatorsSpec pins both directions). None = exact, recall 1.0. */
-  /** `broadcastFreq`: None (default) decides automatically from a
-    * bounded distinct-gram probe (one HLL pass over the gram stream —
-    * see [[shouldBroadcastFreq]]); Some(b) skips the probe and forces
-    * the plan, for callers who already know their alphabet. */
+  /** `broadcastFreq`: None (default) leaves the freq-join strategy to
+    * AQE, which broadcasts at runtime iff the built freq exchange is
+    * actually small — no probe, no extra scan; Some(true) forces a
+    * static broadcast, Some(false) pins the shuffled hash join (and
+    * blocks the runtime conversion), for callers who already know
+    * their alphabet. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
                thetaNum: Int, thetaDen: Int,
                broadcastFreq: Option[Boolean] = None,
@@ -140,27 +148,19 @@ object SimilarityJoin {
   /** The shared prefix-filter → equi-join → integer-exact-verify core.
     * `self = true` compares one frame against itself (`ga` and `gb`
     * must be the same frame) and keeps only id_a < id_b; `self =
-    * false` compares left against right with no id constraint. */
-  /** Frequency tables up to this many distinct grams broadcast
-    * (~50 MB of hashed (short-string, long) entries — comfortably
-    * inside executor broadcast budgets); larger alphabets shuffle.
-    * The probe that feeds this bound is what makes the choice safe on
-    * corpora the caller has never profiled: a forced broadcast of a
-    * CJK-scale trigram alphabet (millions+ of distinct grams) is a
-    * driver OOM at 100 TB. */
-  private[graft] val AutoBroadcastMaxDistinctGrams: Long = 1000000L
-
-  /** The auto `broadcastFreq` decision: ONE map-side HLL pass over the
-    * exploded gram stream (±5 % at the bound — sketch-sized shuffle,
-    * no materialization), compared against `maxDistinct`. Distinct-
-    * gram count is exactly the documented scale lever of this family:
-    * it bounds both the broadcast's size and the Σdf² candidate
-    * fan-out regime. */
-  private[graft] def shouldBroadcastFreq(gramStream: DataFrame,
-      maxDistinct: Long = AutoBroadcastMaxDistinctGrams): Boolean =
-    gramStream.agg(approx_count_distinct(col("gram"), 0.05))
-      .collect()(0).getLong(0) <= maxDistinct
-
+    * false` compares left against right with no id constraint.
+    *
+    * Freq-join strategy: the freq aggregate is distinct-gram-sized and
+    * its exchange is materialized by the plan regardless of join
+    * strategy, so the broadcast decision is free at RUNTIME — AQE
+    * measures the built exchange and converts shuffled→broadcast below
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold` (~10 MB default:
+    * comfortably holds any bounded trigram alphabet, and correctly
+    * refuses a CJK/word-shingle alphabet that would OOM the driver at
+    * 100 TB). Construction of the plan runs ZERO Spark jobs
+    * (OperatorsSpec pins this — the round-10 design ran a separate HLL
+    * probe job that re-scanned and re-exploded the gram stream once
+    * per join call). */
   private def candidateVerify(ga: DataFrame, gb: DataFrame, self: Boolean,
                               thetaNum: Int, thetaDen: Int,
                               broadcastFreqOpt: Option[Boolean],
@@ -168,18 +168,22 @@ object SimilarityJoin {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
     require(prefixDfCap.forall(_ >= 1), s"prefixDfCap $prefixDfCap must be >= 1")
-    // (1) document frequencies — broadcast for a bounded alphabet
-    // (ASCII trigrams); shuffled join otherwise. Auto (None) probes the
-    // distinct-gram count instead of trusting the caller.
-    // R×S: one order over BOTH sides (see join's Scaladoc).
+    // (1) document frequencies — one groupBy over the exploded gram
+    // stream. R×S: one order over BOTH sides (see join's Scaladoc).
+    // Strategy: forced by the caller, or (None) left to AQE's runtime
+    // size-based conversion — never decided by an extra scan.
     val gramStream = (if (self) ga else ga.unionByName(gb))
       .select(explode(col("gs")).as("gram"))
-    val broadcastFreq = broadcastFreqOpt.getOrElse(shouldBroadcastFreq(gramStream))
-    val freq = gramStream.groupBy("gram").agg(count(lit(1)).as("df"))
+    val freq0 = gramStream.groupBy("gram").agg(count(lit(1)).as("df"))
+    val freq = broadcastFreqOpt match {
+      case Some(true)  => broadcast(freq0)
+      case Some(false) => freq0.hint("shuffle_hash") // pins the plan: no AQE broadcast
+      case None        => freq0 // AQE: broadcast iff the built exchange is small
+    }
     // (2) rarest-first prefixes under the (df, gram) total order
     def prefixes(g: DataFrame): DataFrame =
       g.select(col("id"), explode(col("gs")).as("gram"))
-        .join(if (broadcastFreq) broadcast(freq) else freq, "gram")
+        .join(freq, "gram")
         .groupBy("id")
         // one row per distinct gram, so count(*) IS |gs| — the full
         // gram array never crosses this exchange (it re-joins only in

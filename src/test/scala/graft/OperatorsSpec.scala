@@ -101,35 +101,45 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     assert(run(bcast = None) == want) // auto probe: same rows either way
   }
 
-  test("broadcastFreq auto mode: probe picks shuffled for a CJK-scale alphabet, broadcast for ASCII") {
+  test("broadcastFreq auto mode runs zero jobs at plan time; Some(false) pins a shuffled freq join") {
     import spark.implicits._
-    // Two corpora of equal size whose gram-alphabet GROWTH differs —
-    // the property the probe discriminates on. ASCII titles drawn from
-    // a small word vocabulary: trigram alphabet saturates (bounded
-    // regardless of corpus size). CJK-style strings over a wide
-    // codepoint range: distinct trigrams keep growing with the corpus.
-    val ascii = (0 until 400).map { i =>
-      (i.toLong, Seq("alpha", "beta", "gamma", "delta", "epsilon")
-        .map(w => w + (i % 3)).mkString(" "))
-    }.toDF("id", "s")
-    val cjk = (0 until 400).map { i =>
-      (i.toLong, (0 until 40).map(j => (0x4E00 + (i * 131 + j * 7919) % 20000)
-        .toChar).mkString)
-    }.toDF("id", "s")
-    def stream(df: org.apache.spark.sql.DataFrame) =
-      df.select(org.apache.spark.sql.functions.explode(
-        graft.operators.SimilarityJoin.charTrigrams(
-          org.apache.spark.sql.functions.col("s"))).as("gram"))
-    // One threshold, scaled to the fixture as the production default is
-    // scaled to executor broadcast budgets: the decision must FLIP on
-    // the alphabet-growth property alone.
-    val maxDistinct = 2000L
-    assert(graft.operators.SimilarityJoin.shouldBroadcastFreq(stream(ascii), maxDistinct),
-      "bounded ASCII trigram alphabet must broadcast")
-    assert(!graft.operators.SimilarityJoin.shouldBroadcastFreq(stream(cjk), maxDistinct),
-      "CJK-scale trigram alphabet must shuffle")
-    // and the production default is generous enough for real ASCII corpora
-    assert(graft.operators.SimilarityJoin.AutoBroadcastMaxDistinctGrams >= 100000L)
+    // The round-10 auto mode ran a separate HLL probe JOB during plan
+    // construction, re-scanning and re-exploding the whole gram stream
+    // once per join call — a full extra corpus pass at 100 TB. The
+    // replacement decides from the size of the freq exchange the plan
+    // builds anyway (AQE runtime shuffled→broadcast conversion), so
+    // constructing the join must launch NO Spark job at all.
+    val data = (0 until 300).map { i =>
+      (i.toLong, s"document number $i about similarity join planning")
+    }
+    val df = data.toDF("id", "s")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val planned = graft.operators.SimilarityJoin.selfJoin(df, "id", "s", 2, 3)
+      planned.queryExecution.executedPlan // force full planning, no action
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(jobs == 0,
+        s"auto broadcastFreq must not launch a probe job at plan time (saw $jobs)")
+      // Some(false) is a hard pin for alphabet-profiled callers: the
+      // freq join must stay a shuffled hash join even though this tiny
+      // fixture's freq table is far below every broadcast threshold.
+      val forced = graft.operators.SimilarityJoin
+        .selfJoin(df, "id", "s", 2, 3, broadcastFreq = Some(false))
+      forced.collect()
+      assert(forced.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+        "Some(false) must pin the freq join as shuffled")
+      // Some(true) is the static broadcast pin
+      val bc = graft.operators.SimilarityJoin
+        .selfJoin(df, "id", "s", 2, 3, broadcastFreq = Some(true))
+      assert(bc.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+        "Some(true) must plan a broadcast freq join")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("two-table similarity join equals naive cross Jaccard; id spaces stay independent") {

@@ -816,24 +816,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("similarity joins: frequency table broadcasts, and no join is cartesian") {
+  test("similarity joins: no join is cartesian; freq join broadcasts at runtime") {
+    // Static pin (AQE off): prefix filtering is exact equi-join
+    // blocking — a cartesian or nested-loop anywhere means the
+    // blocking collapsed to all-pairs.
     withoutAqe {
       for (name <- Seq("q_sim_join", "q_sim_link")) {
         val p = planOf(q(name))
-        // the gram document-frequency join must be a broadcast — the
-        // DF table is bounded for healthy gram schemes, and forcing it
-        // keeps the data-sized side from shuffling for the frequency
-        // lookup
-        assert(p.collect {
-          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-        }.nonEmpty, s"no broadcast hash join in $name:\n$p")
-        // prefix filtering is exact equi-join blocking: a cartesian or
-        // nested-loop anywhere means the blocking collapsed to all-pairs
         assert(p.collect {
           case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
           case n: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => n
         }.isEmpty, s"cartesian/nested-loop join in $name:\n$p")
       }
     }
+    // Runtime pin (AQE on — the production path): the freq-join
+    // strategy is decided from the size of the BUILT freq exchange,
+    // never by a plan-time probe job. For this corpus's bounded gram
+    // alphabet the executed plan must end up with the freq join as a
+    // broadcast — either statically or via AQE's shuffled→broadcast
+    // conversion.
+    val df = q("q_sim_join")
+    df.write.format("noop").mode("overwrite").save()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"freq join did not broadcast at runtime:\n$s")
   }
 }
