@@ -613,9 +613,11 @@ object Embeddings {
     * [[ivfPqTopKIndexed]]) anti-join the tombstone set, so a deleted
     * vector stops appearing as a neighbor AND as a query immediately;
     * the bytes are physically purged by the next [[compactIvfIndex]],
-    * which rewrites every cell holding a tombstoned row and then
-    * drops the consumed tombstone files inside the same
-    * generation-swap. (Reference analog: the materialization-cleanup
+    * which rewrites every cell holding a tombstoned row and moves the
+    * consumed tombstone's ids into the durable purged-ids ledger —
+    * so the takedown survives compaction for reconciliation purposes
+    * ([[ivfIndexIds]]) and is never silently re-appended from the
+    * corpus of record. (Reference analog: the materialization-cleanup
     * debt its DEV_NOTES.md:117-122 names for its own artifacts.)
     *
     * Same single-maintenance-writer discipline as append/compact:
@@ -647,9 +649,16 @@ object Embeddings {
                   includeTombstoned: Boolean = false): DataFrame = {
     val root = liveIndexRoot(spark, dir)
     if (includeTombstoned)
-      spark.read.parquet(liveCorpusDir(spark, root)).select("vec_id")
-        .unionByName(tombstoneIds(spark, root)
-          .getOrElse(spark.range(0).select(col("id").as("vec_id"))))
+      // live ∪ pending tombstones ∪ the PURGED-ids ledger: a takedown
+      // stays in this set even after compaction physically removed its
+      // rows and consumed its tombstone — without the ledger, the
+      // reconcile cadence would see the id as "missing" the moment
+      // compaction ran and silently re-embed a deleted vector from the
+      // corpus of record (the takedown-resurrection bug).
+      Seq(tombstoneIds(spark, root), purgedIds(spark, root)).flatten
+        .foldLeft(
+          spark.read.parquet(liveCorpusDir(spark, root)).select("vec_id"))(
+          _.unionByName(_))
         .distinct()
     else liveRows(spark, root).select("vec_id")
   }
@@ -670,7 +679,10 @@ object Embeddings {
     * ([[appendToIvfIndex]] / [[deleteFromIvfIndex]]), so
     * reconciliation is O(drift), not O(index), plus the id scans.
     * "Missing" is judged against ALL index ids including tombstoned
-    * ones: a takedown whose doc still sits in the corpus of record
+    * AND already-purged ones (the compaction-consumed ledger — without
+    * it a takedown would "go missing" the moment compaction purged its
+    * rows and be silently re-appended here): a takedown whose doc
+    * still sits in the corpus of record
     * stays deleted — reconciliation repairs DRIFT, it does not
     * overrule deletes (remove the doc from the corpus of record to
     * make erasure permanent end-to-end). Idempotent: a second run
@@ -765,11 +777,27 @@ object Embeddings {
     * tombstone file exists (the common case — the read paths add no
     * join at all then). */
   private def tombstoneIds(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+                           dir: String): Option[DataFrame] =
+    idDirIds(spark, s"$dir/tombstones")
+
+  /** The purged-ids ledger: every id whose tombstone a
+    * [[compactIvfIndex]] pass has consumed. Append-only within an
+    * index generation (a [[rebuildIvfIndex]] starts a fresh root, so
+    * the ledger — like tombstones — deliberately does not carry over:
+    * the corpus of record is authoritative for a rebuild). Read ONLY
+    * by [[ivfIndexIds]]`(includeTombstoned = true)` — the hot query
+    * paths never touch it, and it is id-only (8 bytes/row), so it
+    * stays ledger-sized forever. */
+  private def purgedIds(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[DataFrame] =
+    idDirIds(spark, s"$dir/purged")
+
+  private def idDirIds(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(s"$dir/tombstones").select("vec_id").distinct())
+      Some(spark.read.parquet(path).select("vec_id").distinct())
     else None
   }
 
@@ -823,9 +851,13 @@ object Embeddings {
     * in a single task and therefore a single output file; cells
     * already within bound are carried into the new generation by raw
     * file copy (no decode/encode, and on an object store a
-    * server-side copy). Consumed tombstone files are dropped once the
-    * purged generation commits, so the read paths shed their
-    * anti-join. The copy runs FIRST, so the new
+    * server-side copy). Consumed tombstone files are copied into the
+    * durable purged-ids ledger (`purged/` — keeps takedowns visible
+    * to [[ivfIndexIds]]/reconcile forever) and physically dropped one
+    * compaction cycle LATER, so a reader whose plan captured the
+    * tombstone listing pre-swap never hits a missing file — the same
+    * grace convention the corpus generations get. The read paths shed
+    * the anti-join once the originals age out. The copy runs FIRST, so the new
     * `corpus_v<N+1>` becomes visible (its `_SUCCESS`, written by the
     * Spark job's commit) only when complete. The predecessor stays on
     * disk as the grace copy for readers that resolved it
@@ -859,11 +891,35 @@ object Embeddings {
     // survives to the next pass. Tombstoned cells (bounded collect:
     // ≤ nlist ints) force into the rewrite set — a raw file copy
     // cannot drop rows.
-    val tombFiles: Array[org.apache.hadoop.fs.Path] = {
+    // Consumption is a two-phase, grace-deferred protocol:
+    //   pass N: copy each consumed tombstone file into the purged-ids
+    //     LEDGER ($root/purged — read by ivfIndexIds(includeTombstoned)
+    //     so a purged takedown never "goes missing" to reconcile) and
+    //     LEAVE the original in place — a reader whose plan captured
+    //     the tombstone listing pre-swap can still open it.
+    //   pass N+1: the original, now shadowed by its ledger copy for a
+    //     full maintenance cycle, is finally deleted — the same grace
+    //     convention corpus generations get.
+    val purgedDir = new org.apache.hadoop.fs.Path(s"$root/purged")
+    val ledgered: Set[String] =
+      if (fs.exists(purgedDir))
+        fs.listStatus(purgedDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val (graceExpired, tombFiles) = {
       val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-      else Array.empty
+      val all: Array[org.apache.hadoop.fs.Path] =
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        else Array.empty
+      all.partition(f => ledgered.contains(f.getName))
+    }
+    graceExpired.foreach(f => fs.delete(f, false))
+    def consumeTombstones(): Unit = if (tombFiles.nonEmpty) {
+      fs.mkdirs(purgedDir)
+      tombFiles.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(purgedDir, f.getName), false, conf)
+      }
     }
     val tombs: Option[DataFrame] =
       if (tombFiles.isEmpty) None
@@ -880,9 +936,10 @@ object Embeddings {
     }
     if (rewrite.isEmpty) {
       // Nothing to rewrite: consumed tombstones match no live row
-      // (already purged, or never existed) — drop them so the read
-      // paths shed the anti-join.
-      tombFiles.foreach(f => fs.delete(f, false))
+      // (already purged, or an id never indexed — which must STILL be
+      // ledgered, or reconcile would index it later against the
+      // takedown) — ledger them; the next pass drops the originals.
+      consumeTombstones()
       return 0
     }
     val liveVersion =
@@ -910,8 +967,9 @@ object Embeddings {
       if (fs.exists(old)) fs.delete(old, true)
     }
     // purge complete in the new generation → consume the snapshotted
-    // tombstone files (a delete that raced in stays for the next pass)
-    tombFiles.foreach(f => fs.delete(f, false))
+    // tombstone files into the ledger (a delete that raced in is not
+    // in the snapshot and stays pending for the next pass)
+    consumeTombstones()
     rewrite.length
   }
 

@@ -240,16 +240,36 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect()(0).getLong(0)
     assert(purgedRows == emb.count() - victims.size, "compaction did not purge tombstoned rows")
     assert(stats.select("generation").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
-    assert(new java.io.File(s"$dir/tombstones").listFiles() == null ||
-      !new java.io.File(s"$dir/tombstones").listFiles().exists(_.getName.endsWith(".parquet")),
-      "consumed tombstone files not dropped")
+    def tombFiles() = Option(new java.io.File(s"$dir/tombstones").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    def purgedFiles() = Option(new java.io.File(s"$dir/purged").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+      .getOrElse(Set.empty[String])
+    // grace-deferred consumption: the consumed tombstone file is
+    // COPIED into the purged ledger (so reconcile keeps seeing the
+    // takedown) but stays on disk one more cycle for in-flight readers
+    val consumed = tombFiles()
+    assert(consumed.size == 1 && purgedFiles() == consumed,
+      "consumed tombstone not ledgered with its original left for grace")
     assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq == after)
     assert(Embeddings.ivfPqTopKIndexed(spark, dir, 10, 5).collect().toSeq == afterPq)
     assert(beforePq.nonEmpty) // sanity: PQ path exercised pre-delete too
-    // deleting an id with no live row: consumed without a rewrite
+    // deleting an id with no live row: consumed without a rewrite; the
+    // grace-expired file from the previous pass is finally dropped
     Embeddings.deleteFromIvfIndex(spark, dir, Seq(victims.head))
     assert(Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 4) == 0)
+    assert((tombFiles() & consumed).isEmpty, "grace-expired tombstone file not dropped")
+    assert(tombFiles().size == 1 && tombFiles().subsetOf(purgedFiles()),
+      "no-rewrite consumption must still ledger the tombstone")
     assert(Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect().toSeq == after)
+    // the ledger keeps every takedown visible to reconciliation even
+    // though compaction physically purged the rows and (eventually)
+    // the tombstone files
+    val remembered = Embeddings.ivfIndexIds(spark, dir, includeTombstoned = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(victims.forall(remembered.contains),
+      "purged takedowns missing from includeTombstoned id set")
   }
 
   test("reconcileIvfIndex repairs lost index appends and orphaned index rows") {
@@ -276,6 +296,16 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     Embeddings.deleteFromIvfIndex(spark, dir, Seq(5L))
     assert(Embeddings.reconcileIvfIndex(emb, dir) == ((0L, 0L)),
       "reconcile resurrected a tombstoned id")
+    assert(!Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect()
+      .exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
+    // ...and STAYS deleted after compaction physically purges the rows
+    // and consumes the tombstone: the purged-ids ledger keeps the
+    // takedown visible to the "missing" diff, so the reconcile cadence
+    // cannot re-embed it from the corpus of record (the round-10
+    // takedown-resurrection bug — doc still in record, tombstone gone)
+    assert(Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 4) > 0)
+    assert(Embeddings.reconcileIvfIndex(emb, dir) == ((0L, 0L)),
+      "reconcile resurrected a PURGED takedown — the ledger failed")
     assert(!Embeddings.ivfTopKIndexed(spark, dir, 10, 5).collect()
       .exists(r => r.getLong(0) == 5L || r.getLong(1) == 5L))
     // crash window 2 (reverse order): index rows whose docs never
@@ -469,9 +499,15 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         case "delete" =>
           val victims = rng.shuffle(live.toSeq).take(1 + rng.nextInt(3))
           Embeddings.deleteFromIvfIndex(spark, dir, victims)
-          // a takedown also leaves the corpus of record here —
-          // otherwise reconcile would legitimately re-append it
-          corpusOfRecord --= victims; live --= victims
+          // Half the deletes are ERASURES (the doc also leaves the
+          // corpus of record), half are TAKEDOWNS (the doc stays in
+          // the record). A takedown must stay deleted through any
+          // compact/reconcile interleaving — the purged-ids ledger is
+          // what keeps reconcile from re-appending it once compaction
+          // consumes the tombstone (the round-10 resurrection bug was
+          // masked here by always erasing).
+          if (rng.nextBoolean()) corpusOfRecord --= victims
+          live --= victims
         case "compact" =>
           Embeddings.compactIvfIndex(spark, dir, maxFilesPerCell = 2); ()
         case "reconcile" =>
