@@ -65,7 +65,12 @@ object Engine {
   /** Load one testdata table. Normalizes the `events.ts` nanosecond
     * timestamp (read as long under nanosAsLong) back to a timestamp,
     * and any TIMESTAMP_NTZ column (foreign writer, NTZ inference on)
-    * to TIMESTAMP — session TZ is UTC, so the instant is unambiguous. */
+    * to TIMESTAMP. The NTZ→TIMESTAMP cast interprets the wall time in
+    * the SESSION time zone, so it is only the intended identity
+    * mapping under UTC (the engine's contract, set by [[tune]]); a
+    * session that bypassed tune() and runs non-UTC would silently
+    * shift every instant — fail loud instead of serving shifted
+    * timestamps. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
@@ -74,6 +79,14 @@ object Engine {
       else raw
     val ntz = df.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    if (ntz.nonEmpty) {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"table '$name' has TIMESTAMP_NTZ columns ${ntz.mkString(",")} but " +
+          s"spark.sql.session.timeZone is '$tz' — the NTZ normalization is only " +
+          "correct under UTC. Run Engine.tune(spark) (or set the session zone " +
+          "to UTC) before loading tables.")
     }
     ntz.foldLeft(df)((d, n) =>
       d.withColumn(n, col(n).cast(org.apache.spark.sql.types.TimestampType)))

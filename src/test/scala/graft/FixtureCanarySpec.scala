@@ -58,4 +58,29 @@ class FixtureCanarySpec extends AnyFunSuite with SparkFixture {
       assert(f.dataType != org.apache.spark.sql.types.TimestampNTZType,
         s"$name.$f leaked TIMESTAMP_NTZ past source-layer normalization")
   }
+
+  test("NTZ normalization refuses a non-UTC session instead of shifting instants") {
+    // The fallback cast interprets NTZ wall time in the SESSION zone —
+    // only the identity mapping under UTC. A session that bypassed
+    // Engine.tune and runs non-UTC must fail loud, not silently shift
+    // every instant by the zone offset.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    spark.sql("select timestamp_ntz'2026-01-01 12:00:00' as ts, 1 as id")
+      .write.mode("overwrite").parquet(s"$dir/ntztab.parquet")
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Engine.table(spark, dir, "ntztab")
+      }
+      assert(e.getMessage.contains("UTC") && e.getMessage.contains("ts"), e.getMessage)
+      // under UTC the normalization is the exact identity instant map
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val micros = Engine.table(spark, dir, "ntztab")
+        .select(org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")))
+        .collect()(0).getLong(0)
+      assert(micros == 1767268800000000L) // 2026-01-01T12:00:00Z
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
