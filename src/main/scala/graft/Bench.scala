@@ -55,6 +55,13 @@ object Bench {
         .groupBy("r_name").agg(count(lit(1)).as("c")).orderBy("r_name")
         .write.format("noop").mode("overwrite").save()
     }
+    // Index fixtures build OUTSIDE the timed region (the production
+    // shape: indexes are built offline; the bench times the QUERIES).
+    // Skipped when an ONLY-run selects no index-reading query.
+    val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete",
+      "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall")
+    if (only.forall(o => o.exists(indexQueries.contains)))
+      SparkEntry.prepareIndexFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
