@@ -45,9 +45,26 @@ final case class Connections(conns: Map[String, Connection]) {
 
   /** Apply every S3 connection's endpoint/credentials/path-style to
     * the session's Hadoop conf as per-bucket s3a settings. Idempotent;
-    * no-op for pure-Fs configurations. */
+    * no-op for pure-Fs configurations.
+    *
+    * Implementation selection: on a cluster with `hadoop-aws` deployed
+    * these keys drive the stock `S3AFileSystem` untouched. When the
+    * AWS SDK is absent from the classpath (this sandbox, slim images),
+    * the `s3a` scheme is bound to [[S3LiteFileSystem]] — a
+    * dependency-free SigV4/S3-REST implementation of the same conf
+    * keys — so object-store reads and writes still execute end-to-end
+    * instead of failing at class load. */
   def applyTo(spark: SparkSession): Unit = {
     val hc = spark.sparkContext.hadoopConfiguration
+    val hasS3 = conns.values.exists(_.isInstanceOf[Connection.S3])
+    if (hasS3) {
+      // core-default.xml pre-binds fs.s3a.impl to S3AFileSystem even
+      // when hadoop-aws is not deployed — probe loadability, not
+      // presence, before falling back.
+      val impl = hc.get("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+      if (hc.getClassByNameOrNull(impl) == null)
+        hc.set("fs.s3a.impl", classOf[S3LiteFileSystem].getName)
+    }
     conns.values.foreach {
       case s: Connection.S3 =>
         val p = s"fs.s3a.bucket.${s.bucket}"

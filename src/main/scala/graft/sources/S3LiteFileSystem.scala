@@ -1,0 +1,409 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, EOFException, FileNotFoundException, IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI, URL}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** AWS Signature Version 4 for the S3 service — the published signing
+  * algorithm (docs.aws.amazon.com/general/latest/gr/sigv4_signing.html),
+  * implemented over the JDK's crypto primitives so the engine needs no
+  * AWS SDK. Shared by [[S3LiteFileSystem]] (client side) and the test
+  * harness's in-process S3 endpoint (verification side): both compute
+  * the same canonical request, so a signature mismatch in either
+  * direction fails a test instead of silently skipping auth.
+  *
+  * Payloads are signed as UNSIGNED-PAYLOAD (the standard choice for
+  * streaming PUTs over TLS — S3A does the same); the canonical path
+  * and query are the EXACT encoded strings put on the wire, so client
+  * and server never re-encode into disagreement. */
+private[graft] object SigV4 {
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+  private def sha256Hex(s: String): String =
+    hex(java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8)))
+
+  val UnsignedPayload = "UNSIGNED-PAYLOAD"
+
+  /** RFC 3986 encoding with the AWS unreserved set; `encodeSlash`
+    * distinguishes path segments (false) from query values (true). */
+  def uriEncode(s: String, encodeSlash: Boolean): String = {
+    val sb = new StringBuilder
+    s.getBytes(UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c) || (c == '/' && !encodeSlash)) sb += c
+      else sb ++= "%%%02X".format(b & 0xff)
+    }
+    sb.toString
+  }
+
+  def amzDateNow(): String = {
+    val fmt = new java.text.SimpleDateFormat("yyyyMMdd'T'HHmmss'Z'")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.format(new java.util.Date())
+  }
+
+  /** The Authorization header for a request. `canonicalPath` and
+    * `canonicalQuery` are the already-encoded strings exactly as sent;
+    * `headers` are the (lowercase-name, value) pairs to sign. */
+  def authorization(method: String, canonicalPath: String, canonicalQuery: String,
+                    headers: Seq[(String, String)], accessKey: String,
+                    secretKey: String, region: String, amzDate: String): String = {
+    val sorted = headers.map { case (k, v) => (k.toLowerCase, v.trim) }.sortBy(_._1)
+    val canonicalHeaders = sorted.map { case (k, v) => s"$k:$v\n" }.mkString
+    val signedHeaders = sorted.map(_._1).mkString(";")
+    val canonicalRequest = Seq(method, canonicalPath, canonicalQuery,
+      canonicalHeaders, signedHeaders, UnsignedPayload).mkString("\n")
+    val date = amzDate.take(8)
+    val scope = s"$date/$region/s3/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      sha256Hex(canonicalRequest)).mkString("\n")
+    val kSigning = Seq(region, "s3", "aws4_request")
+      .foldLeft(hmac(s"AWS4$secretKey".getBytes(UTF_8), date))(hmac)
+    val signature = hex(hmac(kSigning, stringToSign))
+    s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+      s"SignedHeaders=$signedHeaders, Signature=$signature"
+  }
+}
+
+/** A dependency-free Hadoop `FileSystem` speaking the S3 REST protocol
+  * (SigV4-signed GET/PUT/DELETE/ListObjectsV2, ranged reads,
+  * server-side COPY) over the JDK's HTTP client — enough surface for
+  * Spark's parquet/CSV/JSON read AND write paths, including the
+  * `FileOutputCommitter` rename dance.
+  *
+  * Purpose: the reference ships a live Minio/S3 worker configuration
+  * (/root/reference/worker_configs/s3_worker_config.json:11-12,
+  * docker-compose.yml) and its connection registry builds per-endpoint
+  * S3 clients (/root/reference/src/config/worker.rs:96-179). The Spark
+  * mapping ([[Connections.applyTo]]) writes per-bucket `fs.s3a.*`
+  * conf; on a cluster with `hadoop-aws` deployed those keys drive the
+  * real `S3AFileSystem` (same key layout — this class reads the same
+  * keys). Where the AWS SDK is NOT deployable, [[Connections.applyTo]]
+  * registers THIS class for the `s3a` scheme instead, so
+  * `read_files('s3a://bucket/path', connection=>'minio')` and result
+  * materialization execute against a real object-store endpoint
+  * end-to-end rather than stopping at conf mapping.
+  *
+  * Scale notes, honestly stated: this is the PROTOCOL path, not a
+  * tuned data path. Uploads buffer in memory and PUT on close (no
+  * multipart — fine for committer metadata, result pages, and
+  * moderate partitions; a 100 TB shuffle-heavy job on a real cluster
+  * should run the S3A committers instead, see RUNBOOK.md). Sequential
+  * reads stream one ranged GET and positioned reads issue one-shot
+  * ranged GETs, which is exactly the parquet footer/row-group access
+  * pattern. Directory rename is the S3-standard list+copy+delete, the
+  * same non-atomic semantics S3A documents. Existence probes use
+  * zero-length ranged GETs rather than HEAD (equivalent on any
+  * S3-compatible store, and byte-cheap).
+  */
+class S3LiteFileSystem extends FileSystem {
+  private var bucket: String = _
+  private var fsUri: URI = _
+  private var workDir: Path = _
+
+  override def getScheme: String = "s3a"
+
+  override def initialize(name: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    bucket = name.getAuthority
+    fsUri = URI.create(s"s3a://$bucket")
+    workDir = new Path(fsUri.toString + "/")
+  }
+
+  override def getUri: URI = fsUri
+  override def getWorkingDirectory: Path = workDir
+  override def setWorkingDirectory(d: Path): Unit = workDir = d
+
+  /** Per-bucket conf with global fallback — the same key layout S3A
+    * resolves, so one [[Connections]] registry serves either impl. */
+  private def cfg(key: String, dflt: String = ""): String = {
+    val c = getConf
+    Option(c.get(s"fs.s3a.bucket.$bucket.$key")).getOrElse(c.get(s"fs.s3a.$key", dflt))
+  }
+  private def endpoint: String = {
+    val e = cfg("endpoint")
+    require(e.nonEmpty, s"no fs.s3a.[bucket.$bucket.]endpoint configured")
+    e.stripSuffix("/")
+  }
+  private def region: String = {
+    val r = cfg("endpoint.region"); if (r.isEmpty) "us-east-1" else r
+  }
+
+  private def keyOf(p: Path): String = {
+    val raw = p.toUri.getPath
+    raw.stripPrefix("/").stripSuffix("/")
+  }
+
+  // ---- signed HTTP plumbing -------------------------------------------
+
+  /** One signed request. `query` must be pre-sorted by key; values are
+    * canonically encoded here and the SAME string goes on the wire and
+    * into the signature. Returns the open connection (caller reads). */
+  private def connect(method: String, key: String,
+                      query: Seq[(String, String)] = Nil,
+                      extraHeaders: Seq[(String, String)] = Nil,
+                      body: Array[Byte] = null): HttpURLConnection = {
+    val canonicalPath = "/" + SigV4.uriEncode(s"$bucket/$key", encodeSlash = false)
+    val canonicalQuery = query.sortBy(_._1).map { case (k, v) =>
+      s"${SigV4.uriEncode(k, encodeSlash = true)}=${SigV4.uriEncode(v, encodeSlash = true)}"
+    }.mkString("&")
+    val urlStr = endpoint + canonicalPath + (if (canonicalQuery.isEmpty) "" else s"?$canonicalQuery")
+    val url = new URL(urlStr)
+    val amzDate = SigV4.amzDateNow()
+    val host = url.getAuthority
+    val signHeaders = Seq("host" -> host, "x-amz-date" -> amzDate,
+      "x-amz-content-sha256" -> SigV4.UnsignedPayload) ++
+      extraHeaders.filter(_._1.toLowerCase.startsWith("x-amz-"))
+    val auth = SigV4.authorization(method, canonicalPath, canonicalQuery,
+      signHeaders, cfg("access.key"), cfg("secret.key"), region, amzDate)
+    val c = url.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setRequestProperty("x-amz-date", amzDate)
+    c.setRequestProperty("x-amz-content-sha256", SigV4.UnsignedPayload)
+    c.setRequestProperty("Authorization", auth)
+    extraHeaders.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    if (body != null) {
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length)
+      val os = c.getOutputStream
+      os.write(body); os.close()
+    }
+    c
+  }
+
+  private def drainError(c: HttpURLConnection): String = {
+    val es = c.getErrorStream
+    if (es == null) "" else try new String(es.readAllBytes(), UTF_8) finally es.close()
+  }
+
+  private def expect(c: HttpURLConnection, ok: Int*): Int = {
+    val code = c.getResponseCode
+    if (!ok.contains(code))
+      throw new IOException(s"s3 ${c.getRequestMethod} ${c.getURL}: HTTP $code ${drainError(c)}")
+    code
+  }
+
+  /** expect + drain the (empty) response body so the connection can be
+    * reused — for PUT/DELETE call sites that never read the stream. */
+  private def complete(c: HttpURLConnection, ok: Int*): Unit = {
+    expect(c, ok: _*)
+    try Option(c.getInputStream).foreach { is => is.readAllBytes(); is.close() }
+    catch { case _: IOException => () }
+  }
+
+  /** Object length via a zero-length ranged GET: 206 carries the total
+    * in Content-Range, 416 means the object exists but is empty, 404
+    * means absent. One round trip, ≤1 payload byte. */
+  private def probe(key: String): Option[Long] = {
+    val c = connect("GET", key, extraHeaders = Seq("Range" -> "bytes=0-0"))
+    def closeQuietly(): Unit =
+      try Option(c.getInputStream).foreach(_.close())
+      catch { case _: IOException => Option(c.getErrorStream).foreach(_.close()) }
+    try c.getResponseCode match {
+      case 206 =>
+        val cr = c.getHeaderField("Content-Range") // "bytes 0-0/1234"
+        Some(cr.substring(cr.indexOf('/') + 1).toLong)
+      case 200 => Some(c.getContentLengthLong)
+      case 416 => Some(0L)
+      case 404 => None
+      case code => throw new IOException(s"s3 probe $key: HTTP $code ${drainError(c)}")
+    } finally closeQuietly()
+  }
+
+  private def fileStatus(p: Path, len: Long): FileStatus =
+    new FileStatus(len, false, 1, 32L * 1024 * 1024, 0L, p.makeQualified(fsUri, workDir))
+  private def dirStatus(p: Path): FileStatus =
+    new FileStatus(0, true, 1, 0, 0L, p.makeQualified(fsUri, workDir))
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val key = keyOf(f)
+    if (key.isEmpty) return dirStatus(f) // bucket root
+    probe(key) match {
+      case Some(len) => fileStatus(f, len)
+      case None =>
+        if (probe(s"$key/").isDefined || listRaw(s"$key/", delimited = false, max = 1)._1.nonEmpty)
+          dirStatus(f)
+        else throw new FileNotFoundException(s"s3a://$bucket/$key")
+    }
+  }
+
+  /** ListObjectsV2. Returns (contents as (key, size), commonPrefixes). */
+  private def listRaw(prefix: String, delimited: Boolean,
+                      max: Int = 1000): (Seq[(String, Long)], Seq[String]) = {
+    val q = Seq("list-type" -> "2", "prefix" -> prefix, "max-keys" -> max.toString) ++
+      (if (delimited) Seq("delimiter" -> "/") else Nil)
+    val c = connect("GET", "", q)
+    expect(c, 200)
+    val bytes = { val is = c.getInputStream; try is.readAllBytes() finally is.close() }
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(new java.io.ByteArrayInputStream(bytes))
+    def texts(tag: String, child: String): Seq[String] = {
+      val nodes = doc.getElementsByTagName(tag)
+      (0 until nodes.getLength).map { i =>
+        val e = nodes.item(i).asInstanceOf[org.w3c.dom.Element]
+        e.getElementsByTagName(child).item(0).getTextContent
+      }
+    }
+    val keys = texts("Contents", "Key")
+    val sizes = texts("Contents", "Size").map(_.toLong)
+    (keys.zip(sizes), texts("CommonPrefixes", "Prefix"))
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val st = getFileStatus(f) // throws FileNotFoundException per contract
+    if (st.isFile) return Array(st)
+    val key = keyOf(f)
+    val prefix = if (key.isEmpty) "" else s"$key/"
+    val (contents, prefixes) = listRaw(prefix, delimited = true)
+    val files = contents.collect {
+      // skip the listed prefix's own dir marker; surface "sub/" markers
+      // via CommonPrefixes only
+      case (k, size) if k != prefix && !k.endsWith("/") =>
+        fileStatus(new Path(s"s3a://$bucket/$k"), size)
+    }
+    val dirs = prefixes.map(p =>
+      dirStatus(new Path(s"s3a://$bucket/${p.stripSuffix("/")}")))
+    (files ++ dirs).toArray
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val key = keyOf(f)
+    if (key.isEmpty) return true
+    val exists = try { Some(getFileStatus(f)) } catch { case _: FileNotFoundException => None }
+    exists match {
+      case Some(s) if s.isDirectory => true
+      case Some(_) => throw new FileAlreadyExistsException(s"$f exists as a file")
+      case None =>
+        // a single leaf marker is enough: ancestors become visible
+        // through the prefix listing in getFileStatus
+        complete(connect("PUT", s"$key/", body = Array.emptyByteArray), 200)
+        true
+    }
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val st = getFileStatus(f)
+    if (st.isDirectory) throw new FileNotFoundException(s"$f is a directory")
+    new FSDataInputStream(new S3LiteInput(keyOf(f), st.getLen))
+  }
+
+  /** Sequential stream with lazy ranged-GET reopen on seek, plus
+    * one-shot ranged GETs for positioned reads — the parquet access
+    * pattern (footer probe, then row-group ranges). */
+  private final class S3LiteInput(key: String, len: Long) extends FSInputStream {
+    private var pos = 0L
+    private var in: InputStream = _
+    private def ensure(): InputStream = {
+      if (in == null)
+        in = if (pos >= len) InputStream.nullInputStream()
+        else {
+          val c = connect("GET", key, extraHeaders = Seq("Range" -> s"bytes=$pos-"))
+          expect(c, 200, 206)
+          c.getInputStream
+        }
+      in
+    }
+    override def read(): Int = {
+      val b = ensure().read(); if (b >= 0) pos += 1; b
+    }
+    override def read(buf: Array[Byte], off: Int, n: Int): Int = {
+      val r = ensure().read(buf, off, n); if (r > 0) pos += r; r
+    }
+    override def seek(p: Long): Unit = if (p != pos) {
+      if (in != null) { in.close(); in = null }
+      pos = p
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buf: Array[Byte], off: Int, n: Int): Int = {
+      if (position >= len) return -1
+      val hi = math.min(position + n, len) - 1
+      val c = connect("GET", key, extraHeaders = Seq("Range" -> s"bytes=$position-$hi"))
+      expect(c, 200, 206)
+      val is = c.getInputStream
+      try {
+        var got = 0
+        var r = 0
+        while (got < n && r >= 0) {
+          r = is.read(buf, off + got, n - got)
+          if (r > 0) got += r
+        }
+        got
+      } finally is.close()
+    }
+    override def readFully(position: Long, buf: Array[Byte], off: Int, n: Int): Unit = {
+      val got = read(position, buf, off, n)
+      if (got < n) throw new EOFException(s"$key: wanted $n bytes at $position, got $got")
+    }
+    override def close(): Unit = if (in != null) { in.close(); in = null }
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite && probe(keyOf(f)).isDefined)
+      throw new FileAlreadyExistsException(f.toString)
+    val key = keyOf(f)
+    val buf = new ByteArrayOutputStream()
+    val out = new OutputStream {
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, n: Int): Unit = buf.write(b, off, n)
+      override def close(): Unit =
+        complete(connect("PUT", key, body = buf.toByteArray), 200)
+    }
+    new FSDataOutputStream(out, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("append is not an object-store operation")
+
+  private def copyKey(src: String, dst: String): Unit =
+    complete(connect("PUT", dst, extraHeaders = Seq(
+      "x-amz-copy-source" -> ("/" + SigV4.uriEncode(s"$bucket/$src", encodeSlash = false)))), 200)
+  private def deleteKey(key: String): Unit =
+    complete(connect("DELETE", key), 204, 200)
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcStat = try getFileStatus(src) catch { case _: FileNotFoundException => return false }
+    val dstStat = try Some(getFileStatus(dst)) catch { case _: FileNotFoundException => None }
+    val effDst = dstStat match {
+      case Some(d) if d.isDirectory => new Path(dst, src.getName)
+      case Some(_) => return false // destination file exists
+      case None => dst
+    }
+    if (srcStat.isFile) {
+      copyKey(keyOf(src), keyOf(effDst)); deleteKey(keyOf(src))
+    } else {
+      val sp = s"${keyOf(src)}/"
+      val dp = s"${keyOf(effDst)}/"
+      // includes dir markers (keys ending "/"), so empty dirs move too
+      val keys = listRaw(sp, delimited = false)._1.map(_._1)
+      keys.foreach(k => copyKey(k, dp + k.stripPrefix(sp)))
+      keys.foreach(deleteKey)
+    }
+    true
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val st = try getFileStatus(f) catch { case _: FileNotFoundException => return false }
+    if (st.isFile) { deleteKey(keyOf(f)); true }
+    else {
+      val prefix = if (keyOf(f).isEmpty) "" else s"${keyOf(f)}/"
+      val keys = listRaw(prefix, delimited = false)._1.map(_._1)
+      if (!recursive && keys.exists(_ != prefix))
+        throw new IOException(s"$f is a non-empty directory")
+      keys.foreach(deleteKey)
+      if (prefix.nonEmpty && probe(prefix).isDefined) deleteKey(prefix)
+      true
+    }
+  }
+}

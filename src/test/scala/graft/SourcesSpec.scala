@@ -42,8 +42,8 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
   // Mirror of the reference's S3 connection config
   // (/root/reference/src/config/worker.rs:116-136): endpoint, creds,
   // bucket, root, region, force_path_style — mapped to per-bucket s3a
-  // Hadoop conf (no live object store in the sandbox; the conf mapping
-  // and URI resolution are the testable surface).
+  // Hadoop conf. (The live wire exercise is the MiniS3 end-to-end test
+  // below; this one pins the conf-mapping contract in isolation.)
   test("S3 connection maps to per-bucket s3a conf and s3a:// URIs") {
     val conns = Connections(Map(
       "default" -> graft.sources.Connection.Fs(""),
@@ -66,6 +66,64 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(hc.get("fs.s3a.bucket.graft-data.secret.key") == "miniopass")
     assert(hc.get("fs.s3a.bucket.graft-data.path.style.access") == "true")
     assert(hc.get("fs.s3a.bucket.graft-data.endpoint.region") == "us-east-1")
+  }
+
+  // The reference RUNS its S3 path against a live Minio
+  // (docker-compose.yml + s3_worker_config.json); this is the engine's
+  // equivalent exercise: a real in-process S3 endpoint (MiniS3, SigV4
+  // verified per request), the s3a scheme bound to S3LiteFileSystem
+  // (no AWS SDK in the sandbox), and Spark's parquet write + the
+  // read_files TVF flowing through it end-to-end.
+  test("object store end-to-end: parquet write + read_files through a live SigV4 endpoint") {
+    val s3 = new MiniS3("graftkey", "graftsecret")
+    s3.start()
+    try {
+      val conns = Connections(Map(
+        "default" -> graft.sources.Connection.Fs(""),
+        "minio" -> graft.sources.Connection.S3(
+          endpoint = s"http://127.0.0.1:${s3.port}",
+          accessKeyId = "graftkey",
+          secretAccessKeyId = "graftsecret",
+          bucket = "graft-live",
+          root = "warehouse")))
+      conns.applyTo(spark)
+      val local = Engine.table(spark, sfDir, "region")
+      // WRITE: the full FileOutputCommitter dance — mkdirs, task temp
+      // files, dir renames (S3 COPY+DELETE), _SUCCESS — over the wire
+      local.write.mode("overwrite").parquet("s3a://graft-live/warehouse/region")
+      assert(s3.keys.exists(k =>
+        k.startsWith("graft-live/warehouse/region/part-") && k.endsWith(".parquet")),
+        s"no committed part file in ${s3.keys}")
+      assert(s3.keys.contains("graft-live/warehouse/region/_SUCCESS"))
+      assert(!s3.keys.exists(_.contains("_temporary")),
+        s"committer temp litter survived: ${s3.keys.filter(_.contains("_temporary"))}")
+      // READ back through the NAMED connection: relative-path
+      // resolution, per-bucket creds, footer + row-group ranged GETs
+      val got = ReadFiles.sql(spark,
+        "select r_regionkey, r_name from read_files('region', connection=>'minio') " +
+          "order by r_regionkey", conns)
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      val want = local.orderBy("r_regionkey")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got.size == 5 && got == want)
+      assert(s3.authFailures == 0, "a request failed SigV4 verification")
+      // and the endpoint actually REJECTS a bad secret (auth is real,
+      // not decorative) — fresh uncached FS instance so the bad conf
+      // is actually consulted
+      val badConf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      badConf.set("fs.s3a.bucket.graft-live.secret.key", "WRONG")
+      val badFs = org.apache.hadoop.fs.FileSystem.newInstance(
+        java.net.URI.create("s3a://graft-live/"), badConf)
+      try {
+        val e = intercept[java.io.IOException] {
+          badFs.getFileStatus(new org.apache.hadoop.fs.Path(
+            "s3a://graft-live/warehouse/region/_SUCCESS"))
+        }
+        assert(e.getMessage.contains("403"), e.getMessage)
+        assert(s3.authFailures > 0)
+      } finally badFs.close()
+    } finally s3.stop()
   }
 
   test("injected read_files TVF resolves natively, with named args and connections") {
