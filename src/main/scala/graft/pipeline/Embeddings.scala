@@ -560,6 +560,28 @@ object Embeddings {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     encodeForIndex(v, cents, books)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+    // Per-cell angular radius (max member angle to the frozen
+    // centroid) — the data the adaptive re-probe's cell bound needs
+    // (see [[ivfSearch]]). Read back from the just-written partitioned
+    // corpus (narrower than re-running assignment over the input).
+    cellRadii(spark.read.parquet(s"$dir/corpus").select("cell", "v", "nrm"), cents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/cellstats")
+  }
+
+  /** Max angle between each cell's members and its frozen centroid —
+    * the cell "radius" the adaptive re-probe bound is built from. One
+    * map-side-combined aggregate, nlist output rows. */
+  private def cellRadii(assigned: DataFrame,
+                        cents: Array[Array[Double]]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("cell", "cent", "cnrm")
+    assigned.join(broadcast(cdf), "cell")
+      .withColumn("ang", acos(least(lit(1.0), greatest(lit(-1.0),
+        dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))))))
+      .groupBy("cell").agg(max("ang").as("radius"))
   }
 
   /** Assign + PQ-encode a corpus frame against FROZEN index
@@ -603,6 +625,12 @@ object Embeddings {
     val books = readCodebooks(spark, root)
     encodeForIndex(withNorm(newEmb), cents, books)
       .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, root))
+    // Keep the adaptive-bound radii valid for the appended members:
+    // append the batch's per-cell max angles (readers take the max
+    // across files, so append-only stays crash-safe like tombstones).
+    // Assignment-only second pass over the batch — no PQ work, O(batch).
+    cellRadii(withCells(withNorm(newEmb), cents, 1).select("cell", "v", "nrm"), cents)
+      .coalesce(1).write.mode("append").parquet(s"$root/cellstats")
   }
 
   /** Logical deletes for a [[writeIvfIndex]] layout — the
@@ -744,6 +772,7 @@ object Embeddings {
           .filter { p =>
             val n = p.getName
             n == "centroids" || n == "codebooks" || n == "tombstones" ||
+              n == "cellstats" || n == "purged" ||
               n == "corpus" || n.startsWith("corpus_v")
           }
           .foreach(p => fs.delete(p, true))
@@ -1074,12 +1103,13 @@ object Embeddings {
     * `cell IN (...)`, and the corpus scan touches only those
     * partitions. PlanSpec pins the PartitionFilters. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     queryMaxId: Long, k: Int, nprobe: Int = 10): DataFrame = {
+                     queryMaxId: Long, k: Int, nprobe: Int = 10,
+                     adaptive: Boolean = false): DataFrame = {
     val root = liveIndexRoot(spark, dir)
     val corpus = liveRows(spark, root)
     ivfSearch(spark, root, corpus,
       corpus.filter(col("vec_id") < queryMaxId).select(col("vec_id"), col("v"), col("nrm")),
-      k, nprobe, excludeSelf = true)
+      k, nprobe, excludeSelf = true, adaptive = adaptive)
   }
 
   /** The SERVING read path: top-k over the persisted index for
@@ -1088,25 +1118,65 @@ object Embeddings {
     * is the audit/dedup shape; this is what an application with fresh
     * query embeddings calls). Identical probe → literal `cell IN` →
     * partition-pruned scan machinery; no self-exclusion, because the
-    * query id space is independent of the corpus id space. */
+    * query id space is independent of the corpus id space.
+    *
+    * `adaptive = true` adds the two-level re-probe escape for serving
+    * tail accuracy (see [[ivfSearch]]): queries whose kth-best score
+    * after the fixed-nprobe pass is still beaten by some unprobed
+    * cell's best-possible score get that cell probed in a second
+    * pruned pass — the result is then EXACT top-k over the live
+    * corpus, at fixed-nprobe cost for the (typical) queries whose
+    * first pass already closed the bound. */
   def ivfTopKIndexedFor(queries: DataFrame, dir: String, k: Int,
-                        nprobe: Int = 10): DataFrame = {
+                        nprobe: Int = 10, adaptive: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val root = liveIndexRoot(spark, dir)
     val qn = withNorm(queries.select(
       col(queries.columns.head).cast("long").as("vec_id"),
       col(queries.columns(1)).as("embedding")))
     ivfSearch(spark, root, liveRows(spark, root), qn, k, nprobe,
-      excludeSelf = false)
+      excludeSelf = false, adaptive = adaptive)
+  }
+
+  /** Per-query top-k ranking of a (query_id, neighbor_id, cos)
+    * candidate frame — the shared tail of every indexed read path
+    * (ties break on the lower neighbor id, same as [[ivfTopK]]). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
   }
 
   /** Shared probe → prune → exact-score → top-k core of the indexed
     * read paths. `qn` = (vec_id, v, nrm) query rows; `excludeSelf`
     * drops corpus rows whose id equals the query id (the self-query
-    * audit shape). */
+    * audit shape).
+    *
+    * `adaptive = true` is the two-level probing escape for serving
+    * tail accuracy: after the fixed-nprobe pass, a query whose
+    * kth-best cosine is still beaten by the BEST-POSSIBLE cosine of
+    * some unprobed cell gets that cell probed in a second pruned
+    * pass. The per-cell bound is the spherical triangle inequality —
+    * any member of cell c sits within `radius(c)` (the persisted max
+    * member angle, `cellstats`) of its centroid, so its angle to the
+    * query is at least `θ(q, centroid_c) − radius(c)` and its cosine
+    * at most `cos(max(0, θ − radius))`. Cells whose bound cannot beat
+    * the current kth-best are PROVABLY irrelevant, which makes the
+    * two-pass result exact top-k over the live corpus (PipelineSpec
+    * pins recall 1.0 vs brute force at the fixed serving nprobe);
+    * queries whose first pass already closed the bound cost nothing
+    * extra. At 100 TB the second pass stays pruned the same way the
+    * first is (`cell IN` literals over the escaped union, per-pair
+    * broadcast join), and the escaped set is demand-driven — only
+    * boundary queries pay. Indexes written before `cellstats` existed
+    * fall back to the fixed-nprobe result. */
   private def ivfSearch(spark: org.apache.spark.sql.SparkSession,
                         root: String, corpus: DataFrame, qn: DataFrame,
-                        k: Int, nprobe: Int, excludeSelf: Boolean): DataFrame = {
+                        k: Int, nprobe: Int, excludeSelf: Boolean,
+                        adaptive: Boolean = false): DataFrame = {
     val cents: Array[Array[Double]] =
       spark.read.parquet(s"$root/centroids").orderBy("cell")
         .select("centroid").collect()
@@ -1121,12 +1191,59 @@ object Embeddings {
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
-      .orderBy("query_id", "rank")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$root/cellstats")
+    val statsExist = statsPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath)
+    if (!adaptive || !statsExist) return rankTopK(scored, k)
+
+    // ---- pass 1 result: queries × k rows, persisted so the kth-best
+    // extraction and the final union don't re-run the probed scan.
+    val top1 = rankTopK(scored, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded driver collect: ≤ nlist (cell, radius) rows. Readers
+    // take the max across files — appends add rows, never rewrite.
+    val radMap: Map[Int, Double] = spark.read.parquet(s"$root/cellstats")
+      .groupBy("cell").agg(max("radius").as("radius")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    import spark.implicits._
+    val cellsDf = radMap.toSeq.map { case (cIdx, r) =>
+      (cIdx, cents(cIdx).toSeq, math.sqrt(cents(cIdx).map(x => x * x).sum), r)
+    }.toDF("ecell", "ecent", "ecnrm", "radius")
+    // kth-best per query; a query that couldn't fill k candidates
+    // escapes everywhere it still can (−2 < any cosine).
+    val kth = top1.groupBy("query_id")
+      .agg(min("cos").as("kmin"), count(lit(1)).as("cnt"))
+      .select(col("query_id"),
+        when(col("cnt") < k, lit(-2.0)).otherwise(col("kmin")).as("kth"))
+    val qsets = q.groupBy("query_id")
+      .agg(first("qv").as("qv"), first("qnrm").as("qnrm"),
+        collect_set("cell").as("probed_cells"))
+    val esc = qsets.join(kth, Seq("query_id"), "left")
+      .na.fill(-2.0, Seq("kth"))
+      .crossJoin(broadcast(cellsDf))
+      .filter(!array_contains(col("probed_cells"), col("ecell")))
+      .withColumn("theta", acos(least(lit(1.0), greatest(lit(-1.0),
+        dot(col("qv"), col("ecent")) / (col("qnrm") * col("ecnrm"))))))
+      .filter(cos(greatest(lit(0.0), col("theta") - col("radius"))) >
+        col("kth") + lit(1e-12))
+      .select(col("query_id"), col("ecell").as("cell"), col("qv"), col("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded driver collect: the escaped cell union (≤ nlist ints)
+    // must be LITERALS for partition pruning, same as pass 1.
+    val escCells: Array[Int] = esc.select("cell").distinct().collect().map(_.getInt(0))
+    if (escCells.isEmpty) top1
+    else {
+      val scored2 = corpus.filter(col("cell").isin(escCells.toIndexedSeq: _*))
+        .join(broadcast(esc), Seq("cell"))
+        .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+      // Final top-k over pass-1 winners ∪ escaped-cell candidates: a
+      // probed-cell row outside pass-1's top-k is dominated by k
+      // better rows already in the union, so correctness needs only
+      // the small top1 side, not pass 1's full candidate set.
+      rankTopK(top1.select("query_id", "neighbor_id", "cos").unionByName(scored2), k)
+    }
   }
 
   /** The full faiss-IVFADC-with-refine read path over a

@@ -394,6 +394,43 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(pqServed == exactServed)
   }
 
+  test("adaptive re-probe: serving top-k is EXACT at the fixed serving nprobe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_adapt").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Embeddings.bruteForceTopK(emb, 10, 5))
+    // fixture sanity: at nprobe 5/16 the fixed probe must actually
+    // lose neighbors, or the escape is untested here
+    val fixedR = (bf & pairs(Embeddings.ivfTopKIndexed(spark, dir, 10, 5,
+      nprobe = 5))).size.toDouble / bf.size
+    assert(fixedR < 1.0, s"fixed nprobe=5 already exact ($fixedR) — escape untestable")
+    // serving path, same nprobe, adaptive: recall 1.0 — the bound
+    // re-probes exactly the cells that could still hold a winner
+    val external = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 777000).as("qid"), col("embedding"))
+    val served = Embeddings.ivfTopKIndexedFor(external, dir, k = 6,
+        nprobe = 5, adaptive = true).collect()
+    assert(served.filter(_.getLong(3) == 1L).forall(r =>
+      r.getLong(0) - 777000 == r.getLong(1)), "rank 1 must be the corpus twin")
+    val servedTail = served.filter(_.getLong(3) > 1L)
+      .map(r => (r.getLong(0) - 777000, r.getLong(1))).toSet
+    val recall = (bf & servedTail).size.toDouble / bf.size
+    assert(recall >= 0.999, s"adaptive serving recall $recall below 1.0")
+    // the audit shape closes the same bound
+    val adaptAudit = pairs(Embeddings.ivfTopKIndexed(spark, dir, 10, 5,
+      nprobe = 5, adaptive = true))
+    assert(adaptAudit == bf, "adaptive self-query top-k must equal brute force")
+    // pre-cellstats layouts degrade to the fixed-nprobe result, no error
+    val fsDir = new java.io.File(s"$dir/cellstats")
+    fsDir.listFiles().foreach(_.delete()); fsDir.delete()
+    val legacy = pairs(Embeddings.ivfTopKIndexed(spark, dir, 10, 5,
+      nprobe = 5, adaptive = true))
+    assert((bf & legacy).size.toDouble / bf.size == fixedR)
+  }
+
   test("rebuildIvfIndex: retrain + atomic generation swap; lifecycle ops follow the live root") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
