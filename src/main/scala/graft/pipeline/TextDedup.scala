@@ -249,6 +249,60 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy record linkage composed end-to-end, with the similarity
+    * join's SCALE KNOBS surfaced as explicit parameters:
+    * [[graft.operators.SimilarityJoin.selfJoin]] pairs at Jaccard ≥
+    * thetaNum/thetaDen → [[clustersFromPairs]] label propagation →
+    * one representative per cluster (highest `qualityCol`, ties to
+    * the lowest id) with the member count — the canonicalize-before-
+    * exact-dedup pass a training-data pipeline runs over titles.
+    *
+    * The knobs exist because the pair join dominates at corpus scale:
+    *  - `grams` picks the shingle scheme — word shingles for
+    *    title-like short strings over a small vocabulary (SparkEntry
+    *    q_sim_join notes), [[graft.operators.SimilarityJoin.charTrigrams]]
+    *    (default) for raw-text keys;
+    *  - `prefixDfCap` bounds the candidate blow-up of hot prefix
+    *    grams (a gram of document frequency df contributes O(df²)
+    *    candidate pairs). Precision is 1.0 either way — verification
+    *    stays exact — and the only possible loss is a MISSED pair
+    *    whose every shared prefix gram is hotter than the cap, which
+    *    at cluster level can only SPLIT a cluster, never wrongly
+    *    merge one (OperatorsSpec pins the trade at both levels);
+    *  - `broadcastFreq` as in [[graft.operators.SimilarityJoin.selfJoin]].
+    *
+    * Returns (cluster_id, rep_doc_id, n_members), one row per
+    * cluster. `qualityCol = None` ranks representatives by
+    * `length(strCol)`. */
+  def fuzzyLinkClusters(docs: DataFrame, idCol: String, strCol: String,
+                        thetaNum: Int, thetaDen: Int,
+                        grams: Column => Column =
+                          graft.operators.SimilarityJoin.charTrigrams,
+                        prefixDfCap: Option[Long] = None,
+                        broadcastFreq: Option[Boolean] = None,
+                        qualityCol: Option[String] = None,
+                        maxIters: Int = 20): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val pairs = graft.operators.SimilarityJoin.selfJoin(
+        docs.select(col(idCol).as("doc_id"), col(strCol)),
+        "doc_id", strCol, thetaNum, thetaDen, broadcastFreq, grams, prefixDfCap)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = clustersFromPairs(ids, pairs, maxIters)
+    val quality = qualityCol
+      .map(q => docs.select(col(idCol).as("doc_id"), col(q).as("q")))
+      .getOrElse(docs.select(col(idCol).as("doc_id"),
+        length(col(strCol)).cast("long").as("q")))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Verbatim passage reuse: pairs of docs sharing >= `minShared`
     * distinct k-gram passages (long k, default 10 words — catches
     * copied passages that sit far below any whole-document similarity

@@ -192,4 +192,35 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     val capped = run(Some(1L))
     assert(capped.subsetOf(exact) && capped.isEmpty, s"capped $capped")
   }
+
+  test("fuzzyLinkClusters: cap trade at composition level — splits only, reps stay canonical") {
+    import spark.implicits._
+    // 1,2,3 near-identical (one cluster; 3 wins on quality), 4 and 5
+    // unrelated singletons — same hot-gram fixture as the pair-level
+    // cap test, so cap=1 is known to drop every pair
+    val df = Seq(
+      (1L, "aaabbbccc", 9L), (2L, "aaabbbccd", 9L), (3L, "aaabbbcce", 10L),
+      (4L, "zzzyyyxxx", 9L), (5L, "unrelated", 9L)).toDF("id", "s", "q")
+    def run(cap: Option[Long]): Seq[(Long, Long, Long)] =
+      graft.pipeline.TextDedup
+        .fuzzyLinkClusters(df, "id", "s", 1, 2, prefixDfCap = cap,
+          qualityCol = Some("q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = run(None)
+    assert(exact == Seq((1L, 3L, 3L), (4L, 4L, 1L), (5L, 5L, 1L)),
+      s"uncapped clusters: $exact")
+    // cap above every df: the whole composition is unchanged
+    assert(run(Some(1000L)) == exact)
+    // cap 1 loses every pair: clusters SPLIT into singletons — more
+    // clusters, never a cross-cluster merge, and each representative
+    // is its own cluster's best member
+    val capped = run(Some(1L))
+    assert(capped == (1L to 5L).map(i => (i, i, 1L)), s"capped clusters: $capped")
+    // default quality (length of the key) picks the lowest id on the
+    // all-equal-length fixture
+    val byLen = graft.pipeline.TextDedup
+      .fuzzyLinkClusters(df, "id", "s", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(byLen == Seq((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 1L)))
+  }
 }
