@@ -30,7 +30,19 @@ object Embeddings {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm-safe cosine from a precomputed dot and the two norms.
+    * ANSI mode turns x/0 into a query-killing error, and degenerate
+    * rows do occur: an embedder emitting a zero vector for some input,
+    * or an empty k-means cell whose centroid stays the zero vector
+    * (fewer training samples than nlist). A zero-norm side has no
+    * direction, so its similarity is pinned to -1 ("similar to
+    * nothing"): scoring ranks it last, threshold joins drop it, and
+    * the angular radius path sees acos(-1)=π — the always-re-probe
+    * conservative radius, keeping the adaptive bound exact. */
+  def cosSim(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > lit(0.0), d / (n1 * n2)).otherwise(lit(-1.0))
+
+  def cosine(a: Column, b: Column): Column = cosSim(dot(a, b), norm(a), norm(b))
 
   /** Symmetric per-vector int8 scalar quantization — the storage
     * format that makes a 100 TB float32 vector store a 25 TB one (the
@@ -88,7 +100,7 @@ object Embeddings {
     val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cands.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        cosSim(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -102,7 +114,7 @@ object Embeddings {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -260,7 +272,7 @@ object Embeddings {
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -296,7 +308,7 @@ object Embeddings {
     val b = v.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cands.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        cosSim(dot(col("va"), col("vb")), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -405,7 +417,7 @@ object Embeddings {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), norm(col("v")).as("qnrm"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("vhat")) / (col("qnrm") * norm(col("vhat")))).as("cos_adc"))
+        cosSim(dot(col("qv"), col("vhat")), col("qnrm"), norm(col("vhat"))).as("cos_adc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_adc").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -445,7 +457,7 @@ object Embeddings {
     val scored = v.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       .join(broadcast(cand.join(qv, "query_id")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -505,7 +517,7 @@ object Embeddings {
     val a = vt.select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
     val b = ve.select(col("vec_id").as("eval_id"), col("v").as("vb"), col("nrm").as("nb"))
     val contaminated = cands.join(a, "vec_id").join(b, "eval_id")
-      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .filter(cosSim(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
       .select("vec_id").distinct()
     graft.Engine.fanOut(train).select("vec_id")
       .join(contaminated, Seq("vec_id"), "left_anti")
@@ -580,7 +592,7 @@ object Embeddings {
     }.toSeq.toDF("cell", "cent", "cnrm")
     assigned.join(broadcast(cdf), "cell")
       .withColumn("ang", acos(least(lit(1.0), greatest(lit(-1.0),
-        dot(col("v"), col("cent")) / (col("nrm") * col("cnrm"))))))
+        cosSim(dot(col("v"), col("cent")), col("nrm"), col("cnrm"))))))
       .groupBy("cell").agg(max("ang").as("radius"))
   }
 
@@ -1190,7 +1202,7 @@ object Embeddings {
       .join(broadcast(q), Seq("cell"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val statsPath = new org.apache.hadoop.fs.Path(s"$root/cellstats")
     val statsExist = statsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath)
@@ -1223,7 +1235,7 @@ object Embeddings {
       .crossJoin(broadcast(cellsDf))
       .filter(!array_contains(col("probed_cells"), col("ecell")))
       .withColumn("theta", acos(least(lit(1.0), greatest(lit(-1.0),
-        dot(col("qv"), col("ecent")) / (col("qnrm") * col("ecnrm"))))))
+        cosSim(dot(col("qv"), col("ecent")), col("qnrm"), col("ecnrm"))))))
       .filter(cos(greatest(lit(0.0), col("theta") - col("radius"))) >
         col("kth") + lit(1e-12))
       .select(col("query_id"), col("ecell").as("cell"), col("qv"), col("qnrm"))
@@ -1237,7 +1249,7 @@ object Embeddings {
         .join(broadcast(esc), Seq("cell"))
         .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+          cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
       // Final top-k over pass-1 winners ∪ escaped-cell candidates: a
       // probed-cell row outside pass-1's top-k is dominated by k
       // better rows already in the union, so correctness needs only
@@ -1327,7 +1339,7 @@ object Embeddings {
       .join(broadcast(q), Seq("cell"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("qv"), col("vhat")) / (col("qnrm") * col("nhat"))).as("cos_adc"))
+        cosSim(dot(col("qv"), col("vhat")), col("qnrm"), col("nhat")).as("cos_adc"))
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos_adc").desc, col("neighbor_id"))
     val cand = adc.withColumn("r", row_number().over(ws))
@@ -1341,7 +1353,7 @@ object Embeddings {
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       .join(broadcast(cand.join(qv, "query_id")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
