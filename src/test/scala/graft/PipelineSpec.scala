@@ -581,6 +581,46 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("zero vectors"), e.getMessage)
   }
 
+  test("degenerate geometry: zero vectors and empty-cell centroids never poison the index") {
+    // The shape that crashed streaming IVF maintenance under ANSI mode:
+    // nlist > corpus size leaves empty cells whose centroids stay the
+    // zero vector; an appended vector with all-negative dots to the
+    // real centroids lands in a zero-centroid cell (dot 0 wins), and a
+    // zero-norm embedding can arrive from any embedder. Both used to
+    // DIVIDE_BY_ZERO in cellRadii; now they pin radius pi (cell always
+    // re-probed) and cosine -1 (similar to nothing).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_degen").toString
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Embeddings.writeIvfIndex(base, dir, nlist = 4, pqM = 4, pqK = 2)
+    // vec 3: dot < 0 vs both trained centroids -> assigned to a
+    // zero-centroid cell. vec 4: the zero vector itself.
+    val batch = Seq(
+      (3L, Seq(-1.0, -1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    Embeddings.appendToIvfIndex(batch, dir) // crashed before the guard
+    // degenerate cells carry the conservative pi radius
+    val rads = spark.read.parquet(s"$dir/cellstats")
+      .groupBy("cell").agg(org.apache.spark.sql.functions.max("radius").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(rads.values.exists(_ > 3.0), s"expected a pi radius in $rads")
+    // adaptive serving stays EXACT: the fixed probe misses vec 3's
+    // zero-centroid cell, the pi radius forces the re-probe escape
+    val q = Seq((100L, Seq(-1.0, 0.0, 0.0, 0.0))).toDF("id", "embedding")
+    val hit = Embeddings.ivfTopKIndexedFor(q, dir, k = 1, nprobe = 1,
+      adaptive = true).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("neighbor_id") == 3L,
+      hit.mkString(","))
+    // the zero vector scores -1 everywhere: ranked strictly last
+    val all = Embeddings.ivfTopKIndexedFor(q, dir, k = 4, nprobe = 4,
+      adaptive = true).collect()
+    val zeroRow = all.find(_.getAs[Long]("neighbor_id") == 4L)
+    assert(zeroRow.forall(r => r.getAs[Double]("cos") == -1.0 &&
+      r.getAs[Long]("rank") == all.length), all.mkString(","))
+  }
+
   test("IVF training is deterministic across invocations") {
     val v = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
     val again = Embeddings.ivfTopK(emb, 10, 5).collect().toSeq
