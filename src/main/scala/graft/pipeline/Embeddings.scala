@@ -1208,45 +1208,72 @@ object Embeddings {
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath)
     if (!adaptive || !statsExist) return rankTopK(scored, k)
 
-    // ---- pass 1 result: queries × k rows, persisted so the kth-best
-    // extraction and the final union don't re-run the probed scan.
-    val top1 = rankTopK(scored, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ---- pass 1 result, COLLECTED: ≤ queries × k rows. The query
+    // side of this path is broadcast-small by contract (it rides a
+    // broadcast join above), so its top-k is too — and every other
+    // input to the escape decision (centroids, per-cell radii, the
+    // query vectors themselves) is equally driver-resident model /
+    // serving-batch state. The escape set is therefore pure driver
+    // math — nqueries × nlist dot products — not a Spark job chain:
+    // the previous shape (persist pass 1, two aggregations, a
+    // crossJoin against the radii, persist, collect) spent several
+    // scheduler round-trips and two block-manager persists deciding
+    // something the driver already had the bytes for, and measurably
+    // tripled serving latency. The CORPUS passes (the part that is
+    // actually 100 TB) are unchanged: one pruned scan per pass.
+    val top1: Array[(Long, Long, Double, Long)] = rankTopK(scored, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     // Bounded driver collect: ≤ nlist (cell, radius) rows. Readers
     // take the max across files — appends add rows, never rewrite.
     val radMap: Map[Int, Double] = spark.read.parquet(s"$root/cellstats")
       .groupBy("cell").agg(max("radius").as("radius")).collect()
       .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    import spark.implicits._
-    val cellsDf = radMap.toSeq.map { case (cIdx, r) =>
-      (cIdx, cents(cIdx).toSeq, math.sqrt(cents(cIdx).map(x => x * x).sum), r)
-    }.toDF("ecell", "ecent", "ecnrm", "radius")
+    // The exploded query × probed-cell frame, driver-side — the SAME
+    // frame the pass-1 broadcast ships, so the probed set per query
+    // is exactly what Spark assigned (no tie-break re-derivation).
+    val qCells: Array[(Long, Seq[Double], Double, Int)] = q.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
     // kth-best per query; a query that couldn't fill k candidates
     // escapes everywhere it still can (−2 < any cosine).
-    val kth = top1.groupBy("query_id")
-      .agg(min("cos").as("kmin"), count(lit(1)).as("cnt"))
-      .select(col("query_id"),
-        when(col("cnt") < k, lit(-2.0)).otherwise(col("kmin")).as("kth"))
-    val qsets = q.groupBy("query_id")
-      .agg(first("qv").as("qv"), first("qnrm").as("qnrm"),
-        collect_set("cell").as("probed_cells"))
-    val esc = qsets.join(kth, Seq("query_id"), "left")
-      .na.fill(-2.0, Seq("kth"))
-      .crossJoin(broadcast(cellsDf))
-      .filter(!array_contains(col("probed_cells"), col("ecell")))
-      .withColumn("theta", acos(least(lit(1.0), greatest(lit(-1.0),
-        cosSim(dot(col("qv"), col("ecent")), col("qnrm"), col("ecnrm"))))))
-      .filter(cos(greatest(lit(0.0), col("theta") - col("radius"))) >
-        col("kth") + lit(1e-12))
-      .select(col("query_id"), col("ecell").as("cell"), col("qv"), col("qnrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bounded driver collect: the escaped cell union (≤ nlist ints)
-    // must be LITERALS for partition pruning, same as pass 1.
-    val escCells: Array[Int] = esc.select("cell").distinct().collect().map(_.getInt(0))
-    if (escCells.isEmpty) top1
+    val kth: Map[Long, Double] = top1.groupBy(_._1).map { case (qid, rows) =>
+      qid -> (if (rows.length < k) -2.0 else rows.iterator.map(_._3).min)
+    }
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def ddot(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val m = math.min(a.length, b.length)
+      while (i < m) { s += a(i) * b(i); i += 1 }; s
+    }
+    // (query_id, escaped cell, qv, qnrm): a cell escapes when its
+    // best-possible member cosine — cos(max(0, θ(q, centroid) −
+    // radius)) by the spherical triangle inequality — still beats the
+    // query's kth-best.
+    val esc: Seq[(Long, Int, Seq[Double], Double)] =
+      qCells.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        val probedSet = rows.map(_._4).toSet
+        val qv = rows.head._2
+        val qnrm = rows.head._3
+        val kthBest = kth.getOrElse(qid, -2.0)
+        cents.indices.filter { c =>
+          !probedSet.contains(c) && radMap.contains(c) && {
+            val den = qnrm * centNorms(c)
+            val cosQ = if (den > 0) ddot(qv, cents(c)) / den else -1.0
+            val theta = math.acos(math.min(1.0, math.max(-1.0, cosQ)))
+            math.cos(math.max(0.0, theta - radMap(c))) > kthBest + 1e-12
+          }
+        }.map(c => (qid, c, qv, qnrm))
+      }.sortBy(t => (t._1, t._2)) // deterministic plan across runs
+    import spark.implicits._
+    val localTop1 = top1.toSeq
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+    if (esc.isEmpty) localTop1
     else {
-      val scored2 = corpus.filter(col("cell").isin(escCells.toIndexedSeq: _*))
-        .join(broadcast(esc), Seq("cell"))
+      // Escaped-cell union as LITERALS for partition pruning, same as
+      // pass 1; per-pair broadcast join keeps each escaped cell
+      // scoring only the queries that escaped to it.
+      val escCells = esc.map(_._2).distinct
+      val escDf = esc.toDF("query_id", "cell", "qv", "qnrm")
+      val scored2 = corpus.filter(col("cell").isin(escCells: _*))
+        .join(broadcast(escDf), Seq("cell"))
         .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
@@ -1254,7 +1281,8 @@ object Embeddings {
       // probed-cell row outside pass-1's top-k is dominated by k
       // better rows already in the union, so correctness needs only
       // the small top1 side, not pass 1's full candidate set.
-      rankTopK(top1.select("query_id", "neighbor_id", "cos").unionByName(scored2), k)
+      rankTopK(localTop1.select("query_id", "neighbor_id", "cos")
+        .unionByName(scored2), k)
     }
   }
 
