@@ -82,9 +82,23 @@ object SparkEntry {
     * inside the first timed ann_ivf_delete rep). Results are
     * identical either way: the builders are deterministic and
     * memoized per (JVM, dir). */
+  /** Band index for dedup_band_incr: the persisted MinHash-LSH layout
+    * built over the full documents corpus, memoized per testdata dir
+    * (same offline-build stance as [[ivfIndexDir]]). */
+  private val bandIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bandIndexDir(s: SparkSession, d: String): String =
+    bandIndexDirs.computeIfAbsent(d, dir => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_band_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      pipeline.TextDedup.writeBandIndex(
+        Engine.table(s, dir, "documents").select(col("doc_id"), col("text")), out)
+      out
+    })
+
   private[graft] def prepareIndexFixtures(s: SparkSession, d: String): Unit = {
     ivfIndexDir(s, d)
     ivfDeleteIndexDir(s, d)
+    bandIndexDir(s, d)
     ()
   }
 
@@ -1162,6 +1176,18 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       pipeline.TextDedup.ngramJaccardPairs(T(s, d, "documents"), 3, 0.8)),
 
+    // Incremental NEAR-dup: a re-labeled batch (doc_id%11==0, +500000)
+    // probed against the PERSISTED band index over the full corpus —
+    // the fuzzy counterpart of dedup_bloom_incr's exact batch-vs-
+    // corpus join. Candidates from band-bucket collisions, partition-
+    // pruned scans, exact jaccard verification; the oracle is the
+    // brute-force cross-set jaccard join.
+    "dedup_band_incr" -> ((s, d) => {
+      val batch = T(s, d, "documents").filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+      pipeline.TextDedup.nearDupsAgainstBandIndex(batch, bandIndexDir(s, d), 0.8)
+    }),
+
     "dedup_minhash" -> ((s, d) =>
       pipeline.TextDedup.minhashLshPairs(T(s, d, "documents"), 3, 0.8)),
 
@@ -1756,6 +1782,18 @@ object SparkEntry {
       "(SELECT 1 FROM documents b WHERE b.text = i.text) ORDER BY doc_id"),
 
     "dedup_ngram" -> duckJaccardPairs,
+    // cross-set variant: every batch doc (re-labeled +500000) against
+    // the whole corpus, self pair included (ids differ by the offset)
+    "dedup_band_incr" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3) " +
+      "SELECT doc_id, dup_of, jaccard FROM (" +
+      "SELECT a.doc_id + 500000 AS doc_id, b.doc_id AS dup_of, " +
+      "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id % 11 = 0) " +
+      "WHERE jaccard >= 0.8 ORDER BY doc_id, dup_of"),
     "dedup_minhash" -> duckJaccardPairs,
     "dedup_simhash" -> duckJaccardPairs,
 

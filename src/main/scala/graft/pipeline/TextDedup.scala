@@ -349,16 +349,135 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sh = withHashes(docs, k)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-    val banded = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(bnd, slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as("key"))
+    val banded = bandRows(sh, bands, rowsPerBand)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exploded (doc_id, key) LSH band rows of a (doc_id, sh) frame:
+    * each band key is the 8-byte xxhash64 fold of (band index,
+    * signature slice) — the single-long join key both the in-memory
+    * pair join and the persisted band index use. */
+  private def bandRows(sh: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sh.withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(bnd, slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as("key"))
+
+  // --- Persisted band index: incremental near-dup -------------------
+
+  /** MinHash-LSH band index persisted to `dir` — the NEAR-dup
+    * counterpart of the Bloom-prefiltered exact [[incrementalDedup]]:
+    * exact dedup of a new batch against the corpus of record is
+    * already O(batch); this makes near-dup O(batch-side) too, so a
+    * streaming ingest can drop fuzzy duplicates of the landed corpus
+    * per micro-batch instead of re-running a batch pair join.
+    *
+    * Layout (all appends, never rewrites):
+    *   dir/meta/      one row (k, bands, rows_per_band, buckets) —
+    *                  the LSH scheme is frozen at build time; append
+    *                  and query read it back, so parameter drift
+    *                  between writers is impossible by construction
+    *   dir/bands/     (key, doc_id) partitioned by bucket =
+    *                  pmod(key, buckets) — the candidate equi-join side
+    *   dir/shingles/  (doc_id, sh) partitioned by pmod(doc_id,
+    *                  buckets) — the exact-verification side
+    *
+    * Scale stance, same shape as the IVF index: the batch side's
+    * bucket sets are collected as LITERALS (bounded: ≤ buckets ints),
+    * so both index scans are partition-pruned; joins are unhinted —
+    * AQE's runtime conversion broadcasts the (micro-batch-sized)
+    * probe side from its observed size. The index is never shuffled:
+    * candidates and verification move batch-side rows to index-side
+    * partitions, O(batch × bands) join rows per call. */
+  def writeBandIndex(docs: DataFrame, dir: String, k: Int = 3,
+                     bands: Int = 16, rowsPerBand: Int = 4,
+                     buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((k, bands, rowsPerBand, buckets))
+      .toDF("k", "bands", "rows_per_band", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val sh = withHashes(docs, k)
+    sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/shingles")
+    bandRows(sh, bands, rowsPerBand)
+      .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  /** O(batch) maintenance: append a new batch's band rows + shingle
+    * sets under the index's frozen LSH scheme. Appends add files
+    * inside matching bucket directories — existing files untouched,
+    * same crash story as the IVF corpus append (a torn append is
+    * repaired by rebuilding from the corpus of record, which the
+    * index is a pure function of). */
+  def appendToBandIndex(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (k, bands, rpb, buckets) = (m.getAs[Int]("k"), m.getAs[Int]("bands"),
+      m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
+    val sh = withHashes(docs, k)
+    sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/shingles")
+    bandRows(sh, bands, rpb)
+      .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+  }
+
+  /** Near-duplicates of `batch` docs within the indexed corpus:
+    * (doc_id, dup_of, jaccard) with exact word-k-shingle Jaccard ≥
+    * `threshold` — candidates from band-bucket collisions (recall as
+    * [[minhashLshPairs]]: miss probability per true pair ≈
+    * (1−t^rows)^bands), verification exact against the persisted
+    * shingle sets, so precision is 1.0 and emitted values are exact.
+    * Ids present on both sides never match themselves. */
+  def nearDupsAgainstBandIndex(batch: DataFrame, dir: String,
+                               threshold: Double = 0.8): DataFrame = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val (k, bands, rpb, buckets) = (m.getAs[Int]("k"), m.getAs[Int]("bands"),
+      m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
+    val bsh = materialize(withHashes(batch, k), eager = true)
+    val bband = bandRows(bsh, bands, rpb)
+      .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
+    // Bounded collect: ≤ buckets ints — partition-pruning literals.
+    val hit: Array[Int] =
+      bband.select("bucket").distinct().collect().map(_.getInt(0))
+    if (hit.isEmpty)
+      return bsh.limit(0).select(col("doc_id"), col("doc_id").as("dup_of"),
+        lit(0.0).as("jaccard"))
+    val idx = spark.read.parquet(s"$dir/bands")
+      .filter(col("bucket").isin(hit.toIndexedSeq: _*))
+      .select(col("bucket"), col("key"), col("doc_id").as("dup_of"))
+    val cands = materialize(
+      idx.join(bband, Seq("bucket", "key"))
+        .filter(col("dup_of") =!= col("doc_id"))
+        .select(col("doc_id"), col("dup_of")).distinct(),
+      eager = true)
+    // Bounded collect: the candidates' shingle-bucket union.
+    val cbuckets: Array[Int] = cands
+      .select(pmod(col("dup_of"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    if (cbuckets.isEmpty)
+      return bsh.limit(0).select(col("doc_id"), col("doc_id").as("dup_of"),
+        lit(0.0).as("jaccard"))
+    val csh = spark.read.parquet(s"$dir/shingles")
+      .filter(col("bucket").isin(cbuckets.toIndexedSeq: _*))
+      .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
+    cands.join(bsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(csh, "dup_of")
+      .withColumn("co",
+        NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("co") / (size(col("sh_a")) + size(col("sh_b")) - col("co")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+      .orderBy("doc_id", "dup_of")
   }
 
   // --- SimHash ------------------------------------------------------

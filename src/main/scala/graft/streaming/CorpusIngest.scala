@@ -136,7 +136,20 @@ object CorpusIngest {
     * cadence hit instead of waiting for the periodic rebuild. The
     * diff is id-only; the embedder runs over O(drift) docs, which is
     * what makes the cadence affordable when embedding is model
-    * inference. 0 = off. */
+    * inference. 0 = off.
+    *
+    * `nearDupIndexDir`: a [[graft.pipeline.TextDedup.writeBandIndex]]
+    * layout (bootstrap it once from the snapshot) turns the ingest's
+    * dedup from exact-only into exact + FUZZY: each micro-batch drops
+    * docs with a band-index near-dup (jaccard ≥ `nearDupThreshold`)
+    * already in the corpus of record, then the higher id of every
+    * in-batch near pair, and appends the survivors' band rows +
+    * shingle sets (O(batch), same append-only story as the IVF
+    * index). A redelivered batch anti-joins to empty upstream, so
+    * band rows are never appended twice; a crash between the corpus
+    * append and the band append loses band rows only — near-dup
+    * recall degrades until writeBandIndex rebuilds from the corpus of
+    * record, corpus correctness is never touched. */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
@@ -147,7 +160,9 @@ object CorpusIngest {
              compactIndexEvery: Int = 0,
              maxIndexFilesPerCell: Int = 4,
              outputFilesPerBatch: Int = 0,
-             reconcileIndexEvery: Int = 0)
+             reconcileIndexEvery: Int = 0,
+             nearDupIndexDir: Option[String] = None,
+             nearDupThreshold: Double = 0.8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -171,19 +186,46 @@ object CorpusIngest {
             batch.join(cleanIds, "doc_id")
           case None => batch
         }
-        // referenced twice when indexing (corpus append + embed):
-        // materialize the micro-batch once
-        val indexed = (embedder, ivfIndexDir) match {
-          case (Some(_), Some(_)) => fresh.persist()
-          case _ => fresh
+        // Near-dup gate against the corpus of record: drop batch docs
+        // whose band-index near-dup already landed (O(batch) — the
+        // persisted index makes fuzzy "seen ever" as incremental as
+        // the Bloom-exact path above), then drop the higher id of
+        // every in-batch near pair (the batch hasn't reached the
+        // index yet, so it must police itself). Survivors' band rows
+        // append AFTER the corpus write below; a crash between the
+        // two writes loses band rows only — near-dup recall degrades
+        // until writeBandIndex rebuilds from the corpus of record,
+        // corpus correctness is never touched (same honesty as the
+        // IVF append window documented above).
+        val freshP = if (nearDupIndexDir.isDefined) fresh.persist() else fresh
+        val gated = nearDupIndexDir match {
+          case Some(bd) =>
+            val vsIndex = graft.pipeline.TextDedup
+              .nearDupsAgainstBandIndex(freshP, bd, nearDupThreshold)
+              .select("doc_id").distinct()
+            val survivors = freshP.join(vsIndex, Seq("doc_id"), "left_anti")
+            val inBatch = graft.pipeline.TextDedup
+              .minhashLshPairs(survivors, threshold = nearDupThreshold)
+              .select(col("doc_b").as("doc_id")).distinct()
+            survivors.join(inBatch, Seq("doc_id"), "left_anti")
+          case None => fresh
         }
+        // referenced more than once when indexing or band-gating
+        // (corpus append + embed and/or band append): materialize the
+        // micro-batch once
+        val multiRef = (embedder.isDefined && ivfIndexDir.isDefined) ||
+          nearDupIndexDir.isDefined
+        val indexed = if (multiRef) gated.persist() else gated
         val sink = if (outputFilesPerBatch > 0) indexed.coalesce(outputFilesPerBatch)
                    else indexed
         sink.write.mode("append").parquet(outDir)
+        nearDupIndexDir.foreach { bd =>
+          graft.pipeline.TextDedup.appendToBandIndex(
+            indexed.select(col("doc_id"), col("text")), bd)
+        }
         (embedder, ivfIndexDir) match {
           case (Some(embed), Some(dir)) =>
             graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
-            indexed.unpersist()
             // cadence keyed to batchId (not a closure counter) so a
             // restart resumes the schedule instead of resetting it
             if (compactIndexEvery > 0 && batchId > 0 &&
@@ -216,6 +258,8 @@ object CorpusIngest {
             }
           case _ => ()
         }
+        if (multiRef) { indexed.unpersist(); () }
+        if (nearDupIndexDir.isDefined) { freshP.unpersist(); () }
         }
       }
       .start()

@@ -49,6 +49,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lsh == exact)
   }
 
+  test("band index: incremental near-dup equals the exact cross-set jaccard join") {
+    import org.apache.spark.sql.functions.{size => asize}
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    // built on half the corpus, appended the rest: build + append must
+    // serve exactly like a fresh full build (pure function of corpus)
+    TextDedup.writeBandIndex(corpus.filter(col("doc_id") % 2 === 1), dir)
+    TextDedup.appendToBandIndex(corpus.filter(col("doc_id") % 2 === 0), dir)
+    val got = TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // oracle: brute-force exact jaccard between batch and corpus
+    // shingle sets (same semantics as ngramJaccardPairs' verifier)
+    def sh(df: org.apache.spark.sql.DataFrame, a: String) = graft.Engine.fanOut(df)
+      .select(col("doc_id").as(a),
+        graft.functions.NativeExpressions.shingle_hashes(col("text"), 3).as(s"sh_$a"))
+      .filter(asize(col(s"sh_$a")) > 0)
+    val exact = sh(batch, "x").crossJoin(sh(corpus, "y"))
+      .withColumn("co", graft.functions.NativeExpressions
+        .sorted_intersect_size(col("sh_x"), col("sh_y")).cast("double"))
+      .withColumn("j", col("co") / (asize(col("sh_x")) + asize(col("sh_y")) - col("co")))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[Double]("j"))).toSet
+    assert(exact.nonEmpty, "fixture should contain cross-set near-dups")
+    assert(got == exact)
+  }
+
   test("simhash verified pairs equal the exact n-gram jaccard join") {
     val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
     val sim = pairSet(TextDedup.simhashPairs(docs, 3, 0.8))

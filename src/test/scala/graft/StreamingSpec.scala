@@ -312,6 +312,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(outFiles <= 2, s"output corpus has $outFiles files after 2 triggers")
   }
 
+  test("ingest near-dup gate: band index drops fuzzy dups of landed corpus and within-batch pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_band").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val chkDir = s"$tmp/chk"; val bandDir = s"$tmp/band"
+    // 40 distinct words -> 38 shingles; one changed tail word leaves
+    // 35 shared of 41 distinct: jaccard ~0.853 — near, not exact
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearBase = (1 to 39).map(i => s"tok$i").mkString(" ") + " changed"
+    val novel = (1 to 40).map(i => s"zee$i").mkString(" ")
+    val nearNovel = (1 to 39).map(i => s"zee$i").mkString(" ") + " changed"
+    val other = (1 to 40).map(i => s"qua$i").mkString(" ")
+    val snapshot = Seq((100L, base)).toDF("doc_id", "text")
+    graft.pipeline.TextDedup.writeBandIndex(snapshot, bandDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def runIngest(): Unit = {
+      val q = CorpusIngest.ingest(
+        spark.readStream.schema(schema).parquet(inDir),
+        snapshot, outDir, chkDir, watermark = "30 minutes", minQuality = 0.0,
+        nearDupIndexDir = Some(bandDir))
+      q.awaitTermination(120000); q.stop()
+    }
+    // batch 1: near-dup of the snapshot drops, novel lands, and of the
+    // in-batch near pair (2, 3) only the lower id survives
+    Seq((1L, ts(5), nearBase), (2L, ts(6), novel), (3L, ts(7), nearNovel))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runIngest()
+    val landed1 = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed1 == Seq(2L), s"landed $landed1")
+    // batch 2: the novel text's near-dup is now indexed (band rows
+    // appended for survivors in batch 1) -> fuzzy seen-ever drops it
+    Seq((4L, ts(10), nearNovel), (5L, ts(11), other))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    runIngest()
+    val landed2 = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed2 == Seq(2L, 5L), s"landed $landed2")
+    // the index itself reports the fuzzy hit it gated on
+    val hits = graft.pipeline.TextDedup.nearDupsAgainstBandIndex(
+        Seq((9L, nearNovel)).toDF("doc_id", "text"), bandDir)
+      .select("dup_of").collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(2L), s"hits $hits")
+  }
+
   test("ingest reconcile cadence heals a damaged index: missing rows appended, orphans tombstoned") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
