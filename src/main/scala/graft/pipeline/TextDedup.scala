@@ -402,6 +402,18 @@ object TextDedup {
     Seq((k, bands, rowsPerBand, buckets))
       .toDF("k", "bands", "rows_per_band", "buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // a fresh build is authoritative: drop any compaction generations
+    // of a previous build, or readers would resolve the stale _vN
+    // store over the new base layout
+    locally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
+        .filter { q =>
+          val n = q.getName
+          n.startsWith("bands") || n.startsWith("shingles")
+        }.foreach(q => fs.delete(q, true))
+    }
     val sh = withHashes(docs, k)
     sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/shingles")
@@ -412,10 +424,10 @@ object TextDedup {
 
   /** O(batch) maintenance: append a new batch's band rows + shingle
     * sets under the index's frozen LSH scheme. Appends add files
-    * inside matching bucket directories — existing files untouched,
-    * same crash story as the IVF corpus append (a torn append is
-    * repaired by rebuilding from the corpus of record, which the
-    * index is a pure function of). */
+    * inside matching bucket directories of the LIVE store generation —
+    * existing files untouched, same crash story as the IVF corpus
+    * append (a torn append is repaired by rebuilding from the corpus
+    * of record, which the index is a pure function of). */
   def appendToBandIndex(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val m = spark.read.parquet(s"$dir/meta").head()
@@ -423,10 +435,96 @@ object TextDedup {
       m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
     val sh = withHashes(docs, k)
     sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/shingles")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(liveStore(spark, dir, "shingles"))
     bandRows(sh, bands, rpb)
       .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/bands")
+      .write.mode("append").partitionBy("bucket")
+      .parquet(liveStore(spark, dir, "bands"))
+  }
+
+  /** Live generation of a band-index store: the highest
+    * `<name>_v<N>` directory whose `_SUCCESS` marker committed, else
+    * the base `<name>` layout — the same resolve-then-read convention
+    * as the IVF corpus generations, so compaction swaps need zero
+    * caller coordination. */
+  private def liveStore(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Seq[Int] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith(s"${name}_v") =>
+          n.stripPrefix(s"${name}_v") }
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v/_SUCCESS")))
+    if (committed.isEmpty) s"$dir/$name" else s"$dir/${name}_v${committed.max}"
+  }
+
+  /** Pay the band index's small-file debt: per-batch appends add one
+    * file per touched bucket per store per trigger, so at streaming
+    * cadence file counts grow without bound. Buckets above
+    * `maxFilesPerBucket` are rewritten — one Spark job per store,
+    * `repartition(cols=bucket)` so each rewritten bucket lands in one
+    * file; within-bound buckets carry over by raw file copy — into a
+    * new `<store>_v<N+1>` generation that becomes visible only when
+    * its `_SUCCESS` commits. The replaced generation stays as the
+    * grace copy for readers that resolved it pre-swap; older
+    * generations are pruned. Returns buckets rewritten across both
+    * stores (0 = nothing to do, no generation written). Single
+    * maintenance writer by design, like [[graft.pipeline.Embeddings
+    * .compactIvfIndex]] — the ingest serializes appends and
+    * compaction inside foreachBatch. */
+  def compactBandIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, maxFilesPerBucket: Int = 4): Int = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
+    compactStore(spark, dir, "bands", maxFilesPerBucket) +
+      compactStore(spark, dir, "shingles", maxFilesPerBucket)
+  }
+
+  private def compactStore(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, name: String, maxFiles: Int): Int = {
+    val live = liveStore(spark, dir, name)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    def parquets(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val bucketDirs = fs.listStatus(livePath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    val (rewrite, within) =
+      bucketDirs.partition(d => parquets(d.getPath).length > maxFiles)
+    if (rewrite.isEmpty) return 0
+    val liveVersion =
+      if (live.endsWith(s"/$name")) 0
+      else live.substring(live.lastIndexOf("_v") + 2).toInt
+    val next = s"$dir/${name}_v${liveVersion + 1}"
+    // carry within-bound buckets first — invisible until _SUCCESS lands
+    within.foreach { d =>
+      val dst = new org.apache.hadoop.fs.Path(s"$next/${d.getPath.getName}")
+      fs.mkdirs(dst)
+      parquets(d.getPath).foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(dst, f.getPath.getName), false, conf)
+      }
+    }
+    val bs = rewrite.map(_.getPath.getName.stripPrefix("bucket=").toInt).toIndexedSeq
+    spark.read.parquet(live).filter(col("bucket").isin(bs: _*))
+      .repartition(bs.length, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(next)
+    // prune generations older than the grace copy (the replaced live)
+    (0 until liveVersion).foreach { v =>
+      val old = new org.apache.hadoop.fs.Path(
+        if (v == 0) s"$dir/$name" else s"$dir/${name}_v$v")
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    rewrite.length
   }
 
   /** Near-duplicates of `batch` docs within the indexed corpus:
@@ -451,7 +549,7 @@ object TextDedup {
     if (hit.isEmpty)
       return bsh.limit(0).select(col("doc_id"), col("doc_id").as("dup_of"),
         lit(0.0).as("jaccard"))
-    val idx = spark.read.parquet(s"$dir/bands")
+    val idx = spark.read.parquet(liveStore(spark, dir, "bands"))
       .filter(col("bucket").isin(hit.toIndexedSeq: _*))
       .select(col("bucket"), col("key"), col("doc_id").as("dup_of"))
     val cands = materialize(
@@ -466,7 +564,7 @@ object TextDedup {
     if (cbuckets.isEmpty)
       return bsh.limit(0).select(col("doc_id"), col("doc_id").as("dup_of"),
         lit(0.0).as("jaccard"))
-    val csh = spark.read.parquet(s"$dir/shingles")
+    val csh = spark.read.parquet(liveStore(spark, dir, "shingles"))
       .filter(col("bucket").isin(cbuckets.toIndexedSeq: _*))
       .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
     cands.join(bsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")

@@ -222,6 +222,15 @@ object CorpusIngest {
         nearDupIndexDir.foreach { bd =>
           graft.pipeline.TextDedup.appendToBandIndex(
             indexed.select(col("doc_id"), col("text")), bd)
+          // band stores ride the same compaction cadence as the IVF
+          // index (one maintenance clock per ingest; serialized with
+          // appends inside this foreachBatch, single-writer by design)
+          if (compactIndexEvery > 0 && batchId > 0 &&
+              batchId % compactIndexEvery == 0) {
+            graft.pipeline.TextDedup.compactBandIndex(
+              spark, bd, maxIndexFilesPerCell)
+            ()
+          }
         }
         (embedder, ivfIndexDir) match {
           case (Some(embed), Some(dir)) =>

@@ -77,6 +77,52 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(got == exact)
   }
 
+  test("band index compaction bounds per-bucket files; results and appends unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandcpt").toString
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    // many tiny appends -> many files per bucket in both stores
+    TextDedup.writeBandIndex(corpus.filter(col("doc_id") % 8 === 1), dir, buckets = 4)
+    (0 until 8).filter(_ != 1).foreach { m =>
+      TextDedup.appendToBandIndex(corpus.filter(col("doc_id") % 8 === m), dir)
+    }
+    def resultSet() = TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def bucketFiles(store: String): Map[String, Int] = {
+      val root = new java.io.File(store)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+    val before = resultSet()
+    assert(before.nonEmpty)
+    assert(bucketFiles(s"$dir/bands").values.exists(_ > 2), "appends should fragment")
+    val n1 = TextDedup.compactBandIndex(spark, dir, maxFilesPerBucket = 2)
+    assert(n1 > 0)
+    // compacted generation committed, bounded, and serves identically
+    assert(new java.io.File(s"$dir/bands_v1/_SUCCESS").exists())
+    assert(bucketFiles(s"$dir/bands_v1").values.forall(_ <= 2))
+    assert(resultSet() == before)
+    // appends after the swap follow the live generation and still serve
+    TextDedup.appendToBandIndex(
+      docs.filter(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 900000).as("doc_id"), col("text")), dir)
+    val probe = TextDedup.nearDupsAgainstBandIndex(
+      docs.filter(col("doc_id") % 4 === 2).limit(5)
+        .select((col("doc_id") + 950000).as("doc_id"), col("text")), dir, 0.8)
+    assert(probe.filter(col("dup_of") >= 900000L).count() > 0)
+    // second compaction prunes the grace generation's predecessor
+    (0 until 4).foreach { m =>
+      TextDedup.appendToBandIndex(corpus.filter(col("doc_id") % 8 === m)
+        .select((col("doc_id") + 700000).as("doc_id"), col("text")), dir)
+    }
+    val n2 = TextDedup.compactBandIndex(spark, dir, maxFilesPerBucket = 2)
+    assert(n2 > 0)
+    assert(!new java.io.File(s"$dir/bands").exists(), "base store should be pruned")
+    assert(new java.io.File(s"$dir/bands_v1").exists(), "grace copy should remain")
+  }
+
   test("simhash verified pairs equal the exact n-gram jaccard join") {
     val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
     val sim = pairSet(TextDedup.simhashPairs(docs, 3, 0.8))
