@@ -411,7 +411,8 @@ object TextDedup {
       if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
         .filter { q =>
           val n = q.getName
-          n.startsWith("bands") || n.startsWith("shingles")
+          n.startsWith("bands") || n.startsWith("shingles") ||
+            n == "tombstones" || n == "purged"
         }.foreach(q => fs.delete(q, true))
     }
     val sh = withHashes(docs, k)
@@ -441,6 +442,26 @@ object TextDedup {
       .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
       .write.mode("append").partitionBy("bucket")
       .parquet(liveStore(spark, dir, "bands"))
+  }
+
+  /** Logical deletes for a band index — the takedown path's dedup
+    * half: a doc removed from the corpus of record must stop gating
+    * future arrivals as their "already seen" near-dup (the IVF
+    * counterpart is [[graft.pipeline.Embeddings.deleteFromIvfIndex]]).
+    * O(batch) tombstone append; [[nearDupsAgainstBandIndex]] excludes
+    * the ids immediately, the next [[compactBandIndex]] purges the
+    * bytes. `ids` = one `doc_id` column. */
+  def deleteFromBandIndex(ids: DataFrame, dir: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+
+  private def bandTombstoneFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Array[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    else Array.empty
   }
 
   /** Live generation of a band-index store: the highest
@@ -481,12 +502,46 @@ object TextDedup {
                        dir: String, maxFilesPerBucket: Int = 4): Int = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket $maxFilesPerBucket must be >= 1")
-    compactStore(spark, dir, "bands", maxFilesPerBucket) +
-      compactStore(spark, dir, "shingles", maxFilesPerBucket)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // Tombstone purge rides the generation swap with the same
+    // two-phase grace protocol as the IVF index: snapshot the files,
+    // purge their ids from every rewritten bucket, copy the consumed
+    // files into the purged/ ledger, and physically drop the
+    // originals one compaction cycle later — a reader whose plan
+    // captured the tombstone listing pre-swap never hits a missing
+    // file, and a delete racing this pass is simply not consumed.
+    val purgedDir = new org.apache.hadoop.fs.Path(s"$dir/purged")
+    val ledgered: Set[String] =
+      if (fs.exists(purgedDir))
+        fs.listStatus(purgedDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val (graceExpired, tombFiles) =
+      bandTombstoneFiles(fs, dir).partition(f => ledgered.contains(f.getName))
+    graceExpired.foreach(f => fs.delete(f, false))
+    val tombs: Option[DataFrame] =
+      if (tombFiles.isEmpty) None
+      else Some(spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+        .select("doc_id").distinct())
+    val n = compactStore(spark, dir, "bands", maxFilesPerBucket, tombs) +
+      compactStore(spark, dir, "shingles", maxFilesPerBucket, tombs)
+    // purge complete in both stores' new generations -> consume the
+    // snapshotted tombstone files into the ledger (ids matching no
+    // live row must still consume, or they would re-force rewrites
+    // forever)
+    if (tombFiles.nonEmpty) {
+      fs.mkdirs(purgedDir)
+      tombFiles.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(purgedDir, f.getName), false, conf)
+      }
+    }
+    n
   }
 
   private def compactStore(spark: org.apache.spark.sql.SparkSession,
-                           dir: String, name: String, maxFiles: Int): Int = {
+                           dir: String, name: String, maxFiles: Int,
+                           tombs: Option[DataFrame]): Int = {
     val live = liveStore(spark, dir, name)
     val conf = spark.sparkContext.hadoopConfiguration
     val livePath = new org.apache.hadoop.fs.Path(live)
@@ -498,8 +553,17 @@ object TextDedup {
       }
     val bucketDirs = fs.listStatus(livePath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    val (rewrite, within) =
-      bucketDirs.partition(d => parquets(d.getPath).length > maxFiles)
+    // tombstoned buckets force into the rewrite set (bounded collect:
+    // ≤ buckets ints) — a raw file copy cannot drop rows
+    val tombBuckets: Set[Int] = tombs match {
+      case None => Set.empty
+      case Some(t) => spark.read.parquet(live).join(t, Seq("doc_id"))
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    }
+    val (rewrite, within) = bucketDirs.partition { d =>
+      parquets(d.getPath).length > maxFiles ||
+        tombBuckets.contains(d.getPath.getName.stripPrefix("bucket=").toInt)
+    }
     if (rewrite.isEmpty) return 0
     val liveVersion =
       if (live.endsWith(s"/$name")) 0
@@ -515,7 +579,9 @@ object TextDedup {
       }
     }
     val bs = rewrite.map(_.getPath.getName.stripPrefix("bucket=").toInt).toIndexedSeq
-    spark.read.parquet(live).filter(col("bucket").isin(bs: _*))
+    val toRewrite = spark.read.parquet(live).filter(col("bucket").isin(bs: _*))
+    tombs.map(t => toRewrite.join(t, Seq("doc_id"), "left_anti"))
+      .getOrElse(toRewrite)
       .repartition(bs.length, col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(next)
     // prune generations older than the grace copy (the replaced live)
@@ -552,10 +618,20 @@ object TextDedup {
     val idx = spark.read.parquet(liveStore(spark, dir, "bands"))
       .filter(col("bucket").isin(hit.toIndexedSeq: _*))
       .select(col("bucket"), col("key"), col("doc_id").as("dup_of"))
+    // takedowns leave immediately: tombstoned corpus ids drop at the
+    // candidate stage (no tombstones -> no join in the plan at all)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombFiles = bandTombstoneFiles(fs, dir)
+    val rawCands = idx.join(bband, Seq("bucket", "key"))
+      .filter(col("dup_of") =!= col("doc_id"))
+      .select(col("doc_id"), col("dup_of")).distinct()
     val cands = materialize(
-      idx.join(bband, Seq("bucket", "key"))
-        .filter(col("dup_of") =!= col("doc_id"))
-        .select(col("doc_id"), col("dup_of")).distinct(),
+      if (tombFiles.isEmpty) rawCands
+      else rawCands.join(
+        spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+          .select(col("doc_id").as("dup_of")).distinct(),
+        Seq("dup_of"), "left_anti"),
       eager = true)
     // Bounded collect: the candidates' shingle-bucket union.
     val cbuckets: Array[Int] = cands

@@ -123,6 +123,40 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(new java.io.File(s"$dir/bands_v1").exists(), "grace copy should remain")
   }
 
+  test("band index takedowns: tombstoned docs stop gating immediately; compaction purges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandtd").toString
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    TextDedup.writeBandIndex(corpus, dir, buckets = 4)
+    val before = TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty)
+    // take down every corpus doc the first batch hit -> those pairs
+    // vanish immediately (tombstone anti-join), others survive
+    val victims = before.map(_._2).take(3).toSeq
+    TextDedup.deleteFromBandIndex(victims.toDF("doc_id"), dir)
+    val after = TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before.filterNot(p => victims.contains(p._2)), s"$after")
+    // compaction purges the bytes; results unchanged post-purge
+    assert(TextDedup.compactBandIndex(spark, dir, maxFilesPerBucket = 64) > 0)
+    val live = spark.read.parquet(s"$dir/shingles_v1")
+    assert(live.filter(col("doc_id").isin(victims: _*)).count() == 0)
+    val purged = TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(purged == after)
+    // consumed tombstone files survive one grace cycle, then drop
+    assert(new java.io.File(s"$dir/tombstones").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    TextDedup.compactBandIndex(spark, dir, maxFilesPerBucket = 64)
+    assert(!new java.io.File(s"$dir/tombstones").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(TextDedup.nearDupsAgainstBandIndex(batch, dir, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == after)
+  }
+
   test("simhash verified pairs equal the exact n-gram jaccard join") {
     val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
     val sim = pairSet(TextDedup.simhashPairs(docs, 3, 0.8))

@@ -563,6 +563,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("persisted band index: verification reads only the candidates' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_band_plan").toString
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    graft.pipeline.TextDedup.writeBandIndex(docs, dir) // 32 buckets
+    withoutAqe {
+      // one probe doc -> at most 16 band keys -> at most 16 of 32
+      // bucket partitions; pruning must be visible in the file count
+      val one = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .select(org.apache.spark.sql.functions.col("doc_id")
+          .plus(900000L).as("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      // the bands scan is consumed inside the eager candidate
+      // materialization (ExistingRDD in the final plan); the
+      // verification-side shingles scan uses the same literal-IN
+      // pruning mechanism and is visible here — pin that one
+      val p = planOf(graft.pipeline.TextDedup.nearDupsAgainstBandIndex(one, dir))
+      val shingleScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("shingles")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      assert(shingleScans.nonEmpty, s"no partition-filtered shingles scan:\n$p")
+      val pruned = shingleScans.head
+      val staticFilters = pruned.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+      assert(staticFilters.nonEmpty, "no static bucket IN (...) partition filter")
+      val selected = pruned.relation.location.listFiles(staticFilters, Nil).length
+      assert(selected < 32 && selected >= 1,
+        s"expected a strict subset of 32 bucket partitions after pruning, got $selected")
+    }
+  }
+
   test("persisted IVF index: queries read only the probed cells' partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
