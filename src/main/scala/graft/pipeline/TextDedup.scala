@@ -539,6 +539,43 @@ object TextDedup {
     n
   }
 
+  /** Operational snapshot of a band index — what sizes the compaction
+    * cadence (the counterpart of
+    * [[graft.pipeline.Embeddings.ivfIndexStats]]): one row per
+    * (store, bucket) with row count, parquet file count, on-disk
+    * bytes, and the store's live generation. File geometry from
+    * filesystem metadata; row counts one pruneable aggregate per
+    * store. */
+  def bandIndexStats(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import spark.implicits._
+    Seq("bands", "shingles").map { name =>
+      val live = liveStore(spark, dir, name)
+      val gen =
+        if (live.endsWith(s"/$name")) 0
+        else live.substring(live.lastIndexOf("_v") + 2).toInt
+      val root = new org.apache.hadoop.fs.Path(live)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val geo = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+        .map { d =>
+          val files = fs.listStatus(d.getPath).filter { f =>
+            val n = f.getPath.getName
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }
+          (d.getPath.getName.stripPrefix("bucket=").toInt,
+            files.length.toLong, files.map(_.getLen).sum)
+        }.toSeq.toDF("bucket", "n_files", "bytes")
+      spark.read.parquet(live)
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .join(broadcast(geo), "bucket")
+        .withColumn("store", lit(name))
+        .withColumn("generation", lit(gen))
+    }.reduce(_.unionByName(_))
+      .select("store", "bucket", "n_rows", "n_files", "bytes", "generation")
+      .orderBy("store", "bucket")
+  }
+
   private def compactStore(spark: org.apache.spark.sql.SparkSession,
                            dir: String, name: String, maxFiles: Int,
                            tombs: Option[DataFrame]): Int = {

@@ -121,6 +121,17 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(n2 > 0)
     assert(!new java.io.File(s"$dir/bands").exists(), "base store should be pruned")
     assert(new java.io.File(s"$dir/bands_v1").exists(), "grace copy should remain")
+    // ops snapshot reflects per-store live generations and geometry:
+    // every append's %8 slice maps to ONE shingle bucket (mod 8 fixes
+    // mod 4) so shingles stay within bound at the first compaction —
+    // bands (keys spread over all buckets) reach v2, shingles v1
+    val stats = TextDedup.bandIndexStats(spark, dir).collect()
+    assert(stats.map(_.getAs[String]("store")).toSet == Set("bands", "shingles"))
+    val gens = stats.map(r => r.getAs[String]("store") -> r.getAs[Int]("generation"))
+      .toMap
+    assert(gens == Map("bands" -> 2, "shingles" -> 1), stats.mkString(","))
+    assert(stats.forall(r => r.getAs[Long]("n_rows") > 0 &&
+      r.getAs[Long]("bytes") > 0), "stats should be populated")
   }
 
   test("band index takedowns: tombstoned docs stop gating immediately; compaction purges") {
