@@ -287,6 +287,51 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("band index incremental near-dup equals brute force on random corpora") {
+    // the persisted-index path (build + append + probe) must agree
+    // with the definitional cross-set jaccard on arbitrary corpora,
+    // not just the fixtures. Docs are 25-35 words so a tail mutation
+    // sits near the 0.8 threshold from either side; bands=32 drives
+    // the per-true-pair candidate-miss probability below 1e-7 at the
+    // threshold, so equality (not recall-within-epsilon) is assertable.
+    val docGen: Gen[List[String]] = for {
+      n <- Gen.choose(25, 35)
+      ws <- Gen.listOfN(n, Gen.choose(0, 49).map(i => s"w$i"))
+    } yield ws
+    val corpusGen: Gen[List[List[String]]] = Gen.listOfN(6, docGen)
+    def shingles(ws: List[String]): Set[String] =
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    samples(Gen.zip(corpusGen, Gen.choose(0, 49)), 8).foreach { case (corpus, mut) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_bandprop").toString
+      val corpusRows = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      // batch: an exact copy, a tail mutation, and a fresh doc
+      val batchRows = Seq(
+        (1000L, corpus.head),
+        (1001L, corpus(1).init :+ s"w$mut"),
+        (1002L, List.fill(30)(s"z$mut"))) // disjoint vocabulary
+      val want = (for {
+        (bid, bws) <- batchRows; (cid, cws) <- corpusRows
+        bs = shingles(bws); cs = shingles(cws) if bs.nonEmpty && cs.nonEmpty
+        inter = (bs & cs).size; uni = bs.size + cs.size - inter
+        j = inter.toDouble / uni if j >= 0.8
+      } yield (bid, cid, j)).toSet
+      // split build/append so the incremental path is the one proved
+      graft.pipeline.TextDedup.writeBandIndex(
+        corpusRows.take(3).map { case (i, ws) => (i, ws.mkString(" ")) }
+          .toDF("doc_id", "text"), dir, bands = 32)
+      graft.pipeline.TextDedup.appendToBandIndex(
+        corpusRows.drop(3).map { case (i, ws) => (i, ws.mkString(" ")) }
+          .toDF("doc_id", "text"), dir)
+      val got = graft.pipeline.TextDedup.nearDupsAgainstBandIndex(
+          batchRows.map { case (i, ws) => (i, ws.mkString(" ")) }
+            .toDF("doc_id", "text"), dir, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"corpus=${corpusRows.map(_._2.mkString(" "))}\n" +
+        s" got $got\nwant $want")
+    }
+  }
+
   test("lmScore equals the in-memory bigram model on random corpora") {
     // the DECIMAL(18,12) rounding contract must hold for arbitrary
     // token distributions, not just the fixture vocabulary
