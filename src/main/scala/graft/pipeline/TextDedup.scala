@@ -539,6 +539,59 @@ object TextDedup {
     n
   }
 
+  /** Ids present in the band index (distinct doc_ids of the live
+    * shingles store), optionally including tombstoned ones — the
+    * id-level view [[reconcileBandIndex]] diffs against. */
+  def bandIndexIds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   includeTombstoned: Boolean = false): DataFrame = {
+    val stored = spark.read.parquet(liveStore(spark, dir, "shingles"))
+      .select("doc_id").distinct()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = bandTombstoneFiles(fs, dir).map(_.toString).toIndexedSeq
+    if (includeTombstoned) {
+      // stored ∪ pending tombstones ∪ the purged-ids ledger: a
+      // takedown stays in this set even after compaction removed its
+      // rows — without the ledger, reconcile would see the id as
+      // "missing" and re-index a deleted doc from the corpus of record
+      val extra = pending ++ {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/purged")
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+        else Array.empty[String]
+      }
+      if (extra.isEmpty) stored
+      else stored.unionByName(
+        spark.read.parquet(extra: _*).select("doc_id")).distinct()
+    } else if (pending.isEmpty) stored
+    else stored.join( // live = serving ids: pending tombstones excluded
+      spark.read.parquet(pending: _*).select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
+  /** Targeted repair of a band index against the corpus of record —
+    * the counterpart of [[graft.pipeline.Embeddings.reconcileIvfIndex]]
+    * for the crash window the ingest documents (corpus append
+    * committed, band append lost, or vice versa): append band rows +
+    * shingles for docs the index is missing, tombstone index ids
+    * whose docs are gone. O(drift), idempotent; "missing" diffs
+    * against ALL index ids including tombstoned/purged ones, so a
+    * takedown whose doc still sits in the corpus of record stays
+    * taken down rather than being re-indexed by the repair. Returns
+    * (appended docs, tombstoned orphans). */
+  def reconcileBandIndex(record: DataFrame, dir: String): (Long, Long) = {
+    val spark = record.sparkSession
+    val rec = record.select(col("doc_id"), col("text"))
+    val allIds = bandIndexIds(spark, dir, includeTombstoned = true)
+    val missing = rec.join(allIds, Seq("doc_id"), "left_anti")
+    val nMissing = missing.count()
+    if (nMissing > 0) appendToBandIndex(missing, dir)
+    val orphans = bandIndexIds(spark, dir)
+      .join(rec.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nOrphans = orphans.count()
+    if (nOrphans > 0) deleteFromBandIndex(orphans, dir)
+    (nMissing, nOrphans)
+  }
+
   /** Operational snapshot of a band index — what sizes the compaction
     * cadence (the counterpart of
     * [[graft.pipeline.Embeddings.ivfIndexStats]]): one row per

@@ -231,6 +231,15 @@ object CorpusIngest {
               spark, bd, maxIndexFilesPerCell)
             ()
           }
+          // ... and the reconcile cadence: repairs a band append lost
+          // to the crash window above, O(drift) like the IVF repair
+          if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
+            val record = snapshot.select(col("doc_id"), col("text"))
+              .unionByName(
+                spark.read.parquet(outDir).select(col("doc_id"), col("text")))
+            graft.pipeline.TextDedup.reconcileBandIndex(record, bd)
+            ()
+          }
         }
         (embedder, ivfIndexDir) match {
           case (Some(embed), Some(dir)) =>

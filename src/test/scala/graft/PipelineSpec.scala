@@ -168,6 +168,38 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == after)
   }
 
+  test("band index reconcile: repairs lost appends and orphans; never resurrects takedowns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandrec").toString
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    // index deliberately damaged: built WITHOUT a slice of the record
+    // (the lost append) and WITH a doc the record no longer holds
+    val phantom = Seq((999999L, "phantom document never in the record " * 6))
+      .toDF("doc_id", "text")
+    TextDedup.writeBandIndex(
+      corpus.filter(col("doc_id") % 8 =!= 1).unionByName(phantom), dir)
+    // plus a takedown whose doc REMAINS in the record: must stay down
+    val victim = corpus.filter(col("doc_id") % 8 === 2)
+      .select("doc_id").limit(1).collect().head.getLong(0)
+    TextDedup.deleteFromBandIndex(Seq(victim).toDF("doc_id"), dir)
+    val (appended, orphaned) = TextDedup.reconcileBandIndex(corpus, dir)
+    assert(appended > 0, "lost slice should re-append")
+    assert(orphaned == 1, s"phantom should orphan, got $orphaned")
+    // repaired index serves exactly like a fresh build minus takedowns
+    val fresh = java.nio.file.Files.createTempDirectory("graft_bandref").toString
+    TextDedup.writeBandIndex(corpus, fresh)
+    TextDedup.deleteFromBandIndex(Seq(victim).toDF("doc_id"), fresh)
+    def pairs(d: String) = TextDedup.nearDupsAgainstBandIndex(batch, d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(dir) == pairs(fresh))
+    assert(!pairs(dir).exists(_._2 == victim), "takedown resurrected")
+    assert(!pairs(dir).exists(_._2 == 999999L), "orphan still serving")
+    // idempotent: a second pass finds nothing to repair
+    assert(TextDedup.reconcileBandIndex(corpus, dir) == ((0L, 0L)))
+  }
+
   test("simhash verified pairs equal the exact n-gram jaccard join") {
     val exact = pairSet(TextDedup.ngramJaccardPairs(docs, 3, 0.8))
     val sim = pairSet(TextDedup.simhashPairs(docs, 3, 0.8))
