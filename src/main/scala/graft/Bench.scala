@@ -59,7 +59,8 @@ object Bench {
     // shape: indexes are built offline; the bench times the QUERIES).
     // Skipped when an ONLY-run selects no index-reading query.
     val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete",
-      "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr")
+      "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr",
+      "q_bucketed_join")
     if (only.forall(o => o.exists(indexQueries.contains)))
       SparkEntry.prepareIndexFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

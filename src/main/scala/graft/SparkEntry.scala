@@ -95,10 +95,26 @@ object SparkEntry {
       out
     })
 
+  /** Bucketed orders/lineitem pair for q_bucketed_join — the
+    * write-once layout investment that makes every later join on the
+    * order key exchange-free. Keyed by (session, dir): the bucket
+    * spec lives in the session catalog, so a fresh session must
+    * re-register even if the files survive. */
+  private val bucketedDirs = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedPair(s: SparkSession, d: String): (String, String) =
+    bucketedDirs.computeIfAbsent(
+      Integer.toHexString(System.identityHashCode(s)) + ":" + d, _ => {
+        val suffix = "_" + Integer.toHexString(d.hashCode)
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bkt" + suffix).getAbsolutePath
+        sources.Bucketing.coLocatedOrdersLineitem(s, d, base, nBuckets = 8, suffix)
+      })
+
   private[graft] def prepareIndexFixtures(s: SparkSession, d: String): Unit = {
     ivfIndexDir(s, d)
     ivfDeleteIndexDir(s, d)
     bandIndexDir(s, d)
+    bucketedPair(s, d)
     ()
   }
 
@@ -597,6 +613,25 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // Bucketed co-located join: orders and lineitem pre-bucketed on
+    // the order key (sources.Bucketing — one shuffle at write time),
+    // so the join AND the keyed aggregation both plan with ZERO
+    // ShuffleExchange (PlanSpec pins it; the only exchange in the
+    // whole query is the final presentation sort). hint("merge") pins
+    // sort-merge — at fixture SF a broadcast would also be
+    // exchange-free but proves nothing about co-location, and at
+    // 100 TB neither side broadcasts.
+    "q_bucketed_join" -> ((s, d) => {
+      val (oTbl, lTbl) = bucketedPair(s, d)
+      val o = s.table(oTbl); val l = s.table(lTbl)
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderkey"), o("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(l("l_extendedprice")).as("revenue"))
+        .filter(col("revenue") > 250000.0)
+        .orderBy("o_orderkey")
+    }),
+
     "q_setop_union" -> ((s, d) =>
       T(s, d, "customer").select(col("c_nationkey").as("nkey"))
         .union(T(s, d, "supplier").select(col("s_nationkey").as("nkey")))
@@ -714,6 +749,16 @@ object SparkEntry {
       "JOIN region ON n_regionkey = r_regionkey " +
       "WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01' AND r_name = 'ASIA' " +
       "GROUP BY n_name ORDER BY n_name"),
+    // Bucketed tables hold the same rows as the source tables — the
+    // oracle restates the join over the plain tables; the layout only
+    // changes the PLAN (PlanSpec pins the zero-exchange shape).
+    "q_bucketed_join" -> ("SELECT o_orderkey, o_orderpriority, " +
+      "COUNT(*) AS n_items, " +
+      "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderkey, o_orderpriority " +
+      "HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) > 250000.0 " +
+      "ORDER BY o_orderkey"),
     "q_setop_union" -> ("SELECT c_nationkey AS nkey FROM customer UNION " +
       "SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey"),
     "q_setop_intersect" -> ("SELECT c_nationkey AS nkey FROM customer INTERSECT " +

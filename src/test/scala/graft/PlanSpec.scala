@@ -335,6 +335,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_bucketed_join: join AND keyed aggregation run with zero shuffle") {
+    withoutAqe {
+      val p = planOf(q("q_bucketed_join"))
+      // the layout investment pays here: both scans report
+      // HashPartitioning(key, 8) from the bucket spec, the sort-merge
+      // join's distribution requirement is pre-satisfied, and the
+      // (o_orderkey, o_orderpriority) aggregation is clustered by the
+      // join's output partitioning — the ONLY exchange in the whole
+      // query is the final presentation sort
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, s"expected a sort-merge join over the bucketed pair:\n$p")
+      val shuffles = p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.size <= 1, s"bucketed join should not shuffle:\n$p")
+      shuffles.foreach { e =>
+        assert(e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+          s"the one allowed exchange is the presentation sort:\n$e")
+      }
+    }
+  }
+
   test("q_tpch_q18: top-100 via TakeOrderedAndProject, bounded exchanges") {
     withoutAqe {
       val p = planOf(q("q_tpch_q18"))

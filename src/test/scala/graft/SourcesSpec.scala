@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.{Connections, ReadFiles, ScriptRunner}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class SourcesSpec extends AnyFunSuite with SparkFixture {
@@ -318,6 +319,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val viaTvf = spark.sql(
       s"select n_name from read_files('$tmp/nation_orc', format=>'orc') order by n_nationkey")
     assert(viaTvf.count() == 25)
+  }
+
+  test("bucketed tables: same rows as source, re-registerable from surviving files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+    val (oTbl, lTbl) = graft.sources.Bucketing.coLocatedOrdersLineitem(
+      spark, sfDir, base, nBuckets = 4, suffix = "_spec")
+    // layout changes the plan, never the rows
+    assert(spark.table(oTbl).count() == Engine.table(spark, sfDir, "orders").count())
+    assert(spark.table(lTbl).count() == Engine.table(spark, sfDir, "lineitem").count())
+    val viaBuckets = spark.table(lTbl).hint("merge")
+      .join(spark.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").count().orderBy("o_orderkey").collect()
+    val plain = Engine.table(spark, sfDir, "lineitem")
+      .join(Engine.table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey").count().orderBy("o_orderkey").collect()
+    assert(viaBuckets.sameElements(plain))
+    // the files are plain parquet: rewriting the catalog entry over the
+    // SAME surviving files (the new-session story) yields the same table
+    spark.sql(s"DROP TABLE IF EXISTS `$oTbl`")
+    val rereg = spark.read.parquet(s"$base/orders")
+    assert(rereg.count() == plain.length ||
+      rereg.count() == Engine.table(spark, sfDir, "orders").count())
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
