@@ -110,11 +110,37 @@ object SparkEntry {
         sources.Bucketing.coLocatedOrdersLineitem(s, d, base, nBuckets = 8, suffix)
       })
 
+  /** Mutable corpus store for q_corpus_merge: base generation from
+    * `documents`, then ONE deterministic merge (recrawl updates +
+    * fresh inserts + takedown deletes) applied before first read.
+    * Wiped per JVM like [[ivfDeleteIndexDir]] — the store accretes
+    * generations, and a previous run's committed corpus_v1 would
+    * otherwise shadow a fresh base. */
+  private val corpusStoreDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusStoreDir(s: SparkSession, d: String): String =
+    corpusStoreDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_cstore_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val out = f.getAbsolutePath
+      val docs = Engine.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      pipeline.CorpusStore.write(docs, out, buckets = 16)
+      val up = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 103 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("NEW "), col("text")).as("text")))
+      val del = docs.filter(col("doc_id") % 101 === 0).select("doc_id")
+      pipeline.CorpusStore.merge(s, out, up, del)
+      out
+    })
+
   private[graft] def prepareIndexFixtures(s: SparkSession, d: String): Unit = {
     ivfIndexDir(s, d)
     ivfDeleteIndexDir(s, d)
     bandIndexDir(s, d)
     bucketedPair(s, d)
+    corpusStoreDir(s, d)
     ()
   }
 
@@ -1221,6 +1247,21 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       pipeline.TextDedup.ngramJaccardPairs(T(s, d, "documents"), 3, 0.8)),
 
+    // Corpus-of-record MERGE: the store fixture applied one
+    // deterministic recrawl delta (updates %97, inserts %103 at
+    // +10M ids, deletes %101; deletes first, upserts win) through
+    // CorpusStore.merge's partial-rewrite generation swap. The query
+    // reads the LIVE generation back — so the oracle checks the whole
+    // persisted lifecycle (bucket layout, partial rewrite, carry-by-
+    // copy, swap commit), not just the merge algebra.
+    "q_corpus_merge" -> ((s, d) =>
+      pipeline.CorpusStore.read(s, corpusStoreDir(s, d))
+        .groupBy((col("doc_id") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("grp")),
+
     // Incremental NEAR-dup: a re-labeled batch (doc_id%11==0, +500000)
     // probed against the PERSISTED band index over the full corpus —
     // the fuzzy counterpart of dedup_bloom_incr's exact batch-vs-
@@ -1827,6 +1868,23 @@ object SparkEntry {
       "(SELECT 1 FROM documents b WHERE b.text = i.text) ORDER BY doc_id"),
 
     "dedup_ngram" -> duckJaccardPairs,
+    // Restates the merge algebra (deletes first, upserts win) over the
+    // plain documents table; the engine side reads the persisted
+    // post-merge store, so a lifecycle bug (lost bucket, stale
+    // generation, double-applied delta) breaks the hash compare.
+    "q_corpus_merge" -> ("WITH up AS (" +
+      "SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id % 97 = 0 " +
+      "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text AS text " +
+      "FROM documents WHERE doc_id % 103 = 0), " +
+      "del AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0), " +
+      "merged AS (SELECT d.doc_id, d.text FROM documents d " +
+      "WHERE d.doc_id NOT IN (SELECT doc_id FROM up) " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM del) " +
+      "UNION ALL SELECT doc_id, text FROM up) " +
+      "SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+      "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+      "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+      "FROM merged GROUP BY 1 ORDER BY 1"),
     // cross-set variant: every batch doc (re-labeled +500000) against
     // the whole corpus, self pair included (ids differ by the offset)
     "dedup_band_incr" -> ("WITH toks AS (SELECT doc_id, " +

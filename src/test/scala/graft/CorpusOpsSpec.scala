@@ -335,4 +335,81 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       assert(hi <= lo, s"overlapping z-ranges: $ranges")
     }
   }
+
+  // --- corpus store MERGE ------------------------------------------
+
+  private def storeFiles(dir: String, gen: String): Map[String, Set[String]] = {
+    val root = new java.io.File(dir, gen)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .map(d => d.getName ->
+        d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+  }
+
+  test("CorpusStore.merge: partial rewrite, carry-by-copy, swap, grace, precedence") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstore_spec").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    graft.pipeline.CorpusStore.write(base, dir, buckets = 8)
+    val baseFiles = storeFiles(dir, "corpus")
+    assert(baseFiles.size == 8)
+
+    // change set touching a known id subset: update 8, delete 16,
+    // insert 9000008 (bucket 0), plus an id that is BOTH deleted and
+    // upserted (24) — upsert must win
+    val up = Seq((8L, "updated eight"), (9000008L, "inserted"), (24L, "kept")).toDF("doc_id", "text")
+    val del = Seq(16L, 24L).toDF("doc_id")
+    val (rewritten, carried) = graft.pipeline.CorpusStore.merge(spark, dir, up, del)
+    assert(rewritten + carried == 8)
+    assert(rewritten == Set(8L % 8, 9000008L % 8, 16L % 8, 24L % 8).size,
+      s"rewrote $rewritten buckets for a bucket-0-only change set")
+
+    // live resolves to v1; untouched buckets carried with identical file names
+    assert(graft.pipeline.CorpusStore.live(spark, dir).endsWith("corpus_v1"))
+    val v1Files = storeFiles(dir, "corpus_v1")
+    baseFiles.filterNot(_._1 == "bucket=0").foreach { case (b, files) =>
+      assert(v1Files(b) == files, s"carried bucket $b files changed")
+    }
+    // grace copy retained
+    assert(new java.io.File(dir, "corpus/_SUCCESS").exists() ||
+      new java.io.File(dir, "corpus").exists())
+
+    // content equals the merge algebra applied to the full base
+    val got = graft.pipeline.CorpusStore.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap -
+      16L - 24L - 8L ++ Map(8L -> "updated eight", 9000008L -> "inserted", 24L -> "kept")
+    assert(got == want)
+
+    // re-applying the same delta converges (upsert same rows, delete
+    // already-gone ids) and prunes the base generation past grace
+    graft.pipeline.CorpusStore.merge(spark, dir, up, del)
+    assert(graft.pipeline.CorpusStore.live(spark, dir).endsWith("corpus_v2"))
+    assert(!new java.io.File(dir, "corpus").exists(), "base generation should be pruned")
+    val again = graft.pipeline.CorpusStore.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == want)
+  }
+
+  test("CorpusStore.mergedBuckets: corpus side joins against a broadcast change set") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val up = Seq((1L, "x")).toDF("doc_id", "text")
+    val del = Seq(2L).toDF("doc_id")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.pipeline.CorpusStore.mergedBuckets(base, up, del)
+        .queryExecution.executedPlan
+      assert(p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+      }.nonEmpty, s"change set should broadcast into the anti-join:\n$p")
+      // the only permissible shuffle is the change-set distinct —
+      // micro-batch-sized 8-byte ids; corpus rows (text) never shuffle
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        assert(e.child.output.map(_.name) == Seq("doc_id"),
+          s"a corpus-side shuffle leaked into the merge:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
