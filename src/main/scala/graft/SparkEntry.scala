@@ -1247,6 +1247,12 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       pipeline.TextDedup.ngramJaccardPairs(T(s, d, "documents"), 3, 0.8)),
 
+    // Asymmetric containment: the direction Jaccard cannot see — a
+    // doc that is another doc plus boilerplate. Rational threshold
+    // 9/10, integer decision on both sides of the compare.
+    "dedup_contain" -> ((s, d) =>
+      pipeline.TextDedup.containmentPairs(T(s, d, "documents"), 3, 9, 10)),
+
     // Corpus-of-record MERGE: the store fixture applied one
     // deterministic recrawl delta (updates %97, inserts %103 at
     // +10M ids, deletes %101; deletes first, upserts win) through
@@ -1868,6 +1874,20 @@ object SparkEntry {
       "(SELECT 1 FROM documents b WHERE b.text = i.text) ORDER BY doc_id"),
 
     "dedup_ngram" -> duckJaccardPairs,
+    // Brute-force directed containment: compute each undirected pair's
+    // intersection once, emit both directions with the respective
+    // containee size, integer threshold decision matching the engine.
+    "dedup_contain" -> ("WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3), " +
+      "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, " +
+      "len(list_intersect(a.s, b.s)) AS co, len(a.s) AS na, len(b.s) AS nb " +
+      "FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+      "dir AS (SELECT da AS doc_a, db AS doc_b, co, na FROM pairs " +
+      "UNION ALL SELECT db AS doc_a, da AS doc_b, co, nb AS na FROM pairs) " +
+      "SELECT doc_a, doc_b, CAST(co AS DOUBLE) / na AS containment " +
+      "FROM dir WHERE co * 10 >= 9 * na ORDER BY doc_a, doc_b"),
     // Restates the merge algebra (deletes first, upserts win) over the
     // plain documents table; the engine side reads the persisted
     // post-merge store, so a lifecycle bug (lost bucket, stale

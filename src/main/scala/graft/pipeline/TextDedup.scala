@@ -162,6 +162,75 @@ object TextDedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Asymmetric CONTAINMENT join: emit (doc_a, doc_b, containment) for
+    * every ordered pair with |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * ≥ tNum/tDen — "doc A is (nearly) contained in doc B", the
+    * direction Jaccard cannot see: a page that is another page plus
+    * boilerplate sits far below any symmetric threshold (the union is
+    * inflated by the wrapper) while its containment is ~1.0. The
+    * training-data use is wrapper/boilerplate dedup: drop or re-rank
+    * containees whose content already ships inside a kept container.
+    *
+    * The threshold is RATIONAL and both the blocking and the verify
+    * use integer cross-multiplication (co·tDen ≥ tNum·|A|), so engine
+    * and oracle agree bit-for-bit — and the prefix length below is
+    * exact, where a float ceil(0.9·10) = ceil(9.000000000000002)
+    * would silently shrink the prefix and drop true pairs.
+    *
+    * Plan (containment prefix filter — the PPJoin family's asymmetric
+    * variant; only the CONTAINEE side has a prefix):
+    *   1. gram document frequencies (one map-side-combined groupBy);
+    *   2. containee prefixes: A sorts its grams rarest-first by
+    *      (df, gram) and emits its |A| − ceil(t·|A|) + 1 rarest — a
+    *      qualifying pair has overlap ≥ ceil(t·|A|), so dropping only
+    *      |A| − ceil(t·|A|) grams cannot empty the intersection:
+    *      recall 1.0, exact blocking;
+    *   3. the CONTAINER side has no prefix (any gram of B may carry
+    *      the match) — the index is the full gram stream, df-capped by
+    *      `maxShingleDF` as an EXPLICIT recall trade for hot grams
+    *      (candidate fan-out per gram is df_prefix(g)·df(g); a pair is
+    *      missed only if every prefix gram of A that lands in B is
+    *      hotter than the cap);
+    *   4. exact verify on the full sorted-hash sets (linear merge
+    *      intersect), integer decision, containment emitted exact.
+    *
+    * At 100 TB the only data-sized exchanges carry (doc_id, 8-byte
+    * gram hash) rows; full shingle arrays move once, into the verify
+    * join. Rarest-first prefixes keep the hot-gram quadratic term out
+    * of the candidate join by construction. */
+  def containmentPairs(docs: DataFrame, k: Int = 3,
+                       tNum: Int = 9, tDen: Int = 10,
+                       maxShingleDF: Int = 1000): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be in (0, 1]")
+    val sh = withHashes(docs, k)
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixes = inv.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sg"),
+        count(lit(1)).cast("int").as("n"))
+      // plen = n − ceil(t·n) + 1, in exact integers
+      .withColumn("plen",
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen").cast("int") + 1)
+      .select(col("doc_id").as("doc_a"),
+        explode(expr("slice(sg, 1, plen)")).as("pg"))
+      .select(col("doc_a"), col("pg.s").as("s"))
+    val index = inv.join(freq.filter(col("df") <= maxShingleDF).select("s"), "s")
+      .select(col("doc_id").as("doc_b"), col("s"))
+    val cands = prefixes.join(index, "s")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("co", NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")))
+      .filter(col("co") * tDen >= size(col("sh_a")).cast("long") * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("co").cast("double") / size(col("sh_a"))).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Materialize an iteration frame with flat lineage. With a session
     * checkpoint dir configured (production: durable storage), a
     * RELIABLE checkpoint — blocks survive executor loss and

@@ -49,6 +49,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(lsh == exact)
   }
 
+  test("containmentPairs equals brute force; sees the direction jaccard misses") {
+    // brute-force directed oracle over the fixture corpus
+    val shSets = docs
+      .select(col("doc_id"), TextDedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(org.apache.spark.sql.functions.size(col("sh")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+    val want = (for {
+      (ida, sa) <- shSets; (idb, sb) <- shSets if ida != idb
+      co = (sa & sb).size if co * 10L >= 9L * sa.size
+    } yield (ida, idb)).toSet
+    val got = TextDedup.containmentPairs(docs, 3, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+
+    // a doc plus heavy boilerplate: containment flags A→B, jaccard and
+    // the reverse direction both stay silent
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val wrapped = Seq((1L, a),
+      (2L, a + " " + Seq.tabulate(60)(i => s"boiler token$i plate").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = TextDedup.containmentPairs(wrapped, 3, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dir == Set((1L, 2L)), s"expected only A-contained-in-B, got $dir")
+    assert(pairSet(TextDedup.ngramJaccardPairs(wrapped, 3, 0.8)).isEmpty,
+      "jaccard should not fire on a boilerplate-wrapped pair")
+  }
+
   test("band index: incremental near-dup equals the exact cross-set jaccard join") {
     import org.apache.spark.sql.functions.{size => asize}
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
