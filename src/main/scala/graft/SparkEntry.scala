@@ -1707,6 +1707,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       pipeline.TextAnalysis.fingerprint(T(s, d, "documents"))),
 
+    // BM25 corpus search for a fixed 3-term query; deterministic: one
+    // row per matching doc ordered by doc_id, scores decimal-rounded
+    // on both sides so the hash compare is exact.
+    "text_bm25" -> ((s, d) =>
+      pipeline.TextAnalysis.bm25(T(s, d, "documents"),
+        Seq("spark", "hash", "window"))),
+
     // CCNet-style perplexity filter: corpus-self-trained interpolated
     // bigram LM, per-doc negative log likelihood.
     "text_lm_score" -> ((s, d) =>
@@ -2189,6 +2196,24 @@ object SparkEntry {
       "r AS (SELECT doc_id, term, score, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM s) " +
       "SELECT doc_id, term, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
+
+    // BM25 restated term by term with the SAME expression tree
+    // (association order matters: both sides compute
+    // ((idf·tf)·(k1+1))/(tf + k1·((1−b) + (b·len)/avgdl)) in IEEE
+    // doubles, then round through DECIMAL(28,12) before the sum).
+    "text_bm25" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+      "WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term), " +
+      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "contrib AS (SELECT tf.doc_id, " +
+      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
+      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
+      "FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats) " +
+      "SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
+      "COUNT(*) AS n_terms FROM contrib GROUP BY doc_id ORDER BY doc_id"),
 
     "text_lm_score" ->
       (LmNllCte + " SELECT doc_id, n_bigrams, sum_nll, avg_nll FROM nll ORDER BY doc_id"),

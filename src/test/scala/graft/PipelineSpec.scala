@@ -363,6 +363,46 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(fs.exists())
   }
 
+  test("bm25 equals the single-threaded textbook computation") {
+    val terms = Seq("spark", "hash", "window")
+    val (k1, b) = (1.2, 0.75)
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val tokensOf = texts.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val n = tokensOf.size
+    val avgdl = tokensOf.values.map(_.size.toLong).sum.toDouble / n
+    val dfOf = terms.map(t => t -> tokensOf.values.count(_.contains(t))).toMap
+    val want = tokensOf.toSeq.flatMap { case (id, toks) =>
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfOf(t) + 0.5) / (dfOf(t) + 0.5))
+          Some(idf * tf * (k1 + 1) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl)))
+        }
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> (contribs.sum, contribs.size.toLong))
+    }.toMap
+    val got = graft.pipeline.TextAnalysis.bm25(docs, terms, k1, b)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (score, nt)) =>
+      assert(nt == want(id)._2, s"doc $id n_terms")
+      assert(math.abs(score - want(id)._1) < 1e-8, s"doc $id: $score vs ${want(id)._1}")
+    }
+    // length normalization actually normalizes: same tf in a longer
+    // doc scores lower
+    import spark.implicits._
+    val pair = Seq((1L, "spark runs fast"),
+      (2L, "spark runs fast " + Seq.fill(50)("pad").mkString(" "))).toDF("doc_id", "text")
+    val s2 = graft.pipeline.TextAnalysis.bm25(pair, Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s2(1L) > s2(2L), s"longer doc should score lower: $s2")
+  }
+
   test("lmScore groupCol: per-language scores equal the global model run on each language slice") {
     // Conditioning correctness: a grouped run over the mixed corpus
     // must agree EXACTLY (decimal-rounded nll terms) with running the
