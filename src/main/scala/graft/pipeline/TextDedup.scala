@@ -102,6 +102,10 @@ object TextDedup {
       xxhash64(col("text")).as("fp_a"),
       xxhash64(lit("graft.dedup.salt"), col("text")).as("fp_b"))
     val baseFp = fps(base)
+    // an EMPTY base (first batch, or a corpus whose every doc was taken
+    // down) admits everything — and must short-circuit: Spark's
+    // bloomFilter aggregate NPEs on zero input rows
+    if (baseFp.isEmpty) return incoming.select("doc_id").orderBy("doc_id")
     val n = math.max(1L,
       if (expectedBaseDocs > 0) expectedBaseDocs else base.count())
     val bloom = baseFp.stat.bloomFilter("fp_a", n, fpp)

@@ -26,6 +26,174 @@ import org.apache.spark.sql.functions._
   */
 object CorpusIngest {
 
+  /** Corpus-of-record takedown — the document half of the
+    * right-to-erasure path (the index halves are
+    * [[graft.pipeline.Embeddings.deleteFromIvfIndex]] /
+    * [[graft.pipeline.TextDedup.deleteFromBandIndex]], invoked here
+    * when the dirs are passed). O(batch): appends the ids to
+    * `outDir/_corpus_tombstones/` — an underscore-prefixed directory,
+    * so Spark's own parquet listing never reads it as data — and
+    * tombstones the indexes. Effects are IMMEDIATE through
+    * [[landedCorpus]]: the doc stops counting as "already landed" (a
+    * genuine re-arrival of the same content is admitted again — a new
+    * crawl of a re-published page is a new document; admission policy
+    * is upstream's call), stops gating near-dups, and on the next
+    * reconcile cadence its index rows orphan-tombstone automatically
+    * because the corpus of record no longer contains it. The BYTES
+    * leave at the next [[purgeCorpusTombstones]].
+    *
+    * Identity contract: takedown is BY doc_id, and the id stays
+    * tombstoned until its purge completes — re-ingesting new content
+    * under a previously taken-down doc_id is undefined (the pending
+    * tombstone would hide, then purge, the new rows). Mint fresh ids
+    * for re-arrivals, as the ingest's own examples do. */
+  def takedown(spark: org.apache.spark.sql.SparkSession, outDir: String,
+               ids: Seq[Long], ivfIndexDir: Option[String] = None,
+               bandIndexDir: Option[String] = None): Unit = {
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$outDir/_corpus_tombstones")
+    ivfIndexDir.foreach(d =>
+      graft.pipeline.Embeddings.deleteFromIvfIndex(spark, d, ids))
+    bandIndexDir.foreach(d =>
+      graft.pipeline.TextDedup.deleteFromBandIndex(ids.toDF("doc_id"), d))
+  }
+
+  private def corpusTombstoneFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String): Array[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/_corpus_tombstones")
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    else Array.empty
+  }
+
+  /** The landed corpus as of now: everything appended to `outDir`
+    * minus tombstoned takedowns. THE canonical reader — the ingest's
+    * own landed-dedup probe and reconcile cadences read through this,
+    * so a takedown leaves every decision path the moment it is filed,
+    * not at purge time. No tombstones → no join in the plan at all. */
+  def landedCorpus(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String): DataFrame = {
+    val raw = spark.read.parquet(outDir)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombs = corpusTombstoneFiles(fs, outDir)
+    if (tombs.isEmpty) raw
+    else raw.join(
+      broadcast(spark.read.parquet(tombs.map(_.toString).toIndexedSeq: _*)
+        .select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Physically remove tombstoned documents' BYTES from `outDir` —
+    * the purge half of [[takedown]], file-scoped: one doc_id-only scan
+    * locates the part files containing victims, survivors of exactly
+    * those files rewrite through a staged commit, untouched files are
+    * never read or written. Consumed tombstone files move to the
+    * `_corpus_purged/` ledger (so reconcile keeps refusing to
+    * resurrect the ids) with the same one-cycle grace the index
+    * stores use.
+    *
+    * Crash safety is ROLL-FORWARD, not atomic swap (an append-only
+    * ingest dir cannot generation-swap while the stream appends to
+    * it): survivors stage under `_purge_stage/<id>/` with the doomed
+    * file list written BEFORE the data and `_SUCCESS` after; then
+    * staged parts move into `outDir` and doomed originals delete, in
+    * that order, every step idempotent. A crash at any point leaves
+    * either a stage without `_SUCCESS` (garbage, collected next pass)
+    * or a committed stage whose replay finishes the moves/deletes —
+    * the next call (or the ingest's own cadence) completes it before
+    * doing new work. Single maintenance writer by design, serialized
+    * with appends inside foreachBatch; an external reader that listed
+    * `outDir` mid-purge can transiently see a surviving row twice
+    * (move done, original not yet deleted) — the same non-atomic
+    * window S3A documents for rename, and invisible to
+    * [[landedCorpus]] callers in the single-writer session. Returns
+    * the number of part files rewritten. */
+  def purgeCorpusTombstones(spark: org.apache.spark.sql.SparkSession,
+                            outDir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(outDir).getFileSystem(conf)
+    val stageRoot = new Path(s"$outDir/_purge_stage")
+
+    // 1. roll forward (or collect) earlier purges
+    def replay(stage: Path): Unit = {
+      val done = fs.exists(new Path(stage, "_SUCCESS"))
+      if (!done) { fs.delete(stage, true); return } // torn stage: garbage
+      val doomedList = new Path(stage, "doomed.txt")
+      val doomed: Seq[String] =
+        if (!fs.exists(doomedList)) Seq.empty
+        else {
+          val in = fs.open(doomedList)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        }
+      fs.listStatus(stage).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+        .foreach { part =>
+          val dst = new Path(outDir, s"purged-${stage.getName}-${part.getName}")
+          if (!fs.exists(dst)) fs.rename(part, dst) // move-if-absent: idempotent
+        }
+      doomed.foreach { name =>
+        val f = new Path(outDir, name)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      fs.delete(stage, true)
+    }
+    if (fs.exists(stageRoot))
+      fs.listStatus(stageRoot).map(_.getPath).foreach(replay)
+
+    // 2. consume ledgered (grace-expired) vs pending tombstones, as in
+    // the index stores: files already copied to the ledger on a prior
+    // pass are physically dropped now
+    val purgedDir = new Path(s"$outDir/_corpus_purged")
+    val ledgered: Set[String] =
+      if (fs.exists(purgedDir)) fs.listStatus(purgedDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val (graceExpired, tombFiles) =
+      corpusTombstoneFiles(fs, outDir).partition(f => ledgered.contains(f.getName))
+    graceExpired.foreach(f => fs.delete(f, false))
+    if (tombFiles.isEmpty) return 0
+    val victims = spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+      .select("doc_id").distinct()
+
+    // 3. locate touched part files — doc_id column only crosses this scan
+    val withFile = spark.read.parquet(outDir)
+      .select(col("doc_id"), input_file_name().as("f"))
+    val doomedUris: Array[String] = withFile.join(broadcast(victims), "doc_id")
+      .select("f").distinct().collect().map(_.getString(0))
+    val doomedNames = doomedUris.map(u => new Path(new java.net.URI(u)).getName)
+
+    if (doomedUris.nonEmpty) {
+      // 4. staged commit: doomed list first, survivors, then _SUCCESS
+      val stage = new Path(stageRoot,
+        s"p${System.currentTimeMillis()}_${doomedNames.length}")
+      fs.mkdirs(stage)
+      val out = fs.create(new Path(stage, "doomed.txt"))
+      try out.write((doomedNames.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val survivors = spark.read.parquet(doomedUris.toIndexedSeq: _*)
+        .join(broadcast(victims), Seq("doc_id"), "left_anti")
+      // Spark writes stage/part-*.parquet + its own _SUCCESS marker —
+      // exactly the commit record replay() rolls forward from
+      survivors.coalesce(math.max(1, doomedNames.length / 2))
+        .write.mode("append").parquet(stage.toString)
+      replay(stage)
+    }
+
+    // 5. consume the tombstones into the ledger (grace: files drop on
+    // the NEXT pass); ids with no live rows must still consume or they
+    // would re-trigger scans forever
+    fs.mkdirs(purgedDir)
+    tombFiles.foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+        new Path(purgedDir, f.getName), false, conf)
+    }
+    doomedUris.length
+  }
+
   /** Dedup → quality-gate → annotate. Emits the FIRST arrival of each
     * distinct text within the watermark horizon, with its quality
     * score and whitespace token count attached; drops later duplicates
@@ -149,7 +317,13 @@ object CorpusIngest {
     * band rows are never appended twice; a crash between the corpus
     * append and the band append loses band rows only — near-dup
     * recall degrades until writeBandIndex rebuilds from the corpus of
-    * record, corpus correctness is never touched. */
+    * record, corpus correctness is never touched.
+    *
+    * `purgeCorpusEvery`: every N-th micro-batch, run
+    * [[purgeCorpusTombstones]] — the byte-removal half of [[takedown]]
+    * on the ingest's own maintenance clock, serialized with appends
+    * like the index compactions. 0 = off (tombstones still exclude
+    * taken-down docs logically via [[landedCorpus]]). */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
@@ -162,7 +336,8 @@ object CorpusIngest {
              outputFilesPerBatch: Int = 0,
              reconcileIndexEvery: Int = 0,
              nearDupIndexDir: Option[String] = None,
-             nearDupThreshold: Double = 0.8)
+             nearDupThreshold: Double = 0.8,
+             purgeCorpusEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -175,9 +350,11 @@ object CorpusIngest {
         // empty parquet file and probes the landed corpus for nothing
         if (batch.isEmpty) () else {
         val spark = batch.sparkSession
+        // landedCorpus, not a raw read: a takedown filed while the
+        // stream runs must stop gating arrivals at the NEXT batch
         val landed =
           try {
-            val l = spark.read.parquet(outDir)
+            val l = landedCorpus(spark, outDir)
             if (l.columns.contains("text")) Some(l) else None
           } catch { case _: Exception => None } // first batch: nothing landed
         val fresh = landed match {
@@ -234,9 +411,11 @@ object CorpusIngest {
           // ... and the reconcile cadence: repairs a band append lost
           // to the crash window above, O(drift) like the IVF repair
           if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
+            // corpus of record EXCLUDES takedowns (landedCorpus), so a
+            // taken-down doc's band rows orphan-tombstone right here
             val record = snapshot.select(col("doc_id"), col("text"))
               .unionByName(
-                spark.read.parquet(outDir).select(col("doc_id"), col("text")))
+                landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
             graft.pipeline.TextDedup.reconcileBandIndex(record, bd)
             ()
           }
@@ -255,10 +434,12 @@ object CorpusIngest {
             if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
               import org.apache.spark.sql.functions.col
               // corpus of record = snapshot ∪ everything landed (this
-              // batch included — its write committed above)
+              // batch included — its write committed above), MINUS
+              // takedowns: landedCorpus excludes them, so a deleted
+              // doc's index rows orphan-tombstone on this cadence
               val record = snapshot.select(col("doc_id"), col("text"))
                 .unionByName(
-                  spark.read.parquet(outDir).select(col("doc_id"), col("text")))
+                  landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
               // "missing" diffs against ALL index ids incl. tombstoned
               // — a takedown whose doc still sits in the landed corpus
               // must stay deleted, not be resurrected by the cadence
@@ -275,6 +456,14 @@ object CorpusIngest {
                 graft.pipeline.Embeddings.deleteFromIvfIndex(orphans, dir)
             }
           case _ => ()
+        }
+        // takedown byte purge rides the same maintenance clock —
+        // serialized with appends (single writer), batchId-keyed so a
+        // restart resumes the cadence
+        if (purgeCorpusEvery > 0 && batchId > 0 &&
+            batchId % purgeCorpusEvery == 0) {
+          purgeCorpusTombstones(spark, outDir)
+          ()
         }
         if (multiRef) { indexed.unpersist(); () }
         if (nearDupIndexDir.isDefined) { freshP.unpersist(); () }

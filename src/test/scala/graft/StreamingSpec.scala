@@ -406,6 +406,104 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(res.nonEmpty && !res.exists(r => r.getLong(1) == 999L))
   }
 
+  test("corpus takedown: logical exclusion now, bytes at purge, crash roll-forward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_takedown").toString
+    val outDir = s"$tmp/out"; val bandDir = s"$tmp/band"
+    val mk = (id: Long, seed: String) =>
+      (id, (1 to 40).map(i => s"$seed$i").mkString(" "))
+    // two part files: docs 1-3 and 4-6
+    Seq(mk(1, "alpha"), mk(2, "beta"), mk(3, "gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(outDir)
+    Seq(mk(4, "delta"), mk(5, "epsil"), mk(6, "zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(outDir)
+    graft.pipeline.TextDedup.writeBandIndex(
+      spark.read.parquet(outDir), bandDir)
+    val filesBefore = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+
+    CorpusIngest.takedown(spark, outDir, Seq(2L), bandIndexDir = Some(bandDir))
+    // logical: landedCorpus excludes 2 immediately; raw bytes remain
+    assert(CorpusIngest.landedCorpus(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    assert(spark.read.parquet(outDir).count() == 6)
+    // band index stops matching the taken-down doc at once
+    val nearBeta = (1 to 39).map(i => s"beta$i").mkString(" ") + " changed"
+    assert(graft.pipeline.TextDedup.nearDupsAgainstBandIndex(
+      Seq((99L, nearBeta)).toDF("doc_id", "text"), bandDir).count() == 0)
+
+    // purge: only the file holding doc 2 rewrites; survivors intact
+    val rewritten = CorpusIngest.purgeCorpusTombstones(spark, outDir)
+    assert(rewritten == 1, s"rewrote $rewritten files")
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    val filesAfter = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert((filesBefore -- filesAfter).size == 1, "exactly one original file replaced")
+    // second pass: nothing to do (tombstones ledgered), grace expires
+    assert(CorpusIngest.purgeCorpusTombstones(spark, outDir) == 0)
+    assert(CorpusIngest.purgeCorpusTombstones(spark, outDir) == 0)
+
+    // crash roll-forward: a committed stage whose moves/deletes never
+    // ran (doomed file still live, staged survivors not yet moved)
+    val doomed = new java.io.File(outDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).head
+    val stage = s"$outDir/_purge_stage/pcrash_1"
+    Seq(mk(50, "staged")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(stage) // writes parts + _SUCCESS
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stage/doomed.txt"), doomed + "\n")
+    val doomedIds = spark.read.parquet(s"$outDir/$doomed")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    CorpusIngest.purgeCorpusTombstones(spark, outDir)
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!new java.io.File(s"$outDir/$doomed").exists(), "doomed file survived replay")
+    assert(ids.contains(50L), "staged survivors were not moved in")
+    assert((doomedIds -- Set(50L)).forall(!ids.contains(_)) || doomedIds.isEmpty)
+  }
+
+  test("ingest: a takedown re-admits re-arrivals of the same content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_takedown_ingest").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val text = (1 to 40).map(i => s"word$i").mkString(" ")
+    val snapshot = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def runIngest(in: String, chk: String): Unit = {
+      val q = CorpusIngest.ingest(
+        spark.readStream.schema(schema).parquet(in),
+        snapshot, outDir, chk, watermark = "30 minutes")
+      q.awaitTermination(120000); q.stop()
+    }
+    Seq((1L, ts(5), text)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    runIngest(inDir, s"$tmp/chk1")
+    assert(CorpusIngest.landedCorpus(spark, outDir).count() == 1)
+
+    CorpusIngest.takedown(spark, outDir, Seq(1L))
+    // the same content arrives again (a fresh source dir + checkpoint
+    // isolates the batch-side seen-ever gate from in-stream watermark
+    // state and source replay): with the takedown filed, the
+    // landed-dedup probe no longer sees doc 1, so the re-arrival is
+    // admitted — the recrawl-of-a-republished-page semantics
+    Seq((2L, ts(6), text)).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in2")
+    runIngest(s"$tmp/in2", s"$tmp/chk2")
+    val landed = CorpusIngest.landedCorpus(spark, outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(landed == Seq(2L), s"landed $landed")
+    // purge removes doc 1's bytes; the re-admitted doc stays
+    CorpusIngest.purgeCorpusTombstones(spark, outDir)
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("built-in session_window closes a session after the gap + watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
