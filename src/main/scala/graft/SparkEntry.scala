@@ -1763,6 +1763,12 @@ object SparkEntry {
     "mm_audio_windows" -> ((s, d) =>
       pipeline.Multimodal.audioWindows(T(s, d, "documents"))),
 
+    // Perceptual hash (aHash) over payload bytes — integer-exact bit
+    // decisions, so the DuckDB restatement agrees bit-for-bit.
+    "mm_phash" -> ((s, d) =>
+      pipeline.Multimodal.perceptualHash(
+        pipeline.Multimodal.asMediaTable(T(s, d, "documents")))),
+
     // Corpus assembly: the steps between "clean documents" and
     // "training shards" (see pipeline.CorpusOps).
     "q_pack_tokens" -> ((s, d) =>
@@ -2263,6 +2269,23 @@ object SparkEntry {
       "CAST(64 + (octet_length(encode(text)) // 7) % 192 AS BIGINT) AS height, " +
       "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames " +
       "FROM documents ORDER BY doc_id"),
+
+    // aHash restated: same integer block bounds (b·n div 64), same
+    // integer cross-multiplied bit decision, bits string-aggregated in
+    // block order. ASCII fixture ⇒ ord(char) = byte value.
+    "mm_phash" -> ("WITH m AS (SELECT doc_id, text, " +
+      "octet_length(encode(text)) AS n FROM documents " +
+      "WHERE octet_length(encode(text)) >= 64), " +
+      "tot AS (SELECT doc_id, text, n, " +
+      "list_sum(list_transform(range(1, n + 1), i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS total " +
+      "FROM m), " +
+      "blocks AS (SELECT doc_id, n, total, text, unnest(range(64)) AS b FROM tot), " +
+      "bits AS (SELECT doc_id, b, " +
+      "CAST(b * n // 64 AS BIGINT) AS lo, CAST((b + 1) * n // 64 AS BIGINT) AS hi, " +
+      "list_sum(list_transform(range(CAST(b * n // 64 AS BIGINT) + 1, CAST((b + 1) * n // 64 AS BIGINT) + 1), " +
+      "i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS bsum, n, total FROM blocks) " +
+      "SELECT doc_id, string_agg(CASE WHEN bsum * n > total * (hi - lo) THEN '1' ELSE '0' END, " +
+      "'' ORDER BY b) AS phash FROM bits GROUP BY doc_id ORDER BY doc_id"),
 
     "mm_audio_windows" -> ("WITH m AS (SELECT doc_id, " +
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_samples FROM documents) " +

@@ -167,6 +167,89 @@ object Multimodal {
       .toDF()
   }
 
+  /** 64-bit average hash (aHash — the canonical perceptual-hash
+    * family's simplest member) over the payload bytes: the payload
+    * splits into 64 equal byte blocks, bit b is set iff block b's mean
+    * exceeds the whole payload's mean. With a real image decoder the
+    * byte stream becomes the 8×8 grayscale downsample and this IS
+    * image aHash; the hash structure, the integer-exact bit decision,
+    * and everything downstream (banding, dup pairs) are unchanged —
+    * the same stub-the-codec/keep-the-plumbing contract as
+    * [[decodeStub]].
+    *
+    * Bit decisions are INTEGER cross-multiplication
+    * (blockSum·n > totalSum·blockLen), so no float ever enters the
+    * hash and an oracle restating the same arithmetic agrees
+    * bit-for-bit. Emitted as a 64-char '0'/'1' string (portable across
+    * engines with no sign/overflow games at bit 63). Payloads shorter
+    * than 64 bytes have no 64-block geometry and are skipped.
+    * Partition-local; payloads never shuffle. */
+  final case class PHash(doc_id: Long, phash: String)
+
+  def perceptualHash(media: DataFrame, blocks: Int = 64): DataFrame = {
+    require(blocks >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          if (n < blocks) Iterator.empty
+          else {
+            var total = 0L
+            var i = 0
+            while (i < n) { total += bytes(i) & 0xff; i += 1 }
+            val sb = new java.lang.StringBuilder(blocks)
+            var b = 0
+            while (b < blocks) {
+              val lo = (b.toLong * n / blocks).toInt
+              val hi = ((b + 1).toLong * n / blocks).toInt
+              var bs = 0L
+              var j = lo
+              while (j < hi) { bs += bytes(j) & 0xff; j += 1 }
+              // blockMean > totalMean, exactly: bs/len > total/n
+              sb.append(if (bs * n > total * (hi - lo)) '1' else '0')
+              b += 1
+            }
+            Iterator.single(PHash(id, sb.toString))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * the media-side sibling of [[graft.pipeline.TextDedup.simhashPairs]]
+    * and the standard image-dedup primitive. Candidates come from
+    * 8-way chunk banding (two hashes within hamming 7 MUST share one
+    * of 8 aligned 8-bit chunks, by pigeonhole — so recall is 1.0 for
+    * `maxHamming` ≤ 7); the exact hamming filter runs on candidates
+    * only. Join rows carry (doc_id, 8-char chunk), never payloads. */
+  def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"chunk banding guarantees recall only to hamming 7 (got $maxHamming)")
+    val h = perceptualHash(media)
+    val chunked = h.select(col("doc_id"), col("phash"),
+      explode(sequence(lit(0), lit(7))).as("c"))
+      .select(col("doc_id"), col("phash"), col("c"),
+        expr("substring(phash, c * 8 + 1, 8)").as("v"))
+    val cands = chunked.as("x").join(chunked.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    cands
+      .withColumn("hamming", expr(
+        "aggregate(transform(sequence(1, 64), i -> " +
+          "CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1) THEN 1L ELSE 0L END), " +
+          "0L, (acc, x) -> acc + x)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Metadata-only projection (no decode): deterministic fake frame
     * geometry derived from payload size — the oracle-checkable slice
     * of the multimodal path. */

@@ -998,6 +998,54 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("perceptual hash: textbook aHash bits; dup pairs equal brute-force hamming") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(docs)
+    val hashes = Multimodal.perceptualHash(media)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // textbook check on one doc: recompute the bit vector directly
+    val oneText = docs.filter(col("doc_id") === hashes.head._1)
+      .select("text").collect()(0).getString(0)
+    val bytes = oneText.getBytes("UTF-8").map(_ & 0xff)
+    val total = bytes.map(_.toLong).sum
+    val n = bytes.length
+    val wantBits = (0 until 64).map { b =>
+      val lo = (b.toLong * n / 64).toInt; val hi = ((b + 1).toLong * n / 64).toInt
+      val bs = bytes.slice(lo, hi).map(_.toLong).sum
+      if (bs * n > total * (hi - lo)) '1' else '0'
+    }.mkString
+    assert(hashes.head._2 == wantBits)
+    assert(hashes.forall(_._2.length == 64))
+
+    // dup pairs: a payload with a tiny byte perturbation stays within
+    // hamming 6 of the original; brute force over all hashes agrees
+    // with the banded join exactly
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val tweaked = base.dropRight(1) + "X"
+    val far = (1 to 60).map(i => s"zzz${i * 7}").mkString(" ")
+    val small = Seq((1L, base, "en", "s"), (2L, tweaked, "en", "s"),
+      (3L, far, "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val sm = Multimodal.asMediaTable(small)
+    val hs = Multimodal.perceptualHash(sm)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val want = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib && ham(ha, hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(want.contains((1L, 2L)), s"tweak drifted: hamming ${ham(hs(1L), hs(2L))}")
+    val got = Multimodal.phashDupPairs(sm, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // and on the fixture corpus, banded equals brute force too
+    val hmap = hashes.toMap
+    val wantAll = (for {
+      (ia, ha) <- hmap; (ib, hb) <- hmap if ia < ib && ham(ha, hb) <= 6
+    } yield (ia, ib)).toSet
+    val gotAll = Multimodal.phashDupPairs(media, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotAll == wantAll)
+  }
+
   test("salted join and salted agg equal their unsalted forms") {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val o = Engine.table(spark, sfDir, "orders")
