@@ -1714,6 +1714,15 @@ object SparkEntry {
       pipeline.TextAnalysis.bm25(T(s, d, "documents"),
         Seq("spark", "hash", "window"))),
 
+    // BPE iteration-0 pair table — the data-sized slice of tokenizer
+    // training (the merge loop runs over the bounded vocabulary;
+    // bpeTrain is spec-gated). lhs/rhs: LEFT/RIGHT are SQL keywords.
+    "q_bpe_pairs" -> ((s, d) =>
+      pipeline.TextAnalysis.bpePairCounts(T(s, d, "documents"))
+        .select(col("left").as("lhs"), col("right").as("rhs"), col("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(30)),
+
     // CCNet-style perplexity filter: corpus-self-trained interpolated
     // bigram LM, per-doc negative log likelihood.
     "text_lm_score" -> ((s, d) =>
@@ -2202,6 +2211,18 @@ object SparkEntry {
       "r AS (SELECT doc_id, term, score, " +
       "CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank FROM s) " +
       "SELECT doc_id, term, score, rank FROM r WHERE rank <= 5 ORDER BY doc_id, rank"),
+
+    // BPE pair table restated: same char/end-marker split, pairs
+    // weighted by word frequency, same (count desc, lhs, rhs) order.
+    "q_bpe_pairs" -> ("WITH words AS (SELECT w, COUNT(*) AS cnt FROM " +
+      "(SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w FROM documents) " +
+      "WHERE length(w) > 0 GROUP BY w), " +
+      "pos AS (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM words), " +
+      "pairs AS (SELECT substring(w, CAST(i AS INTEGER), 1) AS lhs, " +
+      "CASE WHEN i = length(w) THEN '</w>' " +
+      "ELSE substring(w, CAST(i AS INTEGER) + 1, 1) END AS rhs, cnt FROM pos) " +
+      "SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM pairs " +
+      "GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs, rhs LIMIT 30"),
 
     // BM25 restated term by term with the SAME expression tree
     // (association order matters: both sides compute

@@ -152,6 +152,102 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Adjacent-symbol pair frequencies at BPE iteration zero: every
+    * word split into characters + the `</w>` end marker, pairs
+    * weighted by word frequency. The first merge any BPE trainer
+    * learns is this table's argmax; it is also the only iteration
+    * that is data-sized, which makes it the oracle surface for
+    * [[bpeTrain]]. One corpus pass (map-side combined word counts),
+    * then pair explosion over the VOCABULARY, not the corpus. */
+  def bpePairCounts(docs: DataFrame): DataFrame = {
+    val words = graft.Engine.fanOut(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    words
+      .select(col("w"), col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("chars"))
+      .select(col("cnt"),
+        explode(expr("transform(sequence(1, size(chars)), i -> " +
+          "struct(chars[i - 1] AS left, " +
+          "CASE WHEN i = size(chars) THEN '</w>' ELSE chars[i] END AS right))")).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("cnt")).as("pair_count"))
+  }
+
+  /** Byte-pair-encoding tokenizer TRAINING — the vocabulary-learning
+    * step of an LLM data pipeline (SentencePiece/HF `trainers.BpeTrainer`
+    * semantics): learn `nMerges` merge rules, most-frequent adjacent
+    * symbol pair first, ties broken lexicographically on (left, right)
+    * so the result is a pure function of the corpus.
+    *
+    * Scale shape, the part that matters at 100 TB: the corpus
+    * collapses to a (word, count) VOCABULARY in one map-side-combined
+    * pass — Heaps' law bounds distinct words far below corpus size,
+    * and `maxVocab` caps the tail (rare words contribute negligible
+    * pair mass; every production tokenizer trainer does the same).
+    * The merge loop then runs DRIVER-SIDE over that bounded table,
+    * like the k-means/PQ codebook training in [[graft.pipeline
+    * .Embeddings]] — model-parameter work over a bounded sample, not
+    * a per-row corpus loop. Returns (rank, left, right, merged,
+    * pair_count) with rank = merge order. */
+  def bpeTrain(docs: DataFrame, nMerges: Int, maxVocab: Int = 65536): DataFrame = {
+    require(nMerges >= 1 && maxVocab >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // distributed: corpus -> capped (word, count) vocabulary.
+    // deterministic cap: count desc, word asc
+    val vocab: Array[(String, Long)] = graft.Engine.fanOut(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // driver-side merge loop over symbol sequences
+    var seqs: Array[(Array[String], Long)] = vocab.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    while (rank <= nMerges) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) rank = nMerges + 1
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+              (v == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, v)
+        }
+        val ((l, r), cnt) = best
+        val merged = l + r
+        merges += ((rank, l, r, merged, cnt))
+        seqs = seqs.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, c)
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
+
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "fr" -> Seq("le", "la", "et", "les", "des"),

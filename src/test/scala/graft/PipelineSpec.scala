@@ -998,6 +998,35 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("bpeTrain: hand-verified merge sequence; first merge is the pair-table argmax") {
+    import spark.implicits._
+    // corpus "aa aa ab": vocab {aa:2, ab:1}; symbols a,a,</w> ×2 and
+    // a,b,</w> ×1. Iteration 0 pairs: (a,a):2, (a,</w>):2, (a,b):1,
+    // (b,</w>):1 — argmax ties break lexicographically and '<' sorts
+    // before 'a', so (a,</w>) wins; then (a,a</w>):2; then (a,b):1.
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(tiny, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(merges == Seq(
+      (1L, "a", "</w>", "a</w>", 2L),
+      (2L, "a", "a</w>", "aa</w>", 2L),
+      (3L, "a", "b", "ab", 1L)), merges.toString)
+    // merge loop exhausts gracefully when no pairs remain
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(one, 10).count() == 1) // only (x, </w>)
+
+    // on the fixture corpus: the first learned merge IS the argmax of
+    // the distributed pair table (same tie-break)
+    val firstMerge = TextAnalysis.bpeTrain(docs, 1).collect()(0)
+    val top = TextAnalysis.bpePairCounts(docs)
+      .orderBy(col("pair_count").desc, col("left"), col("right"))
+      .limit(1).collect()(0)
+    assert(firstMerge.getString(1) == top.getString(0) &&
+      firstMerge.getString(2) == top.getString(1) &&
+      firstMerge.getLong(4) == top.getLong(2))
+  }
+
   test("perceptual hash: textbook aHash bits; dup pairs equal brute-force hamming") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(docs)
