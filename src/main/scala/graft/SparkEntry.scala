@@ -1214,6 +1214,24 @@ object SparkEntry {
     * brute-force pairwise exact Jaccard over distinct word 3-shingles.
     * Also the oracle for the minhash / simhash variants, whose
     * verified output equals the exact join (candidate recall ≈ 1). */
+  /** Shared BM25 CTE body (query terms spark/hash/window, k1=1.2,
+    * b=0.75) ending in a `scored` table — text_bm25 reads it whole,
+    * q_sql_search applies the TVF's top-k cut. */
+  private val duckBm25Cte: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+      "WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term), " +
+      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "contrib AS (SELECT tf.doc_id, " +
+      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
+      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
+      "FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
+      "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
+      "COUNT(*) AS n_terms FROM contrib GROUP BY doc_id)"
+
   private val duckJaccardPairs: String =
     "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
@@ -2228,19 +2246,14 @@ object SparkEntry {
     // (association order matters: both sides compute
     // ((idf·tf)·(k1+1))/(tf + k1·((1−b) + (b·len)/avgdl)) in IEEE
     // doubles, then round through DECIMAL(28,12) before the sum).
-    "text_bm25" -> ("WITH toks AS (SELECT doc_id, " +
-      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
-      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
-      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
-      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
-      "WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term), " +
-      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
-      "contrib AS (SELECT tf.doc_id, " +
-      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
-      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
-      "FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats) " +
-      "SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
-      "COUNT(*) AS n_terms FROM contrib GROUP BY doc_id ORDER BY doc_id"),
+    "text_bm25" -> (duckBm25Cte +
+      " SELECT doc_id, score, n_terms FROM scored ORDER BY doc_id"),
+
+    // The TVF's deterministic top-k cut over the same scores.
+    "q_sql_search" -> (duckBm25Cte +
+      " SELECT doc_id, score, n_terms FROM " +
+      "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
+      "ORDER BY doc_id"),
 
     "text_lm_score" ->
       (LmNllCte + " SELECT doc_id, n_bigrams, sum_nll, avg_nll FROM nll ORDER BY doc_id"),
@@ -2661,6 +2674,13 @@ object SparkEntry {
     // sorted_intersect_size resolve through the analyzer like
     // built-ins and keep their codegen. Same inverted-index plan and
     // the same oracle as dedup_ngram — one operator, two surfaces.
+    // Retrieval through the SQL surface: the corpus_search TVF wraps
+    // TextAnalysis.bm25 with a deterministic (score desc, doc_id) cut.
+    "q_sql_search" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, score, n_terms FROM " +
+          s"corpus_search('$d/documents.parquet', 'spark hash window', k=>15)")
+        .orderBy("doc_id")),
+
     "q_sql_dedup" -> ((s, d) => {
       Engine.registerViews(s, d)
       s.sql("""WITH sh AS (

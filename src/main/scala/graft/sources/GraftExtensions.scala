@@ -30,6 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ReadFilesTVF.getClass.getName, "read_files"),
       (args: Seq[Expression]) => ReadFilesTVF.build(args)))
 
+    // BM25 corpus search as a TVF: SELECT * FROM
+    // corpus_search('path', 'query terms' [, k=>10]) — the SQL surface
+    // of TextAnalysis.bm25, resolving through the analyzer like
+    // read_files so pushdown/pruning apply to the underlying scan.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_search"),
+      new ExpressionInfo(CorpusSearchTVF.getClass.getName, "corpus_search"),
+      (args: Seq[Expression]) => CorpusSearchTVF.build(args)))
+
     // The pipeline's native expressions as first-class SQL scalar
     // functions — the reference's extension-registry vision
     // (operator_task_registry.rs:74-94) applied to functions: a SQL
@@ -83,6 +92,53 @@ object GraftExtensions {
       (args: Seq[Expression]) => builder.applyOrElse(args, (a: Seq[Expression]) =>
         throw new IllegalArgumentException(
           s"$name: unexpected argument count ${a.size}"))))
+}
+
+/** `corpus_search(path, query [, k=>10] [, connection=>name])`:
+  * BM25 top-k over a (doc_id, text) parquet corpus — retrieval for
+  * SQL users with no Scala in sight. Whitespace-tokenized query,
+  * deterministic ranking (score desc, doc_id asc — scores are the
+  * decimal-exact [[graft.pipeline.TextAnalysis.bm25]] values, so the
+  * cut is stable across engines and runs). */
+object CorpusSearchTVF {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"corpus_search: $what must be a string literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        // k arrives as an integer literal, connection as a string
+        opts(key.toLowerCase) = value match {
+          case Literal(v: Int, IntegerType) => v.toString
+          case Literal(v: Long, LongType) => v.toString
+          case other => str(other, s"argument $key")
+        }
+      case lit => pos = pos :+ str(lit, "path/query")
+    }
+    val (path, query) = pos match {
+      case p :: q :: Nil => (p, q)
+      case _ => throw new IllegalArgumentException(
+        "corpus_search: expected (path, query) positional arguments")
+    }
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    require(k >= 1, s"corpus_search: k $k must be >= 1")
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "corpus_search: empty query")
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
+    val docs = spark.read.parquet(resolved)
+    import org.apache.spark.sql.functions.col
+    graft.pipeline.TextAnalysis.bm25(docs, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .queryExecution.analyzed
+  }
 }
 
 object ReadFilesTVF {

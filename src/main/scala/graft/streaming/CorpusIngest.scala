@@ -159,11 +159,15 @@ object CorpusIngest {
     val victims = spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
       .select("doc_id").distinct()
 
-    // 3. locate touched part files — doc_id column only crosses this scan
-    val withFile = spark.read.parquet(outDir)
-      .select(col("doc_id"), input_file_name().as("f"))
-    val doomedUris: Array[String] = withFile.join(broadcast(victims), "doc_id")
-      .select("f").distinct().collect().map(_.getString(0))
+    // 3. locate touched part files — doc_id column only crosses this
+    // scan. A corpus whose every file was already purged has no data
+    // files to read: nothing to locate, tombstones just consume.
+    val doomedUris: Array[String] =
+      try spark.read.parquet(outDir)
+        .select(col("doc_id"), input_file_name().as("f"))
+        .join(broadcast(victims), "doc_id")
+        .select("f").distinct().collect().map(_.getString(0))
+      catch { case _: org.apache.spark.sql.AnalysisException => Array.empty }
     val doomedNames = doomedUris.map(u => new Path(new java.net.URI(u)).getName)
 
     if (doomedUris.nonEmpty) {

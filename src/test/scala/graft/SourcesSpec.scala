@@ -343,6 +343,24 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       rereg.count() == Engine.table(spark, sfDir, "orders").count())
   }
 
+  test("corpus_search TVF: BM25 top-k through SQL equals the Scala API") {
+    val viaSql = spark.sql(
+      s"SELECT doc_id, score FROM corpus_search('$sfDir/documents.parquet', " +
+        "'spark hash window', k=>5)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql.length == 5)
+    val viaApi = graft.pipeline.TextAnalysis.bm25(
+        Engine.table(spark, sfDir, "documents"), Seq("spark", "hash", "window"))
+      .orderBy(col("score").desc, col("doc_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql == viaApi)
+    // scores descend; a malformed call fails loud
+    assert(viaSql.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM corpus_search('only-one-arg')").collect()
+    }
+  }
+
   test("injected SQL scalar functions resolve and match the Scala API") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
