@@ -135,12 +135,30 @@ object SparkEntry {
       out
     })
 
+  /** Inverted text index for q_bm25_indexed: built over half the
+    * documents and APPENDED the other half, so the oracled query
+    * exercises the incremental path — build + append must serve
+    * identically to the corpus-scan BM25 over the full table. */
+  private val textIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def textIndexDir(s: SparkSession, d: String): String =
+    textIndexDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_tidx_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val out = f.getAbsolutePath
+      val docs = Engine.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      pipeline.TextIndex.write(docs.filter(col("doc_id") % 2 === 0), out)
+      pipeline.TextIndex.append(docs.filter(col("doc_id") % 2 === 1), out)
+      out
+    })
+
   private[graft] def prepareIndexFixtures(s: SparkSession, d: String): Unit = {
     ivfIndexDir(s, d)
     ivfDeleteIndexDir(s, d)
     bandIndexDir(s, d)
     bucketedPair(s, d)
     corpusStoreDir(s, d)
+    textIndexDir(s, d)
     ()
   }
 
@@ -1732,6 +1750,15 @@ object SparkEntry {
       pipeline.TextAnalysis.bm25(T(s, d, "documents"),
         Seq("spark", "hash", "window"))),
 
+    // Indexed BM25 serving path: the same deterministic top-15 as
+    // q_sql_search, but from the persisted inverted index's pruned
+    // postings scan (built half + appended half) — one oracle pins
+    // index build, append, stats deltas, and scoring together.
+    "q_bm25_indexed" -> ((s, d) =>
+      pipeline.TextIndex.search(s, textIndexDir(s, d),
+          Seq("spark", "hash", "window"), 15)
+        .orderBy("doc_id")),
+
     // BPE iteration-0 pair table — the data-sized slice of tokenizer
     // training (the merge loop runs over the bounded vocabulary;
     // bpeTrain is spec-gated). lhs/rhs: LEFT/RIGHT are SQL keywords.
@@ -2251,6 +2278,12 @@ object SparkEntry {
 
     // The TVF's deterministic top-k cut over the same scores.
     "q_sql_search" -> (duckBm25Cte +
+      " SELECT doc_id, score, n_terms FROM " +
+      "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
+      "ORDER BY doc_id"),
+
+    // The index must serve the exact same scores and cut.
+    "q_bm25_indexed" -> (duckBm25Cte +
       " SELECT doc_id, score, n_terms FROM " +
       "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
       "ORDER BY doc_id"),

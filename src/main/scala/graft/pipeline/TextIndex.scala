@@ -1,0 +1,247 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for keyword retrieval — the serving path
+  * of [[TextAnalysis.bm25]]: scoring a query against a 100 TB corpus
+  * must read the QUERY TERMS' postings, not the corpus. Completes the
+  * engine's index triptych (IVF for vectors, band index for near-dup,
+  * this for keywords), with the same store conventions throughout:
+  * frozen scheme in `meta/`, bucket-partitioned stores, O(batch)
+  * appends, tombstoned takedowns, `_SUCCESS`-committed generation
+  * swaps with one-cycle grace, single maintenance writer.
+  *
+  * Layout:
+  *   dir/meta/                  one row (buckets), frozen at build
+  *   dir/postings[_v<N>]/       (term, doc_id, tf, len) partitioned by
+  *                              bucket = pmod(xxhash64(term), buckets);
+  *                              `len` is the doc's token count
+  *                              DENORMALIZED into every posting — the
+  *                              standard IR trade that makes scoring
+  *                              one pruned scan
+  *   dir/postings…/_stats/      (n_docs, total_len) DELTA rows, one
+  *                              per write/append — readers SUM them.
+  *                              Underscore dir: invisible to the
+  *                              postings parquet reader, and it RIDES
+  *                              THE GENERATION, so a compaction swap
+  *                              replaces postings and stats atomically
+  *   dir/tombstones/            doc_id takedowns
+  *
+  * [[search]] cost at 100 TB: `bucket IN (query-term buckets)` prunes
+  * every other partition directory; `term IN (...)` pushes into the
+  * probed buckets' scan. Document frequencies come from the same
+  * pruned scan; (N, avgdl) from the summed stats deltas. Nothing
+  * corpus-sized moves.
+  *
+  * Delete semantics, stated honestly: a tombstoned doc leaves RESULTS
+  * immediately (anti-join above the pruned scan); the global (N,
+  * avgdl, df) statistics keep counting it until [[compact]] purges
+  * its postings and rewrites exact stats from the survivors — the
+  * standard IR trade (scores drift by one doc in N until
+  * maintenance; rankings are insensitive at corpus scale).
+  */
+object TextIndex {
+
+  private def liveStore(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed: Seq[Int] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+        .collect { case n if n.startsWith("postings_v") => n.stripPrefix("postings_v") }
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .filter(v => fs.exists(new Path(s"$dir/postings_v$v/_SUCCESS")))
+    if (committed.isEmpty) s"$dir/postings" else s"$dir/postings_v${committed.max}"
+  }
+
+  private def postings(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = graft.Engine.fanOut(docs)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("len", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .select("term", "doc_id", "tf", "len", "bucket")
+  }
+
+  private def writeStatsDelta(docs: DataFrame, store: String): Unit =
+    docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+      .coalesce(1).write.mode("append").parquet(s"$store/_stats")
+
+  /** Build the base index over `docs` (doc_id, text). */
+  def write(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.startsWith("postings") || q.getName == "tombstones")
+      .foreach(q => fs.delete(q, true))
+    postings(docs, buckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+    writeStatsDelta(docs, s"$dir/postings")
+  }
+
+  /** O(batch) maintenance: append a batch's postings + one stats delta
+    * into the LIVE generation under the frozen bucket scheme. Build +
+    * appends serves row-identically to a fresh build over the union
+    * (bucket assignment is a pure function of the term). */
+  def append(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    val store = liveStore(spark, dir)
+    postings(docs, buckets)
+      .write.mode("append").partitionBy("bucket").parquet(store)
+    writeStatsDelta(docs, store)
+  }
+
+  /** Takedowns: O(batch) tombstone append; the ids stop appearing in
+    * [[search]] results immediately. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("doc_id").distinct()
+      .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  private def tombstoneFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+    else Seq.empty
+  }
+
+  private def statsFiles(spark: SparkSession, store: String): Seq[String] = {
+    val p = new Path(s"$store/_stats")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.toString).filter(_.endsWith(".parquet")).toSeq
+  }
+
+  /** (n_docs, total token count) as the readers see them: the live
+    * generation's summed stats deltas. */
+  def stats(spark: SparkSession, dir: String): (Long, Long) = {
+    val store = liveStore(spark, dir)
+    val r = spark.read.parquet(statsFiles(spark, store): _*)
+      .agg(sum("n_docs"), sum("total_len")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** BM25 top-k for `terms`: one partition-pruned scan of the query
+    * terms' buckets. Deterministic cut (score desc, doc_id asc);
+    * scores are the decimal-exact [[TextAnalysis.bm25]] values, so an
+    * index built over a corpus scores queries identically to the
+    * corpus-scan path (the `q_bm25_indexed` oracle pins this). */
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    import spark.implicits._
+    // pruning literals: hash the (human-query-sized) term list in
+    // Spark so the bucket derivation is byte-identical to the writer's
+    val termBuckets: Array[Int] = qTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    val store = liveStore(spark, dir)
+    val post = spark.read.parquet(store)
+      .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
+      .filter(col("term").isin(qTerms: _*))
+    val tombs = tombstoneFiles(spark, dir)
+    val live = if (tombs.isEmpty) post
+      else post.join(
+        broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    val (nDocs, totalLen) = stats(spark, dir)
+    val avgdl = totalLen.toDouble / nDocs
+    val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
+    live.join(broadcast(dfs), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("raw").cast("double").as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Physical purge + small-file maintenance, the shared generation
+    * protocol ([[TextDedup.compactBandIndex]]): buckets holding
+    * tombstoned postings or exceeding `maxFilesPerBucket` rewrite into
+    * `postings_v<N+1>`; within-bound buckets carry by raw file copy;
+    * the generation becomes visible only when `_SUCCESS` commits, the
+    * replaced one stays as the grace copy, older ones prune. The new
+    * generation gets ONE exact stats row recomputed from the
+    * survivors' distinct (doc_id, len) — so (N, avgdl) snap back to
+    * exact after every compaction. Consumed tombstone files are
+    * dropped only after the swap commits; a delete racing this pass
+    * survives to the next one. Returns buckets rewritten. */
+  def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 4): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val tombs = tombstoneFiles(spark, dir)
+    val tombDf = if (tombs.isEmpty) None
+      else Some(spark.read.parquet(tombs: _*).select("doc_id").distinct())
+    val live = liveStore(spark, dir)
+    val bucketDirs = fs.listStatus(new Path(live))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    def parquets(p: Path) = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val tombBuckets: Set[Int] = tombDf match {
+      case None => Set.empty
+      case Some(t) => spark.read.parquet(live).join(broadcast(t), Seq("doc_id"))
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    }
+    val (rewrite, carry) = bucketDirs.partition { d =>
+      parquets(d.getPath).length > maxFilesPerBucket ||
+        tombBuckets.contains(d.getPath.getName.stripPrefix("bucket=").toInt)
+    }
+    if (rewrite.isEmpty && tombs.isEmpty) return 0
+    val liveVersion =
+      if (live.endsWith("/postings")) 0
+      else live.substring(live.lastIndexOf("_v") + 2).toInt
+    val next = s"$dir/postings_v${liveVersion + 1}"
+    carry.foreach { d =>
+      val dst = new Path(s"$next/${d.getPath.getName}")
+      fs.mkdirs(dst)
+      parquets(d.getPath).foreach(f =>
+        FileUtil.copy(fs, f.getPath, fs,
+          new Path(dst, f.getPath.getName), false, conf))
+    }
+    if (rewrite.nonEmpty) {
+      val bs = rewrite.map(_.getPath.getName.stripPrefix("bucket=").toInt).toIndexedSeq
+      val toRewrite = spark.read.parquet(live).filter(col("bucket").isin(bs: _*))
+      tombDf.map(t => toRewrite.join(broadcast(t), Seq("doc_id"), "left_anti"))
+        .getOrElse(toRewrite)
+        .repartition(bs.length, col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(next)
+    }
+    // exact stats from the survivors, INSIDE the new generation — the
+    // swap below publishes postings and stats together
+    spark.read.parquet(next)
+      .select("doc_id", "len").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/_stats")
+    if (!fs.exists(new Path(s"$next/_SUCCESS")))
+      fs.create(new Path(s"$next/_SUCCESS")).close()
+    (0 until liveVersion).foreach { v =>
+      val old = new Path(if (v == 0) s"$dir/postings" else s"$dir/postings_v$v")
+      if (fs.exists(old)) fs.delete(old, true)
+    }
+    tombs.foreach(f => fs.delete(new Path(f), false))
+    rewrite.length
+  }
+}

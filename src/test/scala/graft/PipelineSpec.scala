@@ -998,6 +998,47 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("text index lifecycle: build+append ≡ corpus scan; delete, compact, exact stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_spec").toString
+    val d2 = docs.select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "hash", "window")
+    graft.pipeline.TextIndex.write(d2.filter(col("doc_id") % 2 === 0), dir, buckets = 16)
+    graft.pipeline.TextIndex.append(d2.filter(col("doc_id") % 2 === 1), dir)
+    // build + append serves exactly the corpus-scan BM25 cut
+    def viaIndex() = graft.pipeline.TextIndex.search(spark, dir, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScan = TextAnalysis.bm25(d2, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex() == viaScan)
+    // stats deltas sum to the corpus truth
+    val (n, total) = graft.pipeline.TextIndex.stats(spark, dir)
+    assert(n == d2.count())
+    assert(total == d2.select(org.apache.spark.sql.functions.size(
+      TextAnalysis.tokens(col("text"))).cast("long")).as[Long].collect().sum)
+
+    // takedown: the top doc leaves results immediately, bytes at compact
+    val victim = viaScan.head._1
+    graft.pipeline.TextIndex.delete(spark, dir, Seq(victim))
+    val afterDelete = viaIndex()
+    assert(!afterDelete.exists(_._1 == victim))
+    val rewritten = graft.pipeline.TextIndex.compact(spark, dir, maxFilesPerBucket = 64)
+    assert(rewritten >= 1, "compaction should rewrite the victim's buckets")
+    // bytes gone from the live generation; stats snap to exact survivors
+    val (n2, _) = graft.pipeline.TextIndex.stats(spark, dir)
+    assert(n2 == n - 1, s"stats after purge: $n2 vs ${n - 1}")
+    assert(!viaIndex().exists(_._1 == victim))
+    // post-compaction the index serves EXACTLY like a corpus scan over
+    // the survivors — (N, avgdl) snapped back to exact (pre-compaction
+    // they still counted the victim: the documented stale-stats trade)
+    val survivorScan = TextAnalysis.bm25(
+        d2.filter(col("doc_id") =!= victim), terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex() == survivorScan)
+  }
+
   test("bpeTrain: hand-verified merge sequence; first merge is the pair-table argmax") {
     import spark.implicits._
     // corpus "aa aa ab": vocab {aa:2, ab:1}; symbols a,a,</w> ×2 and

@@ -619,6 +619,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text index: search reads only the query terms' bucket partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_plan").toString
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    graft.pipeline.TextIndex.write(docs, dir, buckets = 64)
+    withoutAqe {
+      // 3 query terms -> at most 3 of 64 bucket partitions survive the
+      // static bucket IN (...) pruning
+      val p = planOf(graft.pipeline.TextIndex.search(
+        spark, dir, Seq("spark", "hash", "window"), 10))
+      val postingScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      assert(postingScans.nonEmpty, s"no partition-filtered postings scan:\n$p")
+      val pruned = postingScans.head
+      val staticFilters = pruned.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+      assert(staticFilters.nonEmpty, "no static bucket IN (...) partition filter")
+      val selected = pruned.relation.location.listFiles(staticFilters, Nil).length
+      assert(selected <= 3,
+        s"3 terms must probe <= 3 of 64 buckets, got $selected")
+      // the term filter pushes into the probed buckets' scan
+      assert(p.toString.contains("PushedFilters") &&
+        p.toString.contains("In(term"), p.toString.take(4000))
+    }
+  }
+
   test("persisted IVF index: queries read only the probed cells' partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
