@@ -82,7 +82,8 @@ object TextIndex {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.listStatus(p).map(_.getPath)
-      .filter(q => q.getName.startsWith("postings") || q.getName == "tombstones")
+      .filter(q => q.getName.startsWith("postings") ||
+        q.getName == "tombstones" || q.getName == "purged")
       .foreach(q => fs.delete(q, true))
     postings(docs, buckets)
       .repartition(col("bucket"))
@@ -176,6 +177,56 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Ids present in the index (distinct doc_ids of the live postings),
+    * optionally including tombstoned AND purged ones — the id-level
+    * view [[reconcile]] diffs against. Without the purged-ids ledger a
+    * reconcile after compaction would see a purged takedown as
+    * "missing" and re-index it from the corpus of record — the
+    * resurrection bug class the band/IVF stores already guard. */
+  def ids(spark: SparkSession, dir: String,
+          includeTombstoned: Boolean = false): DataFrame = {
+    val store = liveStore(spark, dir)
+    val stored = spark.read.parquet(store).select("doc_id").distinct()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = tombstoneFiles(spark, dir)
+    if (includeTombstoned) {
+      val ledger = {
+        val p = new Path(s"$dir/purged")
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).toSeq
+        else Seq.empty
+      }
+      val extra = pending ++ ledger
+      if (extra.isEmpty) stored
+      else stored.unionByName(
+        spark.read.parquet(extra: _*).select("doc_id")).distinct()
+    } else if (pending.isEmpty) stored
+    else stored.join(
+      broadcast(spark.read.parquet(pending: _*).select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Targeted O(drift) repair against the corpus of record (the crash
+    * window between a corpus append and the index append, in either
+    * order): append postings for docs the index is missing, tombstone
+    * index ids whose docs are gone. "Missing" diffs against ALL index
+    * ids including tombstoned/purged, so a takedown whose doc still
+    * sits in the corpus of record stays taken down. Returns (appended,
+    * tombstoned). */
+  def reconcile(record: DataFrame, dir: String): (Long, Long) = {
+    val spark = record.sparkSession
+    val rec = record.select(col("doc_id"), col("text"))
+    val missing = rec.join(ids(spark, dir, includeTombstoned = true),
+      Seq("doc_id"), "left_anti")
+    val nMissing = missing.count()
+    if (nMissing > 0) append(missing, dir)
+    val orphans = ids(spark, dir)
+      .join(rec.select("doc_id"), Seq("doc_id"), "left_anti")
+    val orphanIds = orphans.collect().map(_.getLong(0)).toSeq
+    if (orphanIds.nonEmpty) delete(spark, dir, orphanIds)
+    (nMissing, orphanIds.length.toLong)
+  }
+
   /** Physical purge + small-file maintenance, the shared generation
     * protocol ([[TextDedup.compactBandIndex]]): buckets holding
     * tombstoned postings or exceeding `maxFilesPerBucket` rewrite into
@@ -190,7 +241,18 @@ object TextIndex {
   def compact(spark: SparkSession, dir: String, maxFilesPerBucket: Int = 4): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(dir).getFileSystem(conf)
-    val tombs = tombstoneFiles(spark, dir)
+    // two-phase tombstone consumption with the purged-ids ledger
+    // (band/IVF convention): files already ledgered on a prior pass
+    // drop now (grace expired); pending ones purge this pass and then
+    // enter the ledger — [[ids]](includeTombstoned) unions the ledger,
+    // so [[reconcile]] can never resurrect a purged takedown
+    val purgedDir = new Path(s"$dir/purged")
+    val ledgered: Set[String] =
+      if (fs.exists(purgedDir)) fs.listStatus(purgedDir).map(_.getPath.getName).toSet
+      else Set.empty
+    val (graceExpired, tombs) = tombstoneFiles(spark, dir)
+      .partition(f => ledgered.contains(new Path(f).getName))
+    graceExpired.foreach(f => fs.delete(new Path(f), false))
     val tombDf = if (tombs.isEmpty) None
       else Some(spark.read.parquet(tombs: _*).select("doc_id").distinct())
     val live = liveStore(spark, dir)
@@ -241,7 +303,15 @@ object TextIndex {
       val old = new Path(if (v == 0) s"$dir/postings" else s"$dir/postings_v$v")
       if (fs.exists(old)) fs.delete(old, true)
     }
-    tombs.foreach(f => fs.delete(new Path(f), false))
+    // consume the snapshotted tombstones into the ledger; the files
+    // themselves drop on the NEXT pass (grace for in-flight readers)
+    if (tombs.nonEmpty) {
+      fs.mkdirs(purgedDir)
+      tombs.foreach { f =>
+        val p = new Path(f)
+        FileUtil.copy(fs, p, fs, new Path(purgedDir, p.getName), false, conf)
+      }
+    }
     rewrite.length
   }
 }

@@ -49,7 +49,8 @@ object CorpusIngest {
     * for re-arrivals, as the ingest's own examples do. */
   def takedown(spark: org.apache.spark.sql.SparkSession, outDir: String,
                ids: Seq[Long], ivfIndexDir: Option[String] = None,
-               bandIndexDir: Option[String] = None): Unit = {
+               bandIndexDir: Option[String] = None,
+               textIndexDir: Option[String] = None): Unit = {
     import spark.implicits._
     ids.toDF("doc_id").coalesce(1)
       .write.mode("append").parquet(s"$outDir/_corpus_tombstones")
@@ -57,6 +58,8 @@ object CorpusIngest {
       graft.pipeline.Embeddings.deleteFromIvfIndex(spark, d, ids))
     bandIndexDir.foreach(d =>
       graft.pipeline.TextDedup.deleteFromBandIndex(ids.toDF("doc_id"), d))
+    textIndexDir.foreach(d =>
+      graft.pipeline.TextIndex.delete(spark, d, ids))
   }
 
   private def corpusTombstoneFiles(
@@ -327,7 +330,17 @@ object CorpusIngest {
     * [[purgeCorpusTombstones]] — the byte-removal half of [[takedown]]
     * on the ingest's own maintenance clock, serialized with appends
     * like the index compactions. 0 = off (tombstones still exclude
-    * taken-down docs logically via [[landedCorpus]]). */
+    * taken-down docs logically via [[landedCorpus]]).
+    *
+    * `textIndexDir`: a [[graft.pipeline.TextIndex.write]] layout
+    * (bootstrap it once from the snapshot) keeps KEYWORD SEARCH
+    * current with the ingest: each micro-batch's survivors append
+    * their postings + stats delta (O(batch)), and the index rides the
+    * same compaction and reconcile cadences as the other two indexes
+    * — one maintenance clock for the whole index triptych. Crash
+    * honesty as with the others: a lost postings append degrades
+    * search recall only, and the reconcile cadence repairs it
+    * O(drift). */
   def ingest(docs: DataFrame, snapshot: DataFrame, outDir: String,
              checkpointDir: String, watermark: String = "1 hour",
              minQuality: Double = 0.0,
@@ -341,7 +354,8 @@ object CorpusIngest {
              reconcileIndexEvery: Int = 0,
              nearDupIndexDir: Option[String] = None,
              nearDupThreshold: Double = 0.8,
-             purgeCorpusEvery: Int = 0)
+             purgeCorpusEvery: Int = 0,
+             textIndexDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cleaned = dedupAgainstSnapshot(
       cleanStream(docs, watermark, minQuality), snapshot)
@@ -392,10 +406,10 @@ object CorpusIngest {
           case None => fresh
         }
         // referenced more than once when indexing or band-gating
-        // (corpus append + embed and/or band append): materialize the
-        // micro-batch once
+        // (corpus append + embed and/or band/text append): materialize
+        // the micro-batch once
         val multiRef = (embedder.isDefined && ivfIndexDir.isDefined) ||
-          nearDupIndexDir.isDefined
+          nearDupIndexDir.isDefined || textIndexDir.isDefined
         val indexed = if (multiRef) gated.persist() else gated
         val sink = if (outputFilesPerBatch > 0) indexed.coalesce(outputFilesPerBatch)
                    else indexed
@@ -421,6 +435,22 @@ object CorpusIngest {
               .unionByName(
                 landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
             graft.pipeline.TextDedup.reconcileBandIndex(record, bd)
+            ()
+          }
+        }
+        textIndexDir.foreach { td =>
+          graft.pipeline.TextIndex.append(
+            indexed.select(col("doc_id"), col("text")), td)
+          if (compactIndexEvery > 0 && batchId > 0 &&
+              batchId % compactIndexEvery == 0) {
+            graft.pipeline.TextIndex.compact(spark, td, maxIndexFilesPerCell)
+            ()
+          }
+          if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
+            val record = snapshot.select(col("doc_id"), col("text"))
+              .unionByName(
+                landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
+            graft.pipeline.TextIndex.reconcile(record, td)
             ()
           }
         }

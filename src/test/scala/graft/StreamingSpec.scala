@@ -406,6 +406,62 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(res.nonEmpty && !res.exists(r => r.getLong(1) == 999L))
   }
 
+  test("ingest maintains the text index; reconcile repairs, takedowns never resurrect") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_tidx").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"
+    val chkDir = s"$tmp/chk"; val tidxDir = s"$tmp/tidx"
+    val snapText = "snapshot doc about spark and window functions here today ok"
+    val snapshot = Seq((100L, snapText)).toDF("doc_id", "text")
+    graft.pipeline.TextIndex.write(snapshot, tidxDir, buckets = 16)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq((1L, ts(5), "arriving doc mentioning spark twice spark and hash join topics"))
+      .toDF("doc_id", "ts", "text").coalesce(1).write.mode("append").parquet(inDir)
+    val q = CorpusIngest.ingest(
+      spark.readStream.schema(schema).parquet(inDir),
+      snapshot, outDir, chkDir, watermark = "30 minutes",
+      textIndexDir = Some(tidxDir), reconcileIndexEvery = 1)
+    q.awaitTermination(120000); q.stop()
+    // the landed batch is searchable
+    val hits = graft.pipeline.TextIndex.search(spark, tidxDir, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 100L), s"hits $hits")
+
+    // takedown through the full path: corpus tombstone + text index
+    CorpusIngest.takedown(spark, outDir, Seq(1L), textIndexDir = Some(tidxDir))
+    assert(graft.pipeline.TextIndex.search(spark, tidxDir, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+    // compaction purges; a reconcile against the corpus of record
+    // (which excludes the takedown via landedCorpus semantics) must
+    // NOT resurrect the purged id — the ledger keeps refusing it even
+    // though the doc text would still match the query
+    graft.pipeline.TextIndex.compact(spark, tidxDir, maxFilesPerBucket = 64)
+    val record = snapshot.unionByName(
+      CorpusIngest.landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
+    val (app, orph) = graft.pipeline.TextIndex.reconcile(record, tidxDir)
+    assert(app == 0 && orph == 0, s"reconcile after takedown: +$app/-$orph")
+    assert(graft.pipeline.TextIndex.search(spark, tidxDir, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+
+    // and reconcile DOES repair a genuinely lost append: wipe the
+    // index back to snapshot-only, reconcile re-indexes... nothing —
+    // doc 1 is corpus-tombstoned; a NEW doc landed outside the index
+    // is the repair case
+    Seq((2L, "fresh doc with window aggregates and hash partitions inside"))
+      .toDF("doc_id", "text").write.mode("append").parquet(outDir)
+    val (app2, _) = graft.pipeline.TextIndex.reconcile(
+      snapshot.unionByName(
+        CorpusIngest.landedCorpus(spark, outDir).select(col("doc_id"), col("text"))),
+      tidxDir)
+    assert(app2 == 1L, s"expected the stranded doc re-indexed, got $app2")
+    assert(graft.pipeline.TextIndex.search(spark, tidxDir, Seq("window"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 100L))
+  }
+
   test("corpus takedown: logical exclusion now, bytes at purge, crash roll-forward") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
