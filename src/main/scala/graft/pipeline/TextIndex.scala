@@ -216,7 +216,12 @@ object TextIndex {
   def reconcile(record: DataFrame, dir: String): (Long, Long) = {
     val spark = record.sparkSession
     val rec = record.select(col("doc_id"), col("text"))
-    val missing = rec.join(ids(spark, dir, includeTombstoned = true),
+    // a tokenless doc produces no postings rows, so it would read as
+    // "missing" on every pass and re-append its stats delta forever —
+    // it is unindexable by definition (can never match a query), so
+    // it is out of scope for the diff
+    val indexable = rec.filter(length(trim(col("text"))) > 0)
+    val missing = indexable.join(ids(spark, dir, includeTombstoned = true),
       Seq("doc_id"), "left_anti")
     val nMissing = missing.count()
     if (nMissing > 0) append(missing, dir)
