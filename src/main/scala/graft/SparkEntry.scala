@@ -1759,6 +1759,12 @@ object SparkEntry {
           Seq("spark", "hash", "window"), 15)
         .orderBy("doc_id")),
 
+    // Exact phrase query from the positional postings: occurrence
+    // counts by shifted-position intersection, the text never read.
+    "q_phrase_search" -> ((s, d) =>
+      pipeline.TextIndex.searchPhrase(s, textIndexDir(s, d), "table scan", 25)
+        .orderBy("doc_id")),
+
     // BPE iteration-0 pair table — the data-sized slice of tokenizer
     // training (the merge loop runs over the bounded vocabulary;
     // bpeTrain is spec-gated). lhs/rhs: LEFT/RIGHT are SQL keywords.
@@ -2287,6 +2293,15 @@ object SparkEntry {
       " SELECT doc_id, score, n_terms FROM " +
       "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
       "ORDER BY doc_id"),
+
+    // Phrase counts restated by direct token-array scan — an
+    // independent method from the index's position-set intersection.
+    "q_phrase_search" -> ("WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)), " +
+      "s -> w[s] = 'table' AND w[s + 1] = 'scan')) AS BIGINT) AS n_hits FROM t) " +
+      "SELECT doc_id, n_hits FROM (SELECT * FROM h WHERE n_hits > 0 " +
+      "ORDER BY n_hits DESC, doc_id LIMIT 25) ORDER BY doc_id"),
 
     "text_lm_score" ->
       (LmNllCte + " SELECT doc_id, n_bigrams, sum_nll, avg_nll FROM nll ORDER BY doc_id"),

@@ -56,15 +56,22 @@ object TextIndex {
     if (committed.isEmpty) s"$dir/postings" else s"$dir/postings_v${committed.max}"
   }
 
+  /** Positional postings: `positions` holds the term's 0-based token
+    * offsets within the doc (sorted) — tf is its size, and phrase
+    * queries resolve by intersecting shifted position sets without
+    * ever touching the original text. */
   private def postings(docs: DataFrame, buckets: Int): DataFrame = {
     val toks = graft.Engine.fanOut(docs)
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
       .filter(length(col("term")) > 0)
-    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    toks.groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tf", size(col("positions")).cast("long"))
       .withColumn("len", sum("tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-      .select("term", "doc_id", "tf", "len", "bucket")
+      .select("term", "doc_id", "tf", "len", "positions", "bucket")
   }
 
   private def writeStatsDelta(docs: DataFrame, store: String): Unit =
@@ -174,6 +181,57 @@ object TextIndex {
         count(lit(1)).as("n_terms"))
       .select(col("doc_id"), col("raw").cast("double").as("score"), col("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact PHRASE search over the positional postings: documents
+    * containing the consecutive token sequence `phrase`, ranked by
+    * occurrence count (ties by doc_id). The classic positional-index
+    * algorithm: a doc matches iff ∩_i (positions(term_i) − i) is
+    * non-empty, and the intersection size IS the occurrence count —
+    * resolved entirely from the index, the original text is never
+    * read. Same pruning as [[search]]: only the phrase terms' bucket
+    * partitions are scanned; a phrase with a repeated term prunes to
+    * the distinct terms and still intersects per-occurrence correctly
+    * (the shifted-set algebra does not care that two shifts came from
+    * the same posting). */
+  def searchPhrase(spark: SparkSession, dir: String, phrase: String,
+                   k: Int): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty && k >= 1)
+    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    import spark.implicits._
+    val n = terms.length
+    val distinctTerms = terms.distinct
+    val termBuckets: Array[Int] = distinctTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0))
+    val store = liveStore(spark, dir)
+    val post = spark.read.parquet(store)
+      .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
+      .filter(col("term").isin(distinctTerms: _*))
+      .select("doc_id", "term", "positions")
+    val tombs = tombstoneFiles(spark, dir)
+    val live = if (tombs.isEmpty) post
+      else post.join(
+        broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    // one row per doc with its term→positions map; docs missing any
+    // distinct term cannot match and drop before the intersection
+    val perDoc = live
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("m"), count(lit(1)).as("nt"))
+      .filter(col("nt") === distinctTerms.length)
+    val first = col("m")(terms.head)
+    val hits = (1 until n).foldLeft(first) { (acc, i) =>
+      array_intersect(acc, transform(col("m")(terms(i)), p => p - i))
+    }
+    perDoc
+      .withColumn("n_hits", size(hits).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "n_hits")
+      .orderBy(col("n_hits").desc, col("doc_id"))
       .limit(k)
   }
 

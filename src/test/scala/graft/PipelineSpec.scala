@@ -1039,6 +1039,37 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaIndex() == survivorScan)
   }
 
+  test("phrase search: shifted-position intersection equals direct text scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phrase_spec").toString
+    graft.pipeline.TextIndex.write(docs.select(col("doc_id"), col("text")), dir, buckets = 16)
+    def direct(phrase: String): Map[Long, Long] = {
+      val terms = phrase.split(" ").toSeq
+      docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val w = r.getString(1).trim.toLowerCase.split("\\s+").toSeq
+        val hits = (0 to w.length - terms.length).count(s =>
+          terms.indices.forall(i => w(s + i) == terms(i)))
+        if (hits > 0) Some(r.getLong(0) -> hits.toLong) else None
+      }.toMap
+    }
+    for (phrase <- Seq("table scan", "the fast key")) {
+      val got = graft.pipeline.TextIndex.searchPhrase(spark, dir, phrase, 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == direct(phrase), s"phrase '$phrase'")
+    }
+    // a repeated-term phrase intersects shifts of the SAME posting
+    // list and must not self-match non-consecutive occurrences
+    val tiny = Seq((1L, "a b a b a"), (2L, "a a b")).toDF("doc_id", "text")
+    val d2 = java.nio.file.Files.createTempDirectory("graft_phrase_tiny").toString
+    graft.pipeline.TextIndex.write(tiny, d2, buckets = 4)
+    def hits(p: String) = graft.pipeline.TextIndex.searchPhrase(spark, d2, p, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits("a b") == Map(1L -> 2L, 2L -> 1L))
+    assert(hits("b a") == Map(1L -> 2L))
+    assert(hits("a a") == Map(2L -> 1L))
+    assert(hits("a b a") == Map(1L -> 2L))
+  }
+
   test("bpeTrain: hand-verified merge sequence; first merge is the pair-table argmax") {
     import spark.implicits._
     // corpus "aa aa ab": vocab {aa:2, ab:1}; symbols a,a,</w> ×2 and
