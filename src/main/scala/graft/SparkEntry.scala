@@ -3406,6 +3406,23 @@ object SparkEntry {
           (max("lat_us").cast("double") / lit(1e6)).as("max_s"))
     }),
 
+    // Path analysis: the top event-type transitions over per-user
+    // time-ordered sequences (the "where do users go next" product
+    // query). One user_id exchange feeds the lead() window; the
+    // transition aggregate is map-side combined over |event_types|²
+    // keys.
+    "q_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+        .limit(20)
+    }),
+
     // Correlated LATERAL subquery with per-row LIMIT — top-2 nations
     // per region: the "top-N per group via lateral" idiom (decorrelates
     // to a ranked window under Catalyst, never a per-row re-scan).
@@ -3509,6 +3526,12 @@ object SparkEntry {
       "CAST(MIN(lat_us) AS DOUBLE) / 1000000.0 AS min_s, " +
       "CAST(MAX(lat_us) AS DOUBLE) / 1000000.0 AS max_s FROM lat"),
 
+    "q_event_paths" -> ("WITH seq AS (SELECT user_id, event_type, " +
+      "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+      "FROM events) " +
+      "SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n " +
+      "FROM seq WHERE next_type IS NOT NULL " +
+      "GROUP BY event_type, next_type ORDER BY n DESC, from_type, to_type LIMIT 20"),
     "q_lateral" -> ("SELECT r_name, n_name FROM region, " +
       "LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey " +
       "ORDER BY n_name LIMIT 2) ORDER BY r_name, n_name"),
