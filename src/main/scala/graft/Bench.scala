@@ -58,7 +58,7 @@ object Bench {
     // Index fixtures build OUTSIDE the timed region (the production
     // shape: indexes are built offline; the bench times the QUERIES).
     // Skipped when an ONLY-run selects no index-reading query.
-    val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete",
+    val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete", "ann_ivf_filtered",
       "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr",
       "q_bucketed_join", "q_corpus_merge", "q_bm25_indexed", "q_phrase_search")
     if (only.forall(o => o.exists(indexQueries.contains)))

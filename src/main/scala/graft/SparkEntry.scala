@@ -1613,6 +1613,19 @@ object SparkEntry {
           (col("neighbor_id") === col("query_id") - 777000).as("self_at_1"))
     }),
 
+    // Filtered vector search: neighbors restricted to vec_id%3==0
+    // (the "only this language/tenant" serving shape), adaptive so
+    // the FILTERED result is exact — the oracle is the brute-force
+    // cosine top-k over the filtered corpus, compared value-for-value.
+    "ann_ivf_filtered" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val ext = emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 888000).as("qid"), col("embedding"))
+      pipeline.Embeddings.ivfTopKIndexedFor(ext, ivfIndexDir(s, d), 5,
+        nprobe = 5, adaptive = true,
+        allowedIds = Some(emb.filter(col("vec_id") % 3 === 0).select("vec_id")))
+    }),
+
     // Index delete lifecycle: tombstone → purge-on-compaction → live
     // tombstone, then the pruned read. The oracle pins the surviving
     // query set and the k-ranked shape; `neighbor_live` turns any
@@ -2168,6 +2181,17 @@ object SparkEntry {
       "WHERE vec_id < 10 AND vec_id <> 3 ORDER BY query_id, rank"),
 
     "ann_topk" -> annExactTopkSql,
+
+    // Brute force over the FILTERED corpus — value-for-value (the
+    // adaptive escape makes the filtered indexed read exact).
+    "ann_ivf_filtered" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id + 888000 AS query_id, v FROM v WHERE vec_id < 10), " +
+      "a AS (SELECT * FROM v WHERE vec_id % 3 = 0), " +
+      "scored AS (SELECT q.query_id, a.vec_id AS neighbor_id, " +
+      duckCos("a", "q") + " AS cos FROM a, q) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // IVF pair retrieval is held to the SAME exact-equality form of
     // oracle as the LSH-candidate dedup_embed: identical emitted

@@ -1139,14 +1139,30 @@ object Embeddings {
     * pruned pass — the result is then EXACT top-k over the live
     * corpus, at fixed-nprobe cost for the (typical) queries whose
     * first pass already closed the bound. */
+  /** `allowedIds` (one id column) restricts the NEIGHBOR side to a
+    * subset — filtered vector search ("only lang='en' docs", "only
+    * this tenant"): a semi-join above the partition-pruned scan, the
+    * same plan shape as the tombstone exclusion. Exactness under
+    * `adaptive` is preserved: the per-cell radius bounds the best
+    * cosine over ALL members, which is conservative for any subset,
+    * so a cell whose bound cannot beat the kth-best FILTERED score is
+    * provably irrelevant to the filtered answer too (PipelineSpec pins
+    * equality with filtered brute force). */
   def ivfTopKIndexedFor(queries: DataFrame, dir: String, k: Int,
-                        nprobe: Int = 10, adaptive: Boolean = false): DataFrame = {
+                        nprobe: Int = 10, adaptive: Boolean = false,
+                        allowedIds: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val root = liveIndexRoot(spark, dir)
     val qn = withNorm(queries.select(
       col(queries.columns.head).cast("long").as("vec_id"),
       col(queries.columns(1)).as("embedding")))
-    ivfSearch(spark, root, liveRows(spark, root), qn, k, nprobe,
+    val corpus = allowedIds match {
+      case None => liveRows(spark, root)
+      case Some(a) => liveRows(spark, root).join(
+        a.select(col(a.columns.head).cast("long").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+    }
+    ivfSearch(spark, root, corpus, qn, k, nprobe,
       excludeSelf = false, adaptive = adaptive)
   }
 

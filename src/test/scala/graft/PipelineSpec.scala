@@ -650,6 +650,41 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert((bf & legacy).size.toDouble / bf.size == fixedR)
   }
 
+  test("filtered ANN: allowedIds + adaptive equals brute force over the filtered corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    val allowed = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val external = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 888000).as("qid"), col("embedding"))
+    val got = Embeddings.ivfTopKIndexedFor(external, dir, 5, nprobe = 5,
+        adaptive = true, allowedIds = Some(allowed))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    // brute force restricted to the allowed subset, same tie-break
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val vecs = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (0L until 10L).flatMap { q =>
+      val qv = vecs(q)
+      allowedSet.toSeq.map(n => (n, cos(qv, vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (q + 888000, (i + 1).toLong, n) }
+    }.toSet
+    assert(got == want)
+    // the filter actually bit: some unfiltered winner is excluded
+    val unfiltered = Embeddings.ivfTopKIndexedFor(external, dir, 5, nprobe = 5,
+        adaptive = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(unfiltered.exists(id => !allowedSet.contains(id)),
+      "fixture too easy: unfiltered top-k already inside the allowed set")
+  }
+
   test("rebuildIvfIndex: retrain + atomic generation swap; lifecycle ops follow the live root") {
     import org.apache.spark.sql.functions.{transform => atransform}
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
