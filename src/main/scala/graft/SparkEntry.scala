@@ -1237,7 +1237,8 @@ object SparkEntry {
     * q_sql_search applies the TVF's top-k cut. */
   private val duckBm25Cte: String =
     "WITH toks AS (SELECT doc_id, " +
-      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
       "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
       "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +

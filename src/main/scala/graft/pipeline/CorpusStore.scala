@@ -65,17 +65,8 @@ object CorpusStore {
 
   /** Live generation path (highest committed `corpus_v<N>`, else the
     * base `corpus`). */
-  def live(spark: SparkSession, dir: String): String = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[Int] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).map(_.getPath.getName).toSeq
-        .collect { case n if n.startsWith("corpus_v") => n.stripPrefix("corpus_v") }
-        .flatMap(v => scala.util.Try(v.toInt).toOption)
-        .filter(v => fs.exists(new Path(s"$dir/corpus_v$v/_SUCCESS")))
-    if (committed.isEmpty) s"$dir/corpus" else s"$dir/corpus_v${committed.max}"
-  }
+  def live(spark: SparkSession, dir: String): String =
+    Stores.liveGeneration(spark, dir, "corpus")
 
   /** The live corpus, without the layout column. */
   def read(spark: SparkSession, dir: String): DataFrame =

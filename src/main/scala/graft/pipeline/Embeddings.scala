@@ -865,17 +865,8 @@ object Embeddings {
     * convention as the service's versioned results
     * ([[graft.service.QueryService.compactResult]]). */
   private[graft] def liveCorpusDir(spark: org.apache.spark.sql.SparkSession,
-                                   dir: String): String = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed =
-      if (!fs.exists(root)) Array.empty[Int]
-      else fs.listStatus(root).map(_.getPath.getName)
-        .collect { case n if n.startsWith("corpus_v") => n.stripPrefix("corpus_v") }
-        .collect { case n if n.forall(_.isDigit) && n.nonEmpty => n.toInt }
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus_v$v/_SUCCESS")))
-    if (committed.isEmpty) s"$dir/corpus" else s"$dir/corpus_v${committed.max}"
-  }
+                                   dir: String): String =
+    Stores.liveGeneration(spark, dir, "corpus")
 
   /** Per-cell compaction of an IVF index's accumulated append files —
     * the maintenance step that keeps [[appendToIvfIndex]] (and the

@@ -122,7 +122,12 @@ object TextAnalysis {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val toks = graft.Engine.fanOut(docs)
+    // model scope = NON-BLANK docs: a blank doc has no real tokens
+    // (split would emit one empty string), can never match a query,
+    // and counting it in (N, avgdl) would desynchronize the
+    // corpus-scan scores from [[graft.pipeline.TextIndex]]'s, whose
+    // postings cannot see it
+    val toks = graft.Engine.fanOut(docs.filter(length(trim(col("text"))) > 0))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")

@@ -543,19 +543,8 @@ object TextDedup {
     * as the IVF corpus generations, so compaction swaps need zero
     * caller coordination. */
   private def liveStore(spark: org.apache.spark.sql.SparkSession,
-                        dir: String, name: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[Int] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).map(_.getPath.getName).toSeq
-        .collect { case n if n.startsWith(s"${name}_v") =>
-          n.stripPrefix(s"${name}_v") }
-        .flatMap(v => scala.util.Try(v.toInt).toOption)
-        .filter(v => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$dir/${name}_v$v/_SUCCESS")))
-    if (committed.isEmpty) s"$dir/$name" else s"$dir/${name}_v${committed.max}"
-  }
+                        dir: String, name: String): String =
+    Stores.liveGeneration(spark, dir, name)
 
   /** Pay the band index's small-file debt: per-batch appends add one
     * file per touched bucket per store per trigger, so at streaming

@@ -44,17 +44,17 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  private def liveStore(spark: SparkSession, dir: String): String = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[Int] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).map(_.getPath.getName).toSeq
-        .collect { case n if n.startsWith("postings_v") => n.stripPrefix("postings_v") }
-        .flatMap(v => scala.util.Try(v.toInt).toOption)
-        .filter(v => fs.exists(new Path(s"$dir/postings_v$v/_SUCCESS")))
-    if (committed.isEmpty) s"$dir/postings" else s"$dir/postings_v${committed.max}"
-  }
+  /** Generation commit marker. NOT Spark's `_SUCCESS`: the compaction
+    * writes the rewritten postings (Spark commits `_SUCCESS` there)
+    * and THEN the generation's `_stats` — a `_SUCCESS`-keyed resolve
+    * would publish the generation in the window where its stats do
+    * not exist yet (readers would crash on the missing `_stats`, and
+    * permanently so if the compactor died in that window). The marker
+    * is written explicitly, last. */
+  private val CommitMarker = "_GRAFT_COMMIT"
+
+  private def liveStore(spark: SparkSession, dir: String): String =
+    Stores.liveGeneration(spark, dir, "postings", CommitMarker)
 
   /** Positional postings: `positions` holds the term's 0-based token
     * offsets within the doc (sorted) — tf is its size, and phrase
@@ -74,9 +74,15 @@ object TextIndex {
       .select("term", "doc_id", "tf", "len", "positions", "bucket")
   }
 
+  /** The index's document scope is NON-BLANK docs — the same
+    * population [[TextAnalysis.bm25]] models and [[compact]]'s exact
+    * recompute (distinct over surviving postings) can see; counting
+    * blank/null docs here would desynchronize (N, avgdl) from both. */
   private def writeStatsDelta(docs: DataFrame, store: String): Unit =
-    docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    docs.filter(length(trim(col("text"))) > 0)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("len"), lit(0L)).as("total_len"))
       .coalesce(1).write.mode("append").parquet(s"$store/_stats")
 
   /** Build the base index over `docs` (doc_id, text). */
@@ -135,26 +141,25 @@ object TextIndex {
 
   /** (n_docs, total token count) as the readers see them: the live
     * generation's summed stats deltas. */
-  def stats(spark: SparkSession, dir: String): (Long, Long) = {
-    val store = liveStore(spark, dir)
+  def stats(spark: SparkSession, dir: String): (Long, Long) =
+    statsOf(spark, liveStore(spark, dir))
+
+  private def statsOf(spark: SparkSession, store: String): (Long, Long) = {
     val r = spark.read.parquet(statsFiles(spark, store): _*)
       .agg(sum("n_docs"), sum("total_len")).head()
     (r.getLong(0), r.getLong(1))
   }
 
-  /** BM25 top-k for `terms`: one partition-pruned scan of the query
-    * terms' buckets. Deterministic cut (score desc, doc_id asc);
-    * scores are the decimal-exact [[TextAnalysis.bm25]] values, so an
-    * index built over a corpus scores queries identically to the
-    * corpus-scan path (the `q_bm25_indexed` oracle pins this). */
-  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
-             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && k >= 1)
+  /** Shared query preamble: resolve the live generation ONCE (a
+    * compaction committing between two resolutions would mix
+    * generations in one query), derive the terms' bucket literals by
+    * hashing the tiny term list in Spark (byte-identical to the
+    * writer), and return the pruned, tombstone-excluded postings for
+    * exactly the query terms. */
+  private def prunedPostings(spark: SparkSession, dir: String,
+                             qTerms: Seq[String]): (String, DataFrame) = {
     val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
-    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     import spark.implicits._
-    // pruning literals: hash the (human-query-sized) term list in
-    // Spark so the bucket derivation is byte-identical to the writer's
     val termBuckets: Array[Int] = qTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0))
@@ -167,7 +172,20 @@ object TextIndex {
       else post.join(
         broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    val (nDocs, totalLen) = stats(spark, dir)
+    (store, live)
+  }
+
+  /** BM25 top-k for `terms`: one partition-pruned scan of the query
+    * terms' buckets. Deterministic cut (score desc, doc_id asc);
+    * scores are the decimal-exact [[TextAnalysis.bm25]] values, so an
+    * index built over a corpus scores queries identically to the
+    * corpus-scan path (the `q_bm25_indexed` oracle pins this). */
+  def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val (store, live) = prunedPostings(spark, dir, qTerms)
+    val (nDocs, totalLen) = statsOf(spark, store)
     val avgdl = totalLen.toDouble / nDocs
     val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
     live.join(broadcast(dfs), "term")
@@ -199,26 +217,13 @@ object TextIndex {
                    k: Int): DataFrame = {
     val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty && k >= 1)
-    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
-    import spark.implicits._
     val n = terms.length
     val distinctTerms = terms.distinct
-    val termBuckets: Array[Int] = distinctTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0))
-    val store = liveStore(spark, dir)
-    val post = spark.read.parquet(store)
-      .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
-      .filter(col("term").isin(distinctTerms: _*))
-      .select("doc_id", "term", "positions")
-    val tombs = tombstoneFiles(spark, dir)
-    val live = if (tombs.isEmpty) post
-      else post.join(
-        broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
+    val (_, live) = prunedPostings(spark, dir, distinctTerms)
     // one row per doc with its term→positions map; docs missing any
     // distinct term cannot match and drop before the intersection
     val perDoc = live
+      .select("doc_id", "term", "positions")
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
         .as("m"), count(lit(1)).as("nt"))
@@ -279,8 +284,13 @@ object TextIndex {
     // it is unindexable by definition (can never match a query), so
     // it is out of scope for the diff
     val indexable = rec.filter(length(trim(col("text"))) > 0)
-    val missing = indexable.join(ids(spark, dir, includeTombstoned = true),
-      Seq("doc_id"), "left_anti")
+    // materialize the diff once: count + the two writes inside
+    // append() would otherwise re-run the anti-join (which scans the
+    // live postings plus both ledgers) three times
+    val missing = TextDedup.materialize(
+      indexable.join(ids(spark, dir, includeTombstoned = true),
+        Seq("doc_id"), "left_anti"),
+      eager = true)
     val nMissing = missing.count()
     if (nMissing > 0) append(missing, dir)
     val orphans = ids(spark, dir)
@@ -339,6 +349,9 @@ object TextIndex {
       if (live.endsWith("/postings")) 0
       else live.substring(live.lastIndexOf("_v") + 2).toInt
     val next = s"$dir/postings_v${liveVersion + 1}"
+    // a torn previous compaction may have left this path uncommitted
+    // (no marker) — it is garbage, not a resumable state
+    if (fs.exists(new Path(next))) fs.delete(new Path(next), true)
     carry.foreach { d =>
       val dst = new Path(s"$next/${d.getPath.getName}")
       fs.mkdirs(dst)
@@ -354,14 +367,15 @@ object TextIndex {
         .repartition(bs.length, col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(next)
     }
-    // exact stats from the survivors, INSIDE the new generation — the
-    // swap below publishes postings and stats together
+    // exact stats from the survivors, INSIDE the new generation; the
+    // COMMIT MARKER goes last, so the generation becomes visible only
+    // with postings AND stats complete (Spark's own _SUCCESS from the
+    // rewrite write above is not the resolve key — see CommitMarker)
     spark.read.parquet(next)
       .select("doc_id", "len").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$next/_stats")
-    if (!fs.exists(new Path(s"$next/_SUCCESS")))
-      fs.create(new Path(s"$next/_SUCCESS")).close()
+    fs.create(new Path(s"$next/$CommitMarker")).close()
     (0 until liveVersion).foreach { v =>
       val old = new Path(if (v == 0) s"$dir/postings" else s"$dir/postings_v$v")
       if (fs.exists(old)) fs.delete(old, true)

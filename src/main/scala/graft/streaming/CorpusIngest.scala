@@ -414,8 +414,19 @@ object CorpusIngest {
         val sink = if (outputFilesPerBatch > 0) indexed.coalesce(outputFilesPerBatch)
                    else indexed
         sink.write.mode("append").parquet(outDir)
+        // one probe on the persisted frame: a batch whose survivors
+        // dedup to empty must not append empty files (one per index
+        // per trigger — unbounded small-file debt on a quiet stream);
+        // maintenance cadences below still run on their clock
+        val batchHasRows = !multiRef || !indexed.isEmpty
+        // corpus of record for the reconcile cadences = snapshot ∪
+        // landed MINUS takedowns — built once per batch, not once per
+        // index (each construction re-lists the tombstone dir)
+        lazy val record = snapshot.select(col("doc_id"), col("text"))
+          .unionByName(
+            landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
         nearDupIndexDir.foreach { bd =>
-          graft.pipeline.TextDedup.appendToBandIndex(
+          if (batchHasRows) graft.pipeline.TextDedup.appendToBandIndex(
             indexed.select(col("doc_id"), col("text")), bd)
           // band stores ride the same compaction cadence as the IVF
           // index (one maintenance clock per ingest; serialized with
@@ -431,15 +442,12 @@ object CorpusIngest {
           if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
             // corpus of record EXCLUDES takedowns (landedCorpus), so a
             // taken-down doc's band rows orphan-tombstone right here
-            val record = snapshot.select(col("doc_id"), col("text"))
-              .unionByName(
-                landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
             graft.pipeline.TextDedup.reconcileBandIndex(record, bd)
             ()
           }
         }
         textIndexDir.foreach { td =>
-          graft.pipeline.TextIndex.append(
+          if (batchHasRows) graft.pipeline.TextIndex.append(
             indexed.select(col("doc_id"), col("text")), td)
           if (compactIndexEvery > 0 && batchId > 0 &&
               batchId % compactIndexEvery == 0) {
@@ -447,16 +455,14 @@ object CorpusIngest {
             ()
           }
           if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
-            val record = snapshot.select(col("doc_id"), col("text"))
-              .unionByName(
-                landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
             graft.pipeline.TextIndex.reconcile(record, td)
             ()
           }
         }
         (embedder, ivfIndexDir) match {
           case (Some(embed), Some(dir)) =>
-            graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
+            if (batchHasRows)
+              graft.pipeline.Embeddings.appendToIvfIndex(embed(indexed), dir)
             // cadence keyed to batchId (not a closure counter) so a
             // restart resumes the schedule instead of resetting it
             if (compactIndexEvery > 0 && batchId > 0 &&
@@ -466,14 +472,6 @@ object CorpusIngest {
               ()
             }
             if (reconcileIndexEvery > 0 && batchId % reconcileIndexEvery == 0) {
-              import org.apache.spark.sql.functions.col
-              // corpus of record = snapshot ∪ everything landed (this
-              // batch included — its write committed above), MINUS
-              // takedowns: landedCorpus excludes them, so a deleted
-              // doc's index rows orphan-tombstone on this cadence
-              val record = snapshot.select(col("doc_id"), col("text"))
-                .unionByName(
-                  landedCorpus(spark, outDir).select(col("doc_id"), col("text")))
               // "missing" diffs against ALL index ids incl. tombstoned
               // — a takedown whose doc still sits in the landed corpus
               // must stay deleted, not be resurrected by the cadence
