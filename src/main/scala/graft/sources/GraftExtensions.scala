@@ -95,11 +95,18 @@ object GraftExtensions {
 }
 
 /** `corpus_search(path, query [, k=>10] [, connection=>name])`:
-  * BM25 top-k over a (doc_id, text) parquet corpus — retrieval for
-  * SQL users with no Scala in sight. Whitespace-tokenized query,
-  * deterministic ranking (score desc, doc_id asc — scores are the
-  * decimal-exact [[graft.pipeline.TextAnalysis.bm25]] values, so the
-  * cut is stable across engines and runs). */
+  * BM25 top-k retrieval for SQL users with no Scala in sight.
+  * Whitespace-tokenized query, deterministic ranking (score desc,
+  * doc_id asc — scores are the decimal-exact
+  * [[graft.pipeline.TextAnalysis.bm25]] values, so the cut is stable
+  * across engines and runs).
+  *
+  * `path` may be either a (doc_id, text) parquet corpus — scored by a
+  * corpus scan — or a persisted [[graft.pipeline.TextIndex]] layout
+  * (detected by its `meta/` + postings stores), which serves the SAME
+  * deterministic scores from the query terms' pruned postings buckets
+  * instead of scanning the corpus: point the TVF at the index and the
+  * query cost follows the query, not the data. */
 object CorpusSearchTVF {
   private def str(e: Expression, what: String): String = e match {
     case Literal(s: UTF8String, StringType) => s.toString
@@ -132,12 +139,17 @@ object CorpusSearchTVF {
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
-    val docs = spark.read.parquet(resolved)
     import org.apache.spark.sql.functions.col
-    graft.pipeline.TextAnalysis.bm25(docs, terms)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
-      .queryExecution.analyzed
+    val isIndex = {
+      val p = new org.apache.hadoop.fs.Path(s"$resolved/meta")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val result =
+      if (isIndex) graft.pipeline.TextIndex.search(spark, resolved, terms, k)
+      else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(resolved), terms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(k)
+    result.queryExecution.analyzed
   }
 }
 

@@ -359,6 +359,15 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     intercept[Exception] {
       spark.sql("SELECT * FROM corpus_search('only-one-arg')").collect()
     }
+    // pointed at a persisted TextIndex layout, the TVF routes to the
+    // pruned-postings serving path and the scores are identical
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_idx").toString
+    graft.pipeline.TextIndex.write(
+      Engine.table(spark, sfDir, "documents").select("doc_id", "text"), idx)
+    val viaIndex = spark.sql(
+      s"SELECT doc_id, score FROM corpus_search('$idx', 'spark hash window', k=>5)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaSql)
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
