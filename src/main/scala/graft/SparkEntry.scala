@@ -1779,6 +1779,17 @@ object SparkEntry {
       pipeline.TextIndex.searchPhrase(s, textIndexDir(s, d), "table scan", 25)
         .orderBy("doc_id")),
 
+    // Hybrid retrieval: BM25 lexical leg + dense cosine leg (query =
+    // stored vector of vec_id 7) fused by reciprocal rank. RRF
+    // contributions are integer `RrfScale div (k0 + rank)`, so the
+    // fused scores hash-match the oracle's identical integer algebra;
+    // leg ranks break score ties by doc_id on both engines.
+    "q_hybrid_search" -> ((s, d) =>
+      pipeline.Retrieval.hybridSearch(T(s, d, "documents"),
+          T(s, d, "embeddings"), Seq("spark", "hash", "window"),
+          queryVecId = 7L, kPerLeg = 20, topK = 15)
+        .orderBy("doc_id")),
+
     // BPE iteration-0 pair table — the data-sized slice of tokenizer
     // training (the merge loop runs over the bounded vocabulary;
     // bpeTrain is spec-gated). lhs/rhs: LEFT/RIGHT are SQL keywords.
@@ -2318,6 +2329,23 @@ object SparkEntry {
       " SELECT doc_id, score, n_terms FROM " +
       "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
       "ORDER BY doc_id"),
+
+    // RRF fusion restated with the same integer rank algebra: BM25
+    // leg from the shared CTE, dense leg by brute cosine, both cut to
+    // top-20 with doc_id tie-breaks, contributions 1e12 // (60+rank).
+    "q_hybrid_search" -> (duckBm25Cte +
+      ", lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank " +
+      "FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v FROM v WHERE vec_id = 7), " +
+      "dc AS (SELECT a.vec_id AS doc_id, " + duckCos("a", "q") + " AS cos FROM v a, q), " +
+      "den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank " +
+      "FROM (SELECT * FROM dc ORDER BY cos DESC, doc_id LIMIT 20)), " +
+      "u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex " +
+      "UNION ALL SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM den), " +
+      "f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, COUNT(*) AS n_legs FROM u GROUP BY doc_id) " +
+      "SELECT doc_id, rrf_score, n_legs FROM " +
+      "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"),
 
     // Phrase counts restated by direct token-array scan — an
     // independent method from the index's position-set intersection.

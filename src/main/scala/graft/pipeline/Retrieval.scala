@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Hybrid retrieval: reciprocal-rank fusion (RRF) of independently
+  * produced ranked lists — the standard way a retrieval stack combines
+  * a lexical leg (BM25, [[TextAnalysis.bm25]] / [[TextIndex.search]])
+  * with a dense leg (cosine ANN, [[Embeddings.ivfTopKIndexedFor]])
+  * without having to calibrate their incomparable score scales.
+  * Cormack et al., "Reciprocal Rank Fusion outperforms Condorcet and
+  * individual rank learning methods" (SIGIR 2009): fused score of a
+  * document is Σ_legs 1/(k0 + rank_leg).
+  *
+  * The reference engine has no retrieval surface at all (its roadmap
+  * stops at scalar SQL, /root/reference/README.md:44-75); this
+  * completes the repo's retrieval family — keyword (BM25 + persisted
+  * text index), semantic (IVF/PQ vector index), and now their fusion,
+  * which is what a production RAG/data-curation pipeline actually
+  * serves.
+  *
+  * Determinism discipline: RRF contributions are computed in INTEGER
+  * arithmetic — `RrfScale div (k0 + rank)` — so the fused scores and
+  * their ordering are bit-identical across engines (the DuckDB oracle
+  * restates the same integer division; a double 1/(k0+r) sum would
+  * depend on addition order). Ranks themselves are deterministic:
+  * every leg breaks score ties by id.
+  *
+  * Scale shape: each leg is a top-k list (k rows, driver-bounded by
+  * contract), so fusion moves ≤ Σ legs·k rows through one tiny
+  * hash aggregate — the heavy lifting lives in the legs, which are
+  * the already-gated retrieval operators. [[topRanks]] cuts a scored
+  * corpus to (id, rank) with `orderBy(...).limit(k)` — Spark plans
+  * TakeOrderedAndProject (per-partition top-k + driver merge), never
+  * a global sort — and only then assigns ranks with a window over the
+  * k survivors (single-partition by design: its input is k rows, not
+  * the corpus). */
+object Retrieval {
+
+  /** Contribution of rank r is `RrfScale div (k0 + r)` — large enough
+    * that distinct (k0, rank) pairs in any practical regime map to
+    * distinct integers (k0 + r up to ~1e6 still leaves 6 significant
+    * digits). */
+  val RrfScale: Long = 1000000000000L
+
+  /** Cut a scored frame to its deterministic top-k as (idCol, rank)
+    * with rank 1..k — ties in `score` broken by ascending id. The cut
+    * is TakeOrderedAndProject (no global sort); the rank window runs
+    * over the k survivors only. */
+  def topRanks(scored: DataFrame, score: Column, idCol: String, k: Int): DataFrame = {
+    val top = scored.orderBy(score.desc, col(idCol)).limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(score.desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Fuse ranked legs — each a DataFrame with columns (`idCol`,
+    * `rank`), ranks starting at 1 and at most one row per id per leg
+    * (the [[topRanks]] contract) — into the RRF top-k: (idCol,
+    * `rrf_score`, `n_legs`), ordered score-desc with id tie-break.
+    * An id missing from a leg simply gets no contribution from it
+    * (the standard RRF convention). */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String = "doc_id",
+              k0: Int = 60, topK: Int = 15): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val contribs = legs.map(_.select(
+      col(idCol),
+      expr(s"${RrfScale}L div ($k0 + rank)").as("c")))
+    contribs.reduce(_ union _)
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_legs"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Self-contained hybrid search over a document corpus: BM25 leg on
+    * `docs` (columns doc_id, text) for `terms`, dense leg on
+    * `embeddings` (columns vec_id, embedding — vec_id keyed to
+    * doc_id) against the stored vector of `queryVecId`, RRF-fused.
+    * The dense leg here is the brute-force tier (one corpus pass,
+    * broadcast single-row query) — at index scale, produce the leg
+    * from [[Embeddings.ivfTopKIndexedFor]] / [[TextIndex.search]]
+    * instead and fuse with [[rrfFuse]] directly; the fusion is
+    * agnostic to how a leg was served. */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+                   queryVecId: Long, kPerLeg: Int = 20, k0: Int = 60,
+                   topK: Int = 15): DataFrame = {
+    val lex = topRanks(TextAnalysis.bm25(docs, terms), col("score"), "doc_id", kPerLeg)
+    val v = embeddings.select(col("vec_id"),
+      Embeddings.asDouble(col("embedding")).as("v"))
+    val qv = v.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val scored = v
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        Embeddings.cosine(col("v"), col("qv")).as("cos"))
+    val den = topRanks(scored, col("cos"), "doc_id", kPerLeg)
+    rrfFuse(Seq(lex, den), "doc_id", k0, topK)
+  }
+}
