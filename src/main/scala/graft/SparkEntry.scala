@@ -152,6 +152,27 @@ object SparkEntry {
       out
     })
 
+  /** Zone-map fixture for q_zonemap: a 16-file range-partitioned copy
+    * of lineitem (the multi-file layout the single-file testdata
+    * cannot provide — file-level skipping needs files to skip) plus
+    * its min/max manifest on l_shipdate. The copy holds the exact
+    * same rows, so the DuckDB oracle runs the interval filter on the
+    * original table. */
+  private val zoneMapDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zoneMapDir(s: SparkSession, d: String): String =
+    zoneMapDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zmap_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val out = f.getAbsolutePath
+      Engine.table(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(s"$out/table")
+      sources.ZoneMaps.write(s, s"$out/table", s"$out/manifest", Seq("l_shipdate"))
+      out
+    })
+
   private[graft] def prepareIndexFixtures(s: SparkSession, d: String): Unit = {
     ivfIndexDir(s, d)
     ivfDeleteIndexDir(s, d)
@@ -159,6 +180,7 @@ object SparkEntry {
     bucketedPair(s, d)
     corpusStoreDir(s, d)
     textIndexDir(s, d)
+    zoneMapDir(s, d)
     ()
   }
 
@@ -676,6 +698,22 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // File-level data skipping: a 3-month interval read through the
+    // zone-map manifest over the 16-file range-partitioned lineitem
+    // copy (identical rows to the original single-file table, so the
+    // oracle filters that). The manifest prunes ~14 of 16 files
+    // before any scan is scheduled; the residual BETWEEN still
+    // applies inside survivors. Interval bounds are UTC instants on
+    // the engine side and the matching naive wall time in DuckDB.
+    "q_zonemap" -> ((s, d) => {
+      val root = zoneMapDir(s, d)
+      sources.ZoneMaps.readPruned(s, s"$root/table", s"$root/manifest",
+          "l_shipdate",
+          to_timestamp(lit("1996-06-01 00:00:00")),
+          to_timestamp(lit("1996-08-31 23:59:59")))
+        .orderBy("l_orderkey", "l_partkey", "l_shipdate", "l_quantity")
+    }),
+
     "q_setop_union" -> ((s, d) =>
       T(s, d, "customer").select(col("c_nationkey").as("nkey"))
         .union(T(s, d, "supplier").select(col("s_nationkey").as("nkey")))
@@ -803,6 +841,14 @@ object SparkEntry {
       "GROUP BY o_orderkey, o_orderpriority " +
       "HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) > 250000.0 " +
       "ORDER BY o_orderkey"),
+    // The pruned read must equal the plain interval filter over the
+    // original table (the multi-file copy holds identical rows).
+    "q_zonemap" -> ("SELECT l_orderkey, l_partkey, l_quantity, " +
+      "l_extendedprice, l_shipdate FROM lineitem " +
+      "WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01 00:00:00' " +
+      "AND TIMESTAMP '1996-08-31 23:59:59' " +
+      "ORDER BY l_orderkey, l_partkey, l_shipdate, l_quantity"),
+
     "q_setop_union" -> ("SELECT c_nationkey AS nkey FROM customer UNION " +
       "SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey"),
     "q_setop_intersect" -> ("SELECT c_nationkey AS nkey FROM customer INTERSECT " +
@@ -1299,6 +1345,17 @@ object SparkEntry {
     // copy, swap commit), not just the merge algebra.
     "q_corpus_merge" -> ((s, d) =>
       pipeline.CorpusStore.read(s, corpusStoreDir(s, d))
+        .groupBy((col("doc_id") % 7).as("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("grp")),
+
+    // Time travel on the same store: generation 0 is the pre-merge
+    // grace copy, so VERSION AS OF 0 must read back the ORIGINAL
+    // corpus bit-for-bit while the live generation serves the merge.
+    "q_store_timetravel" -> ((s, d) =>
+      pipeline.CorpusStore.readAsOf(s, corpusStoreDir(s, d), asOf = 0)
         .groupBy((col("doc_id") % 7).as("grp"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("chars"),
@@ -2003,6 +2060,13 @@ object SparkEntry {
       "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
       "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
       "FROM merged GROUP BY 1 ORDER BY 1"),
+
+    // Generation 0 = the untouched original corpus.
+    "q_store_timetravel" -> ("SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+      "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+      "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents GROUP BY 1 ORDER BY 1"),
+
     // cross-set variant: every batch doc (re-labeled +500000) against
     // the whole corpus, self pair included (ids differ by the offset)
     "dedup_band_incr" -> ("WITH toks AS (SELECT doc_id, " +

@@ -72,6 +72,29 @@ object CorpusStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(live(spark, dir)).drop("bucket")
 
+  /** Generations still on disk, ascending (version, path). With the
+    * one-cycle grace retention that is at most two: the replaced
+    * generation and the live one — the store's bounded time-travel
+    * window. */
+  def generations(spark: SparkSession, dir: String): Seq[(Int, String)] =
+    Stores.generations(spark, dir, "corpus")
+
+  /** Time travel: the corpus as of generation `asOf` (Delta/Iceberg
+    * `VERSION AS OF`, under this store's retention). Every [[merge]]
+    * bumps the version and keeps exactly one grace generation, so
+    * `asOf = live - 1` is readable until the next merge; anything
+    * older fails loud rather than serving a silently wrong (pruned)
+    * snapshot. */
+  def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
+    val gens = generations(spark, dir)
+    gens.find(_._1 == asOf) match {
+      case Some((_, path)) => spark.read.parquet(path).drop("bucket")
+      case None => throw new IllegalArgumentException(
+        s"[GENERATION_PRUNED] generation $asOf of $dir is not on disk; " +
+          s"available: ${gens.map(_._1).mkString(",")} (retention keeps one grace cycle)")
+    }
+  }
+
   /** MERGE semantics over already-bucket-scoped frames — the pure
     * transformation [[merge]] writes and PlanSpec pins: survivors =
     * base minus changed ids, plus upserts. Anti-join keys are the

@@ -29,4 +29,23 @@ private[graft] object Stores {
         .filter(v => fs.exists(new Path(s"$dir/${base}_v$v/$marker")))
     if (committed.isEmpty) s"$dir/$base" else s"$dir/${base}_v${committed.max}"
   }
+
+  /** Every generation still on disk, ascending version: the base
+    * (version 0) if present, plus each committed `dir/base_v<N>`.
+    * Under the one-cycle grace retention this is at most (grace,
+    * live) — the bounded time-travel window. */
+  def generations(spark: SparkSession, dir: String, base: String,
+                  marker: String = "_SUCCESS"): Seq[(Int, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val versioned = fs.listStatus(p).map(_.getPath.getName).toSeq
+      .collect { case n if n.startsWith(s"${base}_v") => n.stripPrefix(s"${base}_v") }
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(v => fs.exists(new Path(s"$dir/${base}_v$v/$marker")))
+      .map(v => v -> s"$dir/${base}_v$v")
+    val baseGen =
+      if (fs.exists(new Path(s"$dir/$base"))) Seq(0 -> s"$dir/$base") else Seq.empty
+    (baseGen ++ versioned).sortBy(_._1)
+  }
 }

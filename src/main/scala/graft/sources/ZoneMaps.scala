@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level min/max data skipping — an Iceberg/Delta-style zone-map
+  * manifest over a plain parquet table, without adopting a table
+  * format. Spark's parquet reader already prunes ROW GROUPS inside a
+  * file it has opened (PushedFilters); what it cannot avoid at 100 TB
+  * is opening the files at all: listing 100k objects, reading 100k
+  * footers, scheduling 100k splits to discover that 99k of them
+  * cannot match the predicate. The manifest moves that decision to
+  * one tiny driver-side filter over (#files) rows, so a selective
+  * interval query schedules only the files whose [min, max] range
+  * intersects it — the same stats Iceberg keeps per data file in its
+  * manifests.
+  *
+  * The reference's closest surface is its glob-driven `read_files`
+  * listing (/root/reference/…/read_files_task.rs:107-114), which
+  * always streams every matched file; file skipping is the capability
+  * its "only read columns used in the query" TODO family
+  * (/root/reference/DEV_NOTES.md:123) points toward, one level up.
+  *
+  * Correctness: a file whose manifest row has NULL min/max for a
+  * column holds no non-null values of it, and an interval predicate
+  * matches no null — so the SQL filter `min_c <= hi AND max_c >= lo`
+  * (null → dropped) is exactly the may-match test. A file missing
+  * from the manifest entirely is the dangerous case (silently dropped
+  * rows), so [[prunedFiles]] refuses to serve from a manifest whose
+  * file set differs from the live listing — rebuild after any table
+  * write; at scale, maintain the manifest with the same
+  * generation-swap cadence as the stores. */
+object ZoneMaps {
+
+  /** Build the manifest: one row per data file with per-column
+    * min/max + row count, from ONE column-pruned distributed pass
+    * grouped by `_metadata.file_path` (no driver footer-walking — the
+    * build parallelizes like any aggregation). Overwrites
+    * `manifestDir` (a single small parquet). */
+  def write(spark: SparkSession, tableDir: String, manifestDir: String,
+            cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone map needs at least one column")
+    val df = spark.read.parquet(tableDir)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir)
+  }
+
+  /** Files that MAY contain rows with `c` in [lo, hi], plus the total
+    * file count (for observability/specs). Fails loud on a stale
+    * manifest — a file present in the table but absent from the
+    * manifest would otherwise be silently skipped. */
+  def prunedFiles(spark: SparkSession, tableDir: String, manifestDir: String,
+                  c: String, lo: Any, hi: Any): (Seq[String], Int) = {
+    val m = spark.read.parquet(manifestDir)
+      .select(col("file"), col(s"min_$c"), col(s"max_$c"))
+      .collect()
+    val norm = (s: String) => new Path(s).toString
+    val manifestSet = m.map(r => norm(r.getString(0))).toSet
+    val liveSet = spark.read.parquet(tableDir).inputFiles.map(norm).toSet
+    require(manifestSet == liveSet,
+      s"[STALE_ZONEMAP] manifest at $manifestDir covers ${manifestSet.size} " +
+        s"files but the table at $tableDir has ${liveSet.size}; " +
+        s"missing=${(liveSet -- manifestSet).take(3).mkString(",")} " +
+        s"extra=${(manifestSet -- liveSet).take(3).mkString(",")} — rebuild the manifest")
+    val mdf = spark.read.parquet(manifestDir)
+    val kept = mdf
+      .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+      .select("file").collect().map(_.getString(0)).toSeq
+    (kept, m.length)
+  }
+
+  /** Interval read through the manifest: rows of the table with `c`
+    * BETWEEN lo AND hi, scanning only may-match files. Equals the
+    * full-scan filter by the zone-map invariant; the residual filter
+    * still applies (and pushes down) inside the surviving files. */
+  def readPruned(spark: SparkSession, tableDir: String, manifestDir: String,
+                 c: String, lo: Any, hi: Any): DataFrame = {
+    val schema = spark.read.parquet(tableDir).schema
+    val (files, _) = prunedFiles(spark, tableDir, manifestDir, c, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files: _*)
+    base.filter(col(c).between(lit(lo), lit(hi)))
+  }
+}

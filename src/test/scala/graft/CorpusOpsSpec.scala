@@ -412,4 +412,36 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("CorpusStore time travel: grace generation serves VERSION AS OF, pruned fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstore_tt").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    graft.pipeline.CorpusStore.write(base, dir, buckets = 4)
+    assert(graft.pipeline.CorpusStore.generations(spark, dir).map(_._1) == Seq(0))
+
+    val up = Seq((8L, "updated eight")).toDF("doc_id", "text")
+    val del = Seq(16L).toDF("doc_id")
+    graft.pipeline.CorpusStore.merge(spark, dir, up, del)
+    assert(graft.pipeline.CorpusStore.generations(spark, dir).map(_._1) == Seq(0, 1))
+
+    // asOf 0 reads the ORIGINAL corpus while live serves the merge
+    val want0 = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got0 = graft.pipeline.CorpusStore.readAsOf(spark, dir, 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got0 == want0)
+    // asOf live ≡ read()
+    val live = graft.pipeline.CorpusStore.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got1 = graft.pipeline.CorpusStore.readAsOf(spark, dir, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got1 == live && live != want0)
+
+    // a second merge prunes generation 0 past the grace window
+    graft.pipeline.CorpusStore.merge(spark, dir, up, del)
+    assert(graft.pipeline.CorpusStore.generations(spark, dir).map(_._1) == Seq(1, 2))
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusStore.readAsOf(spark, dir, 0)
+    }
+    assert(e.getMessage.contains("GENERATION_PRUNED"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.ZoneMaps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(): String =
+    Files.createTempDirectory("zmap").toFile.getAbsolutePath
+
+  private lazy val li = Engine.table(spark, sfDir, "lineitem")
+    .select("l_orderkey", "l_quantity", "l_shipdate").cache()
+
+  test("pruned read equals the full-scan filter and skips files") {
+    val root = tmp()
+    li.repartitionByRange(8, col("l_shipdate"))
+      .write.parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_shipdate", "l_quantity"))
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-12-31 23:59:59")
+    val (files, total) = ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m",
+      "l_shipdate", lo, hi)
+    assert(total == 8)
+    assert(files.nonEmpty && files.size < total,
+      s"range layout must let the manifest skip files (kept ${files.size}/$total)")
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+        "l_shipdate", lo, hi)
+      .collect().map(_.toString).sorted
+    val want = li.filter(col("l_shipdate").between(lit(lo), lit(hi)))
+      .collect().map(_.toString).sorted
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("a file with only nulls in the zone column is skipped, not lost") {
+    val root = tmp()
+    // file 1: real quantities; file 2: all-null quantities
+    li.filter(col("l_orderkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$root/t")
+    li.filter(col("l_orderkey") % 2 === 1)
+      .withColumn("l_quantity", lit(null).cast("double")).coalesce(1)
+      .write.mode("append").parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    val (files, total) = ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 100.0)
+    assert(total >= 2 && files.size < total,
+      "the all-null file must be pruned (no non-null value can match)")
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 100.0).count()
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 100.0)).count()
+    assert(got == want)
+  }
+
+  test("an interval beyond every file yields an empty, correctly-typed result") {
+    val root = tmp()
+    li.coalesce(1).write.parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0e9, 2.0e9)
+    assert(got.count() == 0)
+    assert(got.schema == spark.read.parquet(s"$root/t").schema)
+  }
+
+  test("a stale manifest fails loud instead of silently dropping rows") {
+    val root = tmp()
+    li.coalesce(1).write.parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    // table grows after the manifest was built
+    li.limit(5).coalesce(1).write.mode("append").parquet(s"$root/t")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m", "l_quantity", 1.0, 2.0)
+    }
+    assert(e.getMessage.contains("STALE_ZONEMAP"))
+  }
+}
