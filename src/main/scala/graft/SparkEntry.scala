@@ -1836,6 +1836,19 @@ object SparkEntry {
       pipeline.TextIndex.searchPhrase(s, textIndexDir(s, d), "table scan", 25)
         .orderBy("doc_id")),
 
+    // Batch retrieval serving: three queries (one term-missing) ranked
+    // in one pruned postings pass; each query's rows must equal a
+    // per-query search() call (spec-pinned) and the shared-df oracle.
+    "q_search_many" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, Seq("spark", "join")),
+        (2L, Seq("window", "hash", "scan")),
+        (3L, Seq("zzz_absent_term"))
+      ).toDF("query_id", "terms")
+      pipeline.TextIndex.searchMany(s, textIndexDir(s, d), qs, 10)
+    }),
+
     // Hybrid retrieval: BM25 lexical leg + dense cosine leg (query =
     // stored vector of vec_id 7) fused by reciprocal rank. RRF
     // contributions are integer `RrfScale div (k0 + rank)`, so the
@@ -2410,6 +2423,29 @@ object SparkEntry {
       "f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, COUNT(*) AS n_legs FROM u GROUP BY doc_id) " +
       "SELECT doc_id, rrf_score, n_legs FROM " +
       "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"),
+
+    // Batch BM25 restated with a VALUES query table: per-term df/idf
+    // shared across queries, per-query top-10 by (score desc, doc_id).
+    "q_search_many" -> ("WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
+      "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), " +
+      "(2, 'window'), (2, 'hash'), (2, 'scan'), (3, 'zzz_absent_term')), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "contrib AS (SELECT q.query_id, tf.doc_id, " +
+      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
+      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
+      "FROM q JOIN tf USING (term) JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
+      "scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
+      "COUNT(*) AS n_terms FROM contrib GROUP BY query_id, doc_id), " +
+      "ranked AS (SELECT query_id, doc_id, score, n_terms, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM scored) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms " +
+      "FROM ranked WHERE rn <= 10 ORDER BY query_id, doc_id"),
 
     // Phrase counts restated by direct token-array scan — an
     // independent method from the index's position-set intersection.

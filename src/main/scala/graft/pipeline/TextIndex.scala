@@ -202,6 +202,54 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Batch serving: BM25 top-k for MANY queries in one pass — the
+    * keyword counterpart of [[Embeddings.ivfTopKIndexedFor]]'s
+    * external-query batch shape. `queries` = (query_id, terms
+    * array<string>); the batch is driver-bounded by the serving
+    * contract (its distinct terms become the bucket-pruning
+    * literals, exactly like probed-cell lists). One partition-pruned
+    * postings scan covers the UNION of all query terms; per-term
+    * (df, idf, contrib) is computed once and fanned out to the
+    * queries containing the term through a broadcast of the
+    * query-term pairs; the top-k window partitions by query_id, so
+    * ranking parallelizes across the batch. Scores are identical to
+    * per-query [[search]] calls (spec-pinned) with the same decimal
+    * determinism; a query whose terms miss the index simply yields no
+    * rows. */
+  def searchMany(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1)
+    val q = queries
+      .select(col("query_id"), explode(col("terms")).as("term"))
+      .select(col("query_id"), lower(trim(col("term"))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    // bounded collect: the batch's distinct terms ARE the pruning key
+    val allTerms: Seq[String] =
+      q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty, "searchMany needs at least one non-blank term")
+    val (store, live) = prunedPostings(spark, dir, allTerms)
+    val (nDocs, totalLen) = statsOf(spark, store)
+    val avgdl = totalLen.toDouble / nDocs
+    val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    live.join(broadcast(dfs), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
+      .join(broadcast(q), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(col("query_id"), col("doc_id"),
+        col("raw").cast("double").as("score"), col("n_terms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Exact PHRASE search over the positional postings: documents
     * containing the consecutive token sequence `phrase`, ranked by
     * occurrence count (ties by doc_id). The classic positional-index

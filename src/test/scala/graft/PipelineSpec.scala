@@ -1074,6 +1074,30 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaIndex() == survivorScan)
   }
 
+  test("searchMany: batch ≡ per-query search; missing-term query yields nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_many").toString
+    val d2 = docs.select(col("doc_id"), col("text"))
+    graft.pipeline.TextIndex.write(d2, dir, buckets = 16)
+    val batch = Seq(
+      (1L, Seq("spark", "join")),
+      (2L, Seq("window", "hash", "scan")),
+      (3L, Seq("zzz_absent_term"))
+    ).toDF("query_id", "terms")
+    val got = graft.pipeline.TextIndex.searchMany(spark, dir, batch, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!got.contains(3L), "a query whose terms miss the index must yield no rows")
+    for ((qid, terms) <- Seq(1L -> Seq("spark", "join"), 2L -> Seq("window", "hash", "scan"))) {
+      val single = graft.pipeline.TextIndex.search(spark, dir, terms, 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy(_._2)
+      assert(got(qid).sortBy(_._2).toSeq == single.toSeq,
+        s"batch rows for query $qid diverge from the per-query search")
+    }
+  }
+
   test("phrase search: shifted-position intersection equals direct text scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_phrase_spec").toString
