@@ -647,6 +647,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("text index: searchMany prunes to the batch's term buckets in one scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_plan_many").toString
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    graft.pipeline.TextIndex.write(docs, dir, buckets = 64)
+    withoutAqe {
+      val batch = Seq((1L, Seq("spark", "join")), (2L, Seq("window", "hash")))
+        .toDF("query_id", "terms")
+      val p = planOf(graft.pipeline.TextIndex.searchMany(spark, dir, batch, 10))
+      val postingScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      // one pruned scan serves the whole batch (the df branch and the
+      // contrib branch share it; no per-query scans)
+      assert(postingScans.nonEmpty, s"no partition-filtered postings scan:\n$p")
+      postingScans.foreach { pruned =>
+        val staticFilters = pruned.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        assert(staticFilters.nonEmpty, "no static bucket IN (...) partition filter")
+        val selected = pruned.relation.location.listFiles(staticFilters, Nil).length
+        assert(selected <= 4,
+          s"4 distinct terms must probe <= 4 of 64 buckets, got $selected")
+      }
+    }
+  }
+
   test("persisted IVF index: queries read only the probed cells' partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
