@@ -1297,6 +1297,26 @@ object SparkEntry {
       "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
       "COUNT(*) AS n_terms FROM contrib GROUP BY doc_id)"
 
+  /** Shared hybrid-RRF oracle (terms spark/hash/window, query vector =
+    * embeddings row 7, kPerLeg 20, k0 60, top 15): BM25 leg from the
+    * shared CTE, dense leg by brute cosine, integer `1e12 // (60 +
+    * rank)` contributions. Serves BOTH q_hybrid_search (corpus-tier
+    * legs) and q_hybrid_indexed (persisted-index legs) — the two
+    * tiers must produce identical fusions. */
+  private val duckHybridSql: String = duckBm25Cte +
+    ", lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank " +
+    "FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)), " +
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+    "q AS (SELECT v FROM v WHERE vec_id = 7), " +
+    "dc AS (SELECT a.vec_id AS doc_id, " + duckCos("a", "q") + " AS cos FROM v a, q), " +
+    "den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank " +
+    "FROM (SELECT * FROM dc ORDER BY cos DESC, doc_id LIMIT 20)), " +
+    "u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex " +
+    "UNION ALL SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM den), " +
+    "f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, COUNT(*) AS n_legs FROM u GROUP BY doc_id) " +
+    "SELECT doc_id, rrf_score, n_legs FROM " +
+    "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"
+
   private val duckJaccardPairs: String =
     "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
@@ -1860,6 +1880,25 @@ object SparkEntry {
           queryVecId = 7L, kPerLeg = 20, topK = 15)
         .orderBy("doc_id")),
 
+    // The same hybrid query served ENTIRELY from persisted indexes:
+    // lexical leg from the text index's pruned postings, dense leg
+    // from the IVF index (adaptive probing ⇒ exact over the live
+    // corpus) — so the index tier must reproduce the corpus-tier
+    // fusion bit-for-bit, and the oracle is the identical algebra.
+    "q_hybrid_indexed" -> ((s, d) => {
+      val lex = pipeline.Retrieval.topRanks(
+        pipeline.TextIndex.search(s, textIndexDir(s, d),
+          Seq("spark", "hash", "window"), 20),
+        col("score"), "doc_id", 20)
+      val q = T(s, d, "embeddings").filter(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val den = pipeline.Embeddings.ivfTopKIndexedFor(q, ivfIndexDir(s, d),
+          20, nprobe = 5, adaptive = true)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rank"))
+      pipeline.Retrieval.rrfFuse(Seq(lex, den), "doc_id", 60, 15)
+        .orderBy("doc_id")
+    }),
+
     // BPE iteration-0 pair table — the data-sized slice of tokenizer
     // training (the merge loop runs over the bounded vocabulary;
     // bpeTrain is spec-gated). lhs/rhs: LEFT/RIGHT are SQL keywords.
@@ -2410,19 +2449,13 @@ object SparkEntry {
     // RRF fusion restated with the same integer rank algebra: BM25
     // leg from the shared CTE, dense leg by brute cosine, both cut to
     // top-20 with doc_id tie-breaks, contributions 1e12 // (60+rank).
-    "q_hybrid_search" -> (duckBm25Cte +
-      ", lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank " +
-      "FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)), " +
-      "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
-      "q AS (SELECT v FROM v WHERE vec_id = 7), " +
-      "dc AS (SELECT a.vec_id AS doc_id, " + duckCos("a", "q") + " AS cos FROM v a, q), " +
-      "den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank " +
-      "FROM (SELECT * FROM dc ORDER BY cos DESC, doc_id LIMIT 20)), " +
-      "u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex " +
-      "UNION ALL SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM den), " +
-      "f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, COUNT(*) AS n_legs FROM u GROUP BY doc_id) " +
-      "SELECT doc_id, rrf_score, n_legs FROM " +
-      "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"),
+    "q_hybrid_search" -> duckHybridSql,
+
+    // The index tier must reproduce the corpus-tier fusion exactly:
+    // text-index BM25 ≡ corpus BM25 (q_bm25_indexed's gate) and the
+    // adaptive IVF serve ≡ brute cosine (ann_ivf's gate), so the
+    // oracle is the identical algebra.
+    "q_hybrid_indexed" -> duckHybridSql,
 
     // Batch BM25 restated with a VALUES query table: per-term df/idf
     // shared across queries, per-query top-10 by (score desc, doc_id).

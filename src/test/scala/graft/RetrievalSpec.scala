@@ -88,4 +88,12 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     // overlap arithmetic is pinned by the hand-fixture test above)
     assert(lex.nonEmpty && den.nonEmpty, "hybrid fixture legs must be non-empty")
   }
+
+  test("index-tier hybrid equals the corpus-tier hybrid row for row") {
+    val corpusTier = SparkEntry.queries("q_hybrid_search")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val indexTier = SparkEntry.queries("q_hybrid_indexed")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(corpusTier.nonEmpty && indexTier == corpusTier)
+  }
 }
