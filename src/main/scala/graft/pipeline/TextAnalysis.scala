@@ -253,6 +253,62 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Serializable BPE merge applier with a per-executor word cache.
+    * Application order is SEQUENTIAL by merge rank with replace-all
+    * per rule — the reference semantics of Sennrich et al. 2016's
+    * subword-nmt `apply_bpe`, and exactly the evolution [[bpeTrain]]'s
+    * own training loop performs, so encoding a vocabulary word
+    * reproduces its training-time segmentation by construction
+    * (spec-pinned). The cache amortizes the merge loop to once per
+    * DISTINCT word per executor (Zipf makes that ≪ corpus tokens) —
+    * the same memoization production tokenizers use, with zero
+    * exchanges: encoding stays a map-side pass. */
+  private class BpeApplier(merges: Array[(String, String)]) extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    def encodeWord(word: String): Array[String] =
+      cache.computeIfAbsent(word, w => {
+        var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"
+        merges.foreach { case (l, r) =>
+          if (syms.length > 1) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.toArray
+          }
+        }
+        syms
+      })
+    def encodeText(text: String): Array[String] =
+      text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).flatMap(encodeWord)
+  }
+
+  /** Byte-pair ENCODING with rules learned by [[bpeTrain]]: per doc,
+    * the subword token stream and its length — the "how many tokens
+    * is this corpus" pass that prices training data. The merge table
+    * is bounded model parameters (like k-means centroids / PQ
+    * codebooks): collected once on the driver and shipped in the
+    * closure; the corpus crosses ZERO exchanges. A dictionary-driven,
+    * branchy, word-memoized loop is a poor fit for codegen, so this
+    * is deliberately a UDF around [[BpeApplier]] (the Multimodal
+    * decode-slot precedent). */
+  def bpeEncode(docs: DataFrame, merges: DataFrame,
+                textCol: String = "text"): DataFrame = {
+    val rules: Array[(String, String)] = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val applier = new BpeApplier(rules)
+    val encode = udf((text: String) =>
+      if (text == null) Array.empty[String] else applier.encodeText(text))
+    docs.select(col("doc_id"), encode(col(textCol)).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "fr" -> Seq("le", "la", "et", "les", "des"),

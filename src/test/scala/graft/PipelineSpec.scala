@@ -1158,6 +1158,54 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       firstMerge.getLong(4) == top.getLong(2))
   }
 
+  test("bpeEncode: hand-verified segmentation; vocab words reproduce training merges") {
+    import spark.implicits._
+    // merges from the hand-verified corpus above: a</w>, aa</w>, ab
+    val tiny = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(tiny, 3)
+    // encode the training corpus itself: "aa" → [aa</w>], "ab" →
+    // [ab, </w>] (the (b,</w>) pair was never learned)
+    val enc = TextAnalysis.bpeEncode(tiny, merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, List("aa</w>", "aa</w>", "ab", "</w>"), 4L)))
+    // an out-of-vocabulary word degrades to unmerged symbols
+    val oov = TextAnalysis.bpeEncode(Seq((9L, "ba")).toDF("doc_id", "text"), merges)
+      .collect()(0).getSeq[String](1).toList
+    assert(oov == List("b", "a</w>"))
+
+    // on the fixture corpus: every encoded doc re-derives from an
+    // independent sequential-apply reimplementation over its words
+    val m = TextAnalysis.bpeTrain(docs, 40)
+    val rules = m.collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    def applySeq(w: String): List[String] = {
+      var syms = w.map(_.toString).toList :+ "</w>"
+      rules.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+          case a :: t => out += a; rest = t
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val got = TextAnalysis.bpeEncode(docs, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val want = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty).toList.flatMap(applySeq)
+      assert(got(id) == want, s"doc $id segmentation diverges")
+    }
+    // non-vacuous: at least one learned merge fired on the corpus
+    assert(got.values.exists(_.exists(t => t != "</w>" && t.length > 1)),
+      "no multi-symbol token anywhere — merges never applied")
+  }
+
   test("perceptual hash: textbook aHash bits; dup pairs equal brute-force hamming") {
     import spark.implicits._
     val media = Multimodal.asMediaTable(docs)
