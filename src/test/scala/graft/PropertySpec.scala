@@ -402,4 +402,81 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         else assert(fp(t) != fp(u) || t == u)
     }
   }
+
+  test("rrfFuse equals the in-memory fold on random ranked legs") {
+    import spark.implicits._
+    val legGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 12)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ids.distinct // rank = position + 1
+    forAll(Gen.listOfN(3, legGen), Gen.choose(1, 90)) { (legs, k0) =>
+      val nonEmpty = legs.filter(_.nonEmpty)
+      if (nonEmpty.nonEmpty) {
+        val dfs = nonEmpty.map(ids =>
+          ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("doc_id", "rank"))
+        val got = graft.pipeline.Retrieval.rrfFuse(dfs, k0 = k0, topK = 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val scores = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+        nonEmpty.foreach(_.zipWithIndex.foreach { case (id, i) =>
+          val (s, n) = scores.getOrElse(id, (0L, 0L))
+          scores(id) = (s + graft.pipeline.Retrieval.RrfScale / (k0 + i + 1), n + 1)
+        })
+        val want = scores.toSeq.map { case (id, (s, n)) => (id, s, n) }
+          .sortBy { case (id, s, _) => (-s, id) }
+        assert(got.toSeq == want, s"legs=$nonEmpty k0=$k0")
+      }
+    }
+  }
+
+  test("zone-map pruned reads equal the full filter for random intervals") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("zmap_prop").toString
+    val vals = samples(Gen.choose(-1000L, 1000L), 400).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    vals.toDF("id", "v").repartitionByRange(7, col("v"))
+      .write.parquet(s"$root/t")
+    graft.sources.ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("v"))
+    val boundGen = Gen.choose(-1200L, 1200L)
+    forAll(boundGen, boundGen) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val got = graft.sources.ZoneMaps.readPruned(spark, s"$root/t", s"$root/m", "v", lo, hi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = vals.filter { case (_, v) => v >= lo && v <= hi }.toSet
+      assert(got == want, s"interval [$lo,$hi]")
+    }
+    // degenerate: empty interval prunes everything and stays correct
+    val none = graft.sources.ZoneMaps.readPruned(spark, s"$root/t", s"$root/m", "v", 5000L, 6000L)
+    assert(none.count() == 0)
+  }
+
+  test("bpeEncode equals sequential merge application on random corpora") {
+    import spark.implicits._
+    forAll(Gen.listOfN(15, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val merges = graft.pipeline.TextAnalysis.bpeTrain(df, 12)
+      val rules = merges.collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2)))
+      def applySeq(w: String): List[String] = {
+        var syms: List[String] = w.map(_.toString).toList :+ "</w>"
+        rules.foreach { case (l, r) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case x :: y :: t if x == l && y == r => out += (l + r); rest = t
+            case x :: t => out += x; rest = t
+            case Nil =>
+          }
+          syms = out.toList
+        }
+        syms
+      }
+      val got = graft.pipeline.TextAnalysis.bpeEncode(df, merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val want = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty).toList.flatMap(applySeq)
+        assert(got(i.toLong) == want, s"doc $i of corpus $texts")
+      }
+    }
+  }
 }
