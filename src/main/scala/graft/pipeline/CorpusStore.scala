@@ -137,6 +137,11 @@ object CorpusStore {
       if (liveDir.endsWith("/corpus")) 0
       else liveDir.substring(liveDir.lastIndexOf("_v") + 2).toInt
     val next = s"$dir/corpus_v${liveVersion + 1}"
+    // a torn previous merge may have left this path uncommitted (no
+    // _SUCCESS, or it would be the live generation) — its partial
+    // carry-copies and part files are garbage and must not leak into
+    // the retried generation via the append write below
+    if (fs.exists(new Path(next))) fs.delete(new Path(next), true)
     val bucketDirs = fs.listStatus(new Path(liveDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
     val (rewrite, carry) = bucketDirs.partition(d =>

@@ -91,11 +91,17 @@ object Retrieval {
     val lex = topRanks(TextAnalysis.bm25(docs, terms), col("score"), "doc_id", kPerLeg)
     val v = embeddings.select(col("vec_id"),
       Embeddings.asDouble(col("embedding")).as("v"))
-    val qv = v.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    // the query vector is one keyed row — resolve it loud on the
+    // driver (an absent id would otherwise degrade the hybrid to a
+    // plausible-looking lexical-only result with no error)
+    val qvRows = v.filter(col("vec_id") === queryVecId).limit(2).collect()
+    require(qvRows.nonEmpty,
+      s"[QUERY_VEC_MISSING] vec_id $queryVecId has no embedding — " +
+        "the dense leg would be silently empty")
+    val qv = typedLit(qvRows.head.getSeq[Double](1))
     val scored = v
-      .crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
-        Embeddings.cosine(col("v"), col("qv")).as("cos"))
+        Embeddings.cosine(col("v"), qv).as("cos"))
     val den = topRanks(scored, col("cos"), "doc_id", kPerLeg)
     rrfFuse(Seq(lex, den), "doc_id", k0, topK)
   }

@@ -16,24 +16,23 @@ import org.apache.spark.sql.SparkSession
   * mid-build there). */
 private[graft] object Stores {
 
-  /** Highest committed `dir/base_v<N>`, else `dir/base`. */
+  /** Highest committed `dir/base_v<N>`, else `dir/base` — the base is
+    * the unconditional fallback regardless of its marker, preserving
+    * the original reader contract for stores that were only ever
+    * base-written. */
   def liveGeneration(spark: SparkSession, dir: String, base: String,
-                     marker: String = "_SUCCESS"): String = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed: Seq[Int] =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).map(_.getPath.getName).toSeq
-        .collect { case n if n.startsWith(s"${base}_v") => n.stripPrefix(s"${base}_v") }
-        .flatMap(v => scala.util.Try(v.toInt).toOption)
-        .filter(v => fs.exists(new Path(s"$dir/${base}_v$v/$marker")))
-    if (committed.isEmpty) s"$dir/$base" else s"$dir/${base}_v${committed.max}"
-  }
+                     marker: String = "_SUCCESS"): String =
+    generations(spark, dir, base, marker)
+      .filter(_._1 > 0).lastOption.map(_._2)
+      .getOrElse(s"$dir/$base")
 
-  /** Every generation still on disk, ascending version: the base
-    * (version 0) if present, plus each committed `dir/base_v<N>`.
-    * Under the one-cycle grace retention this is at most (grace,
-    * live) — the bounded time-travel window. */
+  /** Every COMMITTED generation still on disk, ascending version: the
+    * base (version 0) and each `dir/base_v<N>`, each only if its
+    * commit marker landed — a torn base write is excluded here, so a
+    * time-travel read fails loud instead of serving a partial
+    * snapshot ([[liveGeneration]] keeps its marker-free base
+    * fallback). Under the one-cycle grace retention this is at most
+    * (grace, live) — the bounded time-travel window. */
   def generations(spark: SparkSession, dir: String, base: String,
                   marker: String = "_SUCCESS"): Seq[(Int, String)] = {
     val p = new Path(dir)
@@ -45,7 +44,8 @@ private[graft] object Stores {
       .filter(v => fs.exists(new Path(s"$dir/${base}_v$v/$marker")))
       .map(v => v -> s"$dir/${base}_v$v")
     val baseGen =
-      if (fs.exists(new Path(s"$dir/$base"))) Seq(0 -> s"$dir/$base") else Seq.empty
+      if (fs.exists(new Path(s"$dir/$base/$marker"))) Seq(0 -> s"$dir/$base")
+      else Seq.empty
     (baseGen ++ versioned).sortBy(_._1)
   }
 }

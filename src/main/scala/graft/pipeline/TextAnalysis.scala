@@ -260,12 +260,30 @@ object TextAnalysis {
     * own training loop performs, so encoding a vocabulary word
     * reproduces its training-time segmentation by construction
     * (spec-pinned). The cache amortizes the merge loop to once per
-    * DISTINCT word per executor (Zipf makes that ≪ corpus tokens) —
-    * the same memoization production tokenizers use, with zero
-    * exchanges: encoding stays a map-side pass. */
+    * DISTINCT word per executor JVM (Zipf makes that ≪ corpus
+    * tokens) — genuinely per-executor: a task-level `@transient lazy`
+    * field would reinitialize on every closure deserialization, so
+    * the cache lives in a JVM-global registry keyed by the rule-set
+    * fingerprint (bounded: one entry per distinct merge table this
+    * JVM has encoded with). Zero exchanges either way: encoding stays
+    * a map-side pass. */
+  private object BpeApplier {
+    private[TextAnalysis] val jvmCaches = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+  }
+
   private class BpeApplier(merges: Array[(String, String)]) extends Serializable {
+    private val cacheKey: String = {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+      merges.foreach { case (l, r) =>
+        h.update(l.getBytes("UTF-8")); h.update(0.toByte)
+        h.update(r.getBytes("UTF-8")); h.update(1.toByte)
+      }
+      h.digest().map("%02x".format(_)).mkString
+    }
     @transient private lazy val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+      BpeApplier.jvmCaches.computeIfAbsent(cacheKey,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
     def encodeWord(word: String): Array[String] =
       cache.computeIfAbsent(word, w => {
         var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"

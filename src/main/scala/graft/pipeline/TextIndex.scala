@@ -219,14 +219,25 @@ object TextIndex {
   def searchMany(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1)
-    val q = queries
-      .select(col("query_id"), explode(col("terms")).as("term"))
-      .select(col("query_id"), lower(trim(col("term"))).as("term"))
-      .filter(length(col("term")) > 0).distinct()
-    // bounded collect: the batch's distinct terms ARE the pruning key
-    val allTerms: Seq[String] =
-      q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    require(allTerms.nonEmpty, "searchMany needs at least one non-blank term")
+    import spark.implicits._
+    // bounded collect: the batch IS driver-sized by contract, and its
+    // terms must normalize EXACTLY like [[search]]'s (Scala
+    // trim/toLowerCase) — normalizing in Spark SQL instead would
+    // diverge on non-space whitespace and locale edge cases, silently
+    // missing postings a per-query search would hit
+    val pairs: Seq[(Long, String)] = queries
+      .select(col("query_id").cast("long"), explode(col("terms")).as("term"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)
+      .filter(_._2.nonEmpty).distinct.toSeq
+    // an all-blank (or empty) batch yields no rows, same as a single
+    // term-missing query — error/empty behavior must not depend on
+    // batch composition
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "doc_id", "score", "n_terms")
+    val q = pairs.toDF("query_id", "term")
+    val allTerms: Seq[String] = pairs.map(_._2).distinct
     val (store, live) = prunedPostings(spark, dir, allTerms)
     val (nDocs, totalLen) = statsOf(spark, store)
     val avgdl = totalLen.toDouble / nDocs

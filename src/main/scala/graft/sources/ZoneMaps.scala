@@ -53,41 +53,59 @@ object ZoneMaps {
   }
 
   /** Files that MAY contain rows with `c` in [lo, hi], plus the total
-    * file count (for observability/specs). Fails loud on a stale
-    * manifest — a file present in the table but absent from the
-    * manifest would otherwise be silently skipped. */
+    * file count (for observability/specs) — ONE read of the tiny
+    * manifest (the may-match test is evaluated in the same pass that
+    * lists it).
+    *
+    * `verifyCoverage` (default true) fails loud on a stale manifest —
+    * a file present in the table but absent from the manifest would
+    * otherwise be silently skipped. The guard costs a full table
+    * LISTING per read; that is the defensive default for ad-hoc use,
+    * but a serving path whose writes rebuild the manifest on a
+    * managed cadence (the store convention everywhere else in this
+    * engine) should pass `verifyCoverage = false` and keep the read
+    * at O(matching files) — otherwise the listing the manifest exists
+    * to avoid is re-paid per query. */
   def prunedFiles(spark: SparkSession, tableDir: String, manifestDir: String,
-                  c: String, lo: Any, hi: Any): (Seq[String], Int) = {
+                  c: String, lo: Any, hi: Any,
+                  verifyCoverage: Boolean = true): (Seq[String], Int) = {
     val m = spark.read.parquet(manifestDir)
-      .select(col("file"), col(s"min_$c"), col(s"max_$c"))
+      .select(col("file"),
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep"))
       .collect()
-    val norm = (s: String) => new Path(s).toString
-    val manifestSet = m.map(r => norm(r.getString(0))).toSet
-    val liveSet = spark.read.parquet(tableDir).inputFiles.map(norm).toSet
-    require(manifestSet == liveSet,
-      s"[STALE_ZONEMAP] manifest at $manifestDir covers ${manifestSet.size} " +
-        s"files but the table at $tableDir has ${liveSet.size}; " +
-        s"missing=${(liveSet -- manifestSet).take(3).mkString(",")} " +
-        s"extra=${(manifestSet -- liveSet).take(3).mkString(",")} — rebuild the manifest")
-    val mdf = spark.read.parquet(manifestDir)
-    val kept = mdf
-      .filter(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
-      .select("file").collect().map(_.getString(0)).toSeq
+    if (verifyCoverage) {
+      val norm = (s: String) => new Path(s).toString
+      val manifestSet = m.map(r => norm(r.getString(0))).toSet
+      val liveSet = spark.read.parquet(tableDir).inputFiles.map(norm).toSet
+      require(manifestSet == liveSet,
+        s"[STALE_ZONEMAP] manifest at $manifestDir covers ${manifestSet.size} " +
+          s"files but the table at $tableDir has ${liveSet.size}; " +
+          s"missing=${(liveSet -- manifestSet).take(3).mkString(",")} " +
+          s"extra=${(manifestSet -- liveSet).take(3).mkString(",")} — rebuild the manifest")
+    }
+    // null `keep` = null stats = no non-null values in that file: skip
+    val kept = m.filter(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(_.getString(0)).toSeq
     (kept, m.length)
   }
 
   /** Interval read through the manifest: rows of the table with `c`
     * BETWEEN lo AND hi, scanning only may-match files. Equals the
     * full-scan filter by the zone-map invariant; the residual filter
-    * still applies (and pushes down) inside the surviving files. */
+    * still applies (and pushes down) inside the surviving files. The
+    * schema comes from the surviving files' own footers — the full
+    * table is only consulted (for its schema) when everything was
+    * pruned. */
   def readPruned(spark: SparkSession, tableDir: String, manifestDir: String,
-                 c: String, lo: Any, hi: Any): DataFrame = {
-    val schema = spark.read.parquet(tableDir).schema
-    val (files, _) = prunedFiles(spark, tableDir, manifestDir, c, lo, hi)
+                 c: String, lo: Any, hi: Any,
+                 verifyCoverage: Boolean = true): DataFrame = {
+    val (files, _) =
+      prunedFiles(spark, tableDir, manifestDir, c, lo, hi, verifyCoverage)
     val base =
       if (files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files: _*)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          spark.read.parquet(tableDir).schema)
+      else spark.read.parquet(files: _*)
     base.filter(col(c).between(lit(lo), lit(hi)))
   }
 }

@@ -444,4 +444,29 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("GENERATION_PRUNED"))
   }
+
+  test("CorpusStore.merge clears a torn uncommitted next generation before retrying") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cstore_torn").toString
+    val base = docs.select(col("doc_id"), col("text"))
+    graft.pipeline.CorpusStore.write(base, dir, buckets = 4)
+    // simulate a crashed merge: partial files under corpus_v1, no _SUCCESS
+    val torn = new java.io.File(dir, "corpus_v1/bucket=0")
+    torn.mkdirs()
+    val garbage = new java.io.File(torn, "part-stale-from-crash.parquet")
+    java.nio.file.Files.copy(
+      new java.io.File(dir, "corpus").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .head.listFiles().filter(_.getName.endsWith(".parquet")).head.toPath,
+      garbage.toPath)
+    // the retried merge must not leak the stale part file into v1
+    val up = Seq((8L, "updated eight")).toDF("doc_id", "text")
+    val del = Seq(16L).toDF("doc_id")
+    graft.pipeline.CorpusStore.merge(spark, dir, up, del)
+    assert(!garbage.exists(), "torn-generation garbage survived the retry")
+    val got = graft.pipeline.CorpusStore.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap -
+      16L - 8L ++ Map(8L -> "updated eight")
+    assert(got == want, "merged content corrupted by the torn generation")
+  }
 }

@@ -1096,6 +1096,23 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       assert(got(qid).sortBy(_._2).toSeq == single.toSeq,
         s"batch rows for query $qid diverge from the per-query search")
     }
+
+    // term normalization parity with search(): tab-padded and
+    // uppercase terms must hit the same postings either way
+    val messy = Seq((7L, Seq("SPARK\t", " Hash "))).toDF("query_id", "terms")
+    val gotMessy = graft.pipeline.TextIndex.searchMany(spark, dir, messy, 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val cleanSingle = graft.pipeline.TextIndex.search(spark, dir, Seq("spark", "hash"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(gotMessy == cleanSingle,
+      "whitespace/case normalization diverges from per-query search")
+
+    // an all-blank batch yields an empty, correctly-typed frame — not
+    // an exception (error/empty must not depend on batch composition)
+    val blank = Seq((1L, Seq("", "  "))).toDF("query_id", "terms")
+    val none = graft.pipeline.TextIndex.searchMany(spark, dir, blank, 10)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("query_id", "doc_id", "score", "n_terms"))
   }
 
   test("phrase search: shifted-position intersection equals direct text scan") {

@@ -89,6 +89,13 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(lex.nonEmpty && den.nonEmpty, "hybrid fixture legs must be non-empty")
   }
 
+  test("hybridSearch fails loud when the query vector id is absent") {
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.hybridSearch(docs, emb, Seq("spark"), queryVecId = 999999999L)
+    }
+    assert(e.getMessage.contains("QUERY_VEC_MISSING"))
+  }
+
   test("index-tier hybrid equals the corpus-tier hybrid row for row") {
     val corpusTier = SparkEntry.queries("q_hybrid_search")(spark, sfDir)
       .collect().map(_.toString).toSeq

@@ -74,5 +74,11 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
       ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m", "l_quantity", 1.0, 2.0)
     }
     assert(e.getMessage.contains("STALE_ZONEMAP"))
+    // the managed-cadence serving path skips the listing guard by
+    // contract (O(matching files) reads) — documented trade: it will
+    // not notice the staleness
+    val fast = ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 2.0, verifyCoverage = false)
+    assert(fast._2 >= 1)
   }
 }
