@@ -48,6 +48,14 @@ object Engine {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Runtime bloom-filter join pruning: a selective dim filter builds
+    // a bloom sketch that drops non-joining fact rows AT THE SCAN,
+    // before the fact side pays the shuffle — the shuffle-join analog
+    // of broadcast pruning, and a first-order scan reducer on 100 TB
+    // facts. Thresholds stay at Spark defaults (inject only when the
+    // creation side is small and the application side is big enough to
+    // pay off); PlanSpec pins the injection shape.
+    c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader does
     // not support natively; read as long and convert (see table()).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

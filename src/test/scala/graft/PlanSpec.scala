@@ -953,4 +953,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(s.contains("BroadcastHashJoin"),
       s"freq join did not broadcast at runtime:\n$s")
   }
+
+  test("runtime bloom filter: a selective dim filter prunes the fact scan of a shuffle join") {
+    // Engine.tune enables the optimizer rule at Spark's default
+    // thresholds (inject only when the creation side is small and the
+    // application side scan is large); the fixture is far below those
+    // sizes, so this pin lowers them to prove the INJECTION SHAPE the
+    // 100 TB plan gets: the fact side gains a might_contain(...) scan
+    // filter fed by a bloom_filter_agg over the filtered dim keys —
+    // non-joining fact rows die at the scan, before the shuffle.
+    val c = spark.conf
+    c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    try {
+      import org.apache.spark.sql.functions.{col, sum}
+      val li = Engine.table(spark, sfDir, "lineitem")
+      val o = Engine.table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+      // the probe must sit on the FACT (lineitem) side keyed on its key
+      assert(plan.contains("might_contain") &&
+        plan.linesIterator.exists(l => l.contains("might_contain") && l.contains("l_orderkey")),
+        s"bloom probe not applied to the fact key:\n${plan.take(3000)}")
+    } finally {
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
