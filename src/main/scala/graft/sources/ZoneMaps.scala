@@ -52,6 +52,51 @@ object ZoneMaps {
       .write.mode("overwrite").parquet(manifestDir)
   }
 
+  /** Incrementally reconcile the manifest with the table: compute
+    * stats ONLY for files the manifest has never seen (one pruned
+    * pass over exactly those paths — O(new data), not O(table)) and
+    * drop rows for files that no longer exist (compaction/deletes).
+    * Returns (filesAdded, filesRemoved). The surviving existing rows
+    * ride through a driver-side collect — the manifest is one row per
+    * file, the same driver-bounded scale as the file listing itself.
+    * The column set is frozen by the existing manifest's schema. */
+  def update(spark: SparkSession, tableDir: String,
+             manifestDir: String): (Int, Int) = {
+    val existing = spark.read.parquet(manifestDir)
+    val cols: Seq[String] = existing.schema.fieldNames.toSeq
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+    val norm = (s: String) => new Path(s).toString
+    val existingRows = existing.collect()
+    val known: Map[String, org.apache.spark.sql.Row] =
+      existingRows.map(r => norm(r.getAs[String]("file")) -> r).toMap
+    val live = spark.read.parquet(tableDir).inputFiles
+    val liveSet = live.map(norm).toSet
+    val newFiles = live.filter(f => !known.contains(norm(f)))
+    val survivors = existingRows.filter(r => liveSet.contains(norm(r.getAs[String]("file"))))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val newStats =
+      if (newFiles.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          existing.schema)
+      else spark.read.parquet(newFiles.toIndexedSeq: _*)
+        .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+        .groupBy("file")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val merged = newStats.unionByName(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(survivors.toIndexedSeq, 1), existing.schema))
+    // the manifest being replaced is also an input — materialize the
+    // union before overwriting the directory it reads from
+    val rows = merged.collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
+      .coalesce(1).write.mode("overwrite").parquet(manifestDir)
+    (newFiles.length, existingRows.length - survivors.length)
+  }
+
   /** Files that MAY contain rows with `c` in [lo, hi], plus the total
     * file count (for observability/specs) — ONE read of the tiny
     * manifest (the may-match test is evaluated in the same pass that

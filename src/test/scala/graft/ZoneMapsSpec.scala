@@ -81,4 +81,36 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
       "l_quantity", 1.0, 2.0, verifyCoverage = false)
     assert(fast._2 >= 1)
   }
+
+  test("update reconciles new and removed files without rescanning the table") {
+    val root = tmp()
+    li.filter(col("l_orderkey") % 3 === 0).coalesce(1).write.parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity", "l_shipdate"))
+    // append two more files
+    li.filter(col("l_orderkey") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$root/t")
+    li.filter(col("l_orderkey") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(s"$root/t")
+    val (added, removed) = ZoneMaps.update(spark, s"$root/t", s"$root/m")
+    assert(added == 2 && removed == 0, s"added=$added removed=$removed")
+    // post-update reads pass the coverage guard and equal the filter
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 25.0).count()
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 25.0)).count()
+    assert(got == want && got > 0)
+    // delete a data file → update drops its manifest row
+    val victim = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    assert(victim.delete())
+    val (added2, removed2) = ZoneMaps.update(spark, s"$root/t", s"$root/m")
+    assert(added2 == 0 && removed2 == 1, s"added=$added2 removed=$removed2")
+    val again = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 25.0).count()
+    val wantAgain = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 25.0)).count()
+    assert(again == wantAgain)
+    // idempotent when nothing changed
+    assert(ZoneMaps.update(spark, s"$root/t", s"$root/m") == ((0, 0)))
+  }
 }
