@@ -61,7 +61,8 @@ object Bench {
     val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete", "ann_ivf_filtered",
       "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr",
       "q_bucketed_join", "q_corpus_merge", "q_bm25_indexed", "q_phrase_search",
-      "q_zonemap", "q_store_timetravel", "q_search_many", "q_hybrid_indexed")
+      "q_zonemap", "q_store_timetravel", "q_search_many", "q_hybrid_indexed",
+      "q_sql_phrase")
     if (only.forall(o => o.exists(indexQueries.contains)))
       SparkEntry.prepareIndexFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1317,6 +1317,18 @@ object SparkEntry {
     "SELECT doc_id, rrf_score, n_legs FROM " +
     "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"
 
+  /** Phrase counts ("table scan", top 25) restated by direct
+    * token-array scan — an independent method from the index's
+    * position-set intersection; shared by q_phrase_search (Scala API)
+    * and q_sql_phrase (corpus_search TVF). */
+  private val duckPhraseSql: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)), " +
+      "s -> w[s] = 'table' AND w[s + 1] = 'scan')) AS BIGINT) AS n_hits FROM t) " +
+      "SELECT doc_id, n_hits FROM (SELECT * FROM h WHERE n_hits > 0 " +
+      "ORDER BY n_hits DESC, doc_id LIMIT 25) ORDER BY doc_id"
+
   private val duckJaccardPairs: String =
     "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
@@ -2482,12 +2494,10 @@ object SparkEntry {
 
     // Phrase counts restated by direct token-array scan — an
     // independent method from the index's position-set intersection.
-    "q_phrase_search" -> ("WITH t AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "h AS (SELECT doc_id, CAST(len(list_filter(range(1, len(w)), " +
-      "s -> w[s] = 'table' AND w[s + 1] = 'scan')) AS BIGINT) AS n_hits FROM t) " +
-      "SELECT doc_id, n_hits FROM (SELECT * FROM h WHERE n_hits > 0 " +
-      "ORDER BY n_hits DESC, doc_id LIMIT 25) ORDER BY doc_id"),
+    "q_phrase_search" -> duckPhraseSql,
+
+    // SQL surface must serve the identical phrase result.
+    "q_sql_phrase" -> duckPhraseSql,
 
     "text_lm_score" ->
       (LmNllCte + " SELECT doc_id, n_bigrams, sum_nll, avg_nll FROM nll ORDER BY doc_id"),
@@ -2913,6 +2923,14 @@ object SparkEntry {
     "q_sql_search" -> ((s, d) =>
       s.sql(s"SELECT doc_id, score, n_terms FROM " +
           s"corpus_search('$d/documents.parquet', 'spark hash window', k=>15)")
+        .orderBy("doc_id")),
+
+    // Phrase mode through the SQL surface, served from the persisted
+    // index's positional postings (the TVF detects the layout) — same
+    // oracle as q_phrase_search.
+    "q_sql_phrase" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, n_hits FROM " +
+          s"corpus_search('${textIndexDir(s, d)}', 'table scan', k=>25, mode=>'phrase')")
         .orderBy("doc_id")),
 
     "q_sql_dedup" -> ((s, d) => {

@@ -157,6 +157,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-scan phrase occurrence counts — the direct-scan
+    * counterpart of [[TextIndex.searchPhrase]] (same semantics, no
+    * index): docs containing the consecutive token sequence, ranked
+    * by occurrence count with doc_id tie-break. One pass; the
+    * position scan compiles to array lambda expressions (no UDF).
+    * Use the index variant when one exists — this is the fallback the
+    * `corpus_search` TVF routes to for a plain corpus path. */
+  def phraseCounts(docs: DataFrame, phrase: String, k: Int): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty && k >= 1)
+    val n = terms.length
+    val w = tokens(col("text"))
+    // starts 1..size-n+1 (element_at is 1-based; Spark's sequence
+    // counts DOWN when start > stop, so short docs get an explicit
+    // empty array). A start matches iff every term matches its offset.
+    val starts = when(size(w) >= lit(n),
+      sequence(lit(1), size(w) - lit(n) + lit(1)))
+      .otherwise(array().cast("array<int>"))
+    val hits = filter(starts,
+      i => terms.zipWithIndex.map { case (t, j) =>
+        element_at(w, i + lit(j)) === lit(t)
+      }.reduce(_ && _))
+    docs
+      .select(col("doc_id"), size(hits).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Adjacent-symbol pair frequencies at BPE iteration zero: every
     * word split into characters + the `</w>` end marker, pairs
     * weighted by word frequency. The first merge any BPE trainer

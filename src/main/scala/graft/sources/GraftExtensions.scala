@@ -94,8 +94,10 @@ object GraftExtensions {
           s"$name: unexpected argument count ${a.size}"))))
 }
 
-/** `corpus_search(path, query [, k=>10] [, connection=>name])`:
-  * BM25 top-k retrieval for SQL users with no Scala in sight.
+/** `corpus_search(path, query [, k=>10] [, mode=>'bm25'|'phrase']
+  * [, connection=>name])`: top-k retrieval for SQL users with no
+  * Scala in sight — BM25 ranking by default, exact consecutive-phrase
+  * occurrence counts with `mode=>'phrase'`.
   * Whitespace-tokenized query, deterministic ranking (score desc,
   * doc_id asc — scores are the decimal-exact
   * [[graft.pipeline.TextAnalysis.bm25]] values, so the cut is stable
@@ -136,6 +138,7 @@ object CorpusSearchTVF {
     require(k >= 1, s"corpus_search: k $k must be >= 1")
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "corpus_search: empty query")
+    val mode = opts.getOrElse("mode", "bm25").toLowerCase
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
@@ -144,11 +147,21 @@ object CorpusSearchTVF {
       val p = new org.apache.hadoop.fs.Path(s"$resolved/meta")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val result =
-      if (isIndex) graft.pipeline.TextIndex.search(spark, resolved, terms, k)
-      else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(resolved), terms)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(k)
+    val result = mode match {
+      case "bm25" =>
+        if (isIndex) graft.pipeline.TextIndex.search(spark, resolved, terms, k)
+        else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(resolved), terms)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+      // exact consecutive-phrase counts: positional postings when the
+      // path is an index, direct token scan for a plain corpus
+      case "phrase" =>
+        if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, query, k)
+        else graft.pipeline.TextAnalysis.phraseCounts(
+          spark.read.parquet(resolved), query, k)
+      case other => throw new IllegalArgumentException(
+        s"corpus_search: unknown mode '$other' (bm25 | phrase)")
+    }
     result.queryExecution.analyzed
   }
 }

@@ -368,6 +368,26 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       s"SELECT doc_id, score FROM corpus_search('$idx', 'spark hash window', k=>5)")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex == viaSql)
+
+    // phrase mode: corpus-scan route ≡ Scala phraseCounts ≡ the
+    // index's positional-postings route; unknown mode fails loud
+    val phraseSql = spark.sql(
+      s"SELECT doc_id, n_hits FROM corpus_search('$sfDir/documents.parquet', " +
+        "'table scan', k=>50, mode=>'phrase')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val phraseApi = graft.pipeline.TextAnalysis.phraseCounts(
+        Engine.table(spark, sfDir, "documents"), "table scan", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phraseSql == phraseApi)
+    val phraseIdx = spark.sql(
+      s"SELECT doc_id, n_hits FROM corpus_search('$idx', 'table scan', k=>50, mode=>'phrase')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(phraseIdx == phraseSql)
+    assert(phraseSql.nonEmpty, "phrase fixture must match at least one doc")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$idx', 'x', mode=>'regex')").collect()
+    }
+    assert(e.getMessage.contains("unknown mode"))
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
