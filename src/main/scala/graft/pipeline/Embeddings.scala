@@ -1098,6 +1098,53 @@ object Embeddings {
     books
   }
 
+  // --- serving-path model-parameter cache ---------------------------
+  //
+  // Centroids and per-cell radii are bounded driver state (≤ nlist
+  // rows) that mutate only through store maintenance, yet each
+  // serving call was re-reading them as Spark jobs — several
+  // scheduler round-trips that dominate single-query latency the same
+  // way the removed escape-decision job chain did. Cache key = the
+  // directory's file SIGNATURE (name, length, mtime per file — one
+  // driver FS listing, no job): an append/compact/rebuild changes the
+  // signature and misses; an unchanged store hits. Bounded eviction
+  // keeps long-lived sessions (tests build many throwaway indexes)
+  // from accumulating dead generations.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def dirSig(spark: org.apache.spark.sql.SparkSession,
+                     path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+  private def cached[A <: AnyRef](spark: org.apache.spark.sql.SparkSession,
+                                  kind: String, path: String)(load: => A): A = {
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.computeIfAbsent(s"$kind:$path@${dirSig(spark, path)}",
+      _ => load).asInstanceOf[A]
+  }
+
+  private def cachedCentroids(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Array[Array[Double]] =
+    cached(spark, "cents", s"$root/centroids") {
+      spark.read.parquet(s"$root/centroids").orderBy("cell")
+        .select("centroid").collect()
+        .map(_.getSeq[Double](0).toArray)
+    }
+
+  /** Per-cell max angular radius; readers take the max across files —
+    * appends add rows, never rewrite. */
+  private def cachedRadii(spark: org.apache.spark.sql.SparkSession,
+                          root: String): Map[Int, Double] =
+    cached(spark, "radii", s"$root/cellstats") {
+      spark.read.parquet(s"$root/cellstats")
+        .groupBy("cell").agg(max("radius").as("radius")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+
   /** ANN top-k over a [[writeIvfIndex]] layout. Identical emitted
     * rows to [[ivfTopK]] (same centroids, same exact re-ranking, same
     * tiebreaks) — only the access path differs: the probed cell set
@@ -1196,10 +1243,7 @@ object Embeddings {
                         root: String, corpus: DataFrame, qn: DataFrame,
                         k: Int, nprobe: Int, excludeSelf: Boolean,
                         adaptive: Boolean = false): DataFrame = {
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$root/centroids").orderBy("cell")
-        .select("centroid").collect()
-        .map(_.getSeq[Double](0).toArray)
+    val cents: Array[Array[Double]] = cachedCentroids(spark, root)
     val q = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
@@ -1230,11 +1274,8 @@ object Embeddings {
     // actually 100 TB) are unchanged: one pruned scan per pass.
     val top1: Array[(Long, Long, Double, Long)] = rankTopK(scored, k).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
-    // Bounded driver collect: ≤ nlist (cell, radius) rows. Readers
-    // take the max across files — appends add rows, never rewrite.
-    val radMap: Map[Int, Double] = spark.read.parquet(s"$root/cellstats")
-      .groupBy("cell").agg(max("radius").as("radius")).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // Bounded driver state: ≤ nlist (cell, radius) rows, signature-cached.
+    val radMap: Map[Int, Double] = cachedRadii(spark, root)
     // The exploded query × probed-cell frame, driver-side — the SAME
     // frame the pass-1 broadcast ships, so the probed set per query
     // is exactly what Spark assigned (no tie-break re-derivation).
@@ -1355,11 +1396,10 @@ object Embeddings {
                           root: String, corpus: DataFrame, qn: DataFrame,
                           k: Int, nprobe: Int, shortlist: Int,
                           excludeSelf: Boolean): DataFrame = {
-    val cents: Array[Array[Double]] =
-      spark.read.parquet(s"$root/centroids").orderBy("cell")
-        .select("centroid").collect()
-        .map(_.getSeq[Double](0).toArray)
-    val books = readCodebooks(spark, root)
+    val cents: Array[Array[Double]] = cachedCentroids(spark, root)
+    val books = cached(spark, "books", s"$root/codebooks") {
+      readCodebooks(spark, root)
+    }
     val q = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
