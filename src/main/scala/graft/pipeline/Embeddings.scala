@@ -1098,34 +1098,11 @@ object Embeddings {
     books
   }
 
-  // --- serving-path model-parameter cache ---------------------------
-  //
-  // Centroids and per-cell radii are bounded driver state (≤ nlist
-  // rows) that mutate only through store maintenance, yet each
-  // serving call was re-reading them as Spark jobs — several
-  // scheduler round-trips that dominate single-query latency the same
-  // way the removed escape-decision job chain did. Cache key = the
-  // directory's file SIGNATURE (name, length, mtime per file — one
-  // driver FS listing, no job): an append/compact/rebuild changes the
-  // signature and misses; an unchanged store hits. Bounded eviction
-  // keeps long-lived sessions (tests build many throwaway indexes)
-  // from accumulating dead generations.
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def dirSig(spark: org.apache.spark.sql.SparkSession,
-                     path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-  }
+  // Serving-path model parameters (centroids / radii / codebooks) ride
+  // the shared store-signature cache — see [[Stores.cachedModel]].
   private def cached[A <: AnyRef](spark: org.apache.spark.sql.SparkSession,
-                                  kind: String, path: String)(load: => A): A = {
-    if (modelCache.size > 64) modelCache.clear()
-    modelCache.computeIfAbsent(s"$kind:$path@${dirSig(spark, path)}",
-      _ => load).asInstanceOf[A]
-  }
+                                  kind: String, path: String)(load: => A): A =
+    Stores.cachedModel(spark, kind, path)(load)
 
   private def cachedCentroids(spark: org.apache.spark.sql.SparkSession,
                               root: String): Array[Array[Double]] =

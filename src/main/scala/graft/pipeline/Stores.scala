@@ -48,4 +48,34 @@ private[graft] object Stores {
       else Seq.empty
     (baseGen ++ versioned).sortBy(_._1)
   }
+
+  // --- serving-path model-parameter cache ---------------------------
+  //
+  // Index stores carry bounded driver state (IVF centroids/radii/PQ
+  // codebooks, text-index bucket scheme and corpus stats — all ≤
+  // nlist/nbucket rows) that mutates only through store maintenance,
+  // yet every serving call re-read it as Spark jobs: scheduler
+  // round-trips that dominate single-query latency. Cache key = the
+  // directory's file SIGNATURE (name, length, mtime per file — one
+  // driver FS listing, no job): any append/compaction/rebuild changes
+  // the signature and misses; an unchanged store hits. Bounded
+  // eviction keeps long-lived sessions (tests build many throwaway
+  // stores) from accumulating dead generations.
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  def dirSig(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  def cachedModel[A <: AnyRef](spark: SparkSession, kind: String,
+                               path: String)(load: => A): A = {
+    if (modelCache.size > 64) modelCache.clear()
+    modelCache.computeIfAbsent(s"$kind:$path@${dirSig(spark, path)}",
+      _ => load).asInstanceOf[A]
+  }
 }

@@ -144,11 +144,14 @@ object TextIndex {
   def stats(spark: SparkSession, dir: String): (Long, Long) =
     statsOf(spark, liveStore(spark, dir))
 
-  private def statsOf(spark: SparkSession, store: String): (Long, Long) = {
-    val r = spark.read.parquet(statsFiles(spark, store): _*)
-      .agg(sum("n_docs"), sum("total_len")).head()
-    (r.getLong(0), r.getLong(1))
-  }
+  private def statsOf(spark: SparkSession, store: String): (Long, Long) =
+    // appends add delta files, compaction swaps the store path — both
+    // change the signature, so the cache can never serve stale totals
+    Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
+      val r = spark.read.parquet(statsFiles(spark, store): _*)
+        .agg(sum("n_docs"), sum("total_len")).head()
+      (r.getLong(0), r.getLong(1))
+    }
 
   /** Shared query preamble: resolve the live generation ONCE (a
     * compaction committing between two resolutions would mix
@@ -158,7 +161,12 @@ object TextIndex {
     * exactly the query terms. */
   private def prunedPostings(spark: SparkSession, dir: String,
                              qTerms: Seq[String]): (String, DataFrame) = {
-    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    // frozen scheme — signature-cached so the serving path skips the
+    // per-query meta job (see Stores.cachedModel)
+    val buckets: Integer = Stores.cachedModel(spark, "tidx-meta", s"$dir/meta") {
+      Integer.valueOf(
+        spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets"))
+    }
     import spark.implicits._
     val termBuckets: Array[Int] = qTerms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
