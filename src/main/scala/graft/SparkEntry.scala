@@ -165,11 +165,19 @@ object SparkEntry {
         "graft_zmap_" + Integer.toHexString(dir.hashCode))
       if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
       val out = f.getAbsolutePath
-      Engine.table(s, dir, "lineitem")
+      val li = Engine.table(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
-        .repartitionByRange(16, col("l_shipdate"))
+      // built in two steps so the ORACLED read exercises the
+      // incremental maintenance path, not just the full build: base
+      // files + manifest, then appended files reconciled by update()
+      li.filter(col("l_orderkey") % 2 === 0)
+        .repartitionByRange(8, col("l_shipdate"))
         .write.mode("overwrite").parquet(s"$out/table")
       sources.ZoneMaps.write(s, s"$out/table", s"$out/manifest", Seq("l_shipdate"))
+      li.filter(col("l_orderkey") % 2 === 1)
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.mode("append").parquet(s"$out/table")
+      sources.ZoneMaps.update(s, s"$out/table", s"$out/manifest")
       out
     })
 
@@ -1108,6 +1116,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent view AT OR BEFORE it, but only within a 1-hour window —
+    // the as-of join carries the candidate, the window test decides.
+    // Views pre-aggregate to unique (user, ts) with a max-event_id
+    // tie-break so the carried payload is deterministic (the same
+    // discipline q_asof's oracle uses with ARG_MAX). Second arithmetic
+    // floors epoch seconds on both engines (cast-long vs date_diff).
+    "q_attribution" -> ((s, d) => {
+      val e = T(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max("event_id").as("v_event_id"))
+      val j = operators.AsofJoin.asofJoin(purchases, views,
+        "user_id", "v_user", "ts", "v_ts", Seq("v_ts", "v_event_id"))
+      val attributed = col("v_ts").isNotNull &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR")
+      j.select(col("event_id"), col("user_id"),
+          attributed.as("attributed"),
+          when(attributed, col("v_event_id")).as("attr_view"),
+          when(attributed,
+            col("ts").cast("long") - col("v_ts").cast("long")).as("secs_since_view"))
+        .orderBy("event_id")
+    }),
+
     "q_udf_tier" -> ((s, d) => {
       functions.Udfs.register(s)
       T(s, d, "orders")
@@ -1195,6 +1229,20 @@ object SparkEntry {
       "SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice " +
       "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate " +
       "ORDER BY e.event_id"),
+    // ASOF picks the latest view at-or-before; the window test and
+    // the floored-second latency restate the engine's arithmetic.
+    "q_attribution" -> ("WITH v AS (SELECT user_id AS v_user, ts AS v_ts, " +
+      "MAX(event_id) AS v_event_id FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "j AS (SELECT p.event_id, p.user_id, p.ts, v.v_ts, v.v_event_id " +
+      "FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.v_ts) " +
+      "SELECT event_id, user_id, " +
+      "(v_ts IS NOT NULL AND v_ts >= ts - INTERVAL 1 HOUR) AS attributed, " +
+      "CASE WHEN v_ts IS NOT NULL AND v_ts >= ts - INTERVAL 1 HOUR THEN v_event_id END AS attr_view, " +
+      "CASE WHEN v_ts IS NOT NULL AND v_ts >= ts - INTERVAL 1 HOUR " +
+      "THEN date_diff('second', v_ts, ts) END AS secs_since_view " +
+      "FROM j ORDER BY event_id"),
+
     "q_udf_tier" -> ("SELECT o_orderkey, CASE WHEN o_totalprice < 50000 THEN 'low' " +
       "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS tier FROM orders ORDER BY o_orderkey"),
     "q_udaf_ssq" -> ("SELECT o_custkey, CAST(SUM((o_orderkey % 97) * (o_orderkey % 97)) AS BIGINT) AS ssq " +
