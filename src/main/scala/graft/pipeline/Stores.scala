@@ -74,7 +74,13 @@ private[graft] object Stores {
 
   def cachedModel[A <: AnyRef](spark: SparkSession, kind: String,
                                path: String)(load: => A): A = {
-    if (modelCache.size > 64) modelCache.clear()
+    // bound the cache by evicting single (arbitrary) entries — a
+    // full clear would collapse the hit rate to zero exactly in the
+    // many-store sessions the bound exists for
+    while (modelCache.size > 64) {
+      val it = modelCache.keys()
+      if (it.hasMoreElements) modelCache.remove(it.nextElement()) else ()
+    }
     modelCache.computeIfAbsent(s"$kind:$path@${dirSig(spark, path)}",
       _ => load).asInstanceOf[A]
   }

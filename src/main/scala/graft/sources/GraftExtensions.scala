@@ -134,6 +134,12 @@ object CorpusSearchTVF {
       case _ => throw new IllegalArgumentException(
         "corpus_search: expected (path, query) positional arguments")
     }
+    // options change result SEMANTICS (mode), so a typo'd key must
+    // fail loud, not silently serve the default behavior
+    val unknown = opts.keySet -- Set("k", "mode", "connection")
+    require(unknown.isEmpty,
+      s"corpus_search: unknown option(s) ${unknown.mkString(", ")} " +
+        "(expected k, mode, connection)")
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     require(k >= 1, s"corpus_search: k $k must be >= 1")
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq

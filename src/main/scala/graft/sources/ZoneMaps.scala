@@ -25,76 +25,108 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Correctness: a file whose manifest row has NULL min/max for a
   * column holds no non-null values of it, and an interval predicate
   * matches no null — so the SQL filter `min_c <= hi AND max_c >= lo`
-  * (null → dropped) is exactly the may-match test. A file missing
-  * from the manifest entirely is the dangerous case (silently dropped
-  * rows), so [[prunedFiles]] refuses to serve from a manifest whose
-  * file set differs from the live listing — rebuild after any table
-  * write; at scale, maintain the manifest with the same
-  * generation-swap cadence as the stores. */
+  * (null → dropped) is exactly the may-match test. Manifest rows
+  * carry each file's (size, mtime) SIGNATURE, so both the coverage
+  * guard and [[update]] detect not just added/removed files but a
+  * file REWRITTEN IN PLACE — the silent-row-loss case where stale
+  * stats would wrongly prune it. */
 object ZoneMaps {
 
-  /** Build the manifest: one row per data file with per-column
-    * min/max + row count, from ONE column-pruned distributed pass
-    * grouped by `_metadata.file_path` (no driver footer-walking — the
-    * build parallelizes like any aggregation). Overwrites
-    * `manifestDir` (a single small parquet). */
+  /** One row per data file: per-column min/max, row count, and the
+    * file's (size, mtime-millis) signature — computed in ONE
+    * column-pruned distributed pass grouped by `_metadata.file_path`
+    * (no driver footer-walking; the build parallelizes like any
+    * aggregation). Shared by [[write]] and [[update]] so full builds
+    * and incremental reconciles can never desynchronize. */
+  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+      Seq(count(lit(1)).as("n_rows"),
+        max(col("__fsize")).as("file_size"),
+        max(col("__fmtime")).as("file_mtime"))
+    df.select(Seq(col("_metadata.file_path").as("file"),
+        col("_metadata.file_size").as("__fsize"),
+        unix_millis(col("_metadata.file_modification_time")).as("__fmtime")) ++
+        cols.map(col): _*)
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def norm(s: String): String = new Path(s).toString
+
+  /** Driver listing of the table's data files → normalized path →
+    * (size, mtime millis). One recursive FS listing, no Spark job —
+    * the same cost the stale guard already paid via inputFiles, now
+    * yielding the signature too. */
+  private def listLive(spark: SparkSession,
+                       tableDir: String): Map[String, (Long, Long)] = {
+    val p = new Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Map.newBuilder[String, (Long, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += norm(s.getPath.toString) -> ((s.getLen, s.getModificationTime))
+    }
+    out.result()
+  }
+
+  /** Build the manifest from scratch. Overwrites `manifestDir` (a
+    * single small parquet). */
   def write(spark: SparkSession, tableDir: String, manifestDir: String,
             cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val df = spark.read.parquet(tableDir)
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
-    df.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-      .groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
+    statsFor(spark.read.parquet(tableDir), cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir)
   }
 
-  /** Incrementally reconcile the manifest with the table: compute
-    * stats ONLY for files the manifest has never seen (one pruned
-    * pass over exactly those paths — O(new data), not O(table)) and
-    * drop rows for files that no longer exist (compaction/deletes).
-    * Returns (filesAdded, filesRemoved). The surviving existing rows
-    * ride through a driver-side collect — the manifest is one row per
-    * file, the same driver-bounded scale as the file listing itself.
-    * The column set is frozen by the existing manifest's schema. */
+  /** Incrementally reconcile the manifest with the table: stats are
+    * recomputed ONLY for files the manifest has never seen or whose
+    * (size, mtime) signature changed — one pruned pass over exactly
+    * those paths, O(changed data) not O(table) — and rows for files
+    * that no longer match anything on disk are dropped
+    * (compaction/deletes; an in-place rewrite counts on both sides).
+    * Returns (filesRefreshed, rowsDropped). Surviving rows ride a
+    * driver-side collect — the manifest is one row per file, the same
+    * driver-bounded scale as the listing itself. The column set is
+    * frozen by the existing manifest's schema. */
   def update(spark: SparkSession, tableDir: String,
              manifestDir: String): (Int, Int) = {
+    // update() reconciles OUT-OF-BAND table changes by contract, so
+    // Spark's cached file statuses (lengths, listings) must be
+    // dropped first — a file rewritten in place would otherwise be
+    // read with its stale cached length. refreshByPath drops cached
+    // query data; the status cache needs the bridge.
+    spark.catalog.refreshByPath(tableDir)
+    org.apache.spark.sql.graftbridge.FileStatusCacheBridge.invalidateAll(spark)
     val existing = spark.read.parquet(manifestDir)
     val cols: Seq[String] = existing.schema.fieldNames.toSeq
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
-    val norm = (s: String) => new Path(s).toString
     val existingRows = existing.collect()
-    val known: Map[String, org.apache.spark.sql.Row] =
-      existingRows.map(r => norm(r.getAs[String]("file")) -> r).toMap
-    val live = spark.read.parquet(tableDir).inputFiles
-    val liveSet = live.map(norm).toSet
-    val newFiles = live.filter(f => !known.contains(norm(f)))
-    val survivors = existingRows.filter(r => liveSet.contains(norm(r.getAs[String]("file"))))
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
-      count(lit(1)).as("n_rows")
+    val live = listLive(spark, tableDir)
+    val survivors = existingRows.filter { r =>
+      live.get(norm(r.getAs[String]("file")))
+        .contains((r.getAs[Long]("file_size"), r.getAs[Long]("file_mtime")))
+    }
+    val survivorNames = survivors.map(r => norm(r.getAs[String]("file"))).toSet
+    val fresh = live.keys.filterNot(survivorNames.contains).toSeq.sorted
     val newStats =
-      if (newFiles.isEmpty)
+      if (fresh.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           existing.schema)
-      else spark.read.parquet(newFiles.toIndexedSeq: _*)
-        .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
-        .groupBy("file")
-        .agg(aggs.head, aggs.tail: _*)
+      else statsFor(spark.read.parquet(fresh: _*), cols)
         .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
-    val merged = newStats.unionByName(
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(survivors.toIndexedSeq, 1), existing.schema))
-    // the manifest being replaced is also an input — materialize the
-    // union before overwriting the directory it reads from
-    val rows = merged.collect()
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), existing.schema)
+    // `existing` is already collected to driver rows, and newStats
+    // reads only table files — the manifest dir is not an input of
+    // this write, so overwriting it directly is safe
+    newStats.unionByName(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(survivors.toIndexedSeq, 1), existing.schema))
       .coalesce(1).write.mode("overwrite").parquet(manifestDir)
-    (newFiles.length, existingRows.length - survivors.length)
+    (fresh.size, existingRows.length - survivors.length)
   }
 
   /** Files that MAY contain rows with `c` in [lo, hi], plus the total
@@ -102,31 +134,34 @@ object ZoneMaps {
     * manifest (the may-match test is evaluated in the same pass that
     * lists it).
     *
-    * `verifyCoverage` (default true) fails loud on a stale manifest —
-    * a file present in the table but absent from the manifest would
-    * otherwise be silently skipped. The guard costs a full table
-    * LISTING per read; that is the defensive default for ad-hoc use,
-    * but a serving path whose writes rebuild the manifest on a
-    * managed cadence (the store convention everywhere else in this
-    * engine) should pass `verifyCoverage = false` and keep the read
-    * at O(matching files) — otherwise the listing the manifest exists
-    * to avoid is re-paid per query. */
+    * `verifyCoverage` (default true) fails loud on a stale manifest:
+    * a file added, removed, or REWRITTEN IN PLACE since the manifest
+    * was built (signature compare — name, size, mtime). The guard
+    * costs a table LISTING per read; that is the defensive default
+    * for ad-hoc use, but a serving path whose writes run [[update]]
+    * on a managed cadence (the store convention everywhere else in
+    * this engine) should pass `verifyCoverage = false` and keep the
+    * read at O(matching files) — otherwise the listing the manifest
+    * exists to avoid is re-paid per query. */
   def prunedFiles(spark: SparkSession, tableDir: String, manifestDir: String,
                   c: String, lo: Any, hi: Any,
                   verifyCoverage: Boolean = true): (Seq[String], Int) = {
     val m = spark.read.parquet(manifestDir)
       .select(col("file"),
-        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep"))
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep"),
+        col("file_size"), col("file_mtime"))
       .collect()
     if (verifyCoverage) {
-      val norm = (s: String) => new Path(s).toString
-      val manifestSet = m.map(r => norm(r.getString(0))).toSet
-      val liveSet = spark.read.parquet(tableDir).inputFiles.map(norm).toSet
-      require(manifestSet == liveSet,
-        s"[STALE_ZONEMAP] manifest at $manifestDir covers ${manifestSet.size} " +
-          s"files but the table at $tableDir has ${liveSet.size}; " +
-          s"missing=${(liveSet -- manifestSet).take(3).mkString(",")} " +
-          s"extra=${(manifestSet -- liveSet).take(3).mkString(",")} — rebuild the manifest")
+      val manifestSig = m.map(r =>
+        norm(r.getString(0)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      val liveSig = listLive(spark, tableDir)
+      require(manifestSig == liveSig,
+        s"[STALE_ZONEMAP] manifest at $manifestDir disagrees with the table " +
+          s"at $tableDir (${manifestSig.size} vs ${liveSig.size} files; " +
+          s"missing=${(liveSig.keySet -- manifestSig.keySet).take(3).mkString(",")} " +
+          s"extra=${(manifestSig.keySet -- liveSig.keySet).take(3).mkString(",")} " +
+          s"resigned=${manifestSig.collect { case (f, s) if liveSig.get(f).exists(_ != s) => f }
+            .take(3).mkString(",")}) — run ZoneMaps.update")
     }
     // null `keep` = null stats = no non-null values in that file: skip
     val kept = m.filter(r => !r.isNullAt(1) && r.getBoolean(1))

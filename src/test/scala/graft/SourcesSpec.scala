@@ -388,6 +388,12 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_search('$idx', 'x', mode=>'regex')").collect()
     }
     assert(e.getMessage.contains("unknown mode"))
+    // a typo'd OPTION KEY must fail loud too — mode changes result
+    // semantics, so silently defaulting would serve wrong-shape rows
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$idx', 'x', mdoe=>'phrase')").collect()
+    }
+    assert(e2.getMessage.contains("unknown option"))
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {

@@ -113,4 +113,36 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
     // idempotent when nothing changed
     assert(ZoneMaps.update(spark, s"$root/t", s"$root/m") == ((0, 0)))
   }
+
+  test("a file rewritten in place is caught by the guard and refreshed by update") {
+    val root = tmp()
+    li.filter(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(s"$root/t")
+    li.filter(col("l_orderkey") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    // rewrite one data file IN PLACE with different content (another
+    // file's bytes — different size, so the signature must change)
+    val files = new java.io.File(s"$root/t").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length == 2)
+    java.nio.file.Files.copy(files(0).toPath, files(1).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar of the rewritten file — an
+    // out-of-band writer would not have updated it either
+    new java.io.File(s"$root/t", s".${files(1).getName}.crc").delete()
+    // name sets are identical — only the signature can catch this
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m", "l_quantity", 1.0, 50.0)
+    }
+    assert(e.getMessage.contains("STALE_ZONEMAP"))
+    // update refreshes exactly the rewritten file, then reads are
+    // correct again (and guarded reads pass)
+    val (refreshed, dropped) = ZoneMaps.update(spark, s"$root/t", s"$root/m")
+    assert(refreshed == 1 && dropped == 1, s"refreshed=$refreshed dropped=$dropped")
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 50.0).count()
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 50.0)).count()
+    assert(got == want)
+  }
 }
