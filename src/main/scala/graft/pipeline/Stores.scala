@@ -74,14 +74,18 @@ private[graft] object Stores {
 
   def cachedModel[A <: AnyRef](spark: SparkSession, kind: String,
                                path: String)(load: => A): A = {
-    // bound the cache by evicting single (arbitrary) entries — a
-    // full clear would collapse the hit rate to zero exactly in the
-    // many-store sessions the bound exists for
+    val key = s"$kind:$path@${dirSig(spark, path)}"
+    val hit = modelCache.get(key)
+    if (hit != null) return hit.asInstanceOf[A]
+    // miss path only: bound the cache by evicting single (arbitrary)
+    // entries — a hit neither pays for nor causes eviction, and the
+    // requested key cannot be evicted (it is not in the map yet).
+    // Eviction happens OUTSIDE computeIfAbsent: CHM forbids mutating
+    // the map from inside a mapping function.
     while (modelCache.size > 64) {
       val it = modelCache.keys()
       if (it.hasMoreElements) modelCache.remove(it.nextElement()) else ()
     }
-    modelCache.computeIfAbsent(s"$kind:$path@${dirSig(spark, path)}",
-      _ => load).asInstanceOf[A]
+    modelCache.computeIfAbsent(key, _ => load).asInstanceOf[A]
   }
 }

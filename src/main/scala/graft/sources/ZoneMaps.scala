@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** File-level min/max data skipping — an Iceberg/Delta-style zone-map
@@ -23,21 +24,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (/root/reference/DEV_NOTES.md:123) points toward, one level up.
   *
   * Correctness: a file whose manifest row has NULL min/max for a
-  * column holds no non-null values of it, and an interval predicate
-  * matches no null — so the SQL filter `min_c <= hi AND max_c >= lo`
-  * (null → dropped) is exactly the may-match test. Manifest rows
-  * carry each file's (size, mtime) SIGNATURE, so both the coverage
-  * guard and [[update]] detect not just added/removed files but a
-  * file REWRITTEN IN PLACE — the silent-row-loss case where stale
-  * stats would wrongly prune it. */
+  * column holds no non-null values of it (including a ZERO-ROW file —
+  * the manifest keeps a null-stats row for those so coverage stays
+  * total), and an interval predicate matches no null — so the SQL
+  * filter `min_c <= hi AND max_c >= lo` (null → dropped) is exactly
+  * the may-match test. Manifest rows carry each file's (size, mtime)
+  * SIGNATURE, so both the coverage guard and [[update]] detect not
+  * just added/removed files but a file REWRITTEN IN PLACE — the
+  * silent-row-loss case where stale stats would wrongly prune it.
+  * The file universe is always what SPARK'S OWN listing sees
+  * (`inputFiles` — hidden/_temporary pruned, extension-agnostic), so
+  * manifest coverage matches scan visibility exactly. */
 object ZoneMaps {
+
+  private val SigCols = Set("file", "n_rows", "file_size", "file_mtime")
 
   /** One row per data file: per-column min/max, row count, and the
     * file's (size, mtime-millis) signature — computed in ONE
-    * column-pruned distributed pass grouped by `_metadata.file_path`
-    * (no driver footer-walking; the build parallelizes like any
-    * aggregation). Shared by [[write]] and [[update]] so full builds
-    * and incremental reconciles can never desynchronize. */
+    * column-pruned distributed pass grouped by `_metadata.file_path`.
+    * Shared by [[write]] and [[update]] so full builds and
+    * incremental reconciles can never desynchronize. NOTE: a
+    * zero-row file emits no group here; callers union
+    * [[nullStatsRows]] for listed files this pass missed. */
   private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
@@ -52,33 +60,57 @@ object ZoneMaps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Manifest rows for files a stats pass produced no group for
+    * (zero-row files): null min/max, n_rows 0, the listing's
+    * signature. Null stats are exactly right — no interval can match
+    * a file with no rows, so these prune always but keep coverage
+    * total (the guard and idempotence depend on that). */
+  private def nullStatsRows(spark: SparkSession, schema: StructType,
+                            files: Seq[(String, (Long, Long))]): DataFrame = {
+    import spark.implicits._
+    val base = files.map { case (f, (sz, mt)) => (f, sz, mt) }
+      .toDF("file", "file_size", "file_mtime")
+    schema.fields.filterNot(f => SigCols.contains(f.name))
+      .foldLeft(base.withColumn("n_rows", lit(0L)))((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def norm(s: String): String = new Path(s).toString
 
-  /** Driver listing of the table's data files → normalized path →
-    * (size, mtime millis). One recursive FS listing, no Spark job —
-    * the same cost the stale guard already paid via inputFiles, now
-    * yielding the signature too. */
+  /** The table's data files AS SPARK SEES THEM (same directory/hidden
+    * pruning as any scan), each with its (size, mtime millis)
+    * signature: `inputFiles` for the universe, then one listStatus
+    * per parent directory for the signatures — driver-side metadata
+    * ops, no Spark job over data. */
   private def listLive(spark: SparkSession,
                        tableDir: String): Map[String, (Long, Long)] = {
-    val p = new Path(tableDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = Map.newBuilder[String, (Long, Long)]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val s = it.next()
-      val n = s.getPath.getName
-      if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        out += norm(s.getPath.toString) -> ((s.getLen, s.getModificationTime))
-    }
-    out.result()
+    val files = spark.read.parquet(tableDir).inputFiles
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.groupBy(f => new Path(f).getParent).toSeq.flatMap {
+      case (parent, inDir) =>
+        val fs = parent.getFileSystem(conf)
+        val wanted = inDir.map(f => new Path(f).getName).toSet
+        fs.listStatus(parent)
+          .filter(s => wanted.contains(s.getPath.getName))
+          .map(s => norm(s.getPath.toString) -> ((s.getLen, s.getModificationTime)))
+    }.toMap
   }
+
+  private def requireSigSchema(schema: StructType, manifestDir: String): Unit =
+    require(Seq("file_size", "file_mtime").forall(schema.fieldNames.contains),
+      s"[ZONEMAP_SCHEMA] manifest at $manifestDir predates file signatures " +
+        "(no file_size/file_mtime columns) — rebuild it with ZoneMaps.write")
 
   /** Build the manifest from scratch. Overwrites `manifestDir` (a
     * single small parquet). */
   def write(spark: SparkSession, tableDir: String, manifestDir: String,
             cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    statsFor(spark.read.parquet(tableDir), cols)
+    val stats = statsFor(spark.read.parquet(tableDir), cols)
+    val covered = stats.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val empties = listLive(spark, tableDir).filterNot(f => covered.contains(f._1))
+    stats.unionByName(nullStatsRows(spark, stats.schema, empties.toSeq))
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir)
   }
@@ -89,20 +121,18 @@ object ZoneMaps {
     * those paths, O(changed data) not O(table) — and rows for files
     * that no longer match anything on disk are dropped
     * (compaction/deletes; an in-place rewrite counts on both sides).
-    * Returns (filesRefreshed, rowsDropped). Surviving rows ride a
-    * driver-side collect — the manifest is one row per file, the same
-    * driver-bounded scale as the listing itself. The column set is
-    * frozen by the existing manifest's schema. */
+    * Returns (filesRefreshed, rowsDropped); a no-change table returns
+    * (0, 0). Surviving rows ride a driver-side collect — the manifest
+    * is one row per file, the same driver-bounded scale as the
+    * listing itself. The column set is frozen by the existing
+    * manifest's schema. */
   def update(spark: SparkSession, tableDir: String,
              manifestDir: String): (Int, Int) = {
-    // update() reconciles OUT-OF-BAND table changes by contract, so
-    // Spark's cached file statuses (lengths, listings) must be
-    // dropped first — a file rewritten in place would otherwise be
-    // read with its stale cached length. refreshByPath drops cached
-    // query data; the status cache needs the bridge.
+    // update() reconciles OUT-OF-BAND table changes by contract —
+    // drop cached query plans/data for the path before re-listing
     spark.catalog.refreshByPath(tableDir)
-    org.apache.spark.sql.graftbridge.FileStatusCacheBridge.invalidateAll(spark)
     val existing = spark.read.parquet(manifestDir)
+    requireSigSchema(existing.schema, manifestDir)
     val cols: Seq[String] = existing.schema.fieldNames.toSeq
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
     val existingRows = existing.collect()
@@ -112,13 +142,18 @@ object ZoneMaps {
         .contains((r.getAs[Long]("file_size"), r.getAs[Long]("file_mtime")))
     }
     val survivorNames = survivors.map(r => norm(r.getAs[String]("file"))).toSet
-    val fresh = live.keys.filterNot(survivorNames.contains).toSeq.sorted
+    val fresh = live.filterNot(f => survivorNames.contains(f._1))
     val newStats =
       if (fresh.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           existing.schema)
-      else statsFor(spark.read.parquet(fresh: _*), cols)
-        .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+      else {
+        val stats = statsFor(spark.read.parquet(fresh.keys.toSeq.sorted: _*), cols)
+          .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
+        val covered = stats.select("file").collect().map(r => norm(r.getString(0))).toSet
+        stats.unionByName(nullStatsRows(spark, existing.schema,
+          fresh.filterNot(f => covered.contains(f._1)).toSeq))
+      }
     // `existing` is already collected to driver rows, and newStats
     // reads only table files — the manifest dir is not an input of
     // this write, so overwriting it directly is safe
@@ -146,10 +181,16 @@ object ZoneMaps {
   def prunedFiles(spark: SparkSession, tableDir: String, manifestDir: String,
                   c: String, lo: Any, hi: Any,
                   verifyCoverage: Boolean = true): (Seq[String], Int) = {
-    val m = spark.read.parquet(manifestDir)
-      .select(col("file"),
-        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep"),
-        col("file_size"), col("file_mtime"))
+    val manifest = spark.read.parquet(manifestDir)
+    if (verifyCoverage) requireSigSchema(manifest.schema, manifestDir)
+    // the fast path reads only (file, keep), so a pre-signature
+    // manifest keeps serving until its next rebuild
+    val sigCols =
+      if (verifyCoverage) Seq(col("file_size"), col("file_mtime")) else Seq.empty
+    val m = manifest
+      .select(Seq(col("file"),
+        (col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)).as("keep")) ++
+        sigCols: _*)
       .collect()
     if (verifyCoverage) {
       val manifestSig = m.map(r =>

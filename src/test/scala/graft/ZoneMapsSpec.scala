@@ -114,6 +114,51 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
     assert(ZoneMaps.update(spark, s"$root/t", s"$root/m") == ((0, 0)))
   }
 
+  test("zero-row files keep coverage total: guard green, update idempotent") {
+    val root = tmp()
+    li.coalesce(1).write.parquet(s"$root/t")
+    li.limit(0).coalesce(1).write.mode("append").parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    // the empty file has a null-stats manifest row (total counts it),
+    // is never kept by an interval, and the guard stays green
+    val (kept, total) = ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 100.0)
+    assert(total == 2 && kept.size == 1)
+    assert(ZoneMaps.update(spark, s"$root/t", s"$root/m") == ((0, 0)),
+      "a zero-row file must not make update non-convergent")
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m",
+      "l_quantity", 1.0, 100.0).count()
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 100.0)).count()
+    assert(got == want)
+  }
+
+  test("a pre-signature manifest fails loud on guarded paths, still serves unguarded") {
+    val root = tmp()
+    li.coalesce(1).write.parquet(s"$root/t")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", Seq("l_quantity"))
+    // simulate a manifest from before file signatures existed
+    val old = spark.read.parquet(s"$root/m").drop("file_size", "file_mtime")
+    old.collect() // materialize before overwriting the input dir
+    val rows = old.collect().toIndexedSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), old.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/m2")
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.prunedFiles(spark, s"$root/t", s"$root/m2", "l_quantity", 1.0, 2.0)
+    }
+    assert(e.getMessage.contains("ZONEMAP_SCHEMA"))
+    val e2 = intercept[IllegalArgumentException] {
+      ZoneMaps.update(spark, s"$root/t", s"$root/m2")
+    }
+    assert(e2.getMessage.contains("ZONEMAP_SCHEMA"))
+    // the unguarded serving path never touches the signature columns
+    val got = ZoneMaps.readPruned(spark, s"$root/t", s"$root/m2",
+      "l_quantity", 1.0, 100.0, verifyCoverage = false).count()
+    val want = spark.read.parquet(s"$root/t")
+      .filter(col("l_quantity").between(1.0, 100.0)).count()
+    assert(got == want)
+  }
+
   test("a file rewritten in place is caught by the guard and refreshed by update") {
     val root = tmp()
     li.filter(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(s"$root/t")
