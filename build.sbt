@@ -14,6 +14,12 @@ Test / fork := true
 // (AQE) around plan assertions — keep suite execution sequential.
 Test / parallelExecution := false
 run / fork := true
+// local-cluster mode (ClusterCheck) launches executor JVMs through
+// Spark's launcher library, which resolves the Scala suffix from this
+// env var when not started via spark-class ("Cannot find any build
+// directories" otherwise).
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Forward sbt's stdin to the forked process — Cli --tui reads keys.
 run / connectInput := true
 // Forked run output goes RAW to stdout (no "[info] " log decoration):

@@ -192,6 +192,24 @@ object SparkEntry {
     ()
   }
 
+  /** Forget (and delete) every per-JVM index fixture, so the next
+    * [[prepareIndexFixtures]] re-runs each build/append/delete/compact
+    * lifecycle from scratch. Used by [[ClusterCheck]]: the multi-JVM
+    * validation must exercise the index WRITE paths under
+    * `local-cluster`, not just read layouts a `local[n]` session built
+    * earlier in the same process. */
+  private[graft] def resetFixtureMemo(): Unit = {
+    Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
+        textIndexDirs, zoneMapDirs).foreach { m =>
+      m.values().forEach(d =>
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
+      m.clear()
+    }
+    // bucketed tables: files are replaced via DROP TABLE + Overwrite on
+    // rebuild, and the catalog entry dies with the session — just forget
+    bucketedDirs.clear()
+  }
+
   /** Committed unsigned/float16 parquet fixture (generated by
     * tools/make_unsigned_fixture.py; see WidenedParquet). Resolved
     * against the repo root the driver runs sbt from, absolute so the
