@@ -1,9 +1,21 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.metadata.BlockMetaData
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
 /** File-level min/max data skipping — an Iceberg/Delta-style zone-map
   * manifest over a plain parquet table, without adopting a table
@@ -34,19 +46,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * silent-row-loss case where stale stats would wrongly prune it.
   * The file universe is always what SPARK'S OWN listing sees
   * (`inputFiles` — hidden/_temporary pruned, extension-agnostic), so
-  * manifest coverage matches scan visibility exactly. */
+  * manifest coverage matches scan visibility exactly.
+  *
+  * Builds are FOOTER-ONLY (Iceberg's shortcut): parquet footers
+  * already carry row-group min/max, so [[write]] and [[update]] read
+  * O(files) footers, never data pages — with a per-file data-pass
+  * fallback wherever a footer's statistics can't faithfully stand in
+  * for the Spark-read values (INT96, truncated binary stats, scale
+  * mismatches). ZoneMapsSpec proves footer-built ≡ data-built on
+  * fixtures including all-null and zero-row files. */
 object ZoneMaps {
 
   private val SigCols = Set("file", "n_rows", "file_size", "file_mtime")
 
-  /** One row per data file: per-column min/max, row count, and the
-    * file's (size, mtime-millis) signature — computed in ONE
-    * column-pruned distributed pass grouped by `_metadata.file_path`.
-    * Shared by [[write]] and [[update]] so full builds and
-    * incremental reconciles can never desynchronize. NOTE: a
-    * zero-row file emits no group here; callers union
+  /** DATA-PASS stats (the slow path): one row per data file with
+    * per-column min/max, row count, and the file's (size,
+    * mtime-millis) signature — ONE column-pruned distributed pass
+    * grouped by `_metadata.file_path`, O(selected column bytes).
+    * Since the footer-only build landed this is (a) the per-file
+    * FALLBACK when a footer's statistics are unusable (INT96
+    * timestamps, truncated/absent binary stats, exotic types) and
+    * (b) the oracle ZoneMapsSpec checks the footer build against.
+    * NOTE: a zero-row file emits no group here; callers union
     * [[nullStatsRows]] for listed files this pass missed. */
-  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+  private[graft] def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
       Seq(count(lit(1)).as("n_rows"),
@@ -58,6 +81,195 @@ object ZoneMaps {
         cols.map(col): _*)
       .groupBy("file")
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- footer-only stats (the fast path) ----------------------------
+
+  /** Parquet-footer → Spark external value converter for one
+    * (parquet primitive, Spark type) pairing, or None when footer
+    * statistics cannot faithfully represent the Spark-read value
+    * (INT96, unit-lossy timestamps, scale-mismatched decimals, types
+    * this table never uses). A None sends the FILE to the data-pass
+    * fallback — correctness never depends on footer coverage. */
+  private def converterFor(prim: PrimitiveType, dt: DataType): Option[AnyRef => Any] = {
+    import PrimitiveTypeName._
+    val pt = prim.getPrimitiveTypeName
+    def tsMicros(v: AnyRef): Option[Long] =
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(v.asInstanceOf[java.lang.Long].longValue())
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some(v.asInstanceOf[java.lang.Long].longValue() * 1000L)
+            case _ => None // NANOS min/max don't floor-divide safely
+          }
+        case _ => None
+      }
+    dt match {
+      case BooleanType if pt == BOOLEAN => Some(identity)
+      case ByteType if pt == INT32 =>
+        Some(v => v.asInstanceOf[Integer].byteValue())
+      case ShortType if pt == INT32 =>
+        Some(v => v.asInstanceOf[Integer].shortValue())
+      case IntegerType if pt == INT32 => Some(identity)
+      case LongType if pt == INT64 => Some(identity)
+      case LongType if pt == INT32 =>
+        Some(v => v.asInstanceOf[Integer].longValue())
+      case FloatType if pt == FLOAT => Some(identity)
+      case DoubleType if pt == DOUBLE => Some(identity)
+      case DoubleType if pt == FLOAT =>
+        Some(v => v.asInstanceOf[java.lang.Float].doubleValue())
+      case StringType if pt == BINARY =>
+        Some(v => v.asInstanceOf[Binary].toStringUsingUTF8)
+      case BinaryType if pt == BINARY =>
+        Some(v => v.asInstanceOf[Binary].getBytes)
+      case DateType if pt == INT32 =>
+        Some(v => DateTimeUtils.toJavaDate(v.asInstanceOf[Integer].intValue()))
+      case TimestampType if pt == INT64 =>
+        // session TZ is pinned UTC engine-wide (Engine.tune), so the
+        // stored micros ARE the read instant for both LTZ and NTZ files
+        tsMicros(Long.box(0L)).map(_ =>
+          (v: AnyRef) => DateTimeUtils.toJavaTimestamp(tsMicros(v).get))
+      case TimestampNTZType if pt == INT64 =>
+        tsMicros(Long.box(0L)).map(_ =>
+          (v: AnyRef) => DateTimeUtils.microsToLocalDateTime(tsMicros(v).get))
+      case d: DecimalType =>
+        prim.getLogicalTypeAnnotation match {
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation
+              if dec.getScale == d.scale =>
+            pt match {
+              case INT32 => Some(v =>
+                java.math.BigDecimal.valueOf(v.asInstanceOf[Integer].longValue(), d.scale))
+              case INT64 => Some(v =>
+                java.math.BigDecimal.valueOf(v.asInstanceOf[java.lang.Long].longValue(), d.scale))
+              case BINARY | FIXED_LEN_BYTE_ARRAY => Some(v =>
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(v.asInstanceOf[Binary].getBytes), d.scale))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Min/max of `name` across all row groups of one file, from footer
+    * statistics alone. Some((null, null)) = the file provably holds no
+    * non-null value (incl. the column being absent — a scan reads
+    * nulls). None = stats unusable → caller falls back to the data
+    * pass for this file. Raw parquet values are compared with the
+    * column's OWN comparator (parquet-mr already drops stats written
+    * with broken pre-1.8 binary orderings at footer-decode time). */
+  private def footerMinMax(msg: MessageType, blocks: Seq[BlockMetaData],
+                           name: String, dt: DataType): Option[(Any, Any)] = {
+    if (!msg.containsField(name)) return Some((null, null))
+    val field = msg.getType(Array(name): _*)
+    if (!field.isPrimitive) return None
+    val prim = field.asPrimitiveType()
+    if (prim.getPrimitiveTypeName == PrimitiveTypeName.INT96) return None
+    val conv = converterFor(prim, dt).getOrElse(return None)
+    val cmp = prim.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
+    var mn: AnyRef = null
+    var mx: AnyRef = null
+    for (b <- blocks) {
+      val cc = b.getColumns.asScala.find(_.getPath.toDotString == name)
+        .getOrElse(return None)
+      val st = cc.getStatistics
+      if (st == null) return None
+      if (st.hasNonNullValue) {
+        val lo = st.genericGetMin.asInstanceOf[AnyRef]
+        val hi = st.genericGetMax.asInstanceOf[AnyRef]
+        if (mn == null || cmp.compare(lo, mn) < 0) mn = lo
+        if (mx == null || cmp.compare(hi, mx) > 0) mx = hi
+      } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
+        return None // can't prove the chunk is all-null → not skippable
+      }
+    }
+    Some((if (mn == null) null else conv(mn), if (mx == null) null else conv(mx)))
+  }
+
+  /** One manifest Row from one file's FOOTER (no data pages), or None
+    * when any requested column's stats are unusable/corrupt. Runs on
+    * executors. */
+  private def footerRow(conf: Configuration, file: String,
+                        cols: IndexedSeq[String], types: IndexedSeq[DataType],
+                        size: Long, mtime: Long): Option[Row] =
+    try {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), conf))
+      try {
+        val footer = reader.getFooter
+        val msg = footer.getFileMetaData.getSchema
+        val blocks = footer.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        val perCol = cols.indices.map(i =>
+          footerMinMax(msg, blocks, cols(i), types(i)))
+        if (perCol.exists(_.isEmpty)) None
+        else Some(Row.fromSeq(
+          file +: perCol.flatMap { case Some((mn, mx)) => Seq(mn, mx) } ++:
+            Seq(nRows, size, mtime)))
+      } finally reader.close()
+    } catch { case NonFatal(_) => None } // data-pass fallback surfaces real errors
+
+  /** FOOTER-ONLY stats build over exactly `files`: a distributed pass
+    * that reads O(files) parquet footers and ZERO data pages — at
+    * 100 TB / 1M files that is minutes where the data pass is hours,
+    * and it makes compaction-triggered [[update]] calls cheap on the
+    * rewritten files. Returns (stats rows for footer-covered files,
+    * files needing the data-pass fallback). Zero-row files are
+    * covered naturally (no blocks → null stats, n_rows 0).
+    * Signatures come from the caller's listing, the same values the
+    * coverage guard compares against. */
+  private[graft] def statsFromFooters(spark: SparkSession,
+                                      files: Seq[(String, (Long, Long))],
+                                      cols: Seq[String],
+                                      tableSchema: StructType): (DataFrame, Seq[String]) = {
+    val types = cols.map(c => tableSchema(c).dataType).toIndexedSeq
+    val schema = StructType(
+      StructField("file", StringType, nullable = false) +:
+        cols.zip(types).flatMap { case (c, t) =>
+          Seq(StructField(s"min_$c", t), StructField(s"max_$c", t))
+        } ++: Seq(StructField("n_rows", LongType, nullable = false),
+          StructField("file_size", LongType, nullable = false),
+          StructField("file_mtime", LongType, nullable = false)))
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableWritable(spark.sparkContext.hadoopConfiguration))
+    val colsB = cols.toIndexedSeq
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism * 2))
+    // collect is one tiny row per file — the same driver-bounded scale
+    // as the listing and the manifest itself (update() collects both)
+    val res: Array[(String, Option[Row])] =
+      spark.sparkContext.parallelize(files.toIndexedSeq, slices)
+        .map { case (f, (sz, mt)) =>
+          f -> footerRow(confBc.value.value, f, colsB, types, sz, mt)
+        }.collect()
+    val rows = res.flatMap(_._2).toIndexedSeq
+    val fallback = res.collect { case (f, None) => f }.toIndexedSeq
+    (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema),
+      fallback)
+  }
+
+  /** Footer-first stats for `files` (full build and incremental
+    * reconcile both come through here): footer pass over everything,
+    * data pass over only the files whose footers were unusable,
+    * null-stats rows for any file neither pass covered — coverage is
+    * total by construction. */
+  private def buildStats(spark: SparkSession, files: Seq[(String, (Long, Long))],
+                         cols: Seq[String], tableSchema: StructType): DataFrame = {
+    val (footer, fallback) = statsFromFooters(spark, files, cols, tableSchema)
+    val withFallback =
+      if (fallback.isEmpty) footer
+      else footer.unionByName(
+        statsFor(spark.read.parquet(fallback.sorted: _*), cols)
+          .select(footer.schema.fieldNames.map(col).toIndexedSeq: _*))
+    val covered = withFallback.select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val missed = files.filterNot(f => covered.contains(norm(f._1)))
+    if (missed.isEmpty) withFallback
+    else withFallback.unionByName(
+      nullStatsRows(spark, withFallback.schema, missed))
   }
 
   /** Manifest rows for files a stats pass produced no group for
@@ -102,23 +314,22 @@ object ZoneMaps {
       s"[ZONEMAP_SCHEMA] manifest at $manifestDir predates file signatures " +
         "(no file_size/file_mtime columns) — rebuild it with ZoneMaps.write")
 
-  /** Build the manifest from scratch. Overwrites `manifestDir` (a
-    * single small parquet). */
+  /** Build the manifest from scratch — FOOTER-ONLY (O(files), no data
+    * pages; per-file data-pass fallback only where footer stats are
+    * unusable). Overwrites `manifestDir` (a single small parquet). */
   def write(spark: SparkSession, tableDir: String, manifestDir: String,
             cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val stats = statsFor(spark.read.parquet(tableDir), cols)
-    val covered = stats.select("file").collect().map(r => norm(r.getString(0))).toSet
-    val empties = listLive(spark, tableDir).filterNot(f => covered.contains(f._1))
-    stats.unionByName(nullStatsRows(spark, stats.schema, empties.toSeq))
+    val schema = spark.read.parquet(tableDir).schema
+    buildStats(spark, listLive(spark, tableDir).toSeq.sortBy(_._1), cols, schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(manifestDir)
   }
 
   /** Incrementally reconcile the manifest with the table: stats are
     * recomputed ONLY for files the manifest has never seen or whose
-    * (size, mtime) signature changed — one pruned pass over exactly
-    * those paths, O(changed data) not O(table) — and rows for files
+    * (size, mtime) signature changed — a FOOTER pass over exactly
+    * those paths, O(changed files) not O(table) — and rows for files
     * that no longer match anything on disk are dropped
     * (compaction/deletes; an in-place rewrite counts on both sides).
     * Returns (filesRefreshed, rowsDropped); a no-change table returns
@@ -147,13 +358,10 @@ object ZoneMaps {
       if (fresh.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           existing.schema)
-      else {
-        val stats = statsFor(spark.read.parquet(fresh.keys.toSeq.sorted: _*), cols)
+      else
+        buildStats(spark, fresh.toSeq.sortBy(_._1), cols,
+            spark.read.parquet(tableDir).schema)
           .select(existing.schema.fieldNames.map(col).toIndexedSeq: _*)
-        val covered = stats.select("file").collect().map(r => norm(r.getString(0))).toSet
-        stats.unionByName(nullStatsRows(spark, existing.schema,
-          fresh.filterNot(f => covered.contains(f._1)).toSeq))
-      }
     // `existing` is already collected to driver rows, and newStats
     // reads only table files — the manifest dir is not an input of
     // this write, so overwriting it directly is safe

@@ -34,6 +34,46 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("footer-only build equals the data-pass oracle (nulls, zero-row, strings, timestamps)") {
+    val root = tmp()
+    // wide fixture: timestamp + double + long + string columns, one
+    // all-null-quantity file, one zero-row file
+    val wide = Engine.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+    wide.filter(col("l_orderkey") % 2 === 0).coalesce(1).write.parquet(s"$root/t")
+    wide.filter(col("l_orderkey") % 2 === 1)
+      .withColumn("l_quantity", lit(null).cast("double")).coalesce(1)
+      .write.mode("append").parquet(s"$root/t")
+    wide.limit(0).coalesce(1).write.mode("append").parquet(s"$root/t")
+    val cols = Seq("l_shipdate", "l_quantity", "l_orderkey", "l_returnflag")
+    ZoneMaps.write(spark, s"$root/t", s"$root/m", cols)
+    val manifest = spark.read.parquet(s"$root/m")
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toString
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => norm(r.getAs[String]("file")) ->
+        (cols.flatMap(c => Seq(r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))),
+          r.getAs[Long]("n_rows")))
+      .toMap
+    // oracle: the data pass over the same table (zero-row file emits
+    // no group there — checked separately below)
+    val oracle = keyed(ZoneMaps.statsFor(spark.read.parquet(s"$root/t"), cols))
+    val got = keyed(manifest)
+    assert(got.size == oracle.size + 1, "manifest must add the zero-row file")
+    oracle.foreach { case (f, (mins, n)) =>
+      assert(got.contains(f), s"footer build missed $f")
+      assert(got(f)._2 == n, s"n_rows mismatch for $f")
+      assert(got(f)._1 == mins,
+        s"footer min/max differ from data pass for $f: ${got(f)._1} vs $mins")
+    }
+    val empty = (got.keySet -- oracle.keySet).head
+    assert(got(empty)._2 == 0L && got(empty)._1.forall(_ == null))
+    // the fixture's footers must be fully usable — no data-pass fallback
+    val live = spark.read.parquet(s"$root/t").inputFiles.toSeq.map(f => f -> ((0L, 0L)))
+    val (_, fallback) = ZoneMaps.statsFromFooters(spark, live, cols,
+      spark.read.parquet(s"$root/t").schema)
+    assert(fallback.isEmpty, s"unexpected footer fallback: $fallback")
+  }
+
   test("a file with only nulls in the zone column is skipped, not lost") {
     val root = tmp()
     // file 1: real quantities; file 2: all-null quantities
