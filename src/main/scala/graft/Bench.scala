@@ -25,15 +25,57 @@ import java.util.Locale
   * consecutive bench runs, and a third sample costs seconds against
   * the round-to-round comparability it buys. Min-of-reps measures the
   * plan, which is what the bench tracks — session noise is not a
-  * property of the operator. */
+  * property of the operator.
+  *
+  * Regression-vs-noise disambiguation: measured in-suite minima read
+  * up to 2× a query's isolated time (shared-JVM GC/broadcast litter —
+  * the r11 audit re-ran the apparent movers solo and none
+  * reproduced). So the bench reads the PREVIOUS run's per-query
+  * numbers (SPARK_GRAFT_BENCH_REF, default: the out file it last
+  * wrote, same-SF records only) and any query whose min still
+  * exceeds its reference by
+  * RefRetimeRatio earns up to NoiseReps extra DEEP-CLEANED reps
+  * (double GC with a cleaner-drain pause). A real plan regression
+  * survives the retries and reports high; a noise artifact converges
+  * back — the round-over-round per-query signal becomes actionable
+  * instead of 2×-fuzzy. */
 object Bench {
   private val RetimeFloorSec = 1.5
   private val SlowFloorSec = 5.0
+  private val RefRetimeRatio = 1.3
+
+  /** Per-query seconds from a previous bench line's "queries" object —
+    * tolerant single-purpose parse (flat string→number map), empty on
+    * any miss so the bench never fails over its own history. Returns
+    * empty unless the record's "sf" matches `expectSf`: numbers from a
+    * different scale factor would make every query read as a
+    * regression (or mask every real one). */
+  private[graft] def referenceTimes(path: String, expectSf: String): Map[String, Double] =
+    try {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val SfField = "\"sf\":\"([^\"]+)\"".r
+      val sfOk = SfField.findFirstMatchIn(text).exists(_.group(1) == expectSf)
+      val qStart = text.indexOf("\"queries\":{")
+      if (!sfOk || qStart < 0) Map.empty
+      else {
+        val body = text.substring(qStart + "\"queries\":{".length,
+          text.indexOf('}', qStart))
+        val Entry = "\"([^\"]+)\":([0-9][0-9.eE+-]*)".r
+        Entry.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Exception => Map.empty }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val noiseReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_NOISE_REPS", "2").toInt)
+    // default ref: the last full per-query record this bench wrote
+    // (BENCH_r*.json are log-tail captures, truncated from the front)
+    val refTimes = referenceTimes(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", outPath), sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,7 +110,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        def once(): (Double, Boolean) = {
+        def once(deep: Boolean = false): (Double, Boolean) = {
           // Isolate runs from each other's session litter: dropped
           // broadcast blocks are only reclaimed on GC, localCheckpoint
           // storage is invisible to catalog.clearCache, and a full
@@ -77,6 +119,15 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
           System.gc()
+          if (deep) {
+            // noise-retime reps: let the ContextCleaner drain the
+            // references the first GC just queued, then sweep the
+            // blocks it released — the broadcast/shuffle litter a
+            // plain gc leaves behind is exactly what bills 2× onto
+            // whichever heavy query runs next
+            Thread.sleep(250)
+            System.gc()
+          }
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -97,6 +148,20 @@ object Bench {
           if (o && t < best) best = t
           r += 1
         }
+        // Reference-based noise retry: still >1.3× the previous
+        // round's number after the standard reps → up to `noiseReps`
+        // deep-cleaned re-times. Converges noise artifacts; a real
+        // regression survives all retries and reports high.
+        var nr = 0
+        while (ok && nr < noiseReps &&
+               refTimes.get(name).exists(ref => best > ref * RefRetimeRatio)) {
+          val (t, o) = once(deep = true)
+          if (o && t < best) best = t
+          nr += 1
+        }
+        if (nr > 0)
+          System.err.println(f"[bench] $name retimed ${nr}x vs ref " +
+            f"${refTimes(name)}%.3f -> $best%.3f")
         (name, best, ok)
       }
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
