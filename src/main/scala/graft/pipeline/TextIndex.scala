@@ -35,12 +35,14 @@ import org.apache.spark.sql.functions._
   * pruned scan; (N, avgdl) from the summed stats deltas. Nothing
   * corpus-sized moves.
   *
-  * Delete semantics, stated honestly: a tombstoned doc leaves RESULTS
-  * immediately (anti-join above the pruned scan); the global (N,
-  * avgdl, df) statistics keep counting it until [[compact]] purges
-  * its postings and rewrites exact stats from the survivors — the
-  * standard IR trade (scores drift by one doc in N until
-  * maintenance; rankings are insensitive at corpus scale).
+  * Delete semantics: a tombstoned doc leaves RESULTS immediately
+  * (anti-join above the pruned scan), and the global (N, avgdl, df)
+  * statistics track it immediately too — df comes from the
+  * tombstone-excluded scan, and [[statsOf]] folds the tombstoned
+  * docs' (count, token length) out of the summed deltas (one cached
+  * column-pruned pass per takedown batch) — so pre-compact scores
+  * equal a rebuild over the survivors; [[compact]] then purges the
+  * postings and snaps the stats back to a single exact row.
   */
 object TextIndex {
 
@@ -140,18 +142,47 @@ object TextIndex {
   }
 
   /** (n_docs, total token count) as the readers see them: the live
-    * generation's summed stats deltas. */
+    * generation's summed stats deltas MINUS the tombstoned docs still
+    * sitting in its postings. */
   def stats(spark: SparkSession, dir: String): (Long, Long) =
-    statsOf(spark, liveStore(spark, dir))
+    statsOf(spark, dir, liveStore(spark, dir))
 
-  private def statsOf(spark: SparkSession, store: String): (Long, Long) =
+  private def statsOf(spark: SparkSession, dir: String,
+                      store: String): (Long, Long) = {
     // appends add delta files, compaction swaps the store path — both
     // change the signature, so the cache can never serve stale totals
-    Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
+    val base = Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
       val r = spark.read.parquet(statsFiles(spark, store): _*)
         .agg(sum("n_docs"), sum("total_len")).head()
       (r.getLong(0), r.getLong(1))
     }
+    // Tombstone fold: subtract the (count, token length) of tombstoned
+    // docs STILL PRESENT in this generation's postings, so (N, avgdl)
+    // track takedowns immediately instead of waiting for compact — df
+    // already does (the pruned scan is tombstone-anti-joined), so
+    // post-delete pre-compact scores now equal a rebuild over the
+    // survivors exactly (PipelineSpec pins it). One column-pruned
+    // (doc_id, len) pass over the store per (generation, tombstone
+    // set), cached; after compact purges the docs the same join
+    // matches nothing, so the grace-deferred tombstone files can
+    // never double-subtract. Tombstone files are immutable
+    // (append-only, named uniquely), so their sorted names key the
+    // cache entry.
+    val tombs = tombstoneFiles(spark, dir)
+    if (tombs.isEmpty) base
+    else {
+      val gone = Stores.cachedModel(spark,
+        s"tidx-tomb-stats:${tombs.sorted.mkString(",")}", s"$store/_stats") {
+        val t = spark.read.parquet(tombs: _*).select("doc_id").distinct()
+        val r = spark.read.parquet(store)
+          .join(broadcast(t), Seq("doc_id"))
+          .select("doc_id", "len").distinct()
+          .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      (base._1 - gone._1, base._2 - gone._2)
+    }
+  }
 
   /** Shared query preamble: resolve the live generation ONCE (a
     * compaction committing between two resolutions would mix
@@ -193,7 +224,7 @@ object TextIndex {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
     val (store, live) = prunedPostings(spark, dir, qTerms)
-    val (nDocs, totalLen) = statsOf(spark, store)
+    val (nDocs, totalLen) = statsOf(spark, dir, store)
     val avgdl = totalLen.toDouble / nDocs
     val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
     live.join(broadcast(dfs), "term")
@@ -247,7 +278,7 @@ object TextIndex {
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
     val (store, live) = prunedPostings(spark, dir, allTerms)
-    val (nDocs, totalLen) = statsOf(spark, store)
+    val (nDocs, totalLen) = statsOf(spark, dir, store)
     val avgdl = totalLen.toDouble / nDocs
     val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window

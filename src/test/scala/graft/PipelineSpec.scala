@@ -1058,6 +1058,20 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     graft.pipeline.TextIndex.delete(spark, dir, Seq(victim))
     val afterDelete = viaIndex()
     assert(!afterDelete.exists(_._1 == victim))
+    // tombstone fold: (N, avgdl) track the takedown IMMEDIATELY —
+    // pre-compact stats and scores equal a rebuild over the survivors
+    val survivorScanPre = TextAnalysis.bm25(
+        d2.filter(col("doc_id") =!= victim), terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(afterDelete == survivorScanPre,
+      "post-delete pre-compact scores must use the decremented (N, avgdl)")
+    val (nPre, totalPre) = graft.pipeline.TextIndex.stats(spark, dir)
+    assert(nPre == n - 1, s"pre-compact stats fold: $nPre vs ${n - 1}")
+    val victimLen = d2.filter(col("doc_id") === victim)
+      .select(org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens(col("text"))).cast("long")).as[Long].head()
+    assert(totalPre == total - victimLen)
     val rewritten = graft.pipeline.TextIndex.compact(spark, dir, maxFilesPerBucket = 64)
     assert(rewritten >= 1, "compaction should rewrite the victim's buckets")
     // bytes gone from the live generation; stats snap to exact survivors
@@ -1065,13 +1079,9 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(n2 == n - 1, s"stats after purge: $n2 vs ${n - 1}")
     assert(!viaIndex().exists(_._1 == victim))
     // post-compaction the index serves EXACTLY like a corpus scan over
-    // the survivors — (N, avgdl) snapped back to exact (pre-compaction
-    // they still counted the victim: the documented stale-stats trade)
-    val survivorScan = TextAnalysis.bm25(
-        d2.filter(col("doc_id") =!= victim), terms)
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(viaIndex() == survivorScan)
+    // the survivors — the grace-deferred tombstone files still on disk
+    // must not double-subtract against the purged generation
+    assert(viaIndex() == survivorScanPre)
   }
 
   test("searchMany: batch ≡ per-query search; missing-term query yields nothing") {
