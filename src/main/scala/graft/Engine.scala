@@ -56,6 +56,17 @@ object Engine {
     // creation side is small and the application side is big enough to
     // pay off); PlanSpec pins the injection shape.
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // Cost-based optimization: with catalog statistics in place (see
+    // [[analyzeTables]]) the optimizer reorders multi-way inner joins
+    // by estimated cost instead of declaration order — at 100 TB a
+    // wrong join order in a 5-way star join (TPC-H q5/q8/q9) is the
+    // difference between hours and minutes, and AQE can only fix it
+    // one shuffle too late. Without catalog stats these flags are
+    // inert (file relations carry size-only estimates), so turning
+    // them on unconditionally is safe for every existing path.
+    c.set("spark.sql.cbo.enabled", "true")
+    c.set("spark.sql.cbo.joinReorder.enabled", "true")
+    c.set("spark.sql.statistics.histogram.enabled", "true")
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader does
     // not support natively; read as long and convert (see table()).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,6 +81,46 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
   }
 
+  // dir → catalog-table prefix, set by [[analyzeTables]]; [[table]]
+  // prefers the stats-backed catalog relation once a dir is analyzed
+  private val analyzedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def catalogTag(dir: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff}%08x"
+
+  /** Register each testdata table as an EXTERNAL catalog table and
+    * compute row-count + column statistics (+ equi-height histograms),
+    * so [[table]] serves stats-backed relations and CBO join reorder
+    * has real cardinalities to cost with. The production analog is
+    * `ANALYZE TABLE` against the warehouse catalog after load; here
+    * the in-memory catalog holds the stats for the session's
+    * lifetime. Column stats cover atomic types only (ANALYZE rejects
+    * arrays/maps/structs — the embeddings vector column contributes
+    * size/row-count stats, which is all a join reorder needs from
+    * it). Idempotent per (session, dir); tables are LOCATION-backed,
+    * nothing is copied. */
+  def analyzeTables(spark: SparkSession, dir: String,
+                    tables: Seq[String] = tableNames): Unit = {
+    val tag = catalogTag(dir)
+    tables.foreach { name =>
+      val tbl = s"graft_${tag}_$name"
+      if (!spark.catalog.tableExists(tbl)) {
+        spark.sql(s"CREATE TABLE $tbl USING parquet LOCATION '$dir/$name.parquet'")
+        val atomic = spark.table(tbl).schema.fields.collect {
+          case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+            !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+            s"`${f.name}`"
+        }
+        val forCols =
+          if (atomic.nonEmpty) s" FOR COLUMNS ${atomic.mkString(", ")}" else ""
+        spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS$forCols")
+      }
+    }
+    analyzedDirs.put(dir, tag)
+  }
+
   /** Load one testdata table. Normalizes the `events.ts` nanosecond
     * timestamp (read as long under nanosAsLong) back to a timestamp,
     * and any TIMESTAMP_NTZ column (foreign writer, NTZ inference on)
@@ -80,7 +131,14 @@ object Engine {
     * shift every instant — fail loud instead of serving shifted
     * timestamps. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // stats-backed catalog relation when [[analyzeTables]] ran for this
+    // dir IN THIS SESSION's catalog (falls back to a direct read
+    // otherwise — the marker is JVM-global, catalogs are per-session)
+    val tag = analyzedDirs.get(dir)
+    val raw =
+      if (tag != null && spark.catalog.tableExists(s"graft_${tag}_$name"))
+        spark.table(s"graft_${tag}_$name")
+      else spark.read.parquet(s"$dir/$name.parquet")
     val df =
       if (name == "events" && raw.schema("ts").dataType.typeName == "long")
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -18,6 +18,10 @@ object Verify {
       .withExtensions(new sources.GraftExtensions)
       .getOrCreate()
     Engine.tune(spark)
+    // stats-backed catalog tables: CBO join reorder costs with real
+    // cardinalities, and the verify run exercises the same
+    // catalog-relation path production uses after ANALYZE TABLE
+    Engine.analyzeTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -986,4 +986,55 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       c.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("CBO: analyzed catalog tables carry row counts and reorder a pessimal join") {
+    // Isolation: analyzeTables marks its dir JVM-globally and the
+    // session is shared across suites — run against a symlink alias of
+    // the fixture dir so every other test keeps its direct-read plans.
+    val alias = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_cbo_sfdir").toPath
+    java.nio.file.Files.deleteIfExists(alias)
+    java.nio.file.Files.createSymbolicLink(alias, java.nio.file.Paths.get(sfDir))
+    val d = alias.toString
+    Engine.analyzeTables(spark, d, Seq("lineitem", "orders", "customer", "nation"))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // row-count statistics attached to the relation Engine.table serves
+    val liStats = Engine.table(spark, d, "lineitem")
+      .queryExecution.optimizedPlan.stats
+    assert(liStats.rowCount.isDefined, "catalog row count missing")
+    assert(liStats.rowCount.get.toLong ==
+      Engine.table(spark, d, "lineitem").count())
+    // pessimal declaration order: fact ⋈ fact first, the selective
+    // dimension chain last — CBO must cost-reorder it (a declaration-
+    // order executor joins the two big tables before the filters cut)
+    def pessimal() = {
+      val li = Engine.table(spark, d, "lineitem")
+      val o = Engine.table(spark, d, "orders")
+      val c2 = Engine.table(spark, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val n = Engine.table(spark, d, "nation")
+        .filter(col("n_name") === "FRANCE")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c2, o("o_custkey") === c2("c_custkey"))
+        .join(n, c2("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+    }
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+        .map { s =>
+          Seq("lineitem", "orders", "customer", "nation")
+            .find(t => s.contains(s"graft_") && s.contains(t)).getOrElse("?")
+        }
+    val declared = {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      try leafOrder(pessimal())
+      finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+    val reordered = leafOrder(pessimal())
+    assert(declared != reordered,
+      s"CBO did not reorder the pessimal join: declared=$declared reordered=$reordered")
+    // the two big tables must no longer be the first join pair
+    assert(reordered.take(2).toSet != Set("lineitem", "orders"),
+      s"fact-fact still joins first: $reordered")
+  }
 }
