@@ -84,7 +84,18 @@ object CorpusStore {
     * bumps the version and keeps exactly one grace generation, so
     * `asOf = live - 1` is readable until the next merge; anything
     * older fails loud rather than serving a silently wrong (pruned)
-    * snapshot. */
+    * snapshot.
+    *
+    * Concurrency caveat: the single-writer contract serializes
+    * WRITERS, not readers against retention pruning. A merge
+    * committing between this generation resolution and the job's
+    * execution deletes the grace directory out from under a lazy
+    * plan over it — the scan then fails with FileNotFound (loud,
+    * never wrong results). Callers reading the grace generation must
+    * either coordinate with the maintenance cadence (read in a
+    * maintenance-quiet window) or materialize/collect promptly after
+    * resolving; the live generation is immune (it survives at least
+    * one further cycle as grace). */
   def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
     val gens = generations(spark, dir)
     gens.find(_._1 == asOf) match {

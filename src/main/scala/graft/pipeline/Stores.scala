@@ -64,6 +64,22 @@ private[graft] object Stores {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Change signature for a store directory: (name, length, mtime)
+    * per file, one driver FS listing, no job.
+    *
+    * Granularity assumption, stated explicitly: this catches every
+    * mutation the engine's own stores can produce — writers here are
+    * append-only (new uniquely-named files) or generation-swapping
+    * (new directory), both of which change NAMES, making the mtime
+    * component redundant belt-and-braces. What it can NOT catch is an
+    * out-of-band IN-PLACE rewrite of a file to identical byte length
+    * within one mtime tick (whole seconds on some stores — S3
+    * Last-Modified, HDFS with coarse clocks). Such rewrites violate
+    * the store contract (files are immutable once written; mutation
+    * goes through a new generation + commit marker, the monotonic
+    * marker this signature rides on). If a deployment must tolerate
+    * out-of-band rewrites, swap this for a content checksum (etag on
+    * S3) at the cost of a per-file metadata round-trip. */
   def dirSig(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -297,8 +297,27 @@ object TextAnalysis {
     * JVM has encoded with). Zero exchanges either way: encoding stays
     * a map-side pass. */
   private object BpeApplier {
+    // Both dimensions BOUNDED (same discipline as Stores.modelCache):
+    // executor heaps must survive a 100 TB corpus whose distinct-word
+    // cardinality — tens of millions legitimately, unbounded
+    // adversarially — would otherwise grow a word cache forever, and
+    // a long-lived session encoding with many throwaway merge tables
+    // (tests, retrains) would leak one registry per table. Eviction is
+    // arbitrary-entry (cheap, lock-free); under Zipf the hot words
+    // repopulate in one batch, so a full cache degrades to amortized
+    // re-encodes, never to wrong results.
+    private val MaxTables = 8
+    private[TextAnalysis] val MaxWordsPerTable = 2_000_000
     private[TextAnalysis] val jvmCaches = new java.util.concurrent.ConcurrentHashMap[
       String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+    private[TextAnalysis] def registryFor(key: String) = {
+      while (jvmCaches.size > MaxTables) {
+        val it = jvmCaches.keys()
+        if (it.hasMoreElements) jvmCaches.remove(it.nextElement()) else ()
+      }
+      jvmCaches.computeIfAbsent(key,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+    }
   }
 
   private class BpeApplier(merges: Array[(String, String)]) extends Serializable {
@@ -310,10 +329,12 @@ object TextAnalysis {
       }
       h.digest().map("%02x".format(_)).mkString
     }
-    @transient private lazy val cache =
-      BpeApplier.jvmCaches.computeIfAbsent(cacheKey,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
-    def encodeWord(word: String): Array[String] =
+    @transient private lazy val cache = BpeApplier.registryFor(cacheKey)
+    def encodeWord(word: String): Array[String] = {
+      while (cache.size > BpeApplier.MaxWordsPerTable) {
+        val it = cache.keys()
+        if (it.hasMoreElements) cache.remove(it.nextElement()) else ()
+      }
       cache.computeIfAbsent(word, w => {
         var syms: Array[String] = w.map(_.toString).toArray :+ "</w>"
         merges.foreach { case (l, r) =>
@@ -330,6 +351,7 @@ object TextAnalysis {
         }
         syms
       })
+    }
     def encodeText(text: String): Array[String] =
       text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         .filter(_.nonEmpty).flatMap(encodeWord)

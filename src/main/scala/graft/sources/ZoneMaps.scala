@@ -294,7 +294,16 @@ object ZoneMaps {
     * pruning as any scan), each with its (size, mtime millis)
     * signature: `inputFiles` for the universe, then one listStatus
     * per parent directory for the signatures — driver-side metadata
-    * ops, no Spark job over data. */
+    * ops, no Spark job over data.
+    *
+    * Signature granularity (same caveat as [[graft.pipeline.Stores
+    * .dirSig]]): (size, mtime) detects every rewrite EXCEPT an
+    * in-place rewrite to identical byte length within one mtime tick
+    * of the underlying store's clock. The engine's own writers never
+    * rewrite in place (new file names / new generations), so the
+    * guard is exact for managed tables; for tables mutated by foreign
+    * writers that rewrite in place, verifyCoverage's staleness check
+    * inherits the store's Last-Modified granularity. */
   private def listLive(spark: SparkSession,
                        tableDir: String): Map[String, (Long, Long)] = {
     val files = spark.read.parquet(tableDir).inputFiles
