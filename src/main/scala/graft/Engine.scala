@@ -56,16 +56,27 @@ object Engine {
     // creation side is small and the application side is big enough to
     // pay off); PlanSpec pins the injection shape.
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // Cost-based optimization: with catalog statistics in place (see
-    // [[analyzeTables]]) the optimizer reorders multi-way inner joins
-    // by estimated cost instead of declaration order — at 100 TB a
-    // wrong join order in a 5-way star join (TPC-H q5/q8/q9) is the
-    // difference between hours and minutes, and AQE can only fix it
-    // one shuffle too late. Without catalog stats these flags are
-    // inert (file relations carry size-only estimates), so turning
-    // them on unconditionally is safe for every existing path.
+    // Cost-based estimation: with catalog statistics in place (see
+    // [[analyzeTables]]) plans carry real row counts/NDVs instead of
+    // size-only guesses — better broadcast decisions, and catalog
+    // relations skip the per-query file listing + schema inference
+    // that spark.read.parquet pays at plan time (measured: most
+    // sub-second queries halved at sf0.1). Without catalog stats the
+    // flag is inert, so non-analyzed paths are unchanged.
+    //
+    // joinReorder stays OFF by default — a measured decision, not an
+    // oversight: on the analyzed TPC-H surface the DP reorder never
+    // beat the declared fact-first orders and regressed q8 3.4× / q9
+    // 1.9× (tools.CboAudit), because Spark's reorder cost model
+    // prices intermediate ROWS but not broadcast-ability, so it
+    // happily moves a big fact⋈dim chain ahead of the selective
+    // filters that make each step broadcastable. It exists to rescue
+    // PESSIMAL declared orders (PlanSpec proves the mechanism:
+    // enabled, it rewires a fact-fact-first declaration) — enable it
+    // per-session for ad-hoc/generated SQL whose authors don't order
+    // joins; engine-authored queries are already fact-first.
     c.set("spark.sql.cbo.enabled", "true")
-    c.set("spark.sql.cbo.joinReorder.enabled", "true")
+    c.set("spark.sql.cbo.joinReorder.enabled", "false")
     c.set("spark.sql.statistics.histogram.enabled", "true")
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader does
     // not support natively; read as long and convert (see table()).

@@ -1084,6 +1084,42 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(viaIndex() == survivorScanPre)
   }
 
+  test("text index tombstone fold: random delete batches track a survivor rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_fold").toString
+    val d2 = docs.select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "data", "window")
+    graft.pipeline.TextIndex.write(d2, dir, buckets = 16)
+    val allIds = d2.select("doc_id").as[Long].collect().toSeq.sorted
+    val rng = new scala.util.Random(42)
+    var gone = Set.empty[Long]
+    // three delete batches: fresh ids, a repeat takedown (idempotent),
+    // and ids that were never indexed (must not perturb the fold)
+    val first = rng.shuffle(allIds).take(20)
+    val batches = Seq(
+      first,
+      rng.shuffle(allIds).take(10) ++ first.take(3),
+      Seq(-1L, 999999999L) ++ rng.shuffle(allIds).take(5))
+    batches.foreach { batch =>
+      graft.pipeline.TextIndex.delete(spark, dir, batch)
+      gone ++= batch.filter(allIds.contains)
+      val (n, total) = graft.pipeline.TextIndex.stats(spark, dir)
+      val survivors = d2.filter(!col("doc_id").isin(gone.toSeq: _*))
+      assert(n == survivors.count(), s"N after ${gone.size} takedowns")
+      val expectedTotal = survivors
+        .select(org.apache.spark.sql.functions.size(
+          TextAnalysis.tokens(col("text"))).cast("long")).as[Long]
+        .collect().sum
+      assert(total == expectedTotal, "total_len must track survivors")
+      val viaIndex = graft.pipeline.TextIndex.search(spark, dir, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaScan = TextAnalysis.bm25(survivors, terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaIndex == viaScan, s"scores diverged after ${gone.size} takedowns")
+    }
+  }
+
   test("searchMany: batch ≡ per-query search; missing-term query yields nothing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tidx_many").toString

@@ -1025,12 +1025,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
           Seq("lineitem", "orders", "customer", "nation")
             .find(t => s.contains(s"graft_") && s.contains(t)).getOrElse("?")
         }
-    val declared = {
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    // reorder is OFF by default (Engine.tune — measured decision, see
+    // its comment); this pin proves the rescue MECHANISM works when a
+    // session enables it over pessimal declared orders
+    val declared = leafOrder(pessimal())
+    val reordered = {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
       try leafOrder(pessimal())
-      finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     }
-    val reordered = leafOrder(pessimal())
     assert(declared != reordered,
       s"CBO did not reorder the pessimal join: declared=$declared reordered=$reordered")
     // the two big tables must no longer be the first join pair
