@@ -21,36 +21,35 @@ import java.util.Locale
   * pre-deploy check RUNBOOK.md prescribes before pointing the engine
   * at a real cluster.
   *
-  * The slice is chosen for cross-JVM risk, not breadth (the full
-  * 193-query surface runs in the per-round correctness gate):
-  *  - codegen reference objects: q_sql_dedup, ann_ivfpq,
-  *    dedup_bloom_incr, q_heavy_hitters
+  * Coverage: the ENTIRE `SparkEntry.queries` oracle surface (every
+  * index fixture rebuilt under the cluster session so the write
+  * lifecycles cross the process boundary too), plus two ops not
+  * expressible as plain queries:
   *  - per-executor-JVM registries: op_bpe_encode (BpeApplier's
   *    rule-table registry must self-initialize on each executor)
-  *  - persisted-index lifecycles REBUILT under the cluster session
-  *    (resetFixtureMemo): ann_ivf_delete (write/delete/compact/
-  *    tombstone), dedup_band_incr, q_bm25_indexed, q_corpus_merge
-  *  - broadcast model parameters + checkpointed iteration:
-  *    text_lm_lang, q_fuzzy_link
-  *  - plain relational sanity: q_agg_groupby, q_join5, mm_phash
   *  - streaming: op_stream_ingest (foreachBatch ingest with dedup
   *    gates, AvailableNow, landed corpus compared)
+  * Through round 12 this ran a 16-item cross-JVM-risk slice; the
+  * reference is multi-worker by identity, so the remaining 177
+  * queries' single-JVM-only execution history was the last
+  * sampled-not-total guarantee — now closed by running everything.
+  * SPARK_GRAFT_CLUSTER_QUERIES still restricts a run for iteration.
   *
   * Hashing: rows are formatted with floats rounded (%.6e) and doubles
   * (%.9e) so a legitimate last-bit difference from a different
   * partial-aggregation order doesn't read as corruption, sorted, and
-  * digested. Schema (name:type) participates in the hash.
+  * digested. Schema (name:type) participates in the hash, and fields
+  * are U+0001-delimited so boundaries do too — unseparated, ("ab","c")
+  * and ("a","bc") would collide and a cross-JVM divergence of exactly
+  * that shape would pass the gate.
   *
   * Output: one JSON line to stdout and SPARK_GRAFT_CLUSTER_OUT
   * (default cluster_check.json); exit code 1 on any mismatch/error.
   */
 object ClusterCheck {
 
-  private val DefaultQueries: Seq[String] = Seq(
-    "q_agg_groupby", "q_join5", "q_window_frames",
-    "q_sql_dedup", "q_heavy_hitters", "dedup_bloom_incr", "ann_ivfpq",
-    "ann_ivf_delete", "dedup_band_incr", "q_bm25_indexed", "q_corpus_merge",
-    "text_lm_lang", "q_fuzzy_link", "mm_phash")
+  // full-surface by default: every oracle query runs in both modes
+  private def defaultQueries: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   // ---- canonical result hashing -------------------------------------
 
@@ -190,7 +189,7 @@ object ClusterCheck {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_OUT", "cluster_check.json")
     val names = sys.env.get("SPARK_GRAFT_CLUSTER_QUERIES")
-      .map(_.split(",").toSeq).getOrElse(DefaultQueries)
+      .map(_.split(",").toSeq).getOrElse(defaultQueries)
     val tmpBase = java.nio.file.Files.createTempDirectory("graft_clck").toString
     SparkEntry.oracleSfDir = sfDir
 

@@ -97,7 +97,7 @@ object Engine {
   private val analyzedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def catalogTag(dir: String): String =
+  private[graft] def catalogTag(dir: String): String =
     f"${scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff}%08x"
 
   /** Register each testdata table as an EXTERNAL catalog table and

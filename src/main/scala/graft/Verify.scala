@@ -18,9 +18,11 @@ object Verify {
       .withExtensions(new sources.GraftExtensions)
       .getOrCreate()
     Engine.tune(spark)
-    // stats-backed catalog tables: CBO join reorder costs with real
-    // cardinalities, and the verify run exercises the same
-    // catalog-relation path production uses after ANALYZE TABLE
+    // stats-backed catalog tables: plans carry real cardinalities and
+    // the verify run exercises the same catalog-relation path
+    // production uses after ANALYZE TABLE. (Join reordering itself
+    // stays off here — Engine.tune's measured default; the service's
+    // SQL session is where reorder engages, see QueryService)
     Engine.analyzeTables(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

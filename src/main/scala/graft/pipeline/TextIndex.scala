@@ -145,10 +145,18 @@ object TextIndex {
     * generation's summed stats deltas MINUS the tombstoned docs still
     * sitting in its postings. */
   def stats(spark: SparkSession, dir: String): (Long, Long) =
-    statsOf(spark, dir, liveStore(spark, dir))
+    statsOf(spark, dir, liveStore(spark, dir), tombstoneFiles(spark, dir))
 
+  /** `tombs` is the tombstone-file list the CALLER already resolved —
+    * search()/searchMany() pass the exact list their postings
+    * anti-join used, so one listing drives both the df exclusion and
+    * the (N, avgdl) fold. Listing twice here would race a delete()
+    * committing between the two listings: a single query whose df
+    * excludes the new takedown while N/avgdl still count it (or vice
+    * versa), breaking the resolve-once discipline the generation
+    * handling establishes. */
   private def statsOf(spark: SparkSession, dir: String,
-                      store: String): (Long, Long) = {
+                      store: String, tombs: Seq[String]): (Long, Long) = {
     // appends add delta files, compaction swaps the store path — both
     // change the signature, so the cache can never serve stale totals
     val base = Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
@@ -168,7 +176,6 @@ object TextIndex {
     // never double-subtract. Tombstone files are immutable
     // (append-only, named uniquely), so their sorted names key the
     // cache entry.
-    val tombs = tombstoneFiles(spark, dir)
     if (tombs.isEmpty) base
     else {
       val gone = Stores.cachedModel(spark,
@@ -189,9 +196,11 @@ object TextIndex {
     * generations in one query), derive the terms' bucket literals by
     * hashing the tiny term list in Spark (byte-identical to the
     * writer), and return the pruned, tombstone-excluded postings for
-    * exactly the query terms. */
+    * exactly the query terms — plus the tombstone-file list the
+    * exclusion used, so the caller's stats fold sees the SAME
+    * takedown set (one listing per query, not two racing ones). */
   private def prunedPostings(spark: SparkSession, dir: String,
-                             qTerms: Seq[String]): (String, DataFrame) = {
+                             qTerms: Seq[String]): (String, DataFrame, Seq[String]) = {
     // frozen scheme — signature-cached so the serving path skips the
     // per-query meta job (see Stores.cachedModel)
     val buckets: Integer = Stores.cachedModel(spark, "tidx-meta", s"$dir/meta") {
@@ -211,7 +220,7 @@ object TextIndex {
       else post.join(
         broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    (store, live)
+    (store, live, tombs)
   }
 
   /** BM25 top-k for `terms`: one partition-pruned scan of the query
@@ -223,8 +232,8 @@ object TextIndex {
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val (store, live) = prunedPostings(spark, dir, qTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store)
+    val (store, live, tombs) = prunedPostings(spark, dir, qTerms)
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
     val avgdl = totalLen.toDouble / nDocs
     val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
     live.join(broadcast(dfs), "term")
@@ -277,8 +286,8 @@ object TextIndex {
         .toDF("query_id", "doc_id", "score", "n_terms")
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
-    val (store, live) = prunedPostings(spark, dir, allTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store)
+    val (store, live, tombs) = prunedPostings(spark, dir, allTerms)
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
     val avgdl = totalLen.toDouble / nDocs
     val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -317,7 +326,7 @@ object TextIndex {
     require(terms.nonEmpty && k >= 1)
     val n = terms.length
     val distinctTerms = terms.distinct
-    val (_, live) = prunedPostings(spark, dir, distinctTerms)
+    val (_, live, _) = prunedPostings(spark, dir, distinctTerms)
     // one row per doc with its term→positions map; docs missing any
     // distinct term cannot match and drop before the intersection
     val perDoc = live

@@ -39,9 +39,38 @@ final class QueryService(
     connections: Connections = Connections(),
     maxTrackedStatuses: Int = 10000,
     maxConcurrentQueries: Int = 8,
-    queryTimeoutMs: Long = 0) {
+    queryTimeoutMs: Long = 0,
+    reorderJoins: Boolean = true) {
 
   private val statuses = new ConcurrentHashMap[String, QueryStatus]()
+
+  // --- SQL planning session ------------------------------------------
+  // Service statements plan on a DEDICATED child session (same
+  // SparkContext, shared external catalog, same injected extensions —
+  // fresh SQLConf and temp-view namespace) with CBO join reordering
+  // ON, while Engine.tune keeps it OFF for engine-authored DataFrame
+  // paths. The split is a measured decision (tools.CboAudit): the DP
+  // reorder regressed hand-ordered fact-first TPC-H declarations (q8
+  // 3.4×, q9 1.9× — Spark's cost model prices rows, not
+  // broadcast-ability) but is exactly the rescue arbitrary
+  // service-submitted SQL needs, since ad-hoc authors don't order
+  // joins (PlanSpec proves it rewires a pessimal fact-fact-first
+  // declaration). A child session rather than a per-statement conf
+  // flip because SQLConf is session-scoped: flipping it on the host's
+  // session would race concurrently-planning host queries. The child
+  // resolves catalog tables and read_files()/connections like the
+  // parent — the reference's service is a standalone server speaking
+  // SQL over storage connections, not over a host program's temp
+  // views, so parent temp views are deliberately out of contract.
+  // Reorder only engages for statements whose tables carry catalog
+  // statistics (CBO is inert without them) — `reorderJoins = false`
+  // opts a service out entirely.
+  private[graft] val sqlSession: SparkSession = {
+    val s = spark.newSession()
+    graft.Engine.tune(s)
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", reorderJoins.toString)
+    s
+  }
 
   // --- admission control -------------------------------------------
   // Statements execute on this bounded pool, NOT an unbounded global
@@ -439,7 +468,9 @@ final class QueryService(
               }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
             else None
           val r = Try {
-            val df = ReadFiles.sql(spark, sql, connections)
+            // plans on the dedicated SQL session (join reorder ON) —
+            // see the sqlSession note at the top of the class
+            val df = ReadFiles.sql(sqlSession, sql, connections)
             df.write.mode("overwrite").parquet(versionDir(queryId, 1))
           }
           deadline.foreach(_.cancel(false))

@@ -161,8 +161,8 @@ object ZoneMaps {
     * pass for this file. Raw parquet values are compared with the
     * column's OWN comparator (parquet-mr already drops stats written
     * with broken pre-1.8 binary orderings at footer-decode time). */
-  private def footerMinMax(msg: MessageType, blocks: Seq[BlockMetaData],
-                           name: String, dt: DataType): Option[(Any, Any)] = {
+  private[graft] def footerMinMax(msg: MessageType, blocks: Seq[BlockMetaData],
+                                  name: String, dt: DataType): Option[(Any, Any)] = {
     if (!msg.containsField(name)) return Some((null, null))
     val field = msg.getType(Array(name): _*)
     if (!field.isPrimitive) return None
@@ -170,6 +170,18 @@ object ZoneMaps {
     if (prim.getPrimitiveTypeName == PrimitiveTypeName.INT96) return None
     val conv = converterFor(prim, dt).getOrElse(return None)
     val cmp = prim.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
+    // NaN poisons legacy float/double footer stats (pre parquet-mr 1.11
+    // writers push NaN through Math.min/max): a NaN bound makes the
+    // prune predicate `min <= hi && max >= lo` null out and silently
+    // drop a file holding real in-range values. Modern parquet-mr
+    // omits stats for NaN-bearing chunks (→ the hasNonNullValue branch
+    // below already falls back); for legacy files the NaN must be
+    // detected here and the whole file routed to the data pass.
+    def poisoned(v: AnyRef): Boolean = v match {
+      case f: java.lang.Float  => f.isNaN
+      case d: java.lang.Double => d.isNaN
+      case _ => false
+    }
     var mn: AnyRef = null
     var mx: AnyRef = null
     for (b <- blocks) {
@@ -180,12 +192,15 @@ object ZoneMaps {
       if (st.hasNonNullValue) {
         val lo = st.genericGetMin.asInstanceOf[AnyRef]
         val hi = st.genericGetMax.asInstanceOf[AnyRef]
+        if (poisoned(lo) || poisoned(hi)) return None
         if (mn == null || cmp.compare(lo, mn) < 0) mn = lo
         if (mx == null || cmp.compare(hi, mx) > 0) mx = hi
       } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
         return None // can't prove the chunk is all-null → not skippable
       }
     }
+    // inverted bounds = corrupt stats from any writer — never prune on them
+    if (mn != null && cmp.compare(mn, mx) > 0) return None
     Some((if (mn == null) null else conv(mn), if (mx == null) null else conv(mx)))
   }
 

@@ -1040,4 +1040,54 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(reordered.take(2).toSet != Set("lineitem", "orders"),
       s"fact-fact still joins first: $reordered")
   }
+
+  test("service SQL session: join reorder ON for service SQL, OFF for the host") {
+    // Same isolation trick as the CBO test above: analyze a symlink
+    // alias so the shared session's direct-read plans are untouched.
+    val alias = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_cbo_sfdir").toPath
+    java.nio.file.Files.deleteIfExists(alias)
+    java.nio.file.Files.createSymbolicLink(alias, java.nio.file.Paths.get(sfDir))
+    val d = alias.toString
+    Engine.analyzeTables(spark, d, Seq("lineitem", "orders", "customer", "nation"))
+    val root = java.nio.file.Files.createTempDirectory("graft_svc_reorder").toString
+    val svc = new service.QueryService(spark, root)
+    try {
+      // the split itself: host session keeps the measured OFF default
+      // (fact-first DataFrame declarations), the service's dedicated
+      // SQL session plans with reorder ON for arbitrary user SQL
+      assert(spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "false")
+      assert(svc.sqlSession.conf.get("spark.sql.cbo.joinReorder.enabled") == "true")
+      // and the child session inherits the rest of the engine tuning
+      assert(svc.sqlSession.conf.get("spark.sql.cbo.enabled") == "true")
+      assert(svc.sqlSession.conf.get("spark.sql.session.timeZone") == "UTC")
+      // a pessimal fact-fact-first declared order, as arbitrary
+      // service SQL would write it, against the analyzed catalog
+      // tables both sessions share (SharedState holds the catalog)
+      def t(n: String) = s"graft_${Engine.catalogTag(d)}_$n"
+      val sql =
+        s"""SELECT n_name, count(1) AS cnt
+           |FROM ${t("lineitem")} li
+           |JOIN ${t("orders")} o ON li.l_orderkey = o.o_orderkey
+           |JOIN (SELECT * FROM ${t("customer")} WHERE c_mktsegment = 'BUILDING') c
+           |  ON o.o_custkey = c.c_custkey
+           |JOIN (SELECT * FROM ${t("nation")} WHERE n_name = 'FRANCE') n
+           |  ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n_name""".stripMargin
+      def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+          .map { s =>
+            Seq("lineitem", "orders", "customer", "nation")
+              .find(t => s.contains("graft_") && s.contains(t)).getOrElse("?")
+          }
+      val host = leafOrder(spark.sql(sql))
+      val svcPlan = leafOrder(svc.sqlSession.sql(sql))
+      assert(host.take(2).toSet == Set("lineitem", "orders"),
+        s"host should keep the declared order: $host")
+      assert(svcPlan.take(2).toSet != Set("lineitem", "orders"),
+        s"service SQL session did not rescue the pessimal order: $svcPlan")
+      // identical results either way (reorder is plan-only)
+      assert(spark.sql(sql).collect().toSeq == svc.sqlSession.sql(sql).collect().toSeq)
+    } finally svc.close()
+  }
 }

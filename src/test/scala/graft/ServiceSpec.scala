@@ -635,7 +635,10 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     val root2 = java.nio.file.Files.createTempDirectory("graft_deadline").toString
     val svc2 = new QueryService(spark, root2, queryTimeoutMs = 700)
     DeadlineGate.reset()
-    spark.udf.register("graft_test_stall",
+    // service SQL plans on the service's dedicated child session, so
+    // the test device registers there (host-session UDFs are out of
+    // the service contract, like host temp views)
+    svc2.sqlSession.udf.register("graft_test_stall",
       () => { DeadlineGate.latch.await(); 1 })
     try {
       // a per-statement override outlives the tight service default
@@ -684,7 +687,7 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     val root2 = java.nio.file.Files.createTempDirectory("graft_admission").toString
     val svc2 = new QueryService(spark, root2, maxConcurrentQueries = 2)
     AdmissionGate.reset()
-    spark.udf.register("graft_test_block",
+    svc2.sqlSession.udf.register("graft_test_block",
       () => { AdmissionGate.latch.await(); 1 })
     try {
       // two statements claim both slots and block on the gate

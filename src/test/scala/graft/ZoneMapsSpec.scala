@@ -230,4 +230,48 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
       .filter(col("l_quantity").between(1.0, 50.0)).count()
     assert(got == want)
   }
+
+  test("NaN-poisoned or inverted footer float stats route the file to the data pass") {
+    // Legacy parquet writers (pre parquet-mr 1.11) push NaN through
+    // Math.min/max into chunk statistics; a NaN bound would null out
+    // the prune predicate and silently drop a file holding real
+    // in-range values. Spark-written fixtures never emit NaN stats, so
+    // this drives footerMinMax directly with footer metadata built the
+    // way a legacy file's footer decodes.
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.parquet.hadoop.metadata.{BlockMetaData, ColumnChunkMetaData, ColumnPath, CompressionCodecName}
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.spark.sql.types.DoubleType
+    val msg = MessageTypeParser.parseMessageType("message m { optional double c; }")
+    val prim = msg.getType(Array("c"): _*).asPrimitiveType()
+    def le(d: Double): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array()
+    def stats(mn: Double, mx: Double): Statistics[_] =
+      Statistics.getBuilderForReading(prim)
+        .withMin(le(mn)).withMax(le(mx)).withNumNulls(0L).build()
+    def block(st: Statistics[_]): BlockMetaData = {
+      val b = new BlockMetaData
+      b.setRowCount(10L)
+      b.addColumn(ColumnChunkMetaData.get(
+        ColumnPath.get("c"), prim, CompressionCodecName.SNAPPY, null,
+        java.util.Collections.emptySet[org.apache.parquet.column.Encoding](),
+        st, 0L, 0L, 10L, 100L, 100L))
+      b
+    }
+    def mm(st: Statistics[_]): Option[(Any, Any)] =
+      ZoneMaps.footerMinMax(msg, Seq(block(st)), "c", DoubleType)
+    // healthy stats stay footer-covered
+    assert(mm(stats(1.0, 5.0)) == Some((1.0, 5.0)))
+    // NaN in either bound → unusable → data-pass fallback (None)
+    assert(mm(stats(Double.NaN, 5.0)).isEmpty, "NaN min must not prune")
+    assert(mm(stats(1.0, Double.NaN)).isEmpty, "NaN max must not prune")
+    assert(mm(stats(Double.NaN, Double.NaN)).isEmpty)
+    // inverted bounds (corrupt stats from any writer) → fallback too
+    assert(mm(stats(5.0, 1.0)).isEmpty, "inverted bounds must not prune")
+    // multi-block: one poisoned block poisons the whole file
+    assert(ZoneMaps.footerMinMax(
+      msg, Seq(block(stats(1.0, 5.0)), block(stats(Double.NaN, 7.0))),
+      "c", DoubleType).isEmpty)
+  }
 }
