@@ -77,15 +77,35 @@ private[graft] object Stores {
     * Last-Modified, HDFS with coarse clocks). Such rewrites violate
     * the store contract (files are immutable once written; mutation
     * goes through a new generation + commit marker, the monotonic
-    * marker this signature rides on). If a deployment must tolerate
-    * out-of-band rewrites, swap this for a content checksum (etag on
-    * S3) at the cost of a per-file metadata round-trip. */
+    * marker this signature rides on). A deployment that must tolerate
+    * out-of-band rewrites sets `spark.graft.stores.contentSignature=
+    * true`: each file's signature then also carries the FS-provided
+    * content checksum — the S3 etag through
+    * [[graft.sources.EtagFileChecksum]] on [[graft.sources.S3LiteFileSystem]]
+    * (S3A exposes the same under `fs.s3a.etag.checksum`), HDFS's
+    * MD5-of-CRCs — so an in-place same-length rewrite inside one mtime
+    * tick still misses the cache, at the cost of one extra metadata
+    * round-trip per file per listing. Filesystems that expose no
+    * checksum (the local FS returns null) keep the (len, mtime)
+    * signature for that file — the flag never makes a signature
+    * WEAKER. */
   def dirSig(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(s =>
-        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
+    val content = spark.conf
+      .get("spark.graft.stores.contentSignature", "false").toBoolean
+    fs.listStatus(p).map { s =>
+      val base = s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+      if (!content || s.isDirectory) base
+      else {
+        val ck =
+          try Option(fs.getFileChecksum(s.getPath))
+          catch { case _: java.io.IOException => None }
+        ck.fold(base)(c =>
+          base + ":" + c.getAlgorithmName + ":" +
+            c.getBytes.map("%02x".format(_)).mkString)
+      }
+    }.sorted.mkString("|")
   }
 
   def cachedModel[A <: AnyRef](spark: SparkSession, kind: String,

@@ -224,6 +224,32 @@ class S3LiteFileSystem extends FileSystem {
   private def dirStatus(p: Path): FileStatus =
     new FileStatus(0, true, 1, 0, 0L, p.makeQualified(fsUri, workDir))
 
+  /** Content signature through the standard Hadoop hook: the store's
+    * ETag (the content MD5 for single-part uploads) as a
+    * [[org.apache.hadoop.fs.FileChecksum]]. One zero-length ranged GET
+    * — the same O(1) metadata round-trip as a HEAD, no data bytes.
+    * This is what lets signature-keyed caches ([[graft.pipeline.Stores]])
+    * opt into CONTENT granularity on object stores, where mtime is
+    * whole-second coarse and this FS doesn't surface it at all. Null
+    * for directories, missing objects, or stores that omit the header
+    * (callers must treat null as "no checksum available", per the
+    * FileSystem contract). */
+  override def getFileChecksum(f: Path): org.apache.hadoop.fs.FileChecksum = {
+    val key = keyOf(f)
+    if (key.isEmpty) return null
+    val c = connect("GET", key, extraHeaders = Seq("Range" -> "bytes=0-0"))
+    def closeQuietly(): Unit =
+      try Option(c.getInputStream).foreach(_.close())
+      catch { case _: IOException => Option(c.getErrorStream).foreach(_.close()) }
+    try c.getResponseCode match {
+      case 200 | 206 | 416 =>
+        Option(c.getHeaderField("ETag"))
+          .map(e => new EtagFileChecksum(e.replace("\"", ""))).orNull
+      case 404 => null
+      case code => throw new IOException(s"s3 checksum $key: HTTP $code ${drainError(c)}")
+    } finally closeQuietly()
+  }
+
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatus(f) // bucket root
@@ -406,4 +432,18 @@ class S3LiteFileSystem extends FileSystem {
       true
     }
   }
+}
+
+/** An S3 ETag wrapped as a Hadoop [[org.apache.hadoop.fs.FileChecksum]]
+  * (the shape S3A exposes under fs.s3a.etag.checksum). Comparable only
+  * within one store — that is exactly the signature-cache use. */
+final class EtagFileChecksum(private var etag: String)
+    extends org.apache.hadoop.fs.FileChecksum {
+  def this() = this("")
+  override def getAlgorithmName: String = "S3-ETag"
+  override def getLength: Int = getBytes.length
+  override def getBytes: Array[Byte] = etag.getBytes("UTF-8")
+  override def write(out: java.io.DataOutput): Unit = out.writeUTF(etag)
+  override def readFields(in: java.io.DataInput): Unit = etag = in.readUTF()
+  override def toString: String = s"S3-ETag:$etag"
 }

@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyScaleProbe {
 
-  private def scaled(spark: SparkSession, baseDir: String, k: Int,
-                     outDir: String): String = {
+  private[tools] def scaled(spark: SparkSession, baseDir: String, k: Int,
+                            outDir: String): String = {
     val path = s"$outDir/x$k/documents.parquet"
     val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -111,6 +111,10 @@ final class MiniS3(accessKey: String, secretKey: String,
 
   private val RangeHdr = """bytes=(\d+)-(\d*)""".r
 
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
   private def handle(ex: HttpExchange): Unit = {
     if (!authOk(ex)) {
       authFailures += 1
@@ -144,18 +148,21 @@ final class MiniS3(accessKey: String, secretKey: String,
         objects.get(path) match {
           case null => respond(ex, 404)
           case b =>
+            // real S3 attaches the object's ETag (MD5 for single-part
+            // uploads) to every GET, ranged or not
+            val etag = Map("ETag" -> ("\"" + md5Hex(b) + "\""))
             Option(ex.getRequestHeaders.getFirst("Range")) match {
               case Some(RangeHdr(s, e)) =>
                 val start = s.toLong
                 if (start >= b.length)
-                  respond(ex, 416, headers = Map("Content-Range" -> s"bytes */${b.length}"))
+                  respond(ex, 416, headers = etag ++ Map("Content-Range" -> s"bytes */${b.length}"))
                 else {
                   val end = math.min(
                     if (e.isEmpty) b.length - 1L else e.toLong, b.length - 1L)
                   respond(ex, 206, java.util.Arrays.copyOfRange(b, start.toInt, end.toInt + 1),
-                    Map("Content-Range" -> s"bytes $start-$end/${b.length}"))
+                    etag ++ Map("Content-Range" -> s"bytes $start-$end/${b.length}"))
                 }
-              case _ => respond(ex, 200, b)
+              case _ => respond(ex, 200, b, etag)
             }
         }
       case "DELETE" =>
@@ -163,7 +170,11 @@ final class MiniS3(accessKey: String, secretKey: String,
         respond(ex, 204)
       case "HEAD" =>
         // S3LiteFileSystem probes via ranged GETs, but be a good citizen
-        if (objects.containsKey(path)) respond(ex, 200) else respond(ex, 404)
+        objects.get(path) match {
+          case null => respond(ex, 404)
+          case b => respond(ex, 200,
+            headers = Map("ETag" -> ("\"" + md5Hex(b) + "\"")))
+        }
       case _ => respond(ex, 405)
     }
   }

@@ -409,4 +409,63 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(row.getLong(2) == (('a' * 31L + 'b') * 31 + 'c') % 1000000007L)
     assert(row.getString(3) == "mail me at <EMAIL> or <PHONE>")
   }
+
+  test("content signature: same-size in-place rewrite is caught on a checksum-capable FS") {
+    val s3 = new MiniS3("graftkey", "graftsecret")
+    s3.start()
+    try {
+      graft.sources.Connections(Map(
+        "default" -> graft.sources.Connection.Fs(""),
+        "minio" -> graft.sources.Connection.S3(
+          endpoint = s"http://127.0.0.1:${s3.port}",
+          accessKeyId = "graftkey",
+          secretAccessKeyId = "graftsecret",
+          bucket = "graft-sig",
+          root = "store"))).applyTo(spark)
+      val dir = "s3a://graft-sig/store/model"
+      val p = new org.apache.hadoop.fs.Path(s"$dir/part-0.bin")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def put(bytes: String): Unit = {
+        val o = fs.create(p, true); o.write(bytes.getBytes("UTF-8")); o.close()
+      }
+      // the FS exposes a content checksum (the store's etag), and it
+      // tracks content, not metadata
+      put("aaaaaaaa")
+      val ck1 = fs.getFileChecksum(p)
+      assert(ck1 != null && ck1.getAlgorithmName == "S3-ETag")
+      put("bbbbbbbb") // same length
+      val ck2 = fs.getFileChecksum(p)
+      assert(ck2 != null && !java.util.Arrays.equals(ck1.getBytes, ck2.getBytes))
+      // the default (len, mtime) signature is blind to this rewrite BY
+      // CONSTRUCTION on this store (same length; S3Lite surfaces no
+      // mtime) — the documented coarse-signature caveat, pinned
+      put("aaaaaaaa")
+      val before = graft.pipeline.Stores.dirSig(spark, dir)
+      put("bbbbbbbb")
+      assert(graft.pipeline.Stores.dirSig(spark, dir) == before,
+        "expected the default signature to miss a same-size rewrite (caveat pin)")
+      // content signature ON: the rewrite changes the signature, so a
+      // signature-keyed cache reloads instead of serving stale bytes
+      spark.conf.set("spark.graft.stores.contentSignature", "true")
+      try {
+        put("aaaaaaaa")
+        val s1 = graft.pipeline.Stores.dirSig(spark, dir)
+        put("bbbbbbbb")
+        val s2 = graft.pipeline.Stores.dirSig(spark, dir)
+        assert(s1 != s2, "content signature must catch a same-size rewrite")
+        var loads = 0
+        def model(): Integer = graft.pipeline.Stores.cachedModel[Integer](
+          spark, "sig-spec", dir) { loads += 1; Integer.valueOf(loads) }
+        assert(model() == 1 && model() == 1) // unchanged store hits
+        put("cccccccc")
+        assert(model() == 2, "rewrite must miss the model cache")
+        // filesystems with no checksum (local FS returns null) keep
+        // the (len, mtime) signature — the flag never breaks them
+        val localDir = java.nio.file.Files.createTempDirectory("sig_local")
+        java.nio.file.Files.writeString(localDir.resolve("f.bin"), "x")
+        val localSig = graft.pipeline.Stores.dirSig(spark, localDir.toString)
+        assert(localSig.startsWith("f.bin:1:"))
+      } finally spark.conf.unset("spark.graft.stores.contentSignature")
+    } finally s3.stop()
+  }
 }

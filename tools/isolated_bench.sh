@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Isolated-run validation for the heaviest bench queries: each query
+# gets a FRESH JVM (java -cp against the compiled classes + the Spark
+# jars — no sbt, no shared-session litter), so the number is the
+# query's true cost rather than whatever GC/broadcast debris the
+# in-suite run billed onto it. The in-suite Bench minima were measured
+# reading up to 2x a query's isolated time (round-11 audit); this
+# script is the committed evidence for how far off this round's
+# in-suite numbers are.
+#
+# Usage: tools/isolated_bench.sh [sfDir] [outJson]
+# Writes one JSON object {query: seconds} plus a markdown table to
+# stderr-free stdout artifacts: ISOLATED_BENCH_r*.json is committed
+# beside BENCH_r*.json by the round workflow.
+set -u
+SF_DIR="${1:-/root/testdata/sf0.1}"
+OUT="${2:-isolated_bench.json}"
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
+QUERIES=(q_fuzzy_link dedup_cluster_rep q_lm_buckets_lang q_corpus_clean
+         text_lm_lang q_sim_link q_profile dedup_clusters q_sql_dedup
+         q_hybrid_indexed)
+
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+declare -A SEC
+for q in "${QUERIES[@]}"; do
+  tmp="$(mktemp -d)/bench.json"
+  # fresh JVM per query; no BENCH_REF -> the noise-retry path is inert,
+  # REPS=2 keeps min-of-2 comparable with the in-suite discipline
+  SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_ONLY="$q" SPARK_GRAFT_REPS=2 \
+  SPARK_GRAFT_BENCH_OUT="$tmp" SPARK_GRAFT_BENCH_REF=/dev/null \
+  SPARK_SCALA_VERSION=2.13 \
+  java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -cp "$CLASSES:/opt/spark/jars/*" graft.Bench >/dev/null 2>&1
+  s=$(python3 -c "import json,sys;print(json.load(open('$tmp'))['queries'].get('$q','NaN'))" 2>/dev/null || echo NaN)
+  SEC[$q]="$s"
+  echo "[isolated] $q ${s}s" >&2
+done
+
+python3 - "$OUT" <<EOF
+import json, sys
+sec = { $(for q in "${QUERIES[@]}"; do printf '"%s": %s, ' "$q" "${SEC[$q]:-float('nan')}"; done) }
+json.dump({"sf": "$SF_DIR", "mode": "fresh-jvm-per-query", "queries": sec},
+          open(sys.argv[1], "w"), indent=1)
+print("wrote", sys.argv[1])
+EOF
