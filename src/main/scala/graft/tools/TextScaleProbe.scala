@@ -56,20 +56,33 @@ object TextScaleProbe {
     val scales = Seq(1, 5, 10)
     val dirs = scales.map(k => k -> FuzzyScaleProbe.scaled(spark, baseDir, k, outDir)).toMap
 
+    // untimed warmup — without it the first grid cell absorbs one-time
+    // JIT/codegen/scan-machinery costs and the 1× column reads as 3×
+    // its true value, inverting every ratio in the table
+    graft.SparkEntry.queries(queries.head)(spark, dirs(1))
+      .write.format("noop").mode("overwrite").save()
+
     case class Cell(sec: Double, shuffleMb: Double, rows: Long)
     val grid = for (q <- queries; k <- scales) yield {
-      spark.catalog.clearCache()
-      System.gc()
+      // min of 2 reps, same discipline as Bench: shared-JVM GC/broadcast
+      // litter swings single samples up to 2×; the minimum measures the
+      // plan. Shuffle bytes are deterministic — read them from rep 1.
+      def once(): Double = {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dirs(k))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       meter.reset()
-      val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(q)(spark, dirs(k))
-      df.write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val s1 = once()
       // listener bus is async (and not publicly flushable); give the
       // last stage's task-end events time to land before reading
       Thread.sleep(1000)
       val mb = meter.value / 1e6
-      val rows = df.count()
+      val sec = math.min(s1, once())
+      val rows = graft.SparkEntry.queries(q)(spark, dirs(k)).count()
       println(f"[text-scale] $q%-18s x$k%-2d ${sec}%8.2fs  shuffle=${mb}%9.1fMB rows=$rows")
       (q, k) -> Cell(sec, mb, rows)
     }
@@ -80,8 +93,14 @@ object TextScaleProbe {
     sb ++= "(salt tokens grow the bigram vocabulary with scale, like a real\n"
     sb ++= "crawl's tail). `shuffle` = total task shuffle-write bytes for the\n"
     sb ++= "query — the exchange volume the (doc,w1,w2)/model aggregations pay.\n"
-    sb ++= "A bounded model: time ~linear in rows, shuffle growing no faster\n"
-    sb ++= "than rows (model exchanges are vocabulary-sized, not corpus-sized).\n\n"
+    sb ++= "A bounded model: time ~linear in rows, shuffle dominated by the\n"
+    sb ++= "rows term (model exchanges are vocabulary-sized, not corpus-sized).\n"
+    sb ++= "Note: the salted replicas grow the BIGRAM VOCABULARY linearly with\n"
+    sb ++= "the replica count (every replica mints its own (word, salt) types —\n"
+    sb ++= "deliberately pessimistic vs the sub-linear Heaps-law growth of a\n"
+    sb ++= "real crawl), so per-row shuffle creeping up with scale is the\n"
+    sb ++= "vocabulary term under that pessimistic growth, not a corpus-sized\n"
+    sb ++= "exchange.\n\n"
     sb ++= "| query | 1× s | 5× s | 10× s | 10×/1× time | shuffle 1× | 5× | 10× | 10×/1× shuffle | rows @10× |\n"
     sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
     queries.foreach { q =>
