@@ -68,6 +68,16 @@ final class QueryService(
   private[graft] val sqlSession: SparkSession = {
     val s = spark.newSession()
     graft.Engine.tune(s)
+    // newSession() starts from SparkConf + initial options, NOT the
+    // host's runtime conf — carry over the engine's own spark.graft.*
+    // runtime flags (e.g. stores.contentSignature) so a deployment
+    // that configured them on its session gets the same semantics on
+    // the service path. Snapshot at construction; build services
+    // after session configuration (host flags flipped later do not
+    // propagate — same contract as executor-side conf).
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.graft.")) s.conf.set(k, v)
+    }
     s.conf.set("spark.sql.cbo.joinReorder.enabled", reorderJoins.toString)
     s
   }

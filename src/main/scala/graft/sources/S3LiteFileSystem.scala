@@ -242,10 +242,14 @@ class S3LiteFileSystem extends FileSystem {
       try Option(c.getInputStream).foreach(_.close())
       catch { case _: IOException => Option(c.getErrorStream).foreach(_.close()) }
     try c.getResponseCode match {
-      case 200 | 206 | 416 =>
+      case 200 | 206 =>
         Option(c.getHeaderField("ETag"))
           .map(e => new EtagFileChecksum(e.replace("\"", ""))).orNull
-      case 404 => null
+      // 416 = zero-length object (the probe's bytes=0-0 is out of
+      // range): real S3 error responses carry no ETag, so report "no
+      // checksum" — the caller's (len, mtime) fallback covers it, and
+      // all empty objects are content-identical anyway
+      case 404 | 416 => null
       case code => throw new IOException(s"s3 checksum $key: HTTP $code ${drainError(c)}")
     } finally closeQuietly()
   }

@@ -193,14 +193,16 @@ object ZoneMaps {
         val lo = st.genericGetMin.asInstanceOf[AnyRef]
         val hi = st.genericGetMax.asInstanceOf[AnyRef]
         if (poisoned(lo) || poisoned(hi)) return None
+        // inverted bounds = corrupt stats — checked PER BLOCK: a
+        // corrupt block masked by a healthy wider block would survive
+        // a file-level-only check and silently prune its rows
+        if (cmp.compare(lo, hi) > 0) return None
         if (mn == null || cmp.compare(lo, mn) < 0) mn = lo
         if (mx == null || cmp.compare(hi, mx) > 0) mx = hi
       } else if (!(st.isNumNullsSet && st.getNumNulls == cc.getValueCount)) {
         return None // can't prove the chunk is all-null → not skippable
       }
     }
-    // inverted bounds = corrupt stats from any writer — never prune on them
-    if (mn != null && cmp.compare(mn, mx) > 0) return None
     Some((if (mn == null) null else conv(mn), if (mx == null) null else conv(mx)))
   }
 

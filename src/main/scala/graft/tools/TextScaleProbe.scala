@@ -29,11 +29,16 @@ object TextScaleProbe {
     * interval, not job group. */
   private final class ShuffleMeter extends SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    private val outRows = new java.util.concurrent.atomic.AtomicLong()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-      if (e.taskMetrics != null)
+      if (e.taskMetrics != null) {
         bytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    def reset(): Unit = bytes.set(0L)
+        outRows.addAndGet(e.taskMetrics.outputMetrics.recordsWritten)
+        ()
+      }
+    def reset(): Unit = { bytes.set(0L); outRows.set(0L) }
     def value: Long = bytes.get()
+    def rowsWritten: Long = outRows.get()
   }
 
   def main(args: Array[String]): Unit = {
@@ -81,8 +86,14 @@ object TextScaleProbe {
       // last stage's task-end events time to land before reading
       Thread.sleep(1000)
       val mb = meter.value / 1e6
+      // output rows from rep 1's task metrics (the noop sink still
+      // reports recordsWritten); fall back to a count only if the
+      // sink reported nothing — avoids a third full execution
+      val metered = meter.rowsWritten
       val sec = math.min(s1, once())
-      val rows = graft.SparkEntry.queries(q)(spark, dirs(k)).count()
+      val rows =
+        if (metered > 0) metered
+        else graft.SparkEntry.queries(q)(spark, dirs(k)).count()
       println(f"[text-scale] $q%-18s x$k%-2d ${sec}%8.2fs  shuffle=${mb}%9.1fMB rows=$rows")
       (q, k) -> Cell(sec, mb, rows)
     }

@@ -155,7 +155,7 @@ final class MiniS3(accessKey: String, secretKey: String,
               case Some(RangeHdr(s, e)) =>
                 val start = s.toLong
                 if (start >= b.length)
-                  respond(ex, 416, headers = etag ++ Map("Content-Range" -> s"bytes */${b.length}"))
+                  respond(ex, 416, headers = Map("Content-Range" -> s"bytes */${b.length}"))
                 else {
                   val end = math.min(
                     if (e.isEmpty) b.length - 1L else e.toLong, b.length - 1L)

@@ -273,5 +273,11 @@ class ZoneMapsSpec extends AnyFunSuite with SparkFixture {
     assert(ZoneMaps.footerMinMax(
       msg, Seq(block(stats(1.0, 5.0)), block(stats(Double.NaN, 7.0))),
       "c", DoubleType).isEmpty)
+    // a corrupt INVERTED block masked by a healthy wider block must
+    // also poison the file — the file-level aggregate (1,10) looks
+    // sane while block2's real rows (e.g. 50) lie outside it
+    assert(ZoneMaps.footerMinMax(
+      msg, Seq(block(stats(1.0, 10.0)), block(stats(7.0, 3.0))),
+      "c", DoubleType).isEmpty, "masked inverted block must not prune")
   }
 }

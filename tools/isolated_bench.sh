@@ -42,7 +42,9 @@ for q in "${QUERIES[@]}"; do
   java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" graft.Bench >/dev/null 2>&1
-  s=$(python3 -c "import json,sys;print(json.load(open('$tmp'))['queries'].get('$q','NaN'))" 2>/dev/null || echo NaN)
+  # failure fallback must stay a valid Python expression — a bare NaN
+  # token would NameError the final heredoc and discard every result
+  s=$(python3 -c "import json,sys;print(json.load(open('$tmp'))['queries'].get('$q','float(\"nan\")'))" 2>/dev/null || echo "float('nan')")
   SEC[$q]="$s"
   echo "[isolated] $q ${s}s" >&2
 done
