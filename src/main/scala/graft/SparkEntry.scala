@@ -2518,6 +2518,17 @@ object SparkEntry {
       "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
       "ORDER BY doc_id"),
 
+    // corpus_ann with vec 0's embedding as the external query: exact
+    // brute-force cosine top-10, no self-exclusion (external-query
+    // semantics — self lands at rank 1).
+    "q_sql_ann" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT v FROM v WHERE vec_id = 0), " +
+      "scored AS (SELECT a.vec_id AS neighbor_id, " +
+      duckCos("a", "q") + " AS cos FROM v a, q) " +
+      "SELECT neighbor_id, cos, rank FROM (SELECT neighbor_id, cos, " +
+      "CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 10 ORDER BY rank"),
+
     // The index must serve the exact same scores and cut.
     "q_bm25_indexed" -> (duckBm25Cte +
       " SELECT doc_id, score, n_terms FROM " +
@@ -2998,6 +3009,22 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, n_hits FROM " +
           s"corpus_search('${textIndexDir(s, d)}', 'table scan', k=>25, mode=>'phrase')")
         .orderBy("doc_id")),
+
+    // Vector search through the SQL surface: corpus_ann with vector 0's
+    // embedding as the external query (driver-side single-row fixture
+    // read at query-build time; Double.toString round-trips exactly, so
+    // the TVF parses back the identical doubles the oracle computes
+    // with). Self lands at rank 1; the rest is the exact brute-force
+    // top-k the ann_topk family already pins.
+    "q_sql_ann" -> ((s, d) => {
+      val v = s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") === 0L).select("embedding")
+        .head().getSeq[Float](0)
+      val vecStr = v.map(f => f.toDouble.toString).mkString(",")
+      s.sql(s"SELECT neighbor_id, cos, rank FROM " +
+          s"corpus_ann('$d/embeddings.parquet', '$vecStr', k=>10)")
+        .orderBy("rank")
+    }),
 
     "q_sql_dedup" -> ((s, d) => {
       Engine.registerViews(s, d)

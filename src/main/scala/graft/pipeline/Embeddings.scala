@@ -123,6 +123,34 @@ object Embeddings {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact top-k for EXTERNAL query vectors over a plain (vec_id,
+    * embedding) corpus — the brute-force analog of
+    * [[ivfTopKIndexedFor]]: queries (id, embedding) need not exist in
+    * the corpus and nothing is self-excluded. Query side broadcast
+    * (driver-bounded by the serving contract), corpus streams through
+    * once; same exact cosine and tie-break as [[bruteForceTopK]], so
+    * the two routes are value-identical on shared ids. */
+  def bruteForceTopKFor(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val v = withNorm(corpus)
+    val q = withNorm(queries.select(
+        col(queries.columns.head).cast("long").as("vec_id"),
+        col(queries.columns(1)).as("embedding")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = v.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosSim(dot(col("qv"), col("v")), col("qnrm"), col("nrm")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** True iff `dir` holds a committed [[writeIvfIndex]] layout (its
+    * live root carries a `centroids` store) rather than a plain
+    * embeddings parquet — the path-dispatch probe the SQL TVF uses. */
+  private[graft] def isIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"${liveIndexRoot(spark, dir)}/centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   // --- random-hyperplane LSH ---------------------------------------
 
   private val Dim = 64

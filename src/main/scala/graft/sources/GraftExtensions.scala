@@ -39,6 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusSearchTVF.getClass.getName, "corpus_search"),
       (args: Seq[Expression]) => CorpusSearchTVF.build(args)))
 
+    // Vector search as a TVF: SELECT * FROM corpus_ann('path',
+    // '0.1,-0.2,...' [, k=>10] [, nprobe=>10]) — the SQL surface of
+    // the ANN serving paths, completing the retrieval symmetry
+    // (corpus_search covers keywords/phrases, corpus_ann covers
+    // embeddings). Points at a plain (vec_id, embedding) parquet
+    // (exact brute-force scan) or a persisted IVF index (adaptive
+    // partition-pruned serving, same exact top-k).
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_ann"),
+      new ExpressionInfo(CorpusAnnTVF.getClass.getName, "corpus_ann"),
+      (args: Seq[Expression]) => CorpusAnnTVF.build(args)))
+
     // The pipeline's native expressions as first-class SQL scalar
     // functions — the reference's extension-registry vision
     // (operator_task_registry.rs:74-94) applied to functions: a SQL
@@ -169,6 +181,77 @@ object CorpusSearchTVF {
         s"corpus_search: unknown mode '$other' (bm25 | phrase)")
     }
     result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_ann(path, queryVec [, k=>10] [, nprobe=>10]
+  * [, connection=>name])`: exact top-k cosine neighbors of one
+  * external query vector, for SQL users with no Scala in sight.
+  * `queryVec` is a comma-separated number string (SQL literals cannot
+  * carry arrays into a TVF argument list); output is (neighbor_id,
+  * cos, rank) ranked score-desc with neighbor-id tie-break — the same
+  * deterministic contract as the Scala serving paths.
+  *
+  * `path` may be a plain (vec_id, embedding) parquet — scored by one
+  * brute-force corpus pass — or a persisted
+  * [[graft.pipeline.Embeddings.writeIvfIndex]] layout (detected by
+  * its committed `centroids` store), served with the adaptive
+  * two-level probe: partition-pruned to the probed cells AND still
+  * exact top-k over the live corpus, so both routes return identical
+  * rows and the query cost follows the query, not the data. */
+object CorpusAnnTVF {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"corpus_ann: $what must be a string literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts(key.toLowerCase) = value match {
+          case Literal(v: Int, IntegerType) => v.toString
+          case Literal(v: Long, LongType) => v.toString
+          case other => str(other, s"argument $key")
+        }
+      case lit => pos = pos :+ str(lit, "path/queryVec")
+    }
+    val (path, vecStr) = pos match {
+      case p :: v :: Nil => (p, v)
+      case _ => throw new IllegalArgumentException(
+        "corpus_ann: expected (path, queryVec) positional arguments")
+    }
+    val unknown = opts.keySet -- Set("k", "nprobe", "connection")
+    require(unknown.isEmpty,
+      s"corpus_ann: unknown option(s) ${unknown.mkString(", ")} " +
+        "(expected k, nprobe, connection)")
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    require(k >= 1, s"corpus_ann: k $k must be >= 1")
+    val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(10)
+    require(nprobe >= 1, s"corpus_ann: nprobe $nprobe must be >= 1")
+    val vec: Array[Double] =
+      try vecStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_ann: queryVec must be comma-separated numbers, got '$vecStr'") }
+    require(vec.nonEmpty, "corpus_ann: empty query vector")
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val result =
+      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved))
+        graft.pipeline.Embeddings
+          .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe, adaptive = true)
+      else
+        graft.pipeline.Embeddings.bruteForceTopKFor(
+          q, spark.read.parquet(resolved), k)
+    result.select(col("neighbor_id"), col("cos"), col("rank")).orderBy("rank")
+      .queryExecution.analyzed
   }
 }
 

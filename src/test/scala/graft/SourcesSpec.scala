@@ -410,6 +410,38 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(row.getString(3) == "mail me at <EMAIL> or <PHONE>")
   }
 
+  test("corpus_ann TVF: brute parquet route and IVF index route serve identical rows") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val vec = emb.filter(col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0)
+    val vecStr = vec.map(_.toDouble.toString).mkString(",")
+    val dir = java.nio.file.Files.createTempDirectory("ann_tvf").toString + "/ivf"
+    graft.pipeline.Embeddings.writeIvfIndex(emb, dir, nlist = 8)
+    val brute = spark.sql(
+      s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', '$vecStr', k=>7)").collect()
+    val indexed = spark.sql(
+      s"SELECT * FROM corpus_ann('$dir', '$vecStr', k=>7, nprobe=>3)").collect()
+    // the adaptive escape makes the pruned index read EXACT, so the
+    // two routes must agree row-for-row (ids, scores, ranks)
+    assert(brute.toSeq == indexed.toSeq,
+      s"brute=${brute.mkString(";")} indexed=${indexed.mkString(";")}")
+    assert(brute.length == 7)
+    // external-query semantics: the corpus twin of the query vector
+    // sits at rank 1 (no self-exclusion)
+    assert(brute.head.getLong(0) == 1L && brute.head.getLong(2) == 1L)
+    // option typos and malformed vectors fail loud
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$dir', '1,2', bogus=>1)").collect()
+    }
+    assert(e1.getMessage.contains("unknown option"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$dir', 'not,a,number')").collect()
+    }
+    assert(e2.getMessage.contains("comma-separated numbers"))
+  }
+
   test("content signature: same-size in-place rewrite is caught on a checksum-capable FS") {
     val s3 = new MiniS3("graftkey", "graftsecret")
     s3.start()
