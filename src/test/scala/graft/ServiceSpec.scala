@@ -17,6 +17,26 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(r.asDataFrame.columns.toSeq == Seq("r_regionkey", "r_name"))
   }
 
+  test("injected TVFs resolve through the service's SQL session") {
+    // the service plans on its dedicated child session (join reorder
+    // on) — the graft TVF surface must resolve there end-to-end, not
+    // only on the host session the extensions were registered with
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val vec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 2L)
+      .select("embedding").head().getSeq[Float](0)
+    val vecStr = vec.map(_.toDouble.toString).mkString(",")
+    val annId = svc.runQuery(
+      s"select neighbor_id, rank from corpus_ann('$sfDir/embeddings.parquet', '$vecStr', k=>3)")
+    assert(svc.awaitComplete(annId) == QueryStatus.Complete)
+    val ann = svc.reader(annId).asDataFrame.collect().sortBy(_.getLong(1))
+    assert(ann.length == 3 && ann.head.getLong(0) == 2L) // self at rank 1
+    val searchId = svc.runQuery(
+      s"select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5)")
+    assert(svc.awaitComplete(searchId) == QueryStatus.Complete)
+    assert(svc.reader(searchId).totalRows == 5)
+  }
+
   test("error status carries the failure message") {
     val id = svc.runQuery("select * from read_files('/no/such/path.parquet')")
     svc.awaitComplete(id) match {
