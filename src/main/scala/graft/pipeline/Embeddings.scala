@@ -151,6 +151,14 @@ object Embeddings {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Embedding dimensionality of an IVF index (from its cached
+    * centroids — no Spark job on a warm model cache). Lets callers
+    * validate external query vectors UP FRONT: a dimension mismatch
+    * otherwise zips into null cosines and silently garbage ranking. */
+  private[graft] def indexDim(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Int =
+    cachedCentroids(spark, liveIndexRoot(spark, dir)).head.length
+
   // --- random-hyperplane LSH ---------------------------------------
 
   private val Dim = 64

@@ -243,13 +243,24 @@ object CorpusAnnTVF {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    // dimension guard, BEFORE any scan: a mismatched query vector
+    // would zip into null cosines and rank garbage silently. The IVF
+    // route reads the dim from the cached centroids (no job); the
+    // brute route pays one single-row probe at plan time.
+    def requireDim(dim: Int): Unit = require(vec.length == dim,
+      s"corpus_ann: query vector has ${vec.length} dims but the corpus at " +
+        s"$resolved has $dim")
     val result =
-      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved))
+      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved)) {
+        requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
         graft.pipeline.Embeddings
           .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe, adaptive = true)
-      else
-        graft.pipeline.Embeddings.bruteForceTopKFor(
-          q, spark.read.parquet(resolved), k)
+      } else {
+        val corpus = spark.read.parquet(resolved)
+        corpus.select(org.apache.spark.sql.functions.size(col("embedding")))
+          .head(1).foreach(r => requireDim(r.getInt(0)))
+        graft.pipeline.Embeddings.bruteForceTopKFor(q, corpus, k)
+      }
     result.select(col("neighbor_id"), col("cos"), col("rank")).orderBy("rank")
       .queryExecution.analyzed
   }

@@ -440,6 +440,17 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_ann('$dir', 'not,a,number')").collect()
     }
     assert(e2.getMessage.contains("comma-separated numbers"))
+    // dimension mismatch fails loud on BOTH routes (silent null-cosine
+    // ranking is the failure mode this guard exists for)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$dir', '1.0,2.0,3.0')").collect()
+    }
+    assert(e3.getMessage.contains("dims"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', '1.0,2.0,3.0')").collect()
+    }
+    assert(e4.getMessage.contains("dims"), e4.getMessage)
   }
 
   test("content signature: same-size in-place rewrite is caught on a checksum-capable FS") {
