@@ -35,6 +35,21 @@ object SparkEntry {
     * rewriting the same path in-place in one long-lived session would
     * serve a stale index (clear the tmp dir in that case). */
   private val ivfIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val annQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** External-query batch fixture for q_sql_ann_many: the first 10
+    * embeddings re-keyed into a disjoint query-id space (the serving
+    * shape — fresh application vectors arriving as a parquet batch). */
+  private def annQueriesDir(s: SparkSession, d: String): String =
+    annQueryDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_annq_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      Engine.table(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select((col("vec_id") + 999000L).as("query_id"), col("embedding"))
+        .coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.computeIfAbsent(d, dir => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -200,7 +215,7 @@ object SparkEntry {
     * earlier in the same process. */
   private[graft] def resetFixtureMemo(): Unit = {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
-        textIndexDirs, zoneMapDirs).foreach { m =>
+        textIndexDirs, zoneMapDirs, annQueryDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -2529,6 +2544,16 @@ object SparkEntry {
       "CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
       "FROM scored) WHERE rank <= 10 ORDER BY rank"),
 
+    // The fixture re-keys vec_id<10 into query_id = vec_id + 999000;
+    // external-query semantics (no self-exclusion), exact top-5 each.
+    "q_sql_ann_many" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id + 999000 AS query_id, v FROM v WHERE vec_id < 10), " +
+      "scored AS (SELECT q.query_id, a.vec_id AS neighbor_id, " +
+      duckCos("a", "q") + " AS cos FROM v a, q) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+
     // The index must serve the exact same scores and cut.
     "q_bm25_indexed" -> (duckBm25Cte +
       " SELECT doc_id, score, n_terms FROM " +
@@ -3025,6 +3050,16 @@ object SparkEntry {
           s"corpus_ann('$d/embeddings.parquet', '$vecStr', k=>10)")
         .orderBy("rank")
     }),
+
+    // Batch vector serving through SQL: a parquet of external query
+    // vectors against the corpus — exact brute route, full-value
+    // oracle (the indexed batch route is covered by ann_ivf_serve and
+    // the SourcesSpec brute ≡ indexed pin).
+    "q_sql_ann_many" -> ((s, d) =>
+      s.sql(s"SELECT query_id, neighbor_id, cos, rank FROM " +
+          s"corpus_ann('$d/embeddings.parquet', " +
+          s"queries=>'${annQueriesDir(s, d)}', k=>5)")
+        .orderBy("query_id", "rank")),
 
     "q_sql_dedup" -> ((s, d) => {
       Engine.registerViews(s, d)

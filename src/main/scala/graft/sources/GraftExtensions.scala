@@ -192,6 +192,12 @@ object CorpusSearchTVF {
   * cos, rank) ranked score-desc with neighbor-id tie-break — the same
   * deterministic contract as the Scala serving paths.
   *
+  * Batch serving: `corpus_ann(path, queries=>'qpath' [, k] [,
+  * nprobe])` reads external query vectors from a (query_id,
+  * embedding) parquet instead of a literal — the SQL face of
+  * [[graft.pipeline.Embeddings.ivfTopKIndexedFor]]'s batch shape —
+  * and emits (query_id, neighbor_id, cos, rank) per query.
+  *
   * `path` may be a plain (vec_id, embedding) parquet — scored by one
   * brute-force corpus pass — or a persisted
   * [[graft.pipeline.Embeddings.writeIvfIndex]] layout (detected by
@@ -218,38 +224,53 @@ object CorpusAnnTVF {
         }
       case lit => pos = pos :+ str(lit, "path/queryVec")
     }
-    val (path, vecStr) = pos match {
-      case p :: v :: Nil => (p, v)
-      case _ => throw new IllegalArgumentException(
-        "corpus_ann: expected (path, queryVec) positional arguments")
-    }
-    val unknown = opts.keySet -- Set("k", "nprobe", "connection")
+    val unknown = opts.keySet -- Set("k", "nprobe", "connection", "queries")
     require(unknown.isEmpty,
       s"corpus_ann: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected k, nprobe, connection)")
+        "(expected k, nprobe, connection, queries)")
+    val (path, vecStr) = (pos, opts.get("queries")) match {
+      case (p :: v :: Nil, None) => (p, Some(v))
+      case (p :: Nil, Some(_)) => (p, None)
+      case _ => throw new IllegalArgumentException(
+        "corpus_ann: expected (path, queryVec) positional arguments, or " +
+          "(path) with queries=>'path' for a batch")
+    }
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     require(k >= 1, s"corpus_ann: k $k must be >= 1")
     val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(10)
     require(nprobe >= 1, s"corpus_ann: nprobe $nprobe must be >= 1")
-    val vec: Array[Double] =
-      try vecStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"corpus_ann: queryVec must be comma-separated numbers, got '$vecStr'") }
-    require(vec.nonEmpty, "corpus_ann: empty query vector")
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
-    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
-    import org.apache.spark.sql.functions.col
+    val resolve = (p: String) =>
+      ReadFilesTVF.connections.resolve(opts.get("connection"), p)
+    val resolved = resolve(path)
+    import org.apache.spark.sql.functions.{col, size}
     import spark.implicits._
-    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
-    // dimension guard, BEFORE any scan: a mismatched query vector
-    // would zip into null cosines and rank garbage silently. The IVF
-    // route reads the dim from the cached centroids (no job); the
-    // brute route pays one single-row probe at plan time.
-    def requireDim(dim: Int): Unit = require(vec.length == dim,
-      s"corpus_ann: query vector has ${vec.length} dims but the corpus at " +
-        s"$resolved has $dim")
+    // batch mode reads (query_id, embedding) rows from a parquet; the
+    // single-vector mode wraps the parsed literal as a one-row batch
+    val q: org.apache.spark.sql.DataFrame = vecStr match {
+      case Some(v) =>
+        val vec: Array[Double] =
+          try v.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"corpus_ann: queryVec must be comma-separated numbers, got '$v'") }
+        require(vec.nonEmpty, "corpus_ann: empty query vector")
+        Seq((0L, vec)).toDF("vec_id", "embedding")
+      case None => spark.read.parquet(resolve(opts("queries")))
+    }
+    // dimension guard, BEFORE any corpus scan: a mismatched query
+    // vector would zip into null cosines and rank garbage silently.
+    // The IVF route reads the dim from the cached centroids (no job);
+    // the brute route pays one single-row probe at plan time. One
+    // query-side row is probed either way (batches are dim-uniform by
+    // the parquet schema's array element type + writer).
+    val qDim = q.select(size(col(q.columns(1)))).head(1)
+      .headOption.map(_.getInt(0))
+    def requireDim(dim: Int): Unit = qDim.foreach(qd => require(qd == dim,
+      s"corpus_ann: query vector has $qd dims but the corpus at " +
+        s"$resolved has $dim"))
+    val batch = vecStr.isEmpty
     val result =
       if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved)) {
         requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
@@ -257,12 +278,16 @@ object CorpusAnnTVF {
           .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe, adaptive = true)
       } else {
         val corpus = spark.read.parquet(resolved)
-        corpus.select(org.apache.spark.sql.functions.size(col("embedding")))
-          .head(1).foreach(r => requireDim(r.getInt(0)))
+        corpus.select(size(col("embedding"))).head(1)
+          .foreach(r => requireDim(r.getInt(0)))
         graft.pipeline.Embeddings.bruteForceTopKFor(q, corpus, k)
       }
-    result.select(col("neighbor_id"), col("cos"), col("rank")).orderBy("rank")
-      .queryExecution.analyzed
+    val out =
+      if (batch) result.select(col("query_id"), col("neighbor_id"),
+        col("cos"), col("rank")).orderBy("query_id", "rank")
+      else result.select(col("neighbor_id"), col("cos"), col("rank"))
+        .orderBy("rank")
+    out.queryExecution.analyzed
   }
 }
 

@@ -440,6 +440,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_ann('$dir', 'not,a,number')").collect()
     }
     assert(e2.getMessage.contains("comma-separated numbers"))
+    // batch mode: a (query_id, embedding) parquet of external queries
+    // against index and plain corpus must also agree row-for-row
+    val qDir = java.nio.file.Files.createTempDirectory("ann_tvf_q").toString + "/q"
+    emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 5000L).as("query_id"), col("embedding"))
+      .coalesce(1).write.parquet(qDir)
+    val bruteB = spark.sql(
+      s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', queries=>'$qDir', k=>4)").collect()
+    val indexedB = spark.sql(
+      s"SELECT * FROM corpus_ann('$dir', queries=>'$qDir', k=>4, nprobe=>3)").collect()
+    assert(bruteB.toSeq == indexedB.toSeq)
+    assert(bruteB.length == 12) // 3 queries x k=4
+    assert(bruteB.map(_.getLong(0)).distinct.sorted.toSeq == Seq(5000L, 5001L, 5002L))
     // dimension mismatch fails loud on BOTH routes (silent null-cosine
     // ranking is the failure mode this guard exists for)
     val e3 = intercept[Exception] {
