@@ -50,6 +50,31 @@ object SparkEntry {
         .coalesce(1).write.parquet(f.getAbsolutePath)
       f.getAbsolutePath
     })
+  private val searchQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val phraseQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** External-query batch fixtures for q_sql_search_many /
+    * q_sql_phrase_many: (query_id, query) parquets — the serving
+    * shape for application query batches arriving as files. Contents
+    * are fixed so the DuckDB oracles can restate them as VALUES. */
+  private def queryBatchDir(map: java.util.concurrent.ConcurrentHashMap[String, String],
+                            tag: String, s: SparkSession, d: String,
+                            rows: Seq[(Long, String)]): String =
+    map.computeIfAbsent(d, dir => {
+      import s.implicits._
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_${tag}_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      rows.toDF("query_id", "query").coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+  private def searchQueriesDir(s: SparkSession, d: String): String =
+    queryBatchDir(searchQueryDirs, "searchq", s, d, Seq(
+      1L -> "spark join", 2L -> "window hash scan", 3L -> "zzz_absent_term"))
+  private def phraseQueriesDir(s: SparkSession, d: String): String =
+    queryBatchDir(phraseQueryDirs, "phraseq", s, d, Seq(
+      1L -> "table scan", 2L -> "hash join", 3L -> "zzz absent"))
+
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.computeIfAbsent(d, dir => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -215,7 +240,8 @@ object SparkEntry {
     * earlier in the same process. */
   private[graft] def resetFixtureMemo(): Unit = {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
-        textIndexDirs, zoneMapDirs, annQueryDirs).foreach { m =>
+        textIndexDirs, zoneMapDirs, annQueryDirs,
+        searchQueryDirs, phraseQueryDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -1410,6 +1436,53 @@ object SparkEntry {
       "SELECT doc_id, n_hits FROM (SELECT * FROM h WHERE n_hits > 0 " +
       "ORDER BY n_hits DESC, doc_id LIMIT 25) ORDER BY doc_id"
 
+  /** Batch BM25 restated with a VALUES query table: per-term df/idf
+    * shared across queries, per-query top-10 by (score desc, doc_id).
+    * Shared by q_search_many (index route, searchMany) and
+    * q_sql_search_many (corpus route, bm25Many via the TVF) — the
+    * two routes must serve identical decimals. */
+  private val duckSearchManySql: String = "WITH toks AS (SELECT doc_id, " +
+    "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+    "FROM documents WHERE length(trim(text)) > 0), " +
+    "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
+    "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
+    "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), " +
+    "(2, 'window'), (2, 'hash'), (2, 'scan'), (3, 'zzz_absent_term')), " +
+    "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+    "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+    "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+    "contrib AS (SELECT q.query_id, tf.doc_id, " +
+    "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
+    "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
+    "FROM q JOIN tf USING (term) JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
+    "scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
+    "COUNT(*) AS n_terms FROM contrib GROUP BY query_id, doc_id), " +
+    "ranked AS (SELECT query_id, doc_id, score, n_terms, " +
+    "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM scored) " +
+    "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms " +
+    "FROM ranked WHERE rn <= 10 ORDER BY query_id, doc_id"
+
+  /** Batch phrase search restated as one top-k leg per phrase over a
+    * shared token-array CTE; the absent-phrase leg yields no rows, so
+    * batch composition cannot change any query's result. */
+  private val duckPhraseManySql: String = {
+    val phrases = Seq(1 -> Seq("table", "scan"), 2 -> Seq("hash", "join"),
+      3 -> Seq("zzz", "absent"))
+    val legs = phrases.map { case (qid, ts) =>
+      val cond = ts.zipWithIndex
+        .map { case (t, j) => s"w[s + $j] = '$t'" }.mkString(" AND ")
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, n_hits FROM " +
+        "(SELECT doc_id, CAST(len(list_filter(range(1, len(w)), " +
+        s"s -> $cond)) AS BIGINT) AS n_hits FROM t) " +
+        "WHERE n_hits > 0 ORDER BY n_hits DESC, doc_id LIMIT 25"
+    }
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents) " +
+      "SELECT query_id, doc_id, n_hits FROM (" +
+      legs.map(l => s"($l)").mkString(" UNION ALL ") +
+      ") ORDER BY query_id, doc_id"
+  }
+
   private val duckJaccardPairs: String =
     "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
@@ -2573,26 +2646,15 @@ object SparkEntry {
 
     // Batch BM25 restated with a VALUES query table: per-term df/idf
     // shared across queries, per-query top-10 by (score desc, doc_id).
-    "q_search_many" -> ("WITH toks AS (SELECT doc_id, " +
-      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
-      "FROM documents WHERE length(trim(text)) > 0), " +
-      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
-      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
-      "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), " +
-      "(2, 'window'), (2, 'hash'), (2, 'scan'), (3, 'zzz_absent_term')), " +
-      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
-      "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
-      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
-      "contrib AS (SELECT q.query_id, tf.doc_id, " +
-      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
-      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
-      "FROM q JOIN tf USING (term) JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
-      "scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
-      "COUNT(*) AS n_terms FROM contrib GROUP BY query_id, doc_id), " +
-      "ranked AS (SELECT query_id, doc_id, score, n_terms, " +
-      "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn FROM scored) " +
-      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, n_terms " +
-      "FROM ranked WHERE rn <= 10 ORDER BY query_id, doc_id"),
+    "q_search_many" -> duckSearchManySql,
+
+    // The TVF's batch face over a PLAIN corpus (bm25Many) must serve
+    // the identical decimals the index route (searchMany) serves.
+    "q_sql_search_many" -> duckSearchManySql,
+
+    // Batch phrase mode through the SQL surface, served from the
+    // index's positional postings; one leg per phrase.
+    "q_sql_phrase_many" -> duckPhraseManySql,
 
     // Phrase counts restated by direct token-array scan — an
     // independent method from the index's position-set intersection.
@@ -3034,6 +3096,24 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, n_hits FROM " +
           s"corpus_search('${textIndexDir(s, d)}', 'table scan', k=>25, mode=>'phrase')")
         .orderBy("doc_id")),
+
+    // Batch retrieval through SQL: a parquet of (query_id, query)
+    // external queries against the PLAIN corpus — one corpus scan
+    // covers the whole batch (bm25Many); the index route of the same
+    // batch is q_search_many's searchMany (same oracle algebra).
+    "q_sql_search_many" -> ((s, d) =>
+      s.sql(s"SELECT query_id, doc_id, score, n_terms FROM " +
+          s"corpus_search('$d/documents.parquet', " +
+          s"queries=>'${searchQueriesDir(s, d)}', k=>10)")
+        .orderBy("query_id", "doc_id")),
+
+    // Batch phrase serving from the positional index: one pruned
+    // probe per phrase, absent-phrase leg contributes nothing.
+    "q_sql_phrase_many" -> ((s, d) =>
+      s.sql(s"SELECT query_id, doc_id, n_hits FROM " +
+          s"corpus_search('${textIndexDir(s, d)}', " +
+          s"queries=>'${phraseQueriesDir(s, d)}', k=>25, mode=>'phrase')")
+        .orderBy("query_id", "doc_id")),
 
     // Vector search through the SQL surface: corpus_ann with vector 0's
     // embedding as the external query (driver-side single-row fixture

@@ -122,6 +122,21 @@ object TextAnalysis {
   def bm25(docs: DataFrame, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    termContribs(docs, queryTerms, k1, b)
+      .groupBy("doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), col("raw").cast("double").as("score"),
+        col("n_terms"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-(doc, term) BM25 contribution stage shared by [[bm25]]
+    * and [[bm25Many]]: one corpus pass → (doc_id, term, contrib)
+    * for the given query vocabulary, with (N, avgdl, df) derived from
+    * the same aggregate. */
+  private def termContribs(docs: DataFrame, queryTerms: Seq[String],
+                           k1: Double, b: Double): DataFrame = {
     // model scope = NON-BLANK docs: a blank doc has no real tokens
     // (split would emit one empty string), can never match a query,
     // and counting it in (N, avgdl) would desynchronize the
@@ -149,12 +164,46 @@ object TextAnalysis {
       .withColumn("contrib",
         col("idf") * col("tf") * (lit(k1) + 1) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / col("avgdl"))))
-      .groupBy("doc_id")
+      .select(col("doc_id"), col("term"), col("contrib"))
+  }
+
+  /** Batch BM25 over a PLAIN corpus — the corpus-scan counterpart of
+    * [[TextIndex.searchMany]] (same output contract: (query_id,
+    * doc_id, score, n_terms), per-query top-k by (score desc,
+    * doc_id), ordered (query_id, doc_id)). ONE corpus pass covers the
+    * union of all query vocabularies; per-(doc, term) contributions
+    * are computed once and fanned out to the queries containing the
+    * term through a broadcast of the (query_id, term) pairs, so batch
+    * cost is the single-query scan plus a broadcast join — not
+    * N scans. The batch is driver-bounded by the serving contract
+    * (same as searchMany's). Scores are decimal-identical to
+    * per-query [[bm25]] calls: the contribution algebra is shared
+    * code ([[termContribs]]) and the exact-decimal sum is never
+    * re-rounded. */
+  def bm25Many(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"bm25Many: k $k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs: Seq[(Long, String)] = queries
+      .flatMap { case (qid, ts) => ts.map(t => qid -> t.trim.toLowerCase) }
+      .filter(_._2.nonEmpty).distinct
+    if (pairs.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("query_id", "doc_id", "score", "n_terms")
+    val q = pairs.toDF("query_id", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+    termContribs(docs, pairs.map(_._2).distinct, k1, b)
+      .join(broadcast(q), "term")
+      .groupBy("query_id", "doc_id")
       .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
         count(lit(1)).as("n_terms"))
-      .select(col("doc_id"), col("raw").cast("double").as("score"),
-        col("n_terms"))
-      .orderBy("doc_id")
+      .select(col("query_id"), col("doc_id"),
+        col("raw").cast("double").as("score"), col("n_terms"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("query_id", "doc_id")
   }
 
   /** Corpus-scan phrase occurrence counts — the direct-scan

@@ -115,6 +115,19 @@ object GraftExtensions {
   * [[graft.pipeline.TextAnalysis.bm25]] values, so the cut is stable
   * across engines and runs).
   *
+  * Batch serving: `corpus_search(path, queries=>'qpath' [, k] [,
+  * mode])` reads external queries from a (query_id, query) parquet
+  * instead of a literal — the SQL face of
+  * [[graft.pipeline.TextIndex.searchMany]]'s batch shape — and emits
+  * (query_id, doc_id, score, n_terms) (bm25) or (query_id, doc_id,
+  * n_hits) (phrase) with per-query top-k, ordered (query_id,
+  * doc_id). One pruned postings pass (index) or one corpus scan
+  * (plain parquet, [[graft.pipeline.TextAnalysis.bm25Many]]) covers
+  * the whole bm25 batch; phrase batches issue one partition-pruned
+  * probe per phrase (the batch is driver-bounded by the serving
+  * contract). Blank queries yield no rows, like a term-missing
+  * single query.
+  *
   * `path` may be either a (doc_id, text) parquet corpus — scored by a
   * corpus scan — or a persisted [[graft.pipeline.TextIndex]] layout
   * (detected by its `meta/` + postings stores), which serves the SAME
@@ -141,44 +154,82 @@ object CorpusSearchTVF {
         }
       case lit => pos = pos :+ str(lit, "path/query")
     }
-    val (path, query) = pos match {
-      case p :: q :: Nil => (p, q)
-      case _ => throw new IllegalArgumentException(
-        "corpus_search: expected (path, query) positional arguments")
-    }
     // options change result SEMANTICS (mode), so a typo'd key must
     // fail loud, not silently serve the default behavior
-    val unknown = opts.keySet -- Set("k", "mode", "connection")
+    val unknown = opts.keySet -- Set("k", "mode", "connection", "queries")
     require(unknown.isEmpty,
       s"corpus_search: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected k, mode, connection)")
+        "(expected k, mode, connection, queries)")
+    val (path, query) = (pos, opts.get("queries")) match {
+      case (p :: q :: Nil, None) => (p, Some(q))
+      case (p :: Nil, Some(_)) => (p, None)
+      case _ => throw new IllegalArgumentException(
+        "corpus_search: expected (path, query) positional arguments, or " +
+          "(path) with queries=>'path' for a batch")
+    }
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     require(k >= 1, s"corpus_search: k $k must be >= 1")
-    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(terms.nonEmpty, "corpus_search: empty query")
     val mode = opts.getOrElse("mode", "bm25").toLowerCase
+    require(mode == "bm25" || mode == "phrase",
+      s"corpus_search: unknown mode '$mode' (bm25 | phrase)")
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
-    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
-    import org.apache.spark.sql.functions.col
+    val resolve = (p: String) =>
+      ReadFilesTVF.connections.resolve(opts.get("connection"), p)
+    val resolved = resolve(path)
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
     val isIndex = {
       val p = new org.apache.hadoop.fs.Path(s"$resolved/meta")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    val result = mode match {
-      case "bm25" =>
+    // batch queries are collected driver-side: the batch IS
+    // driver-bounded by the serving contract (searchMany's own
+    // collect does the same), and term normalization must be the
+    // Scala trim/toLowerCase the single-query path uses
+    val batch: Option[Seq[(Long, String)]] = query match {
+      case Some(_) => None
+      case None => Some(spark.read.parquet(resolve(opts("queries")))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq)
+    }
+    def termsOf(q: String): Seq[String] =
+      q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val result = (mode, batch) match {
+      case ("bm25", None) =>
+        val terms = termsOf(query.get)
+        require(terms.nonEmpty, "corpus_search: empty query")
         if (isIndex) graft.pipeline.TextIndex.search(spark, resolved, terms, k)
         else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(resolved), terms)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(k)
+      case ("bm25", Some(qs)) =>
+        if (isIndex)
+          graft.pipeline.TextIndex.searchMany(spark, resolved,
+            qs.map { case (qid, q) => (qid, termsOf(q)) }
+              .toDF("query_id", "terms"), k)
+        else graft.pipeline.TextAnalysis.bm25Many(
+          spark.read.parquet(resolved),
+          qs.map { case (qid, q) => (qid, termsOf(q)) }, k)
       // exact consecutive-phrase counts: positional postings when the
       // path is an index, direct token scan for a plain corpus
-      case "phrase" =>
-        if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, query, k)
+      case ("phrase", None) =>
+        if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, query.get, k)
         else graft.pipeline.TextAnalysis.phraseCounts(
-          spark.read.parquet(resolved), query, k)
-      case other => throw new IllegalArgumentException(
-        s"corpus_search: unknown mode '$other' (bm25 | phrase)")
+          spark.read.parquet(resolved), query.get, k)
+      // one pruned probe per phrase (driver-bounded batch), each with
+      // its own top-k cut, stitched with the query_id and re-ordered
+      // to the batch contract; blank phrases contribute no rows
+      case ("phrase", Some(qs)) =>
+        val legs = qs.filter(_._2.trim.nonEmpty).map { case (qid, q) =>
+          (if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, q, k)
+           else graft.pipeline.TextAnalysis.phraseCounts(
+             spark.read.parquet(resolved), q, k))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("n_hits"))
+        }
+        if (legs.isEmpty) Seq.empty[(Long, Long, Long)]
+          .toDF("query_id", "doc_id", "n_hits")
+        else legs.reduce(_.unionAll(_)).orderBy("query_id", "doc_id")
+      case _ => throw new IllegalStateException("unreachable")
     }
     result.queryExecution.analyzed
   }

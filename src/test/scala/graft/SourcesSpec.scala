@@ -394,6 +394,38 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_search('$idx', 'x', mdoe=>'phrase')").collect()
     }
     assert(e2.getMessage.contains("unknown option"))
+
+    // batch mode: a (query_id, query) parquet of external queries —
+    // corpus route (bm25Many) and index route (searchMany) must agree
+    // row-for-row, and each query's rows must equal its single-query
+    // call (batch composition changes nothing)
+    import spark.implicits._
+    val qDir = java.nio.file.Files.createTempDirectory("graft_tvf_q").toString + "/q"
+    Seq((1L, "spark hash window"), (2L, "join scan"), (3L, "zzz_absent_term"))
+      .toDF("query_id", "query").coalesce(1).write.parquet(qDir)
+    val batchCorpus = spark.sql(
+      s"SELECT * FROM corpus_search('$sfDir/documents.parquet', queries=>'$qDir', k=>5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val batchIndex = spark.sql(
+      s"SELECT * FROM corpus_search('$idx', queries=>'$qDir', k=>5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(batchCorpus == batchIndex)
+    assert(batchCorpus.map(_._1).distinct.sorted == Seq(1L, 2L)) // absent-term query: no rows
+    val single1 = spark.sql(
+      s"SELECT doc_id, score, n_terms FROM corpus_search('$sfDir/documents.parquet', " +
+        "'spark hash window', k=>5)")
+      .collect().map(r => (1L, r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy(_._2)
+    assert(batchCorpus.filter(_._1 == 1L) == single1)
+    // batch phrase mode: per-phrase legs ≡ single-phrase calls
+    val pDir = java.nio.file.Files.createTempDirectory("graft_tvf_p").toString + "/q"
+    Seq((7L, "table scan"), (8L, "zzz absent"))
+      .toDF("query_id", "query").coalesce(1).write.parquet(pDir)
+    val batchPhrase = spark.sql(
+      s"SELECT * FROM corpus_search('$idx', queries=>'$pDir', k=>50, mode=>'phrase')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batchPhrase.map(_._1).distinct == Seq(7L))
+    assert(batchPhrase.map(t => (t._2, t._3)).sortBy(_._1) == phraseSql.sortBy(_._1))
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
