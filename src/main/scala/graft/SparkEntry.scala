@@ -75,6 +75,22 @@ object SparkEntry {
     queryBatchDir(phraseQueryDirs, "phraseq", s, d, Seq(
       1L -> "table scan", 2L -> "hash join", 3L -> "zzz absent"))
 
+  /** Batch fixture for q_sql_neardup_batch: the SAME re-labeled batch
+    * dedup_band_incr probes (doc_id%11, +500000) written as a parquet —
+    * the TVF's batch argument is a path, the arriving-files serving
+    * shape. */
+  private val dedupBatchDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupBatchDir(s: SparkSession, d: String): String =
+    dedupBatchDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_dedupb_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      Engine.table(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.computeIfAbsent(d, dir => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -229,6 +245,7 @@ object SparkEntry {
     corpusStoreDir(s, d)
     textIndexDir(s, d)
     zoneMapDir(s, d)
+    dedupBatchDir(s, d)
     ()
   }
 
@@ -241,7 +258,7 @@ object SparkEntry {
   private[graft] def resetFixtureMemo(): Unit = {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
         textIndexDirs, zoneMapDirs, annQueryDirs,
-        searchQueryDirs, phraseQueryDirs).foreach { m =>
+        searchQueryDirs, phraseQueryDirs, dedupBatchDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -1494,6 +1511,24 @@ object SparkEntry {
       "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
       "WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"
 
+  /** Brute-force cross-set jaccard truth for the batch-vs-corpus
+    * routes: the dedup_band_incr batch (doc_id%11, re-keyed +500000)
+    * against the full corpus — shared by the indexed route
+    * (dedup_band_incr) and the TVF's index-free fallback
+    * (q_sql_neardup_batch), so both routes answer to the identical
+    * oracle. */
+  private val duckCrossJaccard: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3) " +
+      "SELECT doc_id, dup_of, jaccard FROM (" +
+      "SELECT a.doc_id + 500000 AS doc_id, b.doc_id AS dup_of, " +
+      "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard " +
+      "FROM sh a JOIN sh b ON a.doc_id % 11 = 0) " +
+      "WHERE jaccard >= 0.8 ORDER BY doc_id, dup_of"
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       pipeline.TextDedup.exact(T(s, d, "documents")).orderBy("doc_id")),
@@ -2287,16 +2322,7 @@ object SparkEntry {
 
     // cross-set variant: every batch doc (re-labeled +500000) against
     // the whole corpus, self pair included (ids differ by the offset)
-    "dedup_band_incr" -> ("WITH toks AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3) " +
-      "SELECT doc_id, dup_of, jaccard FROM (" +
-      "SELECT a.doc_id + 500000 AS doc_id, b.doc_id AS dup_of, " +
-      "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
-      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard " +
-      "FROM sh a JOIN sh b ON a.doc_id % 11 = 0) " +
-      "WHERE jaccard >= 0.8 ORDER BY doc_id, dup_of"),
+    "dedup_band_incr" -> duckCrossJaccard,
     "dedup_minhash" -> duckJaccardPairs,
     "dedup_simhash" -> duckJaccardPairs,
 
@@ -3162,6 +3188,26 @@ object SparkEntry {
               |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // Fuzzy dedup through the SQL surface, SELF mode served from the
+    // PERSISTED band index: all near-dup pairs among the indexed
+    // corpus from stored band rows + shingle sets — no text is
+    // re-read, no signature recomputed. Held to the same exact
+    // all-pairs oracle as dedup_ngram/dedup_minhash (the 16×4 scheme
+    // misses no true pair on this corpus, measured).
+    "q_sql_neardup_index" -> ((s, d) =>
+      s.sql(s"SELECT doc_a, doc_b, jaccard FROM " +
+          s"corpus_dedup('${bandIndexDir(s, d)}') ORDER BY doc_a, doc_b")),
+
+    // Batch mode against a PLAIN corpus — the index-free LSH
+    // cross-set fallback (crossSetNearDupPairs): same batch parquet
+    // and the same brute-force cross-join oracle as the indexed route
+    // (dedup_band_incr), so both routes answer to identical truth.
+    "q_sql_neardup_batch" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, dup_of, jaccard FROM " +
+          s"corpus_dedup('$d/documents.parquet', " +
+          s"batch=>'${dedupBatchDir(s, d)}', threshold=>0.8) " +
+          "ORDER BY doc_id, dup_of")),
+
     // The reference's projection NAMING contract: unaliased computed
     // columns become unnamed_{i} (record_projection.rs:39-59) —
     // ReferenceProjection reproduces it; the oracle spells the same
@@ -3208,6 +3254,8 @@ object SparkEntry {
       "ORDER BY revenue DESC, c_custkey LIMIT 20"),
 
     "q_sql_dedup" -> duckJaccardPairs,
+    "q_sql_neardup_index" -> duckJaccardPairs,
+    "q_sql_neardup_batch" -> duckCrossJaccard,
 
     "q_unnamed_proj" -> ("SELECT l_orderkey, l_linenumber, " +
       "l_quantity * 2 AS unnamed_0, l_extendedprice + 1.0 AS unnamed_1, l_returnflag " +

@@ -546,6 +546,22 @@ object TextDedup {
                         dir: String, name: String): String =
     Stores.liveGeneration(spark, dir, name)
 
+  /** Layout detection for the SQL surface: a persisted band index is a
+    * dir with the frozen-scheme `meta/` AND a bands store (base or any
+    * compaction generation) — distinguishes it from a text index
+    * (meta + postings) and from a plain corpus parquet. */
+  def isBandIndex(spark: org.apache.spark.sql.SparkSession,
+                  dir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta")) &&
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && (n == "bands" || n.startsWith("bands_v"))
+      }
+  }
+
   /** Pay the band index's small-file debt: per-batch appends add one
     * file per touched bucket per store per trigger, so at streaming
     * cadence file counts grow without bound. Buckets above
@@ -797,6 +813,78 @@ object TextDedup {
       .select(col("doc_id").as("dup_of"), col("sh").as("sh_b"))
     cands.join(bsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
       .join(csh, "dup_of")
+      .withColumn("co",
+        NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("jaccard",
+        col("co") / (size(col("sh_a")) + size(col("sh_b")) - col("co")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** All near-dup pairs AMONG the indexed corpus, served from the
+    * persisted layout alone — text is never re-read and the LSH
+    * signatures are never recomputed: candidates come from a bands-
+    * store self-join on the 8-byte band key (the exact join
+    * [[minhashLshPairs]] runs in memory, here over rows the index
+    * already paid to compute), verification reads the persisted
+    * shingle sets. Output contract is [[ngramJaccardPairs]]'s
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, exact values.
+    *
+    * Tombstoned docs leave results immediately (anti-join at the
+    * candidate stage, both roles — same delete semantics as
+    * [[nearDupsAgainstBandIndex]]). Recall is the index scheme's
+    * ((1−t^rows)^bands candidate-miss per true pair); precision 1.0.
+    * Scale shape: one (key, doc_id) self-join — 16-byte rows, no
+    * text — then candidate-sized shingle lookups; the corpus-of-
+    * record is not touched at all. */
+  def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val bands = spark.read.parquet(liveStore(spark, dir, "bands"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombFiles = bandTombstoneFiles(fs, dir)
+    val live =
+      if (tombFiles.isEmpty) bands
+      else bands.join(
+        spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+          .select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val cands = live.as("x").join(live.as("y"),
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = spark.read.parquet(liveStore(spark, dir, "shingles"))
+      .select(col("doc_id"), col("sh"))
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Near-duplicates of `batch` docs within a PLAIN (doc_id, text)
+    * corpus — the index-free fallback of [[nearDupsAgainstBandIndex]]
+    * for a corpus nobody has indexed yet: same LSH candidate scheme
+    * (band-key equi-join across the two sets, never all-pairs), same
+    * exact-Jaccard verification, same (doc_id, dup_of, jaccard)
+    * output. Ids present on both sides never match themselves.
+    *
+    * Scale shape: the corpus crosses the plan twice (band rows into
+    * the candidate join, shingle sets into the verify) — at recurring-
+    * batch cadence build the persisted index once instead and pay
+    * O(batch) per call; this route is for one-shot linkage. The batch
+    * side is micro-batch-sized and broadcasts via AQE's runtime
+    * conversion, unhinted. */
+  def crossSetNearDupPairs(batch: DataFrame, corpus: DataFrame,
+                           k: Int = 3, threshold: Double = 0.8,
+                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bsh = materialize(withHashes(batch, k), eager = true)
+    val csh = withHashes(corpus, k)
+    val cands = bandRows(csh, bands, rowsPerBand)
+      .select(col("key"), col("doc_id").as("dup_of"))
+      .join(bandRows(bsh, bands, rowsPerBand), "key")
+      .filter(col("dup_of") =!= col("doc_id"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+    cands.join(bsh.select(col("doc_id"), col("sh").as("sh_a")), "doc_id")
+      .join(csh.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), "dup_of")
       .withColumn("co",
         NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",

@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusAnnTVF.getClass.getName, "corpus_ann"),
       (args: Seq[Expression]) => CorpusAnnTVF.build(args)))
 
+    // Fuzzy-dup detection as a TVF: SELECT * FROM
+    // corpus_dedup('path' [, batch=>'bpath'] [, threshold=>0.8]) —
+    // the SQL surface of the near-dup family, completing the
+    // maintenance symmetry (corpus_search = keywords/phrases,
+    // corpus_ann = vectors, corpus_dedup = near-duplicates). Points
+    // at a plain (doc_id, text) corpus or a persisted band index.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_dedup"),
+      new ExpressionInfo(CorpusDedupTVF.getClass.getName, "corpus_dedup"),
+      (args: Seq[Expression]) => CorpusDedupTVF.build(args)))
+
     // The pipeline's native expressions as first-class SQL scalar
     // functions — the reference's extension-registry vision
     // (operator_task_registry.rs:74-94) applied to functions: a SQL
@@ -339,6 +350,106 @@ object CorpusAnnTVF {
       else result.select(col("neighbor_id"), col("cos"), col("rank"))
         .orderBy("rank")
     out.queryExecution.analyzed
+  }
+}
+
+/** `corpus_dedup(path [, batch=>'bpath'] [, threshold=>0.8] [, k=>3]
+  * [, connection=>name])`: near-duplicate detection for SQL users
+  * with no Scala in sight — the fuzzy-dup face of the TVF family.
+  *
+  * Self mode (no `batch`): all near-dup pairs WITHIN the corpus at
+  * `path` as (doc_a, doc_b, jaccard), doc_a < doc_b — exact
+  * word-k-shingle Jaccard ≥ threshold, ordered (doc_a, doc_b).
+  * A plain (doc_id, text) parquet runs the inverted-index exact join
+  * ([[graft.pipeline.TextDedup.ngramJaccardPairs]]); a persisted band
+  * index serves the same pairs from its stored band rows + shingle
+  * sets without re-reading any text
+  * ([[graft.pipeline.TextDedup.nearDupPairsInBandIndex]]).
+  *
+  * Batch mode (`batch=>'bpath'`, a (doc_id, text) parquet): near-dups
+  * of the batch docs within the corpus as (doc_id, dup_of, jaccard) —
+  * the recurring-ingest gate shape. Against a band index the call is
+  * O(batch) with partition-pruned index scans
+  * ([[graft.pipeline.TextDedup.nearDupsAgainstBandIndex]]); against a
+  * plain corpus the index-free LSH cross-join fallback runs
+  * ([[graft.pipeline.TextDedup.crossSetNearDupPairs]]).
+  *
+  * `k` (shingle width) applies to the plain-corpus routes only — an
+  * index's scheme is frozen in its meta store, so passing a
+  * conflicting k fails loud instead of silently serving under
+  * different grams than asked for. */
+object CorpusDedupTVF {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"corpus_dedup: $what must be a string literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts(key.toLowerCase) = value match {
+          case Literal(v: Int, IntegerType) => v.toString
+          case Literal(v: Long, LongType) => v.toString
+          // threshold arrives as a decimal/double literal
+          case Literal(v, _: org.apache.spark.sql.types.DecimalType) =>
+            v.toString
+          case Literal(v: Double, org.apache.spark.sql.types.DoubleType) =>
+            v.toString
+          case other => str(other, s"argument $key")
+        }
+      case lit => pos = pos :+ str(lit, "path")
+    }
+    val unknown = opts.keySet -- Set("batch", "threshold", "k", "connection")
+    require(unknown.isEmpty,
+      s"corpus_dedup: unknown option(s) ${unknown.mkString(", ")} " +
+        "(expected batch, threshold, k, connection)")
+    val path = pos match {
+      case p :: Nil => p
+      case _ => throw new IllegalArgumentException(
+        "corpus_dedup: expected exactly one positional path argument")
+    }
+    val threshold = opts.get("threshold").map { t =>
+      val v = try t.toDouble catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_dedup: threshold must be a number, got '$t'") }
+      require(v > 0.0 && v <= 1.0,
+        s"corpus_dedup: threshold $v must be in (0, 1]")
+      v
+    }.getOrElse(0.8)
+    val kOpt = opts.get("k").map(_.toInt)
+    kOpt.foreach(k => require(k >= 1, s"corpus_dedup: k $k must be >= 1"))
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolve = (p: String) =>
+      ReadFilesTVF.connections.resolve(opts.get("connection"), p)
+    val resolved = resolve(path)
+    val isIndex = graft.pipeline.TextDedup.isBandIndex(spark, resolved)
+    // an index's gram scheme is frozen at build time: a conflicting
+    // k must fail loud, not silently serve different grams
+    if (isIndex) kOpt.foreach { k =>
+      val metaK = spark.read.parquet(s"$resolved/meta").head().getAs[Int]("k")
+      require(k == metaK, s"corpus_dedup: k $k conflicts with the index's " +
+        s"frozen shingle width $metaK at $resolved")
+    }
+    val result = opts.get("batch") match {
+      case None =>
+        if (isIndex)
+          graft.pipeline.TextDedup.nearDupPairsInBandIndex(
+            spark, resolved, threshold)
+        else graft.pipeline.TextDedup.ngramJaccardPairs(
+          spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
+      case Some(bpath) =>
+        val batch = spark.read.parquet(resolve(bpath))
+        if (isIndex)
+          graft.pipeline.TextDedup.nearDupsAgainstBandIndex(
+            batch, resolved, threshold)
+        else graft.pipeline.TextDedup.crossSetNearDupPairs(
+          batch, spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
+    }
+    result.queryExecution.analyzed
   }
 }
 

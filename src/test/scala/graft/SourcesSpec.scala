@@ -428,6 +428,60 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(batchPhrase.map(t => (t._2, t._3)).sortBy(_._1) == phraseSql.sortBy(_._1))
   }
 
+  test("corpus_dedup TVF: plain and band-index routes agree in self and batch modes") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    // self mode over a plain corpus = the exact inverted-index join
+    val selfPlain = spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaApi = graft.pipeline.TextDedup.ngramJaccardPairs(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(selfPlain == viaApi)
+    assert(selfPlain.nonEmpty, "self-dedup fixture must contain near-dup pairs")
+    // self mode against a persisted band index: identical pairs served
+    // from stored band rows + shingle sets, text never re-read
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_band").toString
+    graft.pipeline.TextDedup.writeBandIndex(docs, idx)
+    val selfIdx = spark.sql(s"SELECT * FROM corpus_dedup('$idx')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(selfIdx == selfPlain)
+    // batch mode: indexed route ≡ index-free LSH cross-set fallback
+    val bDir = java.nio.file.Files.createTempDirectory("graft_tvf_bat").toString + "/b"
+    docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      .coalesce(1).write.parquet(bDir)
+    val batchIdx = spark.sql(
+      s"SELECT * FROM corpus_dedup('$idx', batch=>'$bDir', threshold=>0.8)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batchPlain = spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', batch=>'$bDir')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(batchIdx == batchPlain)
+    assert(batchIdx.nonEmpty, "batch fixture must hit near-dups in the corpus")
+    // a takedown leaves both index-served modes immediately
+    val victim = selfIdx.head._1
+    graft.pipeline.TextDedup.deleteFromBandIndex(
+      Seq(victim).toDF("doc_id"), idx)
+    val afterDel = spark.sql(s"SELECT * FROM corpus_dedup('$idx')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!afterDel.exists(p => p._1 == victim || p._2 == victim))
+    // loud failures: typo'd option, conflicting k vs the index's frozen
+    // scheme, out-of-range threshold
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', treshold=>0.9)").collect()
+    }
+    assert(e1.getMessage.contains("unknown option"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', k=>4)").collect()
+    }
+    assert(e2.getMessage.contains("frozen shingle width"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', threshold=>1.5)").collect()
+    }
+    assert(e3.getMessage.contains("must be in (0, 1]"))
+  }
+
   test("injected SQL scalar functions resolve and match the Scala API") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
