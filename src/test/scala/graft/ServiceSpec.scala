@@ -35,6 +35,11 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
       s"select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5)")
     assert(svc.awaitComplete(searchId) == QueryStatus.Complete)
     assert(svc.reader(searchId).totalRows == 5)
+    val dedupId = svc.runQuery(
+      s"select doc_a, doc_b, jaccard from corpus_dedup('$sfDir/documents.parquet')")
+    assert(svc.awaitComplete(dedupId) == QueryStatus.Complete)
+    val dd = svc.reader(dedupId).asDataFrame.collect()
+    assert(dd.nonEmpty && dd.forall(_.getDouble(2) >= 0.8))
   }
 
   test("error status carries the failure message") {
