@@ -1,0 +1,219 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off measurement main for the ANN serving family beyond the
+  * fixtures' largest SF — the third member of the scale-probe series
+  * (FUZZY_SCALE covers sim-joins, TEXT_SCALE the LM family). The
+  * sf0.1 `embeddings` table is tiny (2k vectors), so unlike the other
+  * probes this one replicates 1×/100×/400× (2k → 800k vectors): at
+  * the fixture's own scale every tier is fixed-overhead-dominated and
+  * wall clocks say nothing (measured: all ratios ≈1.0 at ≤10×).
+  *
+  * Tiers, against the SAME frozen external query batch:
+  *
+  *   - brute: [[graft.pipeline.Embeddings.bruteForceTopKFor]] — the
+  *     O(corpus) baseline; its rows-read MUST grow linearly (it
+  *     scans everything — that is the point of comparison).
+  *   - ivf: [[graft.pipeline.Embeddings.ivfTopKIndexedFor]] with
+  *     adaptive=false — the fixed-nprobe APPROXIMATE serving tier,
+  *     partition-pruned to the probed cells. nlist is sized ~√N per
+  *     scale (the RUNBOOK production sizing), nprobe fixed, so rows
+  *     touched per batch should grow ~√N, not ~N — this tier is the
+  *     pruning evidence. (Recall at fixed nprobe is the oracle gate's
+  *     job: `ann_ivf_recall` pins it at the tested settings.)
+  *   - ivf_exact: same, adaptive=true — EXACT top-k via the
+  *     per-cell-radius re-probe bound. Measured here to expose the
+  *     exactness premium: when k-means radii are loose (high-dim
+  *     jittered corpus), the spherical bound cannot rule cells out
+  *     and the re-probe approaches a full pass — the honest cost of
+  *     a guarantee, not a pruning failure.
+  *   - ivf_adc: [[graft.pipeline.Embeddings.ivfPqTopKIndexedFor]] —
+  *     the compressed tier; probed-cell PQ codes + an exact
+  *     shortlist refine.
+  *
+  * The headline metric is task-level `recordsRead` per tier (the
+  * direct evidence that `cell IN (...)` partition pruning executes
+  * and bounds bytes touched), with wall seconds beside it. Rows-read
+  * attribution is by interval (one tier runs at a time), same stance
+  * as TextScaleProbe's shuffle meter.
+  *
+  * Replication semantics, same stance as FuzzyScaleProbe: replica i
+  * offsets vec_id and adds a deterministic per-(id, replica, dim)
+  * jitter in [−0.05, 0.05] to every component — replicas are fresh
+  * vectors from (near) the base distribution, NOT exact clones (k
+  * exact copies would tie every top-k rank — a different problem).
+  * Replication is one `explode(sequence(...))` pass, not a k-way
+  * union (a 400-ary union is a planner stress test, not a corpus).
+  * Measurement harness only — correctness is the oracle gate's job
+  * at real SFs (`ann_*` rows) and recall is pinned by
+  * `ann_ivf_recall`/`ann_ivfpq_exact`.
+  *
+  * Output: ANN_SCALE.md — per (tier, scale) wall seconds and rows
+  * read, index build seconds, and 400×/1× growth ratios against the
+  * 400× data ratio.
+  */
+object AnnScaleProbe {
+
+  /** Sums task input rows between reset() and read — one tier runs
+    * at a time, so attribution is by interval. */
+  private final class InputMeter extends SparkListener {
+    private val rows = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      if (e.taskMetrics != null) {
+        rows.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+        ()
+      }
+    def reset(): Unit = rows.set(0L)
+    def value: Long = rows.get()
+  }
+
+  private def scaled(spark: SparkSession, baseDir: String, k: Int,
+                     outDir: String): String = {
+    val path = s"$outDir/x$k/embeddings.parquet"
+    val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return path
+    val base = graft.Engine.table(spark, baseDir, "embeddings")
+      .select("vec_id", "embedding")
+    val offset = base.agg(max("vec_id")).head().getLong(0) + 1L
+    base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(k - 1))).as("rep"))
+      .select(
+        (col("vec_id") + col("rep") * offset).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, j) =>
+            (x + ((pmod(xxhash64(col("vec_id"), col("rep"), j), lit(2001))
+              - lit(1000)).cast("double") / 20000.0)).cast("float")))
+          .as("embedding"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "/tmp/graft_ann_scale")
+    val report = sys.env.getOrElse("SPARK_GRAFT_ANN_REPORT", "ANN_SCALE.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.Engine.tune(spark)
+    val meter = new InputMeter
+    spark.sparkContext.addSparkListener(meter)
+    import graft.pipeline.Embeddings
+
+    val scales = Seq(1, 100, 400)
+    val corpora = scales.map(k => k -> scaled(spark, baseDir, k, outDir)).toMap
+    // one fixed external query batch across all scales: the base
+    // replica's first 10 vectors re-keyed into a disjoint id space
+    val queries = graft.Engine.table(spark, baseDir, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select((col("vec_id") + 999000L).as("query_id"), col("embedding"))
+      .cache()
+    queries.count()
+
+    def time[A](f: => A): (A, Double, Long) = {
+      spark.catalog.clearCache()
+      queries.cache().count()
+      System.gc()
+      // the listener bus is async; give queued task-end events from the
+      // previous tier time to drain before resetting the meter
+      Thread.sleep(500)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val a = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      (a, secs, meter.value)
+    }
+
+    case class Cell(build: Double, nlist: Int,
+                    brute: Double, bruteRows: Long,
+                    ivf: Double, ivfRows: Long,
+                    exact: Double, exactRows: Long,
+                    adc: Double, adcRows: Long, rows: Long)
+    val cells = scales.map { k =>
+      val corpus = spark.read.parquet(corpora(k))
+      val n = corpus.count()
+      // production sizing (RUNBOOK §4): nlist ~ sqrt(N); nprobe fixed
+      // so probed rows ~ nprobe * N/nlist = nprobe * sqrt(N)
+      val nlist = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+      val idx = s"$outDir/x$k/ivf_n$nlist"
+      // the skip marker is the probe's own, written AFTER the whole
+      // build: keying on an inner store's _SUCCESS would skip the
+      // rebuild of an index a killed earlier run left half-written
+      val built = new org.apache.hadoop.fs.Path(s"$idx/_PROBE_BUILT")
+      val fs = built.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, tBuild, _) =
+        if (fs.exists(built)) ((), Double.NaN, 0L)
+        else time {
+          fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+          Embeddings.writeIvfIndex(corpus, idx, nlist = nlist)
+          fs.create(built, true).close()
+        }
+      val (nBrute, tBrute, rBrute) = time(
+        Embeddings.bruteForceTopKFor(queries, corpus, 10).count())
+      val (_, tIvf, rIvf) = time(
+        Embeddings.ivfTopKIndexedFor(queries, idx, 10, nprobe = 8,
+          adaptive = false).count())
+      val (_, tExact, rExact) = time(
+        Embeddings.ivfTopKIndexedFor(queries, idx, 10, nprobe = 8,
+          adaptive = true).count())
+      val (_, tAdc, rAdc) = time(
+        Embeddings.ivfPqTopKIndexedFor(queries, idx, 10, nprobe = 8).count())
+      println(f"[ann-scale] x$k%-3d n=$n%7d nlist=$nlist%4d build=$tBuild%7.1fs " +
+        f"brute=$tBrute%6.2fs/$rBrute%9d rows  ivf=$tIvf%6.2fs/$rIvf%9d  " +
+        f"ivf_exact=$tExact%6.2fs/$rExact%9d  " +
+        f"ivf_adc=$tAdc%6.2fs/$rAdc%9d  topk=$nBrute")
+      k -> Cell(tBuild, nlist, tBrute, rBrute, tIvf, rIvf,
+        tExact, rExact, tAdc, rAdc, n)
+    }.toMap
+
+    val c1 = cells(scales.head); val cN = cells(scales.last)
+    val dataRatio = cN.rows.toDouble / c1.rows
+    val sb = new StringBuilder
+    sb ++= "# ANN_SCALE — IVF serving tiers at 1×/100×/400× the sf0.1 embeddings\n\n"
+    sb ++= s"Base: `$baseDir` embeddings (2k × 64-dim — far below serving scale,\n"
+    sb ++= "hence the aggressive replication) grown with deterministic per-replica\n"
+    sb ++= "jitter (fresh near-distribution vectors, not clones — AnnScaleProbe\n"
+    sb ++= "scaladoc). One frozen 10-query external batch served at every scale.\n"
+    sb ++= "nlist ~ sqrt(N) per scale (RUNBOOK production sizing), nprobe fixed at 8,\n"
+    sb ++= "so pruned tiers should touch ~nprobe*N/nlist = nprobe*sqrt(N) rows vs\n"
+    sb ++= "brute's N. `rows` is task-level recordsRead for the tier — the direct\n"
+    sb ++= "partition-pruning evidence; walls at these sizes still carry\n"
+    sb ++= "multi-second fixed job cost. `ivf` is the fixed-nprobe approximate\n"
+    sb ++= "serving tier (recall at these settings pinned by ann_ivf_recall);\n"
+    sb ++= "`ivf_exact` is adaptive=true — exact top-k via the per-cell-radius\n"
+    sb ++= "bound, whose re-probes approach a full pass when radii are loose\n"
+    sb ++= "(they are, on this high-dim jittered corpus): the honest cost of the\n"
+    sb ++= "exactness guarantee, not a pruning failure. Rows per tier are the\n"
+    sb ++= "UNION of probed cells across the 10-query batch (per-query cost is\n"
+    sb ++= "nprobe*N/nlist; distinct cells overlap as the batch grows), and the\n"
+    sb ++= "ADC tier pays TWO pruned passes (codes scan + exact shortlist refine),\n"
+    sb ++= "so its rows ~ 2x the ivf tier's.\n\n"
+    sb ++= "| scale | vectors | nlist | build s | brute s | brute rows | ivf s | ivf rows | ivf_exact s | ivf_exact rows | ivf_adc s | ivf_adc rows |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+    scales.foreach { k =>
+      val c = cells(k)
+      sb ++= f"| $k× | ${c.rows} | ${c.nlist} | ${c.build}%.1f | ${c.brute}%.2f | ${c.bruteRows} | ${c.ivf}%.2f | ${c.ivfRows} | ${c.exact}%.2f | ${c.exactRows} | ${c.adc}%.2f | ${c.adcRows} |\n"
+    }
+    sb ++= f"\n${scales.last}×/1× growth on ${dataRatio}%.0f× data: " +
+      f"brute rows ${cN.bruteRows.toDouble / c1.bruteRows}%.0f× (linear by design), " +
+      f"ivf rows ${cN.ivfRows.toDouble / c1.ivfRows}%.1f×, " +
+      f"ivf_exact rows ${cN.exactRows.toDouble / c1.exactRows}%.1f×, " +
+      f"ivf_adc rows ${cN.adcRows.toDouble / c1.adcRows}%.1f×; " +
+      f"walls: brute ${cN.brute / c1.brute}%.1f×, ivf ${cN.ivf / c1.ivf}%.1f×, " +
+      f"ivf_exact ${cN.exact / c1.exact}%.1f×, ivf_adc ${cN.adc / c1.adc}%.1f×.\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(report), sb.toString)
+    println(s"[ann-scale] wrote $report")
+    spark.stop()
+  }
+}
