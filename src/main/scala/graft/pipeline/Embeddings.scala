@@ -1201,7 +1201,8 @@ object Embeddings {
     * equality with filtered brute force). */
   def ivfTopKIndexedFor(queries: DataFrame, dir: String, k: Int,
                         nprobe: Int = 10, adaptive: Boolean = false,
-                        allowedIds: Option[DataFrame] = None): DataFrame = {
+                        allowedIds: Option[DataFrame] = None,
+                        escapeCap: Int = Int.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     val root = liveIndexRoot(spark, dir)
     val qn = withNorm(queries.select(
@@ -1214,7 +1215,7 @@ object Embeddings {
         Seq("vec_id"), "left_semi")
     }
     ivfSearch(spark, root, corpus, qn, k, nprobe,
-      excludeSelf = false, adaptive = adaptive)
+      excludeSelf = false, adaptive = adaptive, escapeCap = escapeCap)
   }
 
   /** Per-query top-k ranking of a (query_id, neighbor_id, cos)
@@ -1251,11 +1252,22 @@ object Embeddings {
     * first is (`cell IN` literals over the escaped union, per-pair
     * broadcast join), and the escaped set is demand-driven — only
     * boundary queries pay. Indexes written before `cellstats` existed
-    * fall back to the fixed-nprobe result. */
+    * fall back to the fixed-nprobe result.
+    *
+    * `escapeCap` bounds the second pass to the cap's most promising
+    * cells per query (highest best-possible cosine first): the
+    * uncapped default keeps the exactness guarantee; a finite cap
+    * puts a hard ceiling on re-probe cost for corpora whose loose
+    * cell radii make the bound escape ~everywhere (the ANN_SCALE.md
+    * measurement — adaptive-exact read 677k of 800k rows there).
+    * Recall under a cap is still ≥ the fixed-nprobe tier's (the
+    * candidate set only grows), and the cap=0 result IS the
+    * fixed-nprobe result. */
   private def ivfSearch(spark: org.apache.spark.sql.SparkSession,
                         root: String, corpus: DataFrame, qn: DataFrame,
                         k: Int, nprobe: Int, excludeSelf: Boolean,
-                        adaptive: Boolean = false): DataFrame = {
+                        adaptive: Boolean = false,
+                        escapeCap: Int = Int.MaxValue): DataFrame = {
     val cents: Array[Array[Double]] = cachedCentroids(spark, root)
     val q = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -1314,14 +1326,27 @@ object Embeddings {
         val qv = rows.head._2
         val qnrm = rows.head._3
         val kthBest = kth.getOrElse(qid, -2.0)
-        cents.indices.filter { c =>
-          !probedSet.contains(c) && radMap.contains(c) && {
+        val escaping = cents.indices.iterator.flatMap { c =>
+          if (probedSet.contains(c) || !radMap.contains(c)) Iterator.empty
+          else {
             val den = qnrm * centNorms(c)
             val cosQ = if (den > 0) ddot(qv, cents(c)) / den else -1.0
             val theta = math.acos(math.min(1.0, math.max(-1.0, cosQ)))
-            math.cos(math.max(0.0, theta - radMap(c))) > kthBest + 1e-12
+            val bound = math.cos(math.max(0.0, theta - radMap(c)))
+            if (bound > kthBest + 1e-12) Iterator.single((c, bound))
+            else Iterator.empty
           }
-        }.map(c => (qid, c, qv, qnrm))
+        }.toSeq
+        // escapeCap bounds the second pass per query: keep the most
+        // PROMISING escapes (highest best-possible cosine, cell id as
+        // the deterministic tiebreak). Uncapped stays exact; a cap
+        // trades the guarantee for a hard cost ceiling when loose
+        // radii make the bound unable to rule cells out (measured in
+        // ANN_SCALE.md: high-dim jittered corpora escape ~everywhere).
+        val kept =
+          if (escaping.size <= escapeCap) escaping
+          else escaping.sortBy { case (c, b) => (-b, c) }.take(escapeCap)
+        kept.map { case (c, _) => (qid, c, qv, qnrm) }
       }.sortBy(t => (t._1, t._2)) // deterministic plan across runs
     import spark.implicits._
     val localTop1 = top1.toSeq

@@ -286,10 +286,11 @@ object CorpusAnnTVF {
         }
       case lit => pos = pos :+ str(lit, "path/queryVec")
     }
-    val unknown = opts.keySet -- Set("k", "nprobe", "connection", "queries")
+    val unknown = opts.keySet --
+      Set("k", "nprobe", "connection", "queries", "escape_cap")
     require(unknown.isEmpty,
       s"corpus_ann: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected k, nprobe, connection, queries)")
+        "(expected k, nprobe, connection, queries, escape_cap)")
     val (path, vecStr) = (pos, opts.get("queries")) match {
       case (p :: v :: Nil, None) => (p, Some(v))
       case (p :: Nil, Some(_)) => (p, None)
@@ -301,6 +302,12 @@ object CorpusAnnTVF {
     require(k >= 1, s"corpus_ann: k $k must be >= 1")
     val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(10)
     require(nprobe >= 1, s"corpus_ann: nprobe $nprobe must be >= 1")
+    // escape_cap bounds the adaptive re-probe per query (index route
+    // only): unset = exact top-k; 0 = fixed-nprobe only; N = at most
+    // N extra cells, most promising first — the cost ceiling for
+    // radii-loose corpora (ANN_SCALE.md).
+    val escapeCap = opts.get("escape_cap").map(_.toInt).getOrElse(Int.MaxValue)
+    require(escapeCap >= 0, s"corpus_ann: escape_cap $escapeCap must be >= 0")
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolve = (p: String) =>
@@ -337,8 +344,12 @@ object CorpusAnnTVF {
       if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved)) {
         requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
         graft.pipeline.Embeddings
-          .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe, adaptive = true)
+          .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe,
+            adaptive = true, escapeCap = escapeCap)
       } else {
+        require(opts.get("escape_cap").isEmpty,
+          "corpus_ann: escape_cap applies to the IVF index route; the " +
+            s"brute-force route over $resolved is already exact")
         val corpus = spark.read.parquet(resolved)
         corpus.select(size(col("embedding"))).head(1)
           .foreach(r => requireDim(r.getInt(0)))

@@ -650,6 +650,35 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert((bf & legacy).size.toDouble / bf.size == fixedR)
   }
 
+  test("escapeCap: bounded re-probe — cap 0 is the fixed-nprobe result, uncapped is exact, recall monotone in the cap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cap").toString
+    Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    val external = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 555000).as("qid"), col("embedding"))
+    def res(adaptive: Boolean, cap: Int): Seq[(Long, Long, Long, Double)] =
+      Embeddings.ivfTopKIndexedFor(external, dir, k = 6, nprobe = 5,
+          adaptive = adaptive, escapeCap = cap).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val fixed = res(adaptive = false, Int.MaxValue)
+    val exact = res(adaptive = true, Int.MaxValue)
+    // fixture sanity: the escape must matter here or the cap is untested
+    assert(exact != fixed, "fixture: nprobe=5/16 already exact — cap untestable")
+    // cap 0 IS the fixed-nprobe result (no second pass at all)
+    assert(res(adaptive = true, 0) == fixed)
+    // the candidate set only grows with the cap, so each query's
+    // kth-best cosine is monotone: fixed <= cap 1 <= uncapped
+    def kth(rows: Seq[(Long, Long, Long, Double)]): Map[Long, Double] =
+      rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).min }
+    val cap1 = kth(res(adaptive = true, 1))
+    val lo = kth(fixed); val hi = kth(exact)
+    cap1.foreach { case (q, c) =>
+      assert(c >= lo(q) - 1e-12 && c <= hi(q) + 1e-12,
+        s"query $q: cap-1 kth-best $c outside [${lo(q)}, ${hi(q)}]")
+    }
+  }
+
   test("filtered ANN: allowedIds + adaptive equals brute force over the filtered corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_filt").toString

@@ -550,6 +550,17 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
         s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', '1.0,2.0,3.0')").collect()
     }
     assert(e4.getMessage.contains("dims"), e4.getMessage)
+    // escape_cap=>0 disables the adaptive second pass (fixed-nprobe
+    // read); the index route still answers, bounded. On the brute
+    // route the option is meaningless and fails loud.
+    val capped = spark.sql(
+      s"SELECT * FROM corpus_ann('$dir', '$vecStr', k=>7, nprobe=>3, escape_cap=>0)").collect()
+    assert(capped.length == 7 && capped.head.getLong(0) == 1L)
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', " +
+        s"'$vecStr', escape_cap=>0)").collect()
+    }
+    assert(e5.getMessage.contains("escape_cap"), e5.getMessage)
   }
 
   test("content signature: same-size in-place rewrite is caught on a checksum-capable FS") {
