@@ -1282,7 +1282,10 @@ object Embeddings {
     val statsPath = new org.apache.hadoop.fs.Path(s"$root/cellstats")
     val statsExist = statsPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(statsPath)
-    if (!adaptive || !statsExist) return rankTopK(scored, k)
+    // cap 0 IS the fixed-nprobe result — return it lazily instead of
+    // paying the escape machinery (two driver collects + queries ×
+    // nlist bound math) just to take(0) every escape set
+    if (!adaptive || !statsExist || escapeCap == 0) return rankTopK(scored, k)
 
     // ---- pass 1 result, COLLECTED: ≤ queries × k rows. The query
     // side of this path is broadcast-small by contract (it rides a
