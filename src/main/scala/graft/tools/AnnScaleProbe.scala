@@ -139,6 +139,7 @@ object AnnScaleProbe {
                     brute: Double, bruteRows: Long,
                     ivf: Double, ivfRows: Long,
                     exact: Double, exactRows: Long,
+                    cap: Double, capRows: Long,
                     adc: Double, adcRows: Long, rows: Long)
     val cells = scales.map { k =>
       val corpus = spark.read.parquet(corpora(k))
@@ -167,14 +168,17 @@ object AnnScaleProbe {
       val (_, tExact, rExact) = time(
         Embeddings.ivfTopKIndexedFor(queries, idx, 10, nprobe = 8,
           adaptive = true).count())
+      val (_, tCap, rCap) = time(
+        Embeddings.ivfTopKIndexedFor(queries, idx, 10, nprobe = 8,
+          adaptive = true, escapeCap = 8).count())
       val (_, tAdc, rAdc) = time(
         Embeddings.ivfPqTopKIndexedFor(queries, idx, 10, nprobe = 8).count())
       println(f"[ann-scale] x$k%-3d n=$n%7d nlist=$nlist%4d build=$tBuild%7.1fs " +
         f"brute=$tBrute%6.2fs/$rBrute%9d rows  ivf=$tIvf%6.2fs/$rIvf%9d  " +
-        f"ivf_exact=$tExact%6.2fs/$rExact%9d  " +
+        f"ivf_exact=$tExact%6.2fs/$rExact%9d  ivf_cap8=$tCap%6.2fs/$rCap%9d  " +
         f"ivf_adc=$tAdc%6.2fs/$rAdc%9d  topk=$nBrute")
       k -> Cell(tBuild, nlist, tBrute, rBrute, tIvf, rIvf,
-        tExact, rExact, tAdc, rAdc, n)
+        tExact, rExact, tCap, rCap, tAdc, rAdc, n)
     }.toMap
 
     val c1 = cells(scales.head); val cN = cells(scales.last)
@@ -199,19 +203,24 @@ object AnnScaleProbe {
     sb ++= "nprobe*N/nlist; distinct cells overlap as the batch grows), and the\n"
     sb ++= "ADC tier pays TWO pruned passes (codes scan + exact shortlist refine),\n"
     sb ++= "so its rows ~ 2x the ivf tier's.\n\n"
-    sb ++= "| scale | vectors | nlist | build s | brute s | brute rows | ivf s | ivf rows | ivf_exact s | ivf_exact rows | ivf_adc s | ivf_adc rows |\n"
-    sb ++= "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
+    sb ++= "`ivf_cap8` is adaptive with `escapeCap = 8`: the bounded second\n"
+    sb ++= "pass — at most 8 extra cells per query, most promising first — the\n"
+    sb ++= "cost ceiling the exactness-premium measurement motivated.\n\n"
+    sb ++= "| scale | vectors | nlist | build s | brute s | brute rows | ivf s | ivf rows | ivf_exact s | ivf_exact rows | ivf_cap8 s | ivf_cap8 rows | ivf_adc s | ivf_adc rows |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
     scales.foreach { k =>
       val c = cells(k)
-      sb ++= f"| $k× | ${c.rows} | ${c.nlist} | ${c.build}%.1f | ${c.brute}%.2f | ${c.bruteRows} | ${c.ivf}%.2f | ${c.ivfRows} | ${c.exact}%.2f | ${c.exactRows} | ${c.adc}%.2f | ${c.adcRows} |\n"
+      sb ++= f"| $k× | ${c.rows} | ${c.nlist} | ${c.build}%.1f | ${c.brute}%.2f | ${c.bruteRows} | ${c.ivf}%.2f | ${c.ivfRows} | ${c.exact}%.2f | ${c.exactRows} | ${c.cap}%.2f | ${c.capRows} | ${c.adc}%.2f | ${c.adcRows} |\n"
     }
     sb ++= f"\n${scales.last}×/1× growth on ${dataRatio}%.0f× data: " +
       f"brute rows ${cN.bruteRows.toDouble / c1.bruteRows}%.0f× (linear by design), " +
       f"ivf rows ${cN.ivfRows.toDouble / c1.ivfRows}%.1f×, " +
       f"ivf_exact rows ${cN.exactRows.toDouble / c1.exactRows}%.1f×, " +
+      f"ivf_cap8 rows ${cN.capRows.toDouble / c1.capRows}%.1f×, " +
       f"ivf_adc rows ${cN.adcRows.toDouble / c1.adcRows}%.1f×; " +
       f"walls: brute ${cN.brute / c1.brute}%.1f×, ivf ${cN.ivf / c1.ivf}%.1f×, " +
-      f"ivf_exact ${cN.exact / c1.exact}%.1f×, ivf_adc ${cN.adc / c1.adc}%.1f×.\n"
+      f"ivf_exact ${cN.exact / c1.exact}%.1f×, ivf_cap8 ${cN.cap / c1.cap}%.1f×, " +
+      f"ivf_adc ${cN.adc / c1.adc}%.1f×.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(report), sb.toString)
     println(s"[ann-scale] wrote $report")
     spark.stop()
