@@ -147,6 +147,55 @@ object TextIndex {
   def stats(spark: SparkSession, dir: String): (Long, Long) =
     statsOf(spark, dir, liveStore(spark, dir), tombstoneFiles(spark, dir))
 
+  /** Operational snapshot of the postings store — what sizes the
+    * compaction cadence (the counterpart of
+    * [[graft.pipeline.Embeddings.ivfIndexStats]] /
+    * [[graft.pipeline.TextDedup.bandIndexStats]]): one row per bucket
+    * with posting-row count, parquet file count, on-disk bytes, and
+    * the live generation. File geometry from filesystem metadata
+    * (bounded by the frozen bucket count); row counts one pruneable
+    * aggregate (parquet footer counts — no postings decode). */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val live = liveStore(spark, dir)
+    val gen =
+      if (live.endsWith("/postings")) 0
+      else live.substring(live.lastIndexOf("_v") + 2).toInt
+    val root = new Path(live)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val geo = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter { f =>
+          val n = f.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        (d.getPath.getName.stripPrefix("bucket=").toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq.toDF("bucket", "n_files", "bytes")
+    spark.read.parquet(live)
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(geo), "bucket")
+      .withColumn("generation", lit(gen))
+      .select("bucket", "n_rows", "n_files", "bytes", "generation")
+      .orderBy("bucket")
+  }
+
+  /** Layout detection for the SQL surface: a text index is a dir with
+    * the frozen-scheme `meta/` AND a postings store (base or any
+    * compaction generation) — distinguishes it from a band index
+    * (meta + bands) and from a plain corpus parquet. */
+  def isTextIndex(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$dir/meta")) && fs.exists(p) &&
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && (n == "postings" || n.startsWith("postings_v"))
+      }
+  }
+
   /** `tombs` is the tombstone-file list the CALLER already resolved —
     * search()/searchMany() pass the exact list their postings
     * anti-join used, so one listing drives both the df exclusion and

@@ -62,6 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusDedupTVF.getClass.getName, "corpus_dedup"),
       (args: Seq[Expression]) => CorpusDedupTVF.build(args)))
 
+    // Index health as a TVF: SELECT * FROM corpus_index_stats('path')
+    // — one unified (store, partition, n_rows, n_files, bytes,
+    // generation) snapshot for every persisted index family, so the
+    // compaction/rebuild cadences are observable from SQL alone (the
+    // reference's metrics-surface identity applied to index layouts).
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_index_stats"),
+      new ExpressionInfo(CorpusIndexStatsTVF.getClass.getName,
+        "corpus_index_stats"),
+      (args: Seq[Expression]) => CorpusIndexStatsTVF.build(args)))
+
     // The pipeline's native expressions as first-class SQL scalar
     // functions — the reference's extension-registry vision
     // (operator_task_registry.rs:74-94) applied to functions: a SQL
@@ -461,6 +472,75 @@ object CorpusDedupTVF {
           batch, spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
     }
     result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_index_stats(path [, connection=>name])`: operational
+  * health of any persisted index layout, from SQL — the numbers that
+  * size the compaction cadence and spot skew, unified across the
+  * three index families into one schema:
+  *
+  *   (store, partition, n_rows, n_files, bytes, generation)
+  *
+  *   - IVF index ([[graft.pipeline.Embeddings.ivfIndexStats]]):
+  *     store = "corpus", partition = cell id. A cell with many times
+  *     the mean n_rows is a skewed centroid; many small files =
+  *     compaction due; a rising generation = compactions happening.
+  *   - band index ([[graft.pipeline.TextDedup.bandIndexStats]]):
+  *     store = "bands" / "shingles", partition = bucket.
+  *   - text index ([[graft.pipeline.TextIndex.indexStats]]):
+  *     store = "postings", partition = bucket.
+  *
+  * Cost: filesystem metadata (bounded by the partition count) plus
+  * one column-pruned row-count aggregate per store — no index data
+  * is decoded. Pointing it at anything that is not a graft index
+  * layout fails loud (stats over a plain parquet are `read_files` +
+  * SQL's job, not this TVF's). */
+object CorpusIndexStatsTVF {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"corpus_index_stats: $what must be a string literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts(key.toLowerCase) = str(value, s"argument $key")
+      case lit => pos = pos :+ str(lit, "path")
+    }
+    val unknown = opts.keySet -- Set("connection")
+    require(unknown.isEmpty,
+      s"corpus_index_stats: unknown option(s) ${unknown.mkString(", ")} " +
+        "(expected connection)")
+    val path = pos match {
+      case p :: Nil => p
+      case _ => throw new IllegalArgumentException(
+        "corpus_index_stats: expected exactly one positional path argument")
+    }
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
+    import org.apache.spark.sql.functions.{col, lit => slit}
+    val unified =
+      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved))
+        graft.pipeline.Embeddings.ivfIndexStats(spark, resolved)
+          .select(slit("corpus").as("store"), col("cell").as("partition"),
+            col("n_rows"), col("n_files"), col("bytes"), col("generation"))
+      else if (graft.pipeline.TextDedup.isBandIndex(spark, resolved))
+        graft.pipeline.TextDedup.bandIndexStats(spark, resolved)
+          .select(col("store"), col("bucket").as("partition"),
+            col("n_rows"), col("n_files"), col("bytes"), col("generation"))
+      else if (graft.pipeline.TextIndex.isTextIndex(spark, resolved))
+        graft.pipeline.TextIndex.indexStats(spark, resolved)
+          .select(slit("postings").as("store"), col("bucket").as("partition"),
+            col("n_rows"), col("n_files"), col("bytes"), col("generation"))
+      else throw new IllegalArgumentException(
+        s"corpus_index_stats: $resolved is not a graft index layout " +
+          "(expected an IVF index, a band index, or a text index)")
+    unified.orderBy("store", "partition").queryExecution.analyzed
   }
 }
 

@@ -482,6 +482,52 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("must be in (0, 1]"))
   }
 
+  test("corpus_index_stats TVF: one unified health schema across all three index families") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_stats").toString
+    graft.pipeline.TextDedup.writeBandIndex(docs, s"$base/band")
+    graft.pipeline.TextIndex.write(docs, s"$base/text", buckets = 8)
+    graft.pipeline.Embeddings.writeIvfIndex(emb, s"$base/ivf", nlist = 8)
+    val cols = Seq("store", "partition", "n_rows", "n_files", "bytes", "generation")
+    def stats(p: String) = spark.sql(s"SELECT * FROM corpus_index_stats('$p')")
+    // every family answers with the SAME schema; totals match source data
+    val nDocs = docs.count()
+    val band = stats(s"$base/band")
+    assert(band.columns.toSeq == cols)
+    assert(band.select("store").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("bands", "shingles"))
+    val text = stats(s"$base/text")
+    assert(text.columns.toSeq == cols)
+    assert(text.collect().forall(r => r.getString(0) == "postings" &&
+      r.getLong(4) > 0 && r.getInt(5) == 0))
+    val ivf = stats(s"$base/ivf")
+    assert(ivf.columns.toSeq == cols)
+    assert(ivf.agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+      == emb.count(), "ivf per-cell rows must sum to the corpus")
+    assert(ivf.select("partition").distinct().count() <= 8)
+    // compaction bumps the generation the TVF reports
+    docs.filter(col("doc_id") < 50).select("doc_id", "text").collect()
+      .grouped(10).foreach { g =>
+        import spark.implicits._
+        graft.pipeline.TextIndex.append(
+          g.map(r => (r.getLong(0) + 900000, r.getString(1))).toSeq
+            .toDF("doc_id", "text"), s"$base/text")
+      }
+    graft.pipeline.TextIndex.compact(spark, s"$base/text", maxFilesPerBucket = 1)
+    val gen = stats(s"$base/text").select("generation").distinct().collect()
+    assert(gen.length == 1 && gen.head.getInt(0) >= 1,
+      s"compaction must bump the reported generation, got ${gen.toSeq}")
+    // a plain parquet is not an index layout: fail loud, not garbage
+    val e = intercept[Exception] {
+      stats(s"$sfDir/documents.parquet").collect()
+    }
+    assert(e.getMessage.contains("not a graft index layout"), e.getMessage)
+    assert(nDocs > 0)
+  }
+
   test("injected SQL scalar functions resolve and match the Scala API") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
