@@ -1529,6 +1529,32 @@ object SparkEntry {
       "FROM sh a JOIN sh b ON a.doc_id % 11 = 0) " +
       "WHERE jaccard >= 0.8 ORDER BY doc_id, dup_of"
 
+  /** The (grp, n_docs, chars, id_sum) profile of the corpus store's
+    * MERGED state restated from the plain documents table — shared by
+    * the Scala read path (q_corpus_merge) and the read_store TVF
+    * (q_sql_store), so both answer to identical truth. */
+  private val duckMergedProfile: String = "WITH up AS (" +
+    "SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id % 97 = 0 " +
+    "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text AS text " +
+    "FROM documents WHERE doc_id % 103 = 0), " +
+    "del AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0), " +
+    "merged AS (SELECT d.doc_id, d.text FROM documents d " +
+    "WHERE d.doc_id NOT IN (SELECT doc_id FROM up) " +
+    "AND d.doc_id NOT IN (SELECT doc_id FROM del) " +
+    "UNION ALL SELECT doc_id, text FROM up) " +
+    "SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+    "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+    "FROM merged GROUP BY 1 ORDER BY 1"
+
+  /** Same profile over the UNTOUCHED corpus — generation 0 of the
+    * store (q_store_timetravel Scala path, q_sql_timetravel TVF). */
+  private val duckOriginalProfile: String =
+    "SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+      "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+      "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       pipeline.TextDedup.exact(T(s, d, "documents")).orderBy("doc_id")),
@@ -1582,6 +1608,22 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"),
           sum(col("doc_id")).as("id_sum"))
         .orderBy("grp")),
+
+    // The corpus store through the SQL surface (read_store TVF):
+    // generation-resolved live read (the merged state) and as_of=>0
+    // time travel (the original corpus) — same profiles, no Scala.
+    "q_sql_store" -> ((s, d) =>
+      s.sql("SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+        s"FROM read_store('${corpusStoreDir(s, d)}') GROUP BY 1 ORDER BY 1")),
+
+    "q_sql_timetravel" -> ((s, d) =>
+      s.sql("SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
+        "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
+        s"FROM read_store('${corpusStoreDir(s, d)}', as_of=>0) " +
+        "GROUP BY 1 ORDER BY 1")),
 
     // Incremental NEAR-dup: a re-labeled batch (doc_id%11==0, +500000)
     // probed against the PERSISTED band index over the full corpus —
@@ -2300,25 +2342,15 @@ object SparkEntry {
     // plain documents table; the engine side reads the persisted
     // post-merge store, so a lifecycle bug (lost bucket, stale
     // generation, double-applied delta) breaks the hash compare.
-    "q_corpus_merge" -> ("WITH up AS (" +
-      "SELECT doc_id, 'UPDATED ' || text AS text FROM documents WHERE doc_id % 97 = 0 " +
-      "UNION ALL SELECT doc_id + 10000000 AS doc_id, 'NEW ' || text AS text " +
-      "FROM documents WHERE doc_id % 103 = 0), " +
-      "del AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0), " +
-      "merged AS (SELECT d.doc_id, d.text FROM documents d " +
-      "WHERE d.doc_id NOT IN (SELECT doc_id FROM up) " +
-      "AND d.doc_id NOT IN (SELECT doc_id FROM del) " +
-      "UNION ALL SELECT doc_id, text FROM up) " +
-      "SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
-      "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
-      "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
-      "FROM merged GROUP BY 1 ORDER BY 1"),
+    "q_corpus_merge" -> duckMergedProfile,
 
     // Generation 0 = the untouched original corpus.
-    "q_store_timetravel" -> ("SELECT doc_id % 7 AS grp, COUNT(*) AS n_docs, " +
-      "CAST(SUM(LENGTH(text)) AS BIGINT) AS chars, " +
-      "CAST(SUM(doc_id) AS BIGINT) AS id_sum " +
-      "FROM documents GROUP BY 1 ORDER BY 1"),
+    "q_store_timetravel" -> duckOriginalProfile,
+
+    // Same truths through the SQL surface (read_store TVF): the live
+    // generation is the merged state, as_of=>0 the original corpus.
+    "q_sql_store" -> duckMergedProfile,
+    "q_sql_timetravel" -> duckOriginalProfile,
 
     // cross-set variant: every batch doc (re-labeled +500000) against
     // the whole corpus, self pair included (ids differ by the offset)

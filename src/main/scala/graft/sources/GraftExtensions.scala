@@ -62,6 +62,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusDedupTVF.getClass.getName, "corpus_dedup"),
       (args: Seq[Expression]) => CorpusDedupTVF.build(args)))
 
+    // The mutable corpus of record as a TVF: SELECT * FROM
+    // read_store('path' [, as_of=>N]) — generation-resolved reads
+    // (read_files over the raw dir would see stale generations and
+    // break across merge swaps) plus SQL time travel under the
+    // store's one-grace-cycle retention.
+    ext.injectTableFunction((
+      FunctionIdentifier("read_store"),
+      new ExpressionInfo(ReadStoreTVF.getClass.getName, "read_store"),
+      (args: Seq[Expression]) => ReadStoreTVF.build(args)))
+
     // Index health as a TVF: SELECT * FROM corpus_index_stats('path')
     // — one unified (store, partition, n_rows, n_files, bytes,
     // generation) snapshot for every persisted index family, so the
@@ -470,6 +480,67 @@ object CorpusDedupTVF {
             batch, resolved, threshold)
         else graft.pipeline.TextDedup.crossSetNearDupPairs(
           batch, spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
+    }
+    result.queryExecution.analyzed
+  }
+}
+
+/** `read_store(path [, as_of=>N] [, connection=>name])`: read a
+  * [[graft.pipeline.CorpusStore]] layout from SQL — the
+  * generation-RESOLVED view (`read_files` over the raw directory
+  * would union stale generations and tear across a concurrent merge
+  * swap; this TVF resolves the live `_SUCCESS`-committed generation
+  * exactly once, the same contract every Scala reader follows).
+  *
+  * `as_of=>N` is SQL time travel (`VERSION AS OF` semantics,
+  * [[graft.pipeline.CorpusStore.readAsOf]]): generation N under the
+  * store's one-grace-cycle retention — a pruned generation fails
+  * loud (`GENERATION_PRUNED`) rather than serving a silently partial
+  * snapshot. Pointing the TVF at a non-store path fails loud too. */
+object ReadStoreTVF {
+  private def str(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"read_store: $what must be a string literal, got $other")
+  }
+
+  def build(args: Seq[Expression]): LogicalPlan = {
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts(key.toLowerCase) = value match {
+          case Literal(v: Int, IntegerType) => v.toString
+          case Literal(v: Long, LongType) => v.toString
+          case other => str(other, s"argument $key")
+        }
+      case lit => pos = pos :+ str(lit, "path")
+    }
+    val unknown = opts.keySet -- Set("as_of", "connection")
+    require(unknown.isEmpty,
+      s"read_store: unknown option(s) ${unknown.mkString(", ")} " +
+        "(expected as_of, connection)")
+    val path = pos match {
+      case p :: Nil => p
+      case _ => throw new IllegalArgumentException(
+        "read_store: expected exactly one positional path argument")
+    }
+    val asOf = opts.get("as_of").map { v =>
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"read_store: as_of must be an integer generation, got '$v'") }
+    }
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
+    // fail loud on a non-store path BEFORE the generation machinery
+    // turns it into an opaque listing error
+    require(graft.pipeline.CorpusStore.generations(spark, resolved).nonEmpty,
+      s"read_store: $resolved is not a corpus store layout " +
+        "(no committed corpus generation found)")
+    val result = asOf match {
+      case None => graft.pipeline.CorpusStore.read(spark, resolved)
+      case Some(n) => graft.pipeline.CorpusStore.readAsOf(spark, resolved, n)
     }
     result.queryExecution.analyzed
   }

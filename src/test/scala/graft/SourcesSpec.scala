@@ -482,6 +482,44 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(e3.getMessage.contains("must be in (0, 1]"))
   }
 
+  test("read_store TVF: generation-resolved live read, as_of time travel, loud failures") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_store").toString + "/s"
+    graft.pipeline.CorpusStore.write(docs, dir, buckets = 8)
+    val up = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("V2 "), col("text")).as("text"))
+    graft.pipeline.CorpusStore.merge(spark, dir, up,
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+    // live read through SQL = the Scala reader's generation resolution
+    val live = rows(spark.sql(s"SELECT * FROM read_store('$dir')"))
+    assert(live == rows(graft.pipeline.CorpusStore.read(spark, dir)))
+    assert(live.exists(_._2.startsWith("V2 ")) &&
+      !live.exists(t => t._1 % 7 == 0 && t._1 % 5 != 0))
+    // as_of=>0 = the untouched original corpus
+    val gen0 = rows(spark.sql(s"SELECT * FROM read_store('$dir', as_of=>0)"))
+    assert(gen0 == rows(docs))
+    // a pruned generation fails loud, never a silently partial snapshot
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$dir', as_of=>99)").collect()
+    }
+    assert(e1.getMessage.contains("GENERATION_PRUNED"), e1.getMessage)
+    // a non-store path and an option typo fail loud
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$sfDir/documents.parquet')").collect()
+    }
+    assert(e2.getMessage.contains("not a corpus store layout"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$dir', asof=>0)").collect()
+    }
+    assert(e3.getMessage.contains("unknown option"), e3.getMessage)
+  }
+
   test("corpus_index_stats TVF: one unified health schema across all three index families") {
     import org.apache.spark.sql.functions.col
     val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
