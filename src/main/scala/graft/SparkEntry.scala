@@ -1529,6 +1529,21 @@ object SparkEntry {
       "FROM sh a JOIN sh b ON a.doc_id % 11 = 0) " +
       "WHERE jaccard >= 0.8 ORDER BY doc_id, dup_of"
 
+  /** Transitive closure of the near-dup graph (min reachable doc_id
+    * per component) — shared by the Scala path (dedup_clusters) and
+    * the TVF's cluster mode (q_sql_dedup_clusters). */
+  private val duckClusters: String = "WITH RECURSIVE " +
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3), " +
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+    "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+    "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), " +
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
+    "reach AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+    "members AS (SELECT doc_id, doc_id AS m FROM documents UNION SELECT src AS doc_id, dst AS m FROM reach) " +
+    "SELECT doc_id, MIN(m) AS cluster_id FROM members GROUP BY doc_id ORDER BY doc_id"
+
   /** The (grp, n_docs, chars, id_sum) profile of the corpus store's
     * MERGED state restated from the plain documents table — shared by
     * the Scala read path (q_corpus_merge) and the read_store TVF
@@ -2361,17 +2376,10 @@ object SparkEntry {
     // Connected components of the near-dup graph: transitive closure
     // in the oracle vs distributed label propagation in the engine —
     // same fixpoint (min reachable doc_id per component).
-    "dedup_clusters" -> ("WITH RECURSIVE " +
-      "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s FROM toks WHERE len(w) >= 3), " +
-      "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
-      "WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
-      "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), " +
-      "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs), " +
-      "reach AS (SELECT src, dst FROM edges UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
-      "members AS (SELECT doc_id, doc_id AS m FROM documents UNION SELECT src AS doc_id, dst AS m FROM reach) " +
-      "SELECT doc_id, MIN(m) AS cluster_id FROM members GROUP BY doc_id ORDER BY doc_id"),
+    "dedup_clusters" -> duckClusters,
+    // The identical truth through the SQL surface (corpus_dedup TVF,
+    // mode=>'clusters').
+    "q_sql_dedup_clusters" -> duckClusters,
 
     "q_sample" -> ("SELECT doc_id FROM documents WHERE ((doc_id % 1048576) * 2654435761) % 100 < 10 " +
       "ORDER BY doc_id"),
@@ -3239,6 +3247,14 @@ object SparkEntry {
           s"corpus_dedup('$d/documents.parquet', " +
           s"batch=>'${dedupBatchDir(s, d)}', threshold=>0.8) " +
           "ORDER BY doc_id, dup_of")),
+
+    // Cluster mode through the SQL surface: the near-dup graph's
+    // connected components (label propagation) as a TVF — same
+    // transitive-closure oracle as dedup_clusters.
+    "q_sql_dedup_clusters" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, cluster_id FROM " +
+          s"corpus_dedup('$d/documents.parquet', mode=>'clusters') " +
+          "ORDER BY doc_id")),
 
     // The reference's projection NAMING contract: unaliased computed
     // columns become unnamed_{i} (record_projection.rs:39-59) —

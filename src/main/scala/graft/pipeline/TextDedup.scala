@@ -838,19 +838,25 @@ object TextDedup {
     * Scale shape: one (key, doc_id) self-join — 16-byte rows, no
     * text — then candidate-sized shingle lookups; the corpus-of-
     * record is not touched at all. */
-  def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
-                              dir: String,
-                              threshold: Double = 0.8): DataFrame = {
+  /** The bands store minus tombstoned docs — the live candidate rows
+    * every index-served read path starts from. */
+  private def liveBandRows(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): DataFrame = {
     val bands = spark.read.parquet(liveStore(spark, dir, "bands"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tombFiles = bandTombstoneFiles(fs, dir)
-    val live =
-      if (tombFiles.isEmpty) bands
-      else bands.join(
-        spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
-          .select(col("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+    if (tombFiles.isEmpty) bands
+    else bands.join(
+      spark.read.parquet(tombFiles.map(_.toString).toIndexedSeq: _*)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              threshold: Double = 0.8): DataFrame = {
+    val live = liveBandRows(spark, dir)
     val cands = live.as("x").join(live.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -859,6 +865,21 @@ object TextDedup {
       .select(col("doc_id"), col("sh"))
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** Near-dup CLUSTERS of the indexed corpus, served from the
+    * persisted layout alone: [[nearDupPairsInBandIndex]] pairs →
+    * [[clustersFromPairs]] label propagation, with the doc universe =
+    * the index's live (non-tombstoned) ids, so singletons carry their
+    * own id exactly as [[nearDupClusters]] does over a plain corpus.
+    * Output contract is identical: (doc_id, cluster_id) ordered by
+    * doc_id, cluster_id = the component's min doc_id. */
+  def clustersInBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String,
+                          threshold: Double = 0.8,
+                          maxIters: Int = 20): DataFrame =
+    clustersFromPairs(
+      liveBandRows(spark, dir).select(col("doc_id")).distinct(),
+      nearDupPairsInBandIndex(spark, dir, threshold), maxIters)
 
   /** Near-duplicates of `batch` docs within a PLAIN (doc_id, text)
     * corpus — the index-free fallback of [[nearDupsAgainstBandIndex]]

@@ -406,6 +406,12 @@ object CorpusAnnTVF {
   * plain corpus the index-free LSH cross-join fallback runs
   * ([[graft.pipeline.TextDedup.crossSetNearDupPairs]]).
   *
+  * `mode=>'clusters'` (self mode only): connected components of the
+  * near-dup graph as (doc_id, cluster_id) — label propagation over
+  * the pair frame, singletons carrying their own id
+  * ([[graft.pipeline.TextDedup.nearDupClusters]] /
+  * [[graft.pipeline.TextDedup.clustersInBandIndex]]).
+  *
   * `k` (shingle width) applies to the plain-corpus routes only — an
   * index's scheme is frozen in its meta store, so passing a
   * conflicting k fails loud instead of silently serving under
@@ -434,10 +440,17 @@ object CorpusDedupTVF {
         }
       case lit => pos = pos :+ str(lit, "path")
     }
-    val unknown = opts.keySet -- Set("batch", "threshold", "k", "connection")
+    val unknown = opts.keySet --
+      Set("batch", "threshold", "k", "connection", "mode")
     require(unknown.isEmpty,
       s"corpus_dedup: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected batch, threshold, k, connection)")
+        "(expected batch, threshold, k, connection, mode)")
+    val mode = opts.getOrElse("mode", "pairs")
+    require(mode == "pairs" || mode == "clusters",
+      s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters)")
+    require(mode == "pairs" || !opts.contains("batch"),
+      "corpus_dedup: mode=>'clusters' applies to self mode only " +
+        "(clusters of the corpus; batch gating emits pairs)")
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -466,14 +479,20 @@ object CorpusDedupTVF {
       require(k == metaK, s"corpus_dedup: k $k conflicts with the index's " +
         s"frozen shingle width $metaK at $resolved")
     }
-    val result = opts.get("batch") match {
-      case None =>
+    val result = (opts.get("batch"), mode) match {
+      case (None, "clusters") =>
+        if (isIndex)
+          graft.pipeline.TextDedup.clustersInBandIndex(
+            spark, resolved, threshold)
+        else graft.pipeline.TextDedup.nearDupClusters(
+          spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
+      case (None, _) =>
         if (isIndex)
           graft.pipeline.TextDedup.nearDupPairsInBandIndex(
             spark, resolved, threshold)
         else graft.pipeline.TextDedup.ngramJaccardPairs(
           spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
-      case Some(bpath) =>
+      case (Some(bpath), _) =>
         val batch = spark.read.parquet(resolve(bpath))
         if (isIndex)
           graft.pipeline.TextDedup.nearDupsAgainstBandIndex(

@@ -480,6 +480,36 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_dedup('$idx', threshold=>1.5)").collect()
     }
     assert(e3.getMessage.contains("must be in (0, 1]"))
+    // cluster mode: plain route ≡ nearDupClusters ≡ the index route
+    // (same label-propagation fixpoint from index-served pairs), and
+    // every pair member shares its component label
+    val clPlain = spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', mode=>'clusters')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val clApi = graft.pipeline.TextDedup.nearDupClusters(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(clPlain == clApi)
+    val clIdx = spark.sql(
+      s"SELECT * FROM corpus_dedup('$idx', mode=>'clusters')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the index route's doc universe excludes the earlier takedown —
+    // compare on the surviving ids
+    val clMap = clPlain.toMap
+    assert(clIdx.nonEmpty && clIdx.forall { case (id, c) => clMap.get(id).contains(c) ||
+      // a component whose min id was tombstoned relabels to the next min
+      clIdx.filter(_._2 == c).map(_._1).min == c })
+    val lbl = clPlain.toMap
+    selfPlain.foreach { case (a, b, _) => assert(lbl(a) == lbl(b)) }
+    // unknown mode and clusters+batch fail loud
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', mode=>'graphs')").collect()
+    }
+    assert(e4.getMessage.contains("unknown mode"))
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', batch=>'$bDir', " +
+        "mode=>'clusters')").collect()
+    }
+    assert(e5.getMessage.contains("self mode only"))
   }
 
   test("read_store TVF: generation-resolved live read, as_of time travel, loud failures") {
