@@ -211,10 +211,8 @@ object CorpusSearchTVF {
     val resolved = resolve(path)
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
-    val isIndex = {
-      val p = new org.apache.hadoop.fs.Path(s"$resolved/meta")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    val isIndex = IndexLayouts.requireServable(
+      spark, resolved, "corpus_search", "a text index").isDefined
     // batch queries are collected driver-side: the batch IS
     // driver-bounded by the serving contract (searchMany's own
     // collect does the same), and term normalization must be the
@@ -361,8 +359,10 @@ object CorpusAnnTVF {
       s"corpus_ann: query vector has $qd dims but the corpus at " +
         s"$resolved has $dim"))
     val batch = vecStr.isEmpty
+    val servesIvf = IndexLayouts.requireServable(
+      spark, resolved, "corpus_ann", "an IVF index").isDefined
     val result =
-      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved)) {
+      if (servesIvf) {
         requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
         graft.pipeline.Embeddings
           .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe,
@@ -471,7 +471,8 @@ object CorpusDedupTVF {
     val resolve = (p: String) =>
       ReadFilesTVF.connections.resolve(opts.get("connection"), p)
     val resolved = resolve(path)
-    val isIndex = graft.pipeline.TextDedup.isBandIndex(spark, resolved)
+    val isIndex = IndexLayouts.requireServable(
+      spark, resolved, "corpus_dedup", "a band index").isDefined
     // an index's gram scheme is frozen at build time: a conflicting
     // k must fail loud, not silently serve different grams
     if (isIndex) kOpt.foreach { k =>
@@ -501,6 +502,29 @@ object CorpusDedupTVF {
           batch, spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
     }
     result.queryExecution.analyzed
+  }
+}
+
+/** Which graft index family (if any) lives at a path — the shared
+  * routing truth for the corpus TVFs. A TVF pointed at a SIBLING
+  * family must fail NAMING the layout it found (e.g. `corpus_search`
+  * at a band index), not fall through to the plain-corpus route and
+  * surface an opaque schema/read error from the wrong code path. */
+object IndexLayouts {
+  def familyOf(spark: SparkSession, path: String): Option[String] =
+    if (graft.pipeline.Embeddings.isIvfIndex(spark, path)) Some("an IVF index")
+    else if (graft.pipeline.TextDedup.isBandIndex(spark, path)) Some("a band index")
+    else if (graft.pipeline.TextIndex.isTextIndex(spark, path)) Some("a text index")
+    else None
+
+  /** Fail loud when `path` holds an index family the TVF cannot
+    * serve from; `served` is the family the TVF does route to. */
+  def requireServable(spark: SparkSession, path: String, tvf: String,
+                      served: String): Option[String] = {
+    val fam = familyOf(spark, path)
+    require(fam.isEmpty || fam.contains(served),
+      s"$tvf: $path is ${fam.get} — expected $served or a plain corpus parquet")
+    fam
   }
 }
 

@@ -594,6 +594,21 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("not a graft index layout"), e.getMessage)
     assert(nDocs > 0)
+    // sibling-family misrouting fails NAMING the layout found, instead
+    // of falling through to the plain-corpus route and surfacing an
+    // opaque schema/read error from the wrong code path
+    val m1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$base/band', 'x')").collect()
+    }
+    assert(m1.getMessage.contains("is a band index"), m1.getMessage)
+    val m2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$base/text', '1.0')").collect()
+    }
+    assert(m2.getMessage.contains("is a text index"), m2.getMessage)
+    val m3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$base/ivf')").collect()
+    }
+    assert(m3.getMessage.contains("is an IVF index"), m3.getMessage)
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
