@@ -40,6 +40,15 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.awaitComplete(dedupId) == QueryStatus.Complete)
     val dd = svc.reader(dedupId).asDataFrame.collect()
     assert(dd.nonEmpty && dd.forall(_.getDouble(2) >= 0.8))
+    // the store/ops TVFs resolve on the service session too
+    val storeDir = java.nio.file.Files.createTempDirectory("svc_store").toString + "/s"
+    graft.pipeline.CorpusStore.write(
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"),
+      storeDir, buckets = 4)
+    val storeId = svc.runQuery(
+      s"select count(*) as n from read_store('$storeDir')")
+    assert(svc.awaitComplete(storeId) == QueryStatus.Complete)
+    assert(svc.reader(storeId).asDataFrame.head().getLong(0) > 0)
   }
 
   test("error status carries the failure message") {
