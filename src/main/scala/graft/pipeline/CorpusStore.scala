@@ -96,8 +96,12 @@ object CorpusStore {
     * maintenance-quiet window) or materialize/collect promptly after
     * resolving; the live generation is immune (it survives at least
     * one further cycle as grace). */
-  def readAsOf(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
-    val gens = generations(spark, dir)
+  def readAsOf(spark: SparkSession, dir: String, asOf: Int,
+               resolved: Option[Seq[(Int, String)]] = None): DataFrame = {
+    // `resolved` lets a caller that already listed the generations
+    // (e.g. the read_store TVF's layout guard) reuse that one listing
+    // instead of paying a second directory scan per plan
+    val gens = resolved.getOrElse(generations(spark, dir))
     gens.find(_._1 == asOf) match {
       case Some((_, path)) => spark.read.parquet(path).drop("bucket")
       case None => throw new IllegalArgumentException(

@@ -1055,27 +1055,9 @@ object Embeddings {
     * append debt ([[compactIvfIndex]] due). */
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
-    import spark.implicits._
     val live = liveCorpusDir(spark, liveIndexRoot(spark, dir))
-    val gen =
-      if (live.endsWith("/corpus")) 0
-      else live.substring(live.lastIndexOf("_v") + 2).toInt
-    val root = new org.apache.hadoop.fs.Path(live)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val geo = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map { d =>
-        val files = fs.listStatus(d.getPath).filter { f =>
-          val n = f.getPath.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
-        (d.getPath.getName.stripPrefix("cell=").toInt,
-          files.length.toLong, files.map(_.getLen).sum)
-      }.toSeq.toDF("cell", "n_files", "bytes")
-    spark.read.parquet(live)
-      .groupBy("cell").agg(count(lit(1)).as("n_rows"))
-      .join(broadcast(geo), "cell")
-      .withColumn("generation", lit(gen))
+    Stores.storeStats(spark, live, "cell=", "cell")
+      .withColumn("generation", lit(Stores.generationOf(live, "corpus")))
       .orderBy("cell")
   }
 

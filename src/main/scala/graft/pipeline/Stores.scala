@@ -26,6 +26,42 @@ private[graft] object Stores {
       .filter(_._1 > 0).lastOption.map(_._2)
       .getOrElse(s"$dir/$base")
 
+  /** The generation number a resolved live path denotes — the inverse
+    * of the `dir/base` vs `dir/base_v<N>` naming convention. */
+  def generationOf(live: String, base: String): Int =
+    if (live.endsWith(s"/$base")) 0
+    else live.substring(live.lastIndexOf("_v") + 2).toInt
+
+  /** Per-partition operational snapshot of ONE resolved store
+    * generation — the shared core of every index family's stats API
+    * (IVF cells, band/text buckets): parquet file count and on-disk
+    * bytes from filesystem metadata (bounded by the partition count),
+    * row counts from one column-pruned aggregate (parquet footer
+    * counts — no data decode). Output: (partCol, n_rows, n_files,
+    * bytes). */
+  def storeStats(spark: SparkSession, live: String,
+                 partPrefix: String, partCol: String):
+      org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val root = new Path(live)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val geo = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partPrefix))
+      .map { d =>
+        val files = fs.listStatus(d.getPath).filter { f =>
+          val n = f.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        (d.getPath.getName.stripPrefix(partPrefix).toInt,
+          files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq.toDF(partCol, "n_files", "bytes")
+    spark.read.parquet(live)
+      .groupBy(partCol).agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(geo), partCol)
+      .select(partCol, "n_rows", "n_files", "bytes")
+  }
+
   /** Every COMMITTED generation still on disk, ascending version: the
     * base (version 0) and each `dir/base_v<N>`, each only if its
     * commit marker landed — a torn base write is excluded here, so a

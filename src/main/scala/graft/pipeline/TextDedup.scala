@@ -679,29 +679,11 @@ object TextDedup {
     * store. */
   def bandIndexStats(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
-    import spark.implicits._
     Seq("bands", "shingles").map { name =>
       val live = liveStore(spark, dir, name)
-      val gen =
-        if (live.endsWith(s"/$name")) 0
-        else live.substring(live.lastIndexOf("_v") + 2).toInt
-      val root = new org.apache.hadoop.fs.Path(live)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val geo = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-        .map { d =>
-          val files = fs.listStatus(d.getPath).filter { f =>
-            val n = f.getPath.getName
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }
-          (d.getPath.getName.stripPrefix("bucket=").toInt,
-            files.length.toLong, files.map(_.getLen).sum)
-        }.toSeq.toDF("bucket", "n_files", "bytes")
-      spark.read.parquet(live)
-        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
-        .join(broadcast(geo), "bucket")
+      Stores.storeStats(spark, live, "bucket=", "bucket")
         .withColumn("store", lit(name))
-        .withColumn("generation", lit(gen))
+        .withColumn("generation", lit(Stores.generationOf(live, name)))
     }.reduce(_.unionByName(_))
       .select("store", "bucket", "n_rows", "n_files", "bytes", "generation")
       .orderBy("store", "bucket")
@@ -853,33 +835,50 @@ object TextDedup {
       Seq("doc_id"), "left_anti")
   }
 
-  def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
-                              dir: String,
-                              threshold: Double = 0.8): DataFrame = {
-    val live = liveBandRows(spark, dir)
+  /** Pair candidates + exact verification over PRE-RESOLVED index
+    * frames — the shared core of [[nearDupPairsInBandIndex]] and
+    * [[clustersInBandIndex]], factored so a caller that needs both
+    * the live rows and the pairs resolves the bands generation ONCE
+    * (two independent resolutions could tear across a concurrent
+    * compaction commit). */
+  private def pairsFromLiveRows(live: DataFrame, shingles: DataFrame,
+                                threshold: Double): DataFrame = {
     val cands = live.as("x").join(live.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = spark.read.parquet(liveStore(spark, dir, "shingles"))
-      .select(col("doc_id"), col("sh"))
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccard(cands, shingles.select(col("doc_id"), col("sh")), threshold)
   }
 
+  def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String,
+                              threshold: Double = 0.8): DataFrame =
+    pairsFromLiveRows(liveBandRows(spark, dir),
+      spark.read.parquet(liveStore(spark, dir, "shingles")), threshold)
+
   /** Near-dup CLUSTERS of the indexed corpus, served from the
-    * persisted layout alone: [[nearDupPairsInBandIndex]] pairs →
-    * [[clustersFromPairs]] label propagation, with the doc universe =
-    * the index's live (non-tombstoned) ids, so singletons carry their
-    * own id exactly as [[nearDupClusters]] does over a plain corpus.
-    * Output contract is identical: (doc_id, cluster_id) ordered by
-    * doc_id, cluster_id = the component's min doc_id. */
+    * persisted layout alone: index pairs → [[clustersFromPairs]]
+    * label propagation, with the doc universe = the index's live
+    * (non-tombstoned) ids — resolved ONCE and shared with the pair
+    * frame, so a concurrent compaction commit cannot tear universe
+    * and edges across generations. Singletons carry their own id;
+    * cluster_id = the component's min doc_id, ordered by doc_id.
+    *
+    * Universe caveat vs [[nearDupClusters]]: the index only ever
+    * contained docs with ≥ k words (shorter docs have no shingles and
+    * are skipped at build/append time), so such docs appear as
+    * singletons in the plain-corpus route but are ABSENT here — the
+    * index serves what it indexed. */
   def clustersInBandIndex(spark: org.apache.spark.sql.SparkSession,
                           dir: String,
                           threshold: Double = 0.8,
-                          maxIters: Int = 20): DataFrame =
+                          maxIters: Int = 20): DataFrame = {
+    val live = liveBandRows(spark, dir)
+    val sh = spark.read.parquet(liveStore(spark, dir, "shingles"))
     clustersFromPairs(
-      liveBandRows(spark, dir).select(col("doc_id")).distinct(),
-      nearDupPairsInBandIndex(spark, dir, threshold), maxIters)
+      live.select(col("doc_id")).distinct(),
+      pairsFromLiveRows(live, sh, threshold), maxIters)
+  }
 
   /** Near-duplicates of `batch` docs within a PLAIN (doc_id, text)
     * corpus — the index-free fallback of [[nearDupsAgainstBandIndex]]

@@ -156,28 +156,10 @@ object TextIndex {
     * (bounded by the frozen bucket count); row counts one pruneable
     * aggregate (parquet footer counts — no postings decode). */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    import org.apache.spark.sql.functions.lit
     val live = liveStore(spark, dir)
-    val gen =
-      if (live.endsWith("/postings")) 0
-      else live.substring(live.lastIndexOf("_v") + 2).toInt
-    val root = new Path(live)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val geo = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
-      .map { d =>
-        val files = fs.listStatus(d.getPath).filter { f =>
-          val n = f.getPath.getName
-          n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
-        (d.getPath.getName.stripPrefix("bucket=").toInt,
-          files.length.toLong, files.map(_.getLen).sum)
-      }.toSeq.toDF("bucket", "n_files", "bytes")
-    spark.read.parquet(live)
-      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
-      .join(broadcast(geo), "bucket")
-      .withColumn("generation", lit(gen))
+    Stores.storeStats(spark, live, "bucket=", "bucket")
+      .withColumn("generation", lit(Stores.generationOf(live, "postings")))
       .select("bucket", "n_rows", "n_files", "bytes", "generation")
       .orderBy("bucket")
   }

@@ -212,7 +212,7 @@ object CorpusSearchTVF {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val isIndex = IndexLayouts.requireServable(
-      spark, resolved, "corpus_search", "a text index").isDefined
+      spark, resolved, "corpus_search", IndexLayouts.TextIdx)
     // batch queries are collected driver-side: the batch IS
     // driver-bounded by the serving contract (searchMany's own
     // collect does the same), and term normalization must be the
@@ -360,7 +360,7 @@ object CorpusAnnTVF {
         s"$resolved has $dim"))
     val batch = vecStr.isEmpty
     val servesIvf = IndexLayouts.requireServable(
-      spark, resolved, "corpus_ann", "an IVF index").isDefined
+      spark, resolved, "corpus_ann", IndexLayouts.IvfIndex)
     val result =
       if (servesIvf) {
         requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
@@ -445,7 +445,7 @@ object CorpusDedupTVF {
     require(unknown.isEmpty,
       s"corpus_dedup: unknown option(s) ${unknown.mkString(", ")} " +
         "(expected batch, threshold, k, connection, mode)")
-    val mode = opts.getOrElse("mode", "pairs")
+    val mode = opts.getOrElse("mode", "pairs").toLowerCase
     require(mode == "pairs" || mode == "clusters",
       s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters)")
     require(mode == "pairs" || !opts.contains("batch"),
@@ -472,7 +472,7 @@ object CorpusDedupTVF {
       ReadFilesTVF.connections.resolve(opts.get("connection"), p)
     val resolved = resolve(path)
     val isIndex = IndexLayouts.requireServable(
-      spark, resolved, "corpus_dedup", "a band index").isDefined
+      spark, resolved, "corpus_dedup", IndexLayouts.BandIndex)
     // an index's gram scheme is frozen at build time: a conflicting
     // k must fail loud, not silently serve different grams
     if (isIndex) kOpt.foreach { k =>
@@ -511,20 +511,27 @@ object CorpusDedupTVF {
   * at a band index), not fall through to the plain-corpus route and
   * surface an opaque schema/read error from the wrong code path. */
 object IndexLayouts {
-  def familyOf(spark: SparkSession, path: String): Option[String] =
-    if (graft.pipeline.Embeddings.isIvfIndex(spark, path)) Some("an IVF index")
-    else if (graft.pipeline.TextDedup.isBandIndex(spark, path)) Some("a band index")
-    else if (graft.pipeline.TextIndex.isTextIndex(spark, path)) Some("a text index")
+  sealed abstract class Family(val label: String)
+  case object IvfIndex extends Family("an IVF index")
+  case object BandIndex extends Family("a band index")
+  case object TextIdx extends Family("a text index")
+
+  def familyOf(spark: SparkSession, path: String): Option[Family] =
+    if (graft.pipeline.Embeddings.isIvfIndex(spark, path)) Some(IvfIndex)
+    else if (graft.pipeline.TextDedup.isBandIndex(spark, path)) Some(BandIndex)
+    else if (graft.pipeline.TextIndex.isTextIndex(spark, path)) Some(TextIdx)
     else None
 
   /** Fail loud when `path` holds an index family the TVF cannot
-    * serve from; `served` is the family the TVF does route to. */
+    * serve from; `served` is the family the TVF does route to.
+    * Returns whether the path IS the served family. */
   def requireServable(spark: SparkSession, path: String, tvf: String,
-                      served: String): Option[String] = {
+                      served: Family): Boolean = {
     val fam = familyOf(spark, path)
     require(fam.isEmpty || fam.contains(served),
-      s"$tvf: $path is ${fam.get} — expected $served or a plain corpus parquet")
-    fam
+      s"$tvf: $path is ${fam.get.label} — expected ${served.label} " +
+        "or a plain corpus parquet")
+    fam.isDefined
   }
 }
 
@@ -555,6 +562,14 @@ object ReadStoreTVF {
         opts(key.toLowerCase) = value match {
           case Literal(v: Int, IntegerType) => v.toString
           case Literal(v: Long, LongType) => v.toString
+          // the parser produces UnaryMinus(Literal(n)) for a negative
+          // integer literal — map it to its value so as_of=>-1 fails
+          // with the honest GENERATION_PRUNED/guard message, not a
+          // misleading "must be a string literal"
+          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+              Literal(v: Int, IntegerType), _) => (-v).toString
+          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+              Literal(v: Long, LongType), _) => (-v).toString
           case other => str(other, s"argument $key")
         }
       case lit => pos = pos :+ str(lit, "path")
@@ -576,14 +591,21 @@ object ReadStoreTVF {
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
-    // fail loud on a non-store path BEFORE the generation machinery
-    // turns it into an opaque listing error
-    require(graft.pipeline.CorpusStore.generations(spark, resolved).nonEmpty,
+    // ONE generation listing serves the loud non-store guard, the
+    // live resolution, and the time-travel lookup — plan-time I/O
+    // matters when the store lives on an object store
+    val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
+    require(gens.nonEmpty,
       s"read_store: $resolved is not a corpus store layout " +
         "(no committed corpus generation found)")
     val result = asOf match {
-      case None => graft.pipeline.CorpusStore.read(spark, resolved)
-      case Some(n) => graft.pipeline.CorpusStore.readAsOf(spark, resolved, n)
+      case None =>
+        // same resolution rule as CorpusStore.read/liveGeneration:
+        // highest committed versioned generation, else the base
+        val live = gens.filter(_._1 > 0).lastOption.getOrElse(gens.head)._2
+        spark.read.parquet(live).drop("bucket")
+      case Some(n) =>
+        graft.pipeline.CorpusStore.readAsOf(spark, resolved, n, Some(gens))
     }
     result.queryExecution.analyzed
   }
@@ -638,22 +660,26 @@ object CorpusIndexStatsTVF {
     ReadFilesTVF.connections.applyTo(spark)
     val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
     import org.apache.spark.sql.functions.{col, lit => slit}
-    val unified =
-      if (graft.pipeline.Embeddings.isIvfIndex(spark, resolved))
+    // one routing truth with the serving TVFs: dispatch on familyOf,
+    // so a new index family cannot silently diverge between routing
+    // and stats
+    val unified = IndexLayouts.familyOf(spark, resolved) match {
+      case Some(IndexLayouts.IvfIndex) =>
         graft.pipeline.Embeddings.ivfIndexStats(spark, resolved)
           .select(slit("corpus").as("store"), col("cell").as("partition"),
             col("n_rows"), col("n_files"), col("bytes"), col("generation"))
-      else if (graft.pipeline.TextDedup.isBandIndex(spark, resolved))
+      case Some(IndexLayouts.BandIndex) =>
         graft.pipeline.TextDedup.bandIndexStats(spark, resolved)
           .select(col("store"), col("bucket").as("partition"),
             col("n_rows"), col("n_files"), col("bytes"), col("generation"))
-      else if (graft.pipeline.TextIndex.isTextIndex(spark, resolved))
+      case Some(IndexLayouts.TextIdx) =>
         graft.pipeline.TextIndex.indexStats(spark, resolved)
           .select(slit("postings").as("store"), col("bucket").as("partition"),
             col("n_rows"), col("n_files"), col("bytes"), col("generation"))
-      else throw new IllegalArgumentException(
+      case None => throw new IllegalArgumentException(
         s"corpus_index_stats: $resolved is not a graft index layout " +
           "(expected an IVF index, a band index, or a text index)")
+    }
     unified.orderBy("store", "partition").queryExecution.analyzed
   }
 }

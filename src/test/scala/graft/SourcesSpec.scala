@@ -492,12 +492,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val clIdx = spark.sql(
       s"SELECT * FROM corpus_dedup('$idx', mode=>'clusters')")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // the index route's doc universe excludes the earlier takedown —
-    // compare on the surviving ids
-    val clMap = clPlain.toMap
-    assert(clIdx.nonEmpty && clIdx.forall { case (id, c) => clMap.get(id).contains(c) ||
-      // a component whose min id was tombstoned relabels to the next min
-      clIdx.filter(_._2 == c).map(_._1).min == c })
+    // EXACT expectation for the index route, independently derived:
+    // universe = indexable docs (>= 3 words — shorter docs never
+    // enter the index) minus the takedown; labels = min reachable id
+    // by union-find over the index's own verified pairs (already
+    // asserted equal to the plain route's) minus pairs touching the
+    // victim
+    val universe = docs.collect()
+      .filter(_.getString(1).trim.toLowerCase.split("\\s+").length >= 3)
+      .map(_.getLong(0)).toSet - victim
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    selfIdx.collect { case (a, b, _) if a != victim && b != victim =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = universe.toSeq.sorted.map(id => (id, find(id)))
+    assert(clIdx == expected,
+      s"index clusters diverge from union-find truth: got ${clIdx.take(5)}...")
+    // and the plain route's labels agree with its own pair frame
     val lbl = clPlain.toMap
     selfPlain.foreach { case (a, b, _) => assert(lbl(a) == lbl(b)) }
     // unknown mode and clusters+batch fail loud
