@@ -1090,4 +1090,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       assert(spark.sql(sql).collect().toSeq == svc.sqlSession.sql(sql).collect().toSeq)
     } finally svc.close()
   }
+
+  test("read_store TVF plans scan ONLY the live generation; corpus_dedup index route never reads text") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_plan_tvf").toString
+    graft.pipeline.CorpusStore.write(docs, s"$base/store", buckets = 4)
+    graft.pipeline.CorpusStore.merge(spark, s"$base/store",
+      docs.filter(col("doc_id") % 9 === 0), docs.limit(0).select("doc_id"))
+    // after the merge the live generation is corpus_v1: the TVF's
+    // scan must root there and ONLY there — a raw-dir scan would
+    // union the grace generation and double-count
+    def scanRoots(df: DataFrame): Seq[String] = planOf(df).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    val liveRoots = scanRoots(spark.sql(s"SELECT * FROM read_store('$base/store')"))
+    assert(liveRoots.nonEmpty && liveRoots.forall(_.contains("corpus_v1")),
+      s"live read must scan corpus_v1 only: $liveRoots")
+    val gen0Roots = scanRoots(
+      spark.sql(s"SELECT * FROM read_store('$base/store', as_of=>0)"))
+    assert(gen0Roots.nonEmpty && gen0Roots.forall(r =>
+      r.endsWith("/corpus") || r.contains("/corpus/")),
+      s"as_of=>0 must scan the base generation only: $gen0Roots")
+    // index-served near-dup pairs: the candidate join materializes
+    // eagerly at TVF-build time (its bands scans become ExistingRDD —
+    // same shape the nearDupsAgainstBandIndex pin documents), so the
+    // pin here is the NEGATIVE guarantee: nothing in the final plan
+    // roots at the corpus parquet — the text is never re-read (what
+    // makes the route O(index), not O(corpus))
+    graft.pipeline.TextDedup.writeBandIndex(docs, s"$base/band")
+    val dedupPlan = planOf(
+      spark.sql(s"SELECT * FROM corpus_dedup('$base/band')"))
+    val dedupRoots = dedupPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(!dedupRoots.exists(_.contains("documents.parquet")),
+      s"index route re-read the corpus text: $dedupRoots")
+    assert(!dedupPlan.toString.contains("documents.parquet"),
+      "corpus parquet leaked into the index-served plan")
+  }
 }
