@@ -479,4 +479,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("clustersFromPairs equals union-find connected components on random graphs") {
+    import spark.implicits._
+    // random sparse edge sets over a small vertex universe — the
+    // distributed label propagation's fixpoint (min reachable id per
+    // component, singletons own id) must equal an independent
+    // driver-side union-find on every one of them, including shapes
+    // the fixtures never produce (long chains that need many hops,
+    // cycles, isolated vertices, duplicate/self-free edges)
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges)
+    // plus the worst case for propagation depth: one path graph
+    val chain = (40, (0L until 39L).map(i => (i, i + 1)).toList)
+    (samples(graphGen, 12) :+ chain).foreach { case (n, edges) =>
+      val docs = (0L until n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) docs.limit(0)
+          .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+        else edges.toDF("doc_a", "doc_b")
+      val got = graft.pipeline.TextDedup.clustersFromPairs(docs, pairs, maxIters = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent truth: union-find with min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n.toLong).map(id => id -> find(id)).toMap
+      assert(got == want, s"n=$n edges=$edges")
+    }
+  }
 }
