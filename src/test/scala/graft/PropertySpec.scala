@@ -332,6 +332,44 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("index-free cross-set near-dup equals brute force on random corpora") {
+    // crossSetNearDupPairs (corpus_dedup's batch fallback for a corpus
+    // nobody indexed) must agree with the definitional cross-set
+    // jaccard on arbitrary corpora — same corpus/batch/threshold
+    // geometry as the indexed-route property above, same bands=32
+    // margin that drives the per-true-pair candidate-miss below 1e-7
+    val docGen: Gen[List[String]] = for {
+      n <- Gen.choose(25, 35)
+      ws <- Gen.listOfN(n, Gen.choose(0, 49).map(i => s"w$i"))
+    } yield ws
+    val corpusGen: Gen[List[List[String]]] = Gen.listOfN(6, docGen)
+    def shingles(ws: List[String]): Set[String] =
+      if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    samples(Gen.zip(corpusGen, Gen.choose(0, 49)), 8).foreach { case (corpus, mut) =>
+      import spark.implicits._
+      val corpusRows = corpus.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+      val batchRows = Seq(
+        (1000L, corpus.head),
+        (1001L, corpus(1).init :+ s"w$mut"),
+        (1002L, List.fill(30)(s"z$mut")))
+      val want = (for {
+        (bid, bws) <- batchRows; (cid, cws) <- corpusRows
+        bs = shingles(bws); cs = shingles(cws) if bs.nonEmpty && cs.nonEmpty
+        inter = (bs & cs).size; uni = bs.size + cs.size - inter
+        j = inter.toDouble / uni if j >= 0.8
+      } yield (bid, cid, j)).toSet
+      val got = graft.pipeline.TextDedup.crossSetNearDupPairs(
+          batchRows.map { case (i, ws) => (i, ws.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          corpusRows.map { case (i, ws) => (i, ws.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          threshold = 0.8, bands = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"corpus=${corpusRows.map(_._2.mkString(" "))}\n" +
+        s" got $got\nwant $want")
+    }
+  }
+
   test("lmScore equals the in-memory bigram model on random corpora") {
     // the DECIMAL(18,12) rounding contract must hold for arbitrary
     // token distributions, not just the fixture vocabulary
