@@ -118,7 +118,9 @@ object Bench {
       "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr",
       "q_bucketed_join", "q_corpus_merge", "q_bm25_indexed", "q_phrase_search",
       "q_zonemap", "q_store_timetravel", "q_search_many", "q_hybrid_indexed",
-      "q_sql_phrase")
+      "q_sql_phrase", "q_sql_search", "q_sql_ann", "q_sql_ann_many",
+      "q_sql_search_many", "q_sql_phrase_many", "q_sql_neardup_index",
+      "q_sql_neardup_batch", "q_sql_store", "q_sql_timetravel")
     if (only.forall(o => o.exists(indexQueries.contains)))
       SparkEntry.prepareIndexFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

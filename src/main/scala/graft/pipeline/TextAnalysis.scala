@@ -235,6 +235,49 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Batch [[phraseCounts]] in ONE corpus pass: tokens are computed
+    * once per doc and every phrase's occurrence count is an
+    * expression column over the same token array (all codegen), then
+    * the (query_id, n_hits) pairs unpivot and each query takes its
+    * own top-k — per-query results identical to N separate
+    * [[phraseCounts]] calls (same count logic, same (n_hits desc,
+    * doc_id) cut), at 1/N the scan cost on a plain corpus. Blank
+    * phrases contribute no rows. */
+  def phraseCountsMany(docs: DataFrame, phrases: Seq[(Long, String)],
+                       k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parsed = phrases
+      .map { case (qid, p) =>
+        (qid, p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq) }
+      .filter(_._2.nonEmpty)
+    if (parsed.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "n_hits")
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    def hitsFor(terms: Seq[String]) = {
+      val n = terms.length
+      val starts = when(size(col("w")) >= lit(n),
+        sequence(lit(1), size(col("w")) - lit(n) + lit(1)))
+        .otherwise(array().cast("array<int>"))
+      size(filter(starts,
+        i => terms.zipWithIndex.map { case (t, j) =>
+          element_at(col("w"), i + lit(j)) === lit(t)
+        }.reduce(_ && _))).cast("long")
+    }
+    val perQuery = parsed.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"), hitsFor(terms).as("n_hits")) }
+    val exploded = toks
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id"), col("doc_id"), col("q.n_hits"))
+      .filter(col("n_hits") > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("n_hits").desc, col("doc_id"))
+    exploded.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "n_hits")
+  }
+
   /** Adjacent-symbol pair frequencies at BPE iteration zero: every
     * word split into characters + the `</w>` end marker, pairs
     * weighted by word frequency. The first merge any BPE trainer

@@ -21,6 +21,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * Install via `.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.sources.GraftExtensions`.
   */
+/** Shared positional/named argument parsing for the corpus TVFs —
+  * ONE literal-extraction truth (string; int/long including the
+  * parser's `UnaryMinus(Literal)` shape for negatives; decimal/double
+  * for thresholds) instead of a per-TVF copy that drifts, and one
+  * unknown-option rejection (a typo'd key must fail loud, never
+  * silently serve the default behavior). */
+private[sources] object TvfArgs {
+  def parse(tvf: String, args: Seq[Expression], allowed: Set[String])
+      : (List[String], Map[String, String]) = {
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$tvf: $what must be a literal, got $other")
+    }
+    var pos = List.empty[String]
+    val opts = scala.collection.mutable.Map[String, String]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        opts(key.toLowerCase) = value match {
+          case Literal(v: Int, IntegerType) => v.toString
+          case Literal(v: Long, LongType) => v.toString
+          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+              Literal(v: Int, IntegerType), _) => (-v).toString
+          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
+              Literal(v: Long, LongType), _) => (-v).toString
+          case Literal(v, _: org.apache.spark.sql.types.DecimalType) =>
+            v.toString
+          case Literal(v: Double, org.apache.spark.sql.types.DoubleType) =>
+            v.toString
+          case other => str(other, s"argument $key")
+        }
+      case lit => pos = pos :+ str(lit, "positional argument")
+    }
+    val unknown = opts.keySet -- allowed
+    require(unknown.isEmpty,
+      s"$tvf: unknown option(s) ${unknown.mkString(", ")} " +
+        s"(expected ${allowed.toSeq.sorted.mkString(", ")})")
+    (pos, opts.toMap)
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
@@ -167,31 +208,11 @@ object GraftExtensions {
   * instead of scanning the corpus: point the TVF at the index and the
   * query cost follows the query, not the data. */
 object CorpusSearchTVF {
-  private def str(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"corpus_search: $what must be a string literal, got $other")
-  }
-
   def build(args: Seq[Expression]): LogicalPlan = {
-    var pos = List.empty[String]
-    val opts = scala.collection.mutable.Map[String, String]()
-    args.foreach {
-      case NamedArgumentExpression(key, value) =>
-        // k arrives as an integer literal, connection as a string
-        opts(key.toLowerCase) = value match {
-          case Literal(v: Int, IntegerType) => v.toString
-          case Literal(v: Long, LongType) => v.toString
-          case other => str(other, s"argument $key")
-        }
-      case lit => pos = pos :+ str(lit, "path/query")
-    }
-    // options change result SEMANTICS (mode), so a typo'd key must
-    // fail loud, not silently serve the default behavior
-    val unknown = opts.keySet -- Set("k", "mode", "connection", "queries")
-    require(unknown.isEmpty,
-      s"corpus_search: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected k, mode, connection, queries)")
+    // options change result SEMANTICS (mode), so a typo'd key fails
+    // loud inside the shared parser, not silently serving defaults
+    val (pos, opts) = TvfArgs.parse("corpus_search", args,
+      Set("k", "mode", "connection", "queries"))
     val (path, query) = (pos, opts.get("queries")) match {
       case (p :: q :: Nil, None) => (p, Some(q))
       case (p :: Nil, Some(_)) => (p, None)
@@ -219,8 +240,20 @@ object CorpusSearchTVF {
     // Scala trim/toLowerCase the single-query path uses
     val batch: Option[Seq[(Long, String)]] = query match {
       case Some(_) => None
-      case None => Some(spark.read.parquet(resolve(opts("queries")))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq)
+      case None =>
+        // defensive read, like the sibling paths: an int32 query_id
+        // (pyarrow's default for small ints) must not ClassCastException
+        // and a null query must fail loud, not NPE in termsOf
+        val raw = spark.read.parquet(resolve(opts("queries")))
+        val rows = raw.select(
+            col(raw.columns.head).cast("long").as("query_id"),
+            col(raw.columns(1)).as("query"))
+          .collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+        val nulls = rows.collect { case (qid, null) => qid }
+        require(nulls.isEmpty,
+          s"corpus_search: null query for query_id(s) ${nulls.mkString(", ")}")
+        Some(rows)
     }
     def termsOf(q: String): Seq[String] =
       q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
@@ -246,19 +279,24 @@ object CorpusSearchTVF {
         if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, query.get, k)
         else graft.pipeline.TextAnalysis.phraseCounts(
           spark.read.parquet(resolved), query.get, k)
-      // one pruned probe per phrase (driver-bounded batch), each with
-      // its own top-k cut, stitched with the query_id and re-ordered
-      // to the batch contract; blank phrases contribute no rows
+      // index route: one PRUNED positional probe per phrase
+      // (driver-bounded batch, each probe touches only its terms'
+      // buckets). Plain-corpus route: ONE shared scan for the whole
+      // batch (phraseCountsMany — N separate phraseCounts legs would
+      // scan the full corpus N times). Blank phrases contribute no
+      // rows; per-query results identical either way.
       case ("phrase", Some(qs)) =>
-        val legs = qs.filter(_._2.trim.nonEmpty).map { case (qid, q) =>
-          (if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, q, k)
-           else graft.pipeline.TextAnalysis.phraseCounts(
-             spark.read.parquet(resolved), q, k))
-            .select(lit(qid).as("query_id"), col("doc_id"), col("n_hits"))
-        }
-        if (legs.isEmpty) Seq.empty[(Long, Long, Long)]
-          .toDF("query_id", "doc_id", "n_hits")
-        else legs.reduce(_.unionAll(_)).orderBy("query_id", "doc_id")
+        if (isIndex) {
+          val legs = qs.filter(_._2.trim.nonEmpty).map { case (qid, q) =>
+            graft.pipeline.TextIndex.searchPhrase(spark, resolved, q, k)
+              .select(lit(qid).as("query_id"), col("doc_id"), col("n_hits"))
+          }
+          if (legs.isEmpty) Seq.empty[(Long, Long, Long)]
+            .toDF("query_id", "doc_id", "n_hits")
+          else legs.reduce(_.unionAll(_)).orderBy("query_id", "doc_id")
+        } else graft.pipeline.TextAnalysis.phraseCountsMany(
+          spark.read.parquet(resolved), qs, k)
+          .orderBy("query_id", "doc_id")
       case _ => throw new IllegalStateException("unreachable")
     }
     result.queryExecution.analyzed
@@ -287,29 +325,9 @@ object CorpusSearchTVF {
   * exact top-k over the live corpus, so both routes return identical
   * rows and the query cost follows the query, not the data. */
 object CorpusAnnTVF {
-  private def str(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"corpus_ann: $what must be a string literal, got $other")
-  }
-
   def build(args: Seq[Expression]): LogicalPlan = {
-    var pos = List.empty[String]
-    val opts = scala.collection.mutable.Map[String, String]()
-    args.foreach {
-      case NamedArgumentExpression(key, value) =>
-        opts(key.toLowerCase) = value match {
-          case Literal(v: Int, IntegerType) => v.toString
-          case Literal(v: Long, LongType) => v.toString
-          case other => str(other, s"argument $key")
-        }
-      case lit => pos = pos :+ str(lit, "path/queryVec")
-    }
-    val unknown = opts.keySet --
-      Set("k", "nprobe", "connection", "queries", "escape_cap")
-    require(unknown.isEmpty,
-      s"corpus_ann: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected k, nprobe, connection, queries, escape_cap)")
+    val (pos, opts) = TvfArgs.parse("corpus_ann", args,
+      Set("k", "nprobe", "connection", "queries", "escape_cap"))
     val (path, vecStr) = (pos, opts.get("queries")) match {
       case (p :: v :: Nil, None) => (p, Some(v))
       case (p :: Nil, Some(_)) => (p, None)
@@ -348,16 +366,19 @@ object CorpusAnnTVF {
       case None => spark.read.parquet(resolve(opts("queries")))
     }
     // dimension guard, BEFORE any corpus scan: a mismatched query
-    // vector would zip into null cosines and rank garbage silently.
-    // The IVF route reads the dim from the cached centroids (no job);
-    // the brute route pays one single-row probe at plan time. One
-    // query-side row is probed either way (batches are dim-uniform by
-    // the parquet schema's array element type + writer).
-    val qDim = q.select(size(col(q.columns(1)))).head(1)
-      .headOption.map(_.getInt(0))
-    def requireDim(dim: Int): Unit = qDim.foreach(qd => require(qd == dim,
-      s"corpus_ann: query vector has $qd dims but the corpus at " +
-        s"$resolved has $dim"))
+    // vector would zip into truncated dot products and rank garbage
+    // silently. EVERY batch row is checked, not just the first —
+    // parquet fixes the array ELEMENT type, not per-row array length,
+    // so a batch can mix dims. The check is one aggregate over the
+    // query side, which is micro-batch-sized by the serving contract.
+    val qDims: Seq[Int] = q.select(size(col(q.columns(1))).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    require(qDims.size <= 1,
+      s"corpus_ann: query vectors mix dimensions ${qDims.mkString(", ")}")
+    def requireDim(dim: Int): Unit = qDims.headOption.foreach(qd =>
+      require(qd == dim,
+        s"corpus_ann: query vector has $qd dims but the corpus at " +
+          s"$resolved has $dim"))
     val batch = vecStr.isEmpty
     val servesIvf = IndexLayouts.requireServable(
       spark, resolved, "corpus_ann", IndexLayouts.IvfIndex)
@@ -417,34 +438,9 @@ object CorpusAnnTVF {
   * conflicting k fails loud instead of silently serving under
   * different grams than asked for. */
 object CorpusDedupTVF {
-  private def str(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"corpus_dedup: $what must be a string literal, got $other")
-  }
-
   def build(args: Seq[Expression]): LogicalPlan = {
-    var pos = List.empty[String]
-    val opts = scala.collection.mutable.Map[String, String]()
-    args.foreach {
-      case NamedArgumentExpression(key, value) =>
-        opts(key.toLowerCase) = value match {
-          case Literal(v: Int, IntegerType) => v.toString
-          case Literal(v: Long, LongType) => v.toString
-          // threshold arrives as a decimal/double literal
-          case Literal(v, _: org.apache.spark.sql.types.DecimalType) =>
-            v.toString
-          case Literal(v: Double, org.apache.spark.sql.types.DoubleType) =>
-            v.toString
-          case other => str(other, s"argument $key")
-        }
-      case lit => pos = pos :+ str(lit, "path")
-    }
-    val unknown = opts.keySet --
-      Set("batch", "threshold", "k", "connection", "mode")
-    require(unknown.isEmpty,
-      s"corpus_dedup: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected batch, threshold, k, connection, mode)")
+    val (pos, opts) = TvfArgs.parse("corpus_dedup", args,
+      Set("batch", "threshold", "k", "connection", "mode"))
     val mode = opts.getOrElse("mode", "pairs").toLowerCase
     require(mode == "pairs" || mode == "clusters",
       s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters)")
@@ -548,36 +544,9 @@ object IndexLayouts {
   * loud (`GENERATION_PRUNED`) rather than serving a silently partial
   * snapshot. Pointing the TVF at a non-store path fails loud too. */
 object ReadStoreTVF {
-  private def str(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"read_store: $what must be a string literal, got $other")
-  }
-
   def build(args: Seq[Expression]): LogicalPlan = {
-    var pos = List.empty[String]
-    val opts = scala.collection.mutable.Map[String, String]()
-    args.foreach {
-      case NamedArgumentExpression(key, value) =>
-        opts(key.toLowerCase) = value match {
-          case Literal(v: Int, IntegerType) => v.toString
-          case Literal(v: Long, LongType) => v.toString
-          // the parser produces UnaryMinus(Literal(n)) for a negative
-          // integer literal — map it to its value so as_of=>-1 fails
-          // with the honest GENERATION_PRUNED/guard message, not a
-          // misleading "must be a string literal"
-          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
-              Literal(v: Int, IntegerType), _) => (-v).toString
-          case org.apache.spark.sql.catalyst.expressions.UnaryMinus(
-              Literal(v: Long, LongType), _) => (-v).toString
-          case other => str(other, s"argument $key")
-        }
-      case lit => pos = pos :+ str(lit, "path")
-    }
-    val unknown = opts.keySet -- Set("as_of", "connection")
-    require(unknown.isEmpty,
-      s"read_store: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected as_of, connection)")
+    val (pos, opts) = TvfArgs.parse("read_store", args,
+      Set("as_of", "connection"))
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -633,24 +602,9 @@ object ReadStoreTVF {
   * layout fails loud (stats over a plain parquet are `read_files` +
   * SQL's job, not this TVF's). */
 object CorpusIndexStatsTVF {
-  private def str(e: Expression, what: String): String = e match {
-    case Literal(s: UTF8String, StringType) => s.toString
-    case other => throw new IllegalArgumentException(
-      s"corpus_index_stats: $what must be a string literal, got $other")
-  }
-
   def build(args: Seq[Expression]): LogicalPlan = {
-    var pos = List.empty[String]
-    val opts = scala.collection.mutable.Map[String, String]()
-    args.foreach {
-      case NamedArgumentExpression(key, value) =>
-        opts(key.toLowerCase) = str(value, s"argument $key")
-      case lit => pos = pos :+ str(lit, "path")
-    }
-    val unknown = opts.keySet -- Set("connection")
-    require(unknown.isEmpty,
-      s"corpus_index_stats: unknown option(s) ${unknown.mkString(", ")} " +
-        "(expected connection)")
+    val (pos, opts) = TvfArgs.parse("corpus_index_stats", args,
+      Set("connection"))
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
