@@ -242,10 +242,19 @@ object TextAnalysis {
     * own top-k — per-query results identical to N separate
     * [[phraseCounts]] calls (same count logic, same (n_hits desc,
     * doc_id) cut), at 1/N the scan cost on a plain corpus. Blank
-    * phrases contribute no rows. */
+    * phrases contribute no rows. Query ids must be UNIQUE: the
+    * per-query window keys on query_id, so two different phrases
+    * under one id would silently merge into one top-k while the
+    * index route emits both — the loud require here keeps the two
+    * routes' contracts identical. */
   def phraseCountsMany(docs: DataFrame, phrases: Seq[(Long, String)],
                        k: Int): DataFrame = {
     require(k >= 1)
+    val dupIds = phrases.map(_._1).groupBy(identity)
+      .collect { case (id, g) if g.size > 1 => id }
+    require(dupIds.isEmpty,
+      s"phraseCountsMany: duplicate query_id(s) ${dupIds.mkString(", ")} — " +
+        "each id names one phrase's result rows")
     val spark = docs.sparkSession
     import spark.implicits._
     val parsed = phrases

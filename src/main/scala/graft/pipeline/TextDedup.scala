@@ -756,6 +756,7 @@ object TextDedup {
     val m = spark.read.parquet(s"$dir/meta").head()
     val (k, bands, rpb, buckets) = (m.getAs[Int]("k"), m.getAs[Int]("bands"),
       m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
+    requireThresholdServable(dir, threshold, bands, rpb)
     val bsh = materialize(withHashes(batch, k), eager = true)
     val bband = bandRows(bsh, bands, rpb)
       .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
@@ -820,6 +821,33 @@ object TextDedup {
     * Scale shape: one (key, doc_id) self-join — 16-byte rows, no
     * text — then candidate-sized shingle lookups; the corpus-of-
     * record is not touched at all. */
+  /** The frozen LSH scheme's DESIGN threshold: the similarity at
+    * which a true pair's candidate probability crosses 1/2 under
+    * (bands b, rows_per_band r) — t* = (1/b)^(1/r), the standard
+    * S-curve midpoint. Candidate recall collapses exponentially below
+    * it (per-pair miss probability (1−t^r)^b → 1), so an index-served
+    * query asking for a materially lower threshold would silently
+    * return a small fraction of the true pairs while LOOKING exact
+    * (verification is exact — precision stays 1.0 either way). */
+  def bandIndexDesignThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /** The threshold sibling of the frozen-k conflict guard: the scheme
+    * is frozen at build time, so a query threshold below its design
+    * threshold must fail LOUD (rebuild the index with a looser
+    * scheme, or run the plain-corpus route) rather than silently
+    * serve collapsed recall. Read paths that already hold the meta
+    * row pass its values; others read it here. */
+  private def requireThresholdServable(dir: String, threshold: Double,
+                                       bands: Int, rowsPerBand: Int): Unit = {
+    val design = bandIndexDesignThreshold(bands, rowsPerBand)
+    require(threshold >= design,
+      f"threshold $threshold%.3f is below the design threshold $design%.3f " +
+        f"of the frozen LSH scheme (bands=$bands, rows_per_band=$rowsPerBand) " +
+        s"at $dir — candidate recall collapses below it; rebuild the index " +
+        "with a looser scheme or run the plain-corpus route")
+  }
+
   /** The bands store minus tombstoned docs — the live candidate rows
     * every index-served read path starts from. */
   private def liveBandRows(spark: org.apache.spark.sql.SparkSession,
@@ -852,9 +880,13 @@ object TextDedup {
 
   def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
                               dir: String,
-                              threshold: Double = 0.8): DataFrame =
+                              threshold: Double = 0.8): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    requireThresholdServable(dir, threshold,
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
     pairsFromLiveRows(liveBandRows(spark, dir),
       spark.read.parquet(liveStore(spark, dir, "shingles")), threshold)
+  }
 
   /** Near-dup CLUSTERS of the indexed corpus, served from the
     * persisted layout alone: index pairs → [[clustersFromPairs]]
@@ -873,6 +905,9 @@ object TextDedup {
                           dir: String,
                           threshold: Double = 0.8,
                           maxIters: Int = 20): DataFrame = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    requireThresholdServable(dir, threshold,
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"))
     val live = liveBandRows(spark, dir)
     val sh = spark.read.parquet(liveStore(spark, dir, "shingles"))
     clustersFromPairs(

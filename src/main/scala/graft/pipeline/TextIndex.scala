@@ -378,6 +378,77 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Batch PHRASE serving: exact consecutive-phrase occurrence counts
+    * for MANY phrases in ONE pruned postings pass — the positional
+    * counterpart of [[searchMany]]. `queries` = driver-side
+    * (query_id, phrase) pairs (micro-batch-sized by the serving
+    * contract, ids unique — the SQL TVF enforces both).
+    *
+    * The per-phrase verify is DATA, not plan: each phrase explodes
+    * into (query_id, term, offset) instance rows that broadcast-join
+    * the pruned postings, and per (query_id, doc_id) the shifted
+    * position sets fold-intersect with `aggregate` — so the plan has
+    * ONE postings scan and a FIXED operator count regardless of batch
+    * size. (The previous route reduced one [[searchPhrase]] leg per
+    * phrase into a union: a 10k-phrase batch built a 10k-way plan —
+    * analyzer/codegen blowup long before any data cost.) Pruning
+    * covers the union of all phrases' distinct terms, so query cost
+    * still follows the queries, not the corpus.
+    *
+    * Rows are identical to per-phrase [[searchPhrase]] calls
+    * (spec-pinned): a doc matches iff every term-instance row joined
+    * (`nt == n_terms` — repeated terms keep one instance per
+    * occurrence, and the shifted-set algebra intersects them
+    * per-occurrence exactly like the single-phrase fold); n_hits is
+    * the intersection size; per query top-(k) by (n_hits desc,
+    * doc_id), output ordered (query_id, doc_id). Blank phrases
+    * contribute no rows. */
+  def searchPhraseMany(spark: SparkSession, dir: String,
+                       queries: Seq[(Long, String)], k: Int): DataFrame = {
+    require(k >= 1)
+    // same id discipline as phraseCountsMany: the per-query grouping
+    // keys on query_id, so duplicate ids would merge two phrases'
+    // instance rows into one garbage intersection — loud, not silent
+    val dupIds = queries.map(_._1).groupBy(identity)
+      .collect { case (id, g) if g.size > 1 => id }
+    require(dupIds.isEmpty,
+      s"searchPhraseMany: duplicate query_id(s) ${dupIds.mkString(", ")} — " +
+        "each id names one phrase's result rows")
+    import spark.implicits._
+    val inst: Seq[(Long, String, Int, Int)] = for {
+      (qid, phrase) <- queries
+      terms = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      (t, i) <- terms.zipWithIndex
+    } yield (qid, t, i, terms.length)
+    if (inst.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "n_hits")
+    val q = inst.toDF("query_id", "term", "i", "n_terms")
+    val allTerms = inst.map(_._2).distinct
+    val (_, live, _) = prunedPostings(spark, dir, allTerms)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("n_hits").desc, col("doc_id"))
+    live.select("term", "doc_id", "positions")
+      .join(broadcast(q), "term")
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        transform(col("positions"), p => p - col("i")).as("shifted"))
+      .groupBy("query_id", "doc_id")
+      // n_terms is a function of query_id, so max() just carries it;
+      // collect_list order is irrelevant — set intersection commutes
+      .agg(max("n_terms").as("n_terms"), count(lit(1)).as("nt"),
+        collect_list(col("shifted")).as("arrs"))
+      .filter(col("nt") === col("n_terms"))
+      .withColumn("hits", aggregate(
+        slice(col("arrs"), lit(2), size(col("arrs")) - 1),
+        element_at(col("arrs"), 1),
+        (acc, a) => array_intersect(acc, a)))
+      .withColumn("n_hits", size(col("hits")).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("query_id"), col("doc_id"), col("n_hits"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Ids present in the index (distinct doc_ids of the live postings),
     * optionally including tombstoned AND purged ones — the id-level
     * view [[reconcile]] diffs against. Without the purged-ids ledger a

@@ -60,6 +60,47 @@ private[sources] object TvfArgs {
         s"(expected ${allowed.toSeq.sorted.mkString(", ")})")
     (pos, opts.toMap)
   }
+
+  /** Normalize an external batch parquet to the canonical
+    * (idCol, payloadCol) shape — ONE reading truth for the batch
+    * TVFs: columns are selected BY NAME when the expected names exist
+    * (case-insensitive, any order, extra columns ignored), falling
+    * back to the documented positional contract (first = id,
+    * second = payload) for unnamed exports; a file that can satisfy
+    * neither fails loud NAMING the expectation instead of surfacing
+    * a downstream cast/dim error from the wrong column. */
+  def batchFrame(tvf: String, df: org.apache.spark.sql.DataFrame,
+                 idCol: String, payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byName = df.columns.map(c => c.toLowerCase -> c).toMap
+    (byName.get(idCol), byName.get(payloadCol)) match {
+      case (Some(i), Some(p)) =>
+        df.select(col(i).as(idCol), col(p).as(payloadCol))
+      case _ =>
+        require(df.columns.length >= 2,
+          s"$tvf: batch parquet must carry ($idCol, $payloadCol) columns " +
+            "(matched by name in any order) or at least two columns in " +
+            s"that positional order; got [${df.columns.mkString(", ")}]")
+        df.select(col(df.columns.head).as(idCol),
+          col(df.columns(1)).as(payloadCol))
+    }
+  }
+
+  /** The id-side contract every batch TVF shares: ids cast to long,
+    * no nulls (a null id would NPE downstream with no context), no
+    * duplicates (an id names ONE query/doc's result rows — duplicate
+    * ids would silently merge two different inputs' results under
+    * one key on the grouped routes while unioned routes emit both,
+    * so the two routes of the same TVF could diverge). Driver-side
+    * over the collected micro-batch, loud on violation. */
+  def requireIds(tvf: String, what: String, ids: Seq[Any]): Unit = {
+    require(!ids.contains(null),
+      s"$tvf: null $what in the batch parquet")
+    val dups = ids.groupBy(identity).collect { case (id, g) if g.size > 1 => id }
+    require(dups.isEmpty,
+      s"$tvf: duplicate $what(s) ${dups.mkString(", ")} in the batch " +
+        s"parquet — each $what identifies one input's result rows")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -194,12 +235,14 @@ object GraftExtensions {
   * [[graft.pipeline.TextIndex.searchMany]]'s batch shape — and emits
   * (query_id, doc_id, score, n_terms) (bm25) or (query_id, doc_id,
   * n_hits) (phrase) with per-query top-k, ordered (query_id,
-  * doc_id). One pruned postings pass (index) or one corpus scan
-  * (plain parquet, [[graft.pipeline.TextAnalysis.bm25Many]]) covers
-  * the whole bm25 batch; phrase batches issue one partition-pruned
-  * probe per phrase (the batch is driver-bounded by the serving
-  * contract). Blank queries yield no rows, like a term-missing
-  * single query.
+  * doc_id). One pruned postings pass (index,
+  * [[graft.pipeline.TextIndex.searchMany]] /
+  * [[graft.pipeline.TextIndex.searchPhraseMany]]) or one corpus scan
+  * (plain parquet, [[graft.pipeline.TextAnalysis.bm25Many]] /
+  * phraseCountsMany) covers the whole batch in BOTH modes — plan
+  * size is fixed regardless of batch size. Query ids must be unique
+  * and non-null (loud failure otherwise); blank queries yield no
+  * rows, like a term-missing single query.
   *
   * `path` may be either a (doc_id, text) parquet corpus — scored by a
   * corpus scan — or a persisted [[graft.pipeline.TextIndex]] layout
@@ -241,19 +284,22 @@ object CorpusSearchTVF {
     val batch: Option[Seq[(Long, String)]] = query match {
       case Some(_) => None
       case None =>
-        // defensive read, like the sibling paths: an int32 query_id
-        // (pyarrow's default for small ints) must not ClassCastException
-        // and a null query must fail loud, not NPE in termsOf
-        val raw = spark.read.parquet(resolve(opts("queries")))
-        val rows = raw.select(
-            col(raw.columns.head).cast("long").as("query_id"),
-            col(raw.columns(1)).as("query"))
+        // defensive read, like the sibling paths: columns resolve by
+        // name (positional fallback), an int32 query_id (pyarrow's
+        // default for small ints) must not ClassCastException, and a
+        // null query/id or duplicate id must fail loud, not NPE in
+        // termsOf or silently merge two queries' results
+        val raw = TvfArgs.batchFrame("corpus_search",
+          spark.read.parquet(resolve(opts("queries"))), "query_id", "query")
+        val rows = raw.select(col("query_id").cast("long"), col("query"))
           .collect().map(r =>
-            (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+            (if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
+              if (r.isNullAt(1)) null else r.getString(1))).toSeq
+        TvfArgs.requireIds("corpus_search", "query_id", rows.map(_._1))
         val nulls = rows.collect { case (qid, null) => qid }
         require(nulls.isEmpty,
           s"corpus_search: null query for query_id(s) ${nulls.mkString(", ")}")
-        Some(rows)
+        Some(rows.map { case (qid, q) => (qid.longValue(), q) })
     }
     def termsOf(q: String): Seq[String] =
       q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
@@ -279,22 +325,17 @@ object CorpusSearchTVF {
         if (isIndex) graft.pipeline.TextIndex.searchPhrase(spark, resolved, query.get, k)
         else graft.pipeline.TextAnalysis.phraseCounts(
           spark.read.parquet(resolved), query.get, k)
-      // index route: one PRUNED positional probe per phrase
-      // (driver-bounded batch, each probe touches only its terms'
-      // buckets). Plain-corpus route: ONE shared scan for the whole
-      // batch (phraseCountsMany — N separate phraseCounts legs would
-      // scan the full corpus N times). Blank phrases contribute no
-      // rows; per-query results identical either way.
+      // index route: ONE pruned positional probe for the whole batch
+      // (searchPhraseMany — the per-phrase verify is data, not plan,
+      // so plan size stays FIXED however large the batch file is).
+      // Plain-corpus route: ONE shared scan for the whole batch
+      // (phraseCountsMany — N separate phraseCounts legs would scan
+      // the full corpus N times). Blank phrases contribute no rows;
+      // per-query results identical either way.
       case ("phrase", Some(qs)) =>
-        if (isIndex) {
-          val legs = qs.filter(_._2.trim.nonEmpty).map { case (qid, q) =>
-            graft.pipeline.TextIndex.searchPhrase(spark, resolved, q, k)
-              .select(lit(qid).as("query_id"), col("doc_id"), col("n_hits"))
-          }
-          if (legs.isEmpty) Seq.empty[(Long, Long, Long)]
-            .toDF("query_id", "doc_id", "n_hits")
-          else legs.reduce(_.unionAll(_)).orderBy("query_id", "doc_id")
-        } else graft.pipeline.TextAnalysis.phraseCountsMany(
+        if (isIndex)
+          graft.pipeline.TextIndex.searchPhraseMany(spark, resolved, qs, k)
+        else graft.pipeline.TextAnalysis.phraseCountsMany(
           spark.read.parquet(resolved), qs, k)
           .orderBy("query_id", "doc_id")
       case _ => throw new IllegalStateException("unreachable")
@@ -363,7 +404,19 @@ object CorpusAnnTVF {
               s"corpus_ann: queryVec must be comma-separated numbers, got '$v'") }
         require(vec.nonEmpty, "corpus_ann: empty query vector")
         Seq((0L, vec)).toDF("vec_id", "embedding")
-      case None => spark.read.parquet(resolve(opts("queries")))
+      case None =>
+        // columns by name (positional fallback) + the shared id
+        // contract: null/duplicate query_ids fail loud here, with
+        // context, instead of an opaque NPE in getLong or two
+        // queries' neighbors merging under one id. The id pass is
+        // one column-pruned job over the micro-batch-sized query set.
+        val b = TvfArgs.batchFrame("corpus_ann",
+          spark.read.parquet(resolve(opts("queries"))), "query_id", "embedding")
+        TvfArgs.requireIds("corpus_ann", "query_id",
+          b.select(col("query_id").cast("long")).collect().map(r =>
+            if (r.isNullAt(0)) null
+            else java.lang.Long.valueOf(r.getLong(0))).toSeq)
+        b
     }
     // dimension guard, BEFORE any corpus scan: a mismatched query
     // vector would zip into truncated dot products and rank garbage
@@ -436,7 +489,11 @@ object CorpusAnnTVF {
   * `k` (shingle width) applies to the plain-corpus routes only — an
   * index's scheme is frozen in its meta store, so passing a
   * conflicting k fails loud instead of silently serving under
-  * different grams than asked for. */
+  * different grams than asked for. The same frozen-scheme discipline
+  * covers `threshold` on the index routes: a threshold below the
+  * scheme's design threshold (where LSH candidate recall collapses)
+  * fails loud ([[graft.pipeline.TextDedup.bandIndexDesignThreshold]])
+  * instead of silently missing most true pairs. */
 object CorpusDedupTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_dedup", args,
@@ -490,7 +547,10 @@ object CorpusDedupTVF {
         else graft.pipeline.TextDedup.ngramJaccardPairs(
           spark.read.parquet(resolved), kOpt.getOrElse(3), threshold)
       case (Some(bpath), _) =>
-        val batch = spark.read.parquet(resolve(bpath))
+        // same reading truth as the sibling batch TVFs: (doc_id,
+        // text) by name, positional fallback, loud on neither
+        val batch = TvfArgs.batchFrame("corpus_dedup",
+          spark.read.parquet(resolve(bpath)), "doc_id", "text")
         if (isIndex)
           graft.pipeline.TextDedup.nearDupsAgainstBandIndex(
             batch, resolved, threshold)
@@ -564,14 +624,25 @@ object ReadStoreTVF {
     // live resolution, and the time-travel lookup — plan-time I/O
     // matters when the store lives on an object store
     val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
-    require(gens.nonEmpty,
+    // Stores.liveGeneration serves a base `corpus/` even without its
+    // commit marker (a store copied file-by-file loses _SUCCESS) —
+    // the live read here follows the SAME contract, so the guard
+    // accepts a marker-free base too; only time travel stays strict
+    // (committed generations only — a torn snapshot must never serve)
+    val basePath = s"$resolved/corpus"
+    val hasBase = {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    require(gens.nonEmpty || hasBase,
       s"read_store: $resolved is not a corpus store layout " +
-        "(no committed corpus generation found)")
+        "(no corpus generation found)")
     val result = asOf match {
       case None =>
         // same resolution rule as CorpusStore.read/liveGeneration:
         // highest committed versioned generation, else the base
-        val live = gens.filter(_._1 > 0).lastOption.getOrElse(gens.head)._2
+        // (marker-free fallback included)
+        val live = gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath)
         spark.read.parquet(live).drop("bucket")
       case Some(n) =>
         graft.pipeline.CorpusStore.readAsOf(spark, resolved, n, Some(gens))

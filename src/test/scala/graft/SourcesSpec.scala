@@ -766,4 +766,161 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       } finally spark.conf.unset("spark.graft.stores.contentSignature")
     } finally s3.stop()
   }
+
+  test("corpus_search TVF: index phrase batch is ONE fused pruned probe, not a per-phrase union") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_fused_idx").toString
+    graft.pipeline.TextIndex.write(docs, idx)
+    // real corpus bigrams guarantee hits; add a single-term phrase, a
+    // repeated-term phrase, a miss, and a blank
+    val seed = docs.orderBy("doc_id").limit(8).collect().map(_.getString(1))
+      .map(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(_.length >= 2).take(6)
+    val phrases: Seq[(Long, String)] =
+      seed.zipWithIndex.map { case (w, i) => (i.toLong, s"${w(0)} ${w(1)}") }.toSeq ++
+        Seq((50L, seed.head.head), (51L, s"${seed.head.head} ${seed.head.head}"),
+          (52L, "zzz absent"), (53L, "  "))
+    // fused batch ≡ per-phrase searchPhrase (the pinned identity),
+    // including the repeated-term shifted-set algebra
+    val fused = graft.pipeline.TextIndex.searchPhraseMany(spark, idx, phrases, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val perPhrase = phrases.filter(_._2.trim.nonEmpty).flatMap { case (qid, p) =>
+      graft.pipeline.TextIndex.searchPhrase(spark, idx, p, 7)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.sortBy(t => (t._1, t._2))
+    assert(fused == perPhrase)
+    assert(fused.map(_._1).distinct.size >= 5, "fixture must hit several phrases")
+    // ...and the TVF's index route ≡ its plain-corpus route (two
+    // independent implementations of the same contract)
+    val qDir = java.nio.file.Files.createTempDirectory("graft_fused_q").toString + "/q"
+    phrases.toDF("query_id", "query").coalesce(1).write.parquet(qDir)
+    def viaTvf(path: String) = spark.sql(
+      s"SELECT * FROM corpus_search('$path', queries=>'$qDir', k=>7, mode=>'phrase')")
+    assert(viaTvf(idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2)) == fused)
+    assert(viaTvf(s"$sfDir/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2)) == fused)
+    // plan-size bound: a 100-phrase batch builds the SAME fixed-size
+    // plan — the per-phrase verify is data (broadcast instance rows),
+    // so leaf count stays constant instead of one union leg per phrase
+    val bigDir = java.nio.file.Files.createTempDirectory("graft_fused_b").toString + "/q"
+    (0 until 100).map(i => (1000L + i, s"term$i zz$i")).toDF("query_id", "query")
+      .coalesce(1).write.parquet(bigDir)
+    val bigPlan = spark.sql(
+      s"SELECT * FROM corpus_search('$idx', queries=>'$bigDir', k=>3, mode=>'phrase')")
+      .queryExecution.analyzed
+    val leaves = bigPlan.collectLeaves().length
+    assert(leaves <= 4,
+      s"fused phrase batch must not fan out one plan leg per phrase ($leaves leaves)")
+  }
+
+  test("batch TVF inputs: columns by name, positional fallback, loud id contract") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_bcontract").toString
+    // reordered + extra columns resolve BY NAME — same rows as the
+    // canonical fixture order
+    val canonical = base + "/canon"
+    Seq((1L, "spark join"), (2L, "window hash")).toDF("query_id", "query")
+      .coalesce(1).write.parquet(canonical)
+    val reordered = base + "/reord"
+    Seq(("spark join", "x", 1L), ("window hash", "y", 2L))
+      .toDF("query", "note", "query_id").coalesce(1).write.parquet(reordered)
+    def search(q: String) = spark.sql(
+      s"SELECT * FROM corpus_search('$sfDir/documents.parquet', queries=>'$q', k=>5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(search(reordered) == search(canonical))
+    assert(search(canonical).nonEmpty)
+    // a file that cannot satisfy the contract names the expectation
+    val oneCol = base + "/one"
+    Seq("spark").toDF("q").coalesce(1).write.parquet(oneCol)
+    val e1 = intercept[Exception] { search(oneCol) }
+    assert(e1.getMessage.contains("query_id") && e1.getMessage.contains("query"))
+    // null and duplicate ids fail loud with context, never NPE/merge
+    val nullId = base + "/nullid"
+    Seq((Some(1L), "spark"), (None, "join")).toDF("query_id", "query")
+      .coalesce(1).write.parquet(nullId)
+    val e2 = intercept[Exception] { search(nullId) }
+    assert(e2.getMessage.contains("null query_id"))
+    val dupId = base + "/dup"
+    Seq((7L, "spark"), (7L, "join")).toDF("query_id", "query")
+      .coalesce(1).write.parquet(dupId)
+    val e3 = intercept[Exception] { search(dupId) }
+    assert(e3.getMessage.contains("duplicate query_id"))
+    // the phrase batch route shares the guard (its grouped window
+    // would otherwise silently merge two phrases under one id)
+    val e4 = intercept[Exception] { spark.sql(
+      s"SELECT * FROM corpus_search('$sfDir/documents.parquet', queries=>'$dupId', " +
+        "k=>5, mode=>'phrase')").collect() }
+    assert(e4.getMessage.contains("duplicate query_id"))
+    // corpus_ann: reordered embedding batch serves identically; dup id loud
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    val annCanon = base + "/annc"
+    emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .coalesce(1).write.parquet(annCanon)
+    val annReord = base + "/annr"
+    emb.orderBy("vec_id").limit(3)
+      .select(col("embedding"), col("vec_id").as("query_id"))
+      .coalesce(1).write.parquet(annReord)
+    def ann(q: String) = spark.sql(
+      s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', queries=>'$q', k=>3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(ann(annReord) == ann(annCanon) && ann(annCanon).nonEmpty)
+    val annDup = base + "/anndup"
+    emb.orderBy("vec_id").limit(2)
+      .select((col("vec_id") * 0 + 9).as("query_id"), col("embedding"))
+      .coalesce(1).write.parquet(annDup)
+    val e5 = intercept[Exception] { ann(annDup) }
+    assert(e5.getMessage.contains("duplicate query_id"))
+  }
+
+  test("corpus_dedup TVF: threshold below the frozen scheme's design threshold fails loud") {
+    import spark.implicits._
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_design_t").toString
+    // default scheme (bands=16, rows_per_band=4): design threshold
+    // (1/16)^(1/4) = 0.5 — candidate recall collapses below it
+    graft.pipeline.TextDedup.writeBandIndex(docs, idx)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', threshold=>0.3)").collect()
+    }
+    assert(e.getMessage.contains("design threshold"))
+    // above the design threshold the index serves
+    assert(spark.sql(s"SELECT * FROM corpus_dedup('$idx', threshold=>0.55)")
+      .collect() != null)
+    // the PLAIN route has no frozen scheme — 0.3 is served (exact
+    // inverted-index join, no LSH recall cliff)
+    assert(spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', threshold=>0.3)")
+      .count() >= 0)
+  }
+
+  test("read_store TVF: marker-free base serves the live read (liveGeneration contract)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rs_nomark").toString
+    graft.pipeline.CorpusStore.write(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), dir, buckets = 2)
+    // a store copied file-by-file loses _SUCCESS; Stores.liveGeneration
+    // still serves the base, and the TVF follows the same contract
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false))
+    val rows = spark.sql(s"SELECT * FROM read_store('$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+    // time travel stays strict: committed generations only
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$dir', as_of=>0)").collect()
+    }
+    assert(e.getMessage.contains("GENERATION_PRUNED"))
+    // a genuinely non-store path still fails loud
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$dir/corpus')").collect()
+    }
+    assert(e2.getMessage.contains("not a corpus store layout"))
+  }
 }

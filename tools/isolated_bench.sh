@@ -19,7 +19,14 @@ CPUS="${SPARK_GRAFT_CPUS:-32}"
 CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
 QUERIES=(q_fuzzy_link dedup_cluster_rep q_lm_buckets_lang q_corpus_clean
          text_lm_lang q_sim_link q_profile dedup_clusters q_sql_dedup
-         q_hybrid_indexed)
+         q_hybrid_indexed
+         q_except_all dedup_minhash q_outliers q_funnel_latency
+         q_range_join q_contam_report)
+# SPARK_GRAFT_ISO_ONLY=a,b restricts the run (re-measuring one mover
+# after a fix shouldn't cost a full 16-JVM sweep)
+if [ -n "${SPARK_GRAFT_ISO_ONLY:-}" ]; then
+  IFS=',' read -r -a QUERIES <<< "$SPARK_GRAFT_ISO_ONLY"
+fi
 
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
