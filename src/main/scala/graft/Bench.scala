@@ -111,6 +111,14 @@ object Bench {
         .groupBy("r_name").agg(count(lit(1)).as("c")).orderBy("r_name")
         .write.format("noop").mode("overwrite").save()
     }
+    // SPARK_GRAFT_WARMUP=1: the serving-deployment warmup
+    // (QueryService.warmup's engine — primes index probes, codegen'd
+    // native expressions, both exchange flavors). Untimed; used to
+    // measure the cold-start before/after in isolated runs.
+    if (sys.env.get("SPARK_GRAFT_WARMUP").contains("1")) {
+      val ws = service.Warmup.prime(spark)
+      System.err.println(f"[bench] deep warmup $ws%.1fs (untimed)")
+    }
     // Index fixtures build OUTSIDE the timed region (the production
     // shape: indexes are built offline; the bench times the QUERIES).
     // Skipped when an ONLY-run selects no index-reading query.

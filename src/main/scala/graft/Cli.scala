@@ -22,7 +22,15 @@ object Cli {
       val port = if (args.length > 1) args(1).toInt else 7777
       val resultsRoot = if (args.length > 2) args(2) else "/tmp/graft_results"
       val spark = Engine.session("graft-server")
-      val server = new service.QueryServer(new QueryService(spark, resultsRoot), port)
+      val svc = new QueryService(spark, resultsRoot)
+      // prime cold-start machinery BEFORE accepting clients: the first
+      // real query should pay plan cost, not JVM/JIT/codegen cost
+      // (opt out with SPARK_GRAFT_NO_WARMUP=1 for instant listen)
+      if (!sys.env.get("SPARK_GRAFT_NO_WARMUP").contains("1")) {
+        val ws = svc.warmup()
+        println(f"warmup complete in $ws%.1fs")
+      }
+      val server = new service.QueryServer(svc, port)
       println(s"graft query server listening on port ${server.boundPort}")
       Thread.currentThread().join()
       return

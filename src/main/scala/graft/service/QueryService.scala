@@ -421,6 +421,17 @@ final class QueryService(
     * suites) leaves another MetricsCollector on the listener bus, each
     * processing every event and holding up to maxTracked accumulator
     * maps. Idempotent. */
+  /** Startup hook for serving deployments: prime the session's
+    * cold-start machinery (JIT, codegen framework, parquet readers,
+    * exchange plumbing — see [[Warmup]]) BEFORE the listener accepts
+    * clients, so the first real query pays plan cost, not JVM cost.
+    * Measured (tools.ColdStartProbe, fresh JVM against pre-existing
+    * sf0.1 indexes): the heaviest serving plan's first query drops
+    * 13.0 s → 4.0 s — under the 5 s serving bar
+    * (ISOLATED_BENCH_r14.json `coldstart`). Runs on the service's
+    * SQL session; returns wall seconds spent. */
+  def warmup(): Double = Warmup.prime(sqlSession)
+
   def close(): Unit = {
     spark.sparkContext.removeSparkListener(metricsCollector)
     try spark.streams.removeListener(streamingListener)

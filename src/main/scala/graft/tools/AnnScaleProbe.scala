@@ -141,6 +141,14 @@ object AnnScaleProbe {
                     exact: Double, exactRows: Long,
                     cap: Double, capRows: Long,
                     adc: Double, adcRows: Long, rows: Long)
+    // (nprobe, cap, recall@10, wall s, rows) at the 100× scale — the
+    // result-QUALITY axis of the escape_cap cost ceiling (rows/wall
+    // alone left a user tuning the serving tier blind on recall).
+    // Two ladders: the production nprobe=8 (where the first pass
+    // already recalls well on this geometry) and a STRESSED nprobe=1
+    // (first pass = 1 cell of ~447), where the cap is the only recall
+    // lever and the ladder has to climb.
+    var capRecall: Seq[(Int, String, Double, Double, Long)] = Seq.empty
     val cells = scales.map { k =>
       val corpus = spark.read.parquet(corpora(k))
       val n = corpus.count()
@@ -173,6 +181,31 @@ object AnnScaleProbe {
           adaptive = true, escapeCap = 8).count())
       val (_, tAdc, rAdc) = time(
         Embeddings.ivfPqTopKIndexedFor(queries, idx, 10, nprobe = 8).count())
+      // recall@10 vs the brute truth across the escape_cap ladder —
+      // measured at 100× (the serving-scale representative; 400× adds
+      // only the same loose-radii geometry at 4× the probe cost).
+      // Driver-side sets are 10 queries × 10 neighbors — trivially
+      // bounded.
+      if (k == 100) {
+        def idSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+          df.select("query_id", "neighbor_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val truth = idSet(Embeddings.bruteForceTopKFor(queries, corpus, 10))
+        val ladder: Seq[(String, Int)] = Seq("0" -> 0, "4" -> 4, "8" -> 8,
+          "16" -> 16, "unbounded" -> Int.MaxValue)
+        capRecall = for {
+          np <- Seq(8, 1)
+          (label, cap) <- ladder
+        } yield {
+          val (got, tc, rc) = time(idSet(
+            Embeddings.ivfTopKIndexedFor(queries, idx, 10, nprobe = np,
+              adaptive = true, escapeCap = cap)))
+          val recall = (got & truth).size.toDouble / truth.size
+          println(f"[ann-scale] x100 nprobe=$np escape_cap=$label%-9s " +
+            f"recall@10=$recall%.3f wall=$tc%6.2fs rows=$rc%9d")
+          (np, label, recall, tc, rc)
+        }
+      }
       println(f"[ann-scale] x$k%-3d n=$n%7d nlist=$nlist%4d build=$tBuild%7.1fs " +
         f"brute=$tBrute%6.2fs/$rBrute%9d rows  ivf=$tIvf%6.2fs/$rIvf%9d  " +
         f"ivf_exact=$tExact%6.2fs/$rExact%9d  ivf_cap8=$tCap%6.2fs/$rCap%9d  " +
@@ -211,6 +244,24 @@ object AnnScaleProbe {
     scales.foreach { k =>
       val c = cells(k)
       sb ++= f"| $k× | ${c.rows} | ${c.nlist} | ${c.build}%.1f | ${c.brute}%.2f | ${c.bruteRows} | ${c.ivf}%.2f | ${c.ivfRows} | ${c.exact}%.2f | ${c.exactRows} | ${c.cap}%.2f | ${c.capRows} | ${c.adc}%.2f | ${c.adcRows} |\n"
+    }
+    if (capRecall.nonEmpty) {
+      sb ++= "\n## escape_cap recall ladder at 100× (recall@10 vs brute truth)\n\n"
+      sb ++= "The cost ceiling's quality axis: `escape_cap = N` bounds the\n"
+      sb ++= "adaptive second pass to N extra cells per query (most promising\n"
+      sb ++= "first). `0` = fixed-nprobe only; `unbounded` = the exact tier\n"
+      sb ++= "(recall 1.0 by construction — the probe asserts the measurement\n"
+      sb ++= "harness against it). Same frozen 10-query batch. Two ladders:\n"
+      sb ++= "nprobe=8 (the production setting) and a STRESSED nprobe=1 —\n"
+      sb ++= "first pass touches a single cell, so the cap is the only recall\n"
+      sb ++= "lever and the ladder exposes the recall-per-extra-cell curve.\n\n"
+      sb ++= "| nprobe | escape_cap | recall@10 | wall s | rows read |\n|---|---|---|---|---|\n"
+      capRecall.foreach { case (np, label, r, t, rows) =>
+        sb ++= f"| $np | $label | $r%.3f | $t%.2f | $rows |\n"
+      }
+      sb ++= "\nServing guidance (RUNBOOK §ANN): pick the smallest cap whose\n"
+      sb ++= "recall meets the product bar — the rows column is the price of\n"
+      sb ++= "each step up, and `unbounded` is the exactness premium.\n"
     }
     sb ++= f"\n${scales.last}×/1× growth on ${dataRatio}%.0f× data: " +
       f"brute rows ${cN.bruteRows.toDouble / c1.bruteRows}%.0f× (linear by design), " +

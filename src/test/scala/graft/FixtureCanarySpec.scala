@@ -83,4 +83,28 @@ class FixtureCanarySpec extends AnyFunSuite with SparkFixture {
       assert(micros == 1767268800000000L) // 2026-01-01T12:00:00Z
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("cluster gate covers every SparkEntry query (cluster_check.json cannot drift)") {
+    // The multi-JVM validation (graft.ClusterCheck) is only a gate if
+    // it tracks the surface: a new query without a cluster_check row
+    // has never executed across executor JVMs. This fails the suite
+    // the moment a query lands without refreshing the artifact —
+    // rerun `runMain graft.ClusterCheck` and commit cluster_check.json.
+    val path = java.nio.file.Paths.get("cluster_check.json")
+    assert(java.nio.file.Files.exists(path),
+      "cluster_check.json missing from the repo root")
+    val text = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val rStart = text.indexOf("\"results\":{")
+    assert(rStart >= 0, "cluster_check.json has no results object")
+    // keys are query names: flat extraction of "name":{ entries
+    val covered = "\"([A-Za-z0-9_]+)\":\\{".r
+      .findAllMatchIn(text.substring(rStart + "\"results\":".length))
+      .map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- covered
+    assert(missing.isEmpty,
+      s"queries with no cluster-execution evidence: ${missing.toSeq.sorted.mkString(", ")} — " +
+        "run `sbt \"runMain graft.ClusterCheck\"` and commit the refreshed cluster_check.json")
+    assert(text.contains("\"all_match\":true"),
+      "cluster_check.json records a mismatch — the committed artifact must be green")
+  }
 }

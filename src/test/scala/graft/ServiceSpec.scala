@@ -820,6 +820,17 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
       svc2.close()
     }
   }
+
+  test("warmup primes the serving session and leaves no residue") {
+    val secs = graft.service.Warmup.prime(spark)
+    assert(secs > 0)
+    // idempotent and session-healthy afterwards: a normal query plans
+    // and runs; the temp warmup data is gone (nothing to assert by
+    // path — prime deletes its own dir — so just re-prime cheaply)
+    assert(spark.range(3).count() == 3)
+    val again = graft.service.Warmup.prime(spark)
+    assert(again > 0 && again <= secs * 3 + 30)
+  }
 }
 
 /** Static gate for the admission-control test: the blocking UDF must
