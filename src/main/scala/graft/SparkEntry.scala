@@ -305,6 +305,174 @@ object SparkEntry {
       "CAST(CASE WHEN e = 0 THEN sgn * m * power(2.0, -24) " +
       "ELSE sgn * power(2.0, e - 15) * (1.0 + m / 1024.0) END AS FLOAT) AS f16 FROM vv) "
 
+  /** Shared DuckDB restatement of [[pipeline.TextAnalysis.qualityScore]]
+    * — text_quality reads it directly; q_sql_quality serves the same
+    * operator through the corpus_quality TVF, so both keys answer to
+    * ONE oracle body (two surfaces, one truth). */
+  private val DuckTextQuality: String =
+    "WITH t AS (SELECT doc_id, text, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +
+      "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct, " +
+      "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
+      "t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE) AS stop FROM documents) " +
+      "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
+      "punct / length(text) AS punct_ratio, " +
+      "stop / len(w) AS stop_ratio, " +
+      "least(len(w) / 256.0, 1.0) * (1.0 - punct / length(text)) * " +
+      "(0.5 + 0.5 * least(4.0 * stop / len(w), 1.0)) AS quality " +
+      "FROM t ORDER BY doc_id"
+
+  /** Shared DuckDB restatement of [[pipeline.TextAnalysis.languageId]]
+    * — text_langid directly, q_sql_langid through the TVF. */
+  private val DuckTextLangid: String =
+    "WITH t AS (SELECT doc_id, lang, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sc AS (SELECT doc_id, lang AS actual_lang, " +
+      "CAST(len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS score_en, " +
+      "CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr, " +
+      "CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de, " +
+      "CAST(len(list_filter(w, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS score_es, " +
+      "CAST(len(list_filter(w, x -> x IN ('的','是','在','了','和'))) AS BIGINT) AS score_zh " +
+      "FROM t) " +
+      "SELECT doc_id, actual_lang, score_en, score_fr, score_de, score_es, score_zh, " +
+      "CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en' " +
+      "WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr' " +
+      "WHEN score_de >= score_es AND score_de >= score_zh THEN 'de' " +
+      "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS predicted_lang " +
+      "FROM sc ORDER BY doc_id"
+
+  /** Shared DuckDB restatement of [[pipeline.TextAnalysis.tokenCounts]]
+    * — text_tokens directly, q_sql_tokens through the TVF. */
+  private val DuckTextTokens: String =
+    "SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens, " +
+      "CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS chars_per_token " +
+      "FROM documents ORDER BY doc_id"
+
+  /** Shared DuckDB restatement of [[pipeline.TextAnalysis.fingerprint]]
+    * — text_fingerprint directly, q_sql_fingerprint through the TVF. */
+  private val DuckTextFingerprint: String =
+    "SELECT doc_id, " +
+      "list_reduce(list_prepend(0, list_transform(regexp_split_to_array(text, ''), " +
+      "c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp " +
+      "FROM documents ORDER BY doc_id"
+
+  /** Shared DuckDB restatements of the [[pipeline.CorpusOps]] mix
+    * family — each read directly by its Scala-surface key and by the
+    * corpus_mix TVF's q_sql_* twin (two surfaces, one truth). */
+  private val DuckTempMix: String =
+    "WITH w AS (SELECT lang, COUNT(*) AS n_docs, " +
+      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total FROM documents GROUP BY lang), " +
+      "f AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / total AS frac FROM w), " +
+      "s AS (SELECT lang, n_docs, frac, CAST(sqrt(frac) AS DECIMAL(18,12)) AS s FROM f), " +
+      "z AS (SELECT *, SUM(s) OVER () AS z FROM s) " +
+      "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, frac, " +
+      "CAST(s AS DOUBLE) / CAST(z AS DOUBLE) / frac AS weight FROM z ORDER BY lang"
+
+  private val DuckResample: String =
+    "WITH w AS (SELECT lang, COUNT(*) AS n_docs, " +
+      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS n_groups " +
+      "FROM documents GROUP BY lang), " +
+      "w2 AS (SELECT lang, CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight FROM w), " +
+      "c AS (SELECT doc_id, d.lang AS lang, " +
+      "CAST(floor(weight) + CASE WHEN CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) < " +
+      "(weight - floor(weight)) * 1048576.0 THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      "FROM documents d JOIN w2 USING (lang)) " +
+      "SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id " +
+      "FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_id"
+
+  // the oracle states the permutation as ONE global row_number over
+  // (hash, doc_id); the engine computes the same dense rank
+  // distributed (bucket counts + broadcast offsets). Same
+  // masked-multiply hash arithmetic on both sides — all values
+  // nonnegative, so DuckDB % == Spark pmod.
+  private val DuckShuffleRank: String =
+    "WITH h AS (SELECT doc_id, " +
+      "((doc_id + 7) % 1048576) * 2654435761 % 9999991 AS h FROM documents) " +
+      "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank " +
+      "FROM h ORDER BY doc_id"
+
+  private val DuckPackTokens: String =
+    "WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens FROM documents) " +
+      "SELECT doc_id, n_tokens, CAST((SUM(n_tokens) OVER " +
+      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS BIGINT) AS seq_id " +
+      "FROM t ORDER BY doc_id"
+
+  private val DuckTokenBudget: String =
+    "WITH t AS (SELECT doc_id, lang, " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens, " +
+      "((doc_id % 1048576) * 2654435761) % 9999991 AS h FROM documents), " +
+      "c AS (SELECT doc_id, lang, n_tokens, " +
+      "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) " +
+      "SELECT doc_id, lang, n_tokens, cum_tokens FROM c " +
+      "WHERE cum_tokens <= 2000 ORDER BY doc_id"
+
+  /** Shared DuckDB restatements of the repetition/Gopher filter
+    * passes — q_quality_rep/q_gopher_rep directly, the corpus_quality
+    * TVF's q_sql_repetition/q_sql_gopher twins through SQL. */
+  private val DuckQualityRep: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "b AS (SELECT doc_id, w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg FROM t), " +
+      "f AS (SELECT doc_id, " +
+      "1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_word_frac, " +
+      "CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac, " +
+      "CASE WHEN len(w) >= 2 THEN " +
+      "CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (CAST(len(w) AS DOUBLE) - 1) " +
+      "ELSE 0.0 END AS top_bigram_frac FROM b) " +
+      "SELECT doc_id, rep_word_frac, top_word_frac, top_bigram_frac, " +
+      "(top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep " +
+      "FROM f ORDER BY doc_id"
+
+  private val DuckChunk: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n, " +
+      "greatest(1, (CAST(len(w) AS BIGINT) - 16 + 48 - 1) // 48) AS n_chunks FROM t) " +
+      "SELECT doc_id, i AS chunk_id, " +
+      "least(64, n - i * 48) AS n_chunk_tokens, " +
+      "array_to_string(list_slice(w, CAST(i * 48 + 1 AS INTEGER), " +
+      "CAST(i * 48 + 64 AS INTEGER)), ' ') AS chunk_text " +
+      "FROM c, unnest(range(0, n_chunks)) AS u(i) ORDER BY doc_id, chunk_id"
+
+  private val DuckGopherRep: String =
+    "WITH t AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "g3 AS (SELECT doc_id, list_transform(range(1, len(w)-1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g FROM t), " +
+      "g4 AS (SELECT doc_id, list_transform(range(1, len(w)-2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g FROM t), " +
+      "e5 AS (SELECT doc_id, i AS pos, " +
+      "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram " +
+      "FROM t, unnest(range(1, len(w)-3)) AS u(i)), " +
+      "d5 AS (SELECT doc_id, gram FROM e5 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+      "c5 AS (SELECT DISTINCT doc_id, p FROM (SELECT e5.doc_id, " +
+      "unnest(range(pos, pos+5)) AS p FROM e5 JOIN d5 USING (doc_id, gram))), " +
+      "n5 AS (SELECT doc_id, count(*) AS cov FROM c5 GROUP BY doc_id), " +
+      "e10 AS (SELECT doc_id, i AS pos, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||" +
+      "w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]||' '||w[i+8]||' '||w[i+9] AS gram " +
+      "FROM t, unnest(range(1, len(w)-8)) AS u(i)), " +
+      "d10 AS (SELECT doc_id, gram FROM e10 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
+      "c10 AS (SELECT DISTINCT doc_id, p FROM (SELECT e10.doc_id, " +
+      "unnest(range(pos, pos+10)) AS p FROM e10 JOIN d10 USING (doc_id, gram))), " +
+      "n10 AS (SELECT doc_id, count(*) AS cov FROM c10 GROUP BY doc_id), " +
+      "f AS (SELECT t.doc_id, " +
+      "CASE WHEN len(t.w) >= 3 THEN CAST(list_max(list_transform(list_distinct(g3.g), " +
+      "x -> len(list_filter(g3.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 2) ELSE 0.0 END AS top_3gram_frac, " +
+      "CASE WHEN len(t.w) >= 4 THEN CAST(list_max(list_transform(list_distinct(g4.g), " +
+      "x -> len(list_filter(g4.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 3) ELSE 0.0 END AS top_4gram_frac, " +
+      "CAST(COALESCE(n5.cov, 0) AS DOUBLE) / len(t.w) AS dup_5gram_frac, " +
+      "CAST(COALESCE(n10.cov, 0) AS DOUBLE) / len(t.w) AS dup_10gram_frac " +
+      "FROM t JOIN g3 USING (doc_id) JOIN g4 USING (doc_id) " +
+      "LEFT JOIN n5 USING (doc_id) LEFT JOIN n10 USING (doc_id)) " +
+      "SELECT doc_id, top_3gram_frac, top_4gram_frac, dup_5gram_frac, dup_10gram_frac, " +
+      "(top_3gram_frac <= 0.05 AND top_4gram_frac <= 0.05 AND " +
+      "dup_5gram_frac <= 0.30 AND dup_10gram_frac <= 0.20) AS keep " +
+      "FROM f ORDER BY doc_id"
+
   /** Shared DuckDB restatement of [[pipeline.TextAnalysis.lmScore]]'s
     * interpolated bigram model (the `nll` CTE) — text_lm_score reads
     * it directly, q_lm_buckets composes terciles on top. 0.0999... is
@@ -2280,6 +2448,15 @@ object SparkEntry {
     "q_temp_mix" -> ((s, d) =>
       pipeline.CorpusOps.temperatureMixWeights(T(s, d, "documents"), "lang")),
 
+    // Token-budget slice per language: the first ~2000 tokens of each
+    // lang in deterministic shuffled (Knuth-hash) order — mixture
+    // weights turned into an actual bounded corpus cut. The oracle is
+    // the plain per-group cumulative window; the engine computes the
+    // same prefix sums via range-bucketed two-pass offsets (no
+    // single-task-per-group window).
+    "q_token_budget" -> ((s, d) =>
+      pipeline.CorpusOps.tokenBudgetSample(T(s, d, "documents"), "lang", 2000L)),
+
     // Per-language contamination audit over the same synthetic split
     // as q_decontam (doc_id % 10 == 0 is the eval set).
     "q_contam_report" -> ((s, d) => {
@@ -2603,43 +2780,18 @@ object SparkEntry {
     "ann_ivf_recall" -> ("SELECT vec_id AS query_id, true AS ok " +
       "FROM embeddings WHERE vec_id < 10 ORDER BY query_id"),
 
-    "text_tokens" -> ("SELECT doc_id, " +
-      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_ws_tokens, " +
-      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens, " +
-      "CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS chars_per_token " +
-      "FROM documents ORDER BY doc_id"),
+    "text_tokens" -> DuckTextTokens,
+    "q_sql_tokens" -> DuckTextTokens,
 
     "q_heavy_hitters" -> ("WITH toks AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok " +
       "FROM documents) SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks " +
       "GROUP BY tok HAVING COUNT(*) >= 500 ORDER BY n DESC, tok"),
 
-    "text_quality" -> ("WITH t AS (SELECT doc_id, text, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w, " +
-      "CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct, " +
-      "CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), " +
-      "t -> t IN ('the','and','of','to','in','is','a','that'))) AS DOUBLE) AS stop FROM documents) " +
-      "SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, " +
-      "punct / length(text) AS punct_ratio, " +
-      "stop / len(w) AS stop_ratio, " +
-      "least(len(w) / 256.0, 1.0) * (1.0 - punct / length(text)) * " +
-      "(0.5 + 0.5 * least(4.0 * stop / len(w), 1.0)) AS quality " +
-      "FROM t ORDER BY doc_id"),
+    "text_quality" -> DuckTextQuality,
+    "q_sql_quality" -> DuckTextQuality,
 
-    "text_langid" -> ("WITH t AS (SELECT doc_id, lang, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "sc AS (SELECT doc_id, lang AS actual_lang, " +
-      "CAST(len(list_filter(w, x -> x IN ('the','and','of','is','a'))) AS BIGINT) AS score_en, " +
-      "CAST(len(list_filter(w, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr, " +
-      "CAST(len(list_filter(w, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS score_de, " +
-      "CAST(len(list_filter(w, x -> x IN ('el','los','que','y','una'))) AS BIGINT) AS score_es, " +
-      "CAST(len(list_filter(w, x -> x IN ('的','是','在','了','和'))) AS BIGINT) AS score_zh " +
-      "FROM t) " +
-      "SELECT doc_id, actual_lang, score_en, score_fr, score_de, score_es, score_zh, " +
-      "CASE WHEN score_en >= score_fr AND score_en >= score_de AND score_en >= score_es AND score_en >= score_zh THEN 'en' " +
-      "WHEN score_fr >= score_de AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr' " +
-      "WHEN score_de >= score_es AND score_de >= score_zh THEN 'de' " +
-      "WHEN score_es >= score_zh THEN 'es' ELSE 'zh' END AS predicted_lang " +
-      "FROM sc ORDER BY doc_id"),
+    "text_langid" -> DuckTextLangid,
+    "q_sql_langid" -> DuckTextLangid,
 
     "text_tfidf" -> ("WITH toks AS (SELECT doc_id, " +
       "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
@@ -2766,10 +2918,8 @@ object SparkEntry {
       "CASE WHEN avg_nll <= c1 THEN 'head' WHEN avg_nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket " +
       "FROM nll, cuts ORDER BY doc_id"),
 
-    "text_fingerprint" -> ("SELECT doc_id, " +
-      "list_reduce(list_prepend(0, list_transform(regexp_split_to_array(text, ''), " +
-      "c -> unicode(c)::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp " +
-      "FROM documents ORDER BY doc_id"),
+    "text_fingerprint" -> DuckTextFingerprint,
+    "q_sql_fingerprint" -> DuckTextFingerprint,
 
     "mm_frames" -> ("WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
       "CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS frames FROM documents WHERE doc_id < 100) " +
@@ -2822,21 +2972,11 @@ object SparkEntry {
     // budget over doc_id order — the oracle states it as one window
     // cumsum; the engine computes the identical sum distributed
     // (per-partition subtotals + broadcast offsets).
-    "q_pack_tokens" -> ("WITH t AS (SELECT doc_id, " +
-      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens FROM documents) " +
-      "SELECT doc_id, n_tokens, CAST((SUM(n_tokens) OVER " +
-      "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 4096 AS BIGINT) AS seq_id " +
-      "FROM t ORDER BY doc_id"),
+    "q_pack_tokens" -> DuckPackTokens,
+    "q_sql_pack" -> DuckPackTokens,
 
-    // Corpus shuffle: the oracle states the permutation as ONE global
-    // row_number over (hash, doc_id); the engine computes the same
-    // dense rank distributed (bucket counts + broadcast offsets).
-    // Same masked-multiply hash arithmetic on both sides — all values
-    // nonnegative, so DuckDB % == Spark pmod.
-    "q_shuffle_rank" -> ("WITH h AS (SELECT doc_id, " +
-      "((doc_id + 7) % 1048576) * 2654435761 % 9999991 AS h FROM documents) " +
-      "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank " +
-      "FROM h ORDER BY doc_id"),
+    "q_shuffle_rank" -> DuckShuffleRank,
+    "q_sql_shuffle" -> DuckShuffleRank,
 
     "q_shuffle_pack" -> ("WITH h AS (SELECT doc_id, text, " +
       "((doc_id + 7) % 1048576) * 2654435761 % 9999991 AS h FROM documents), " +
@@ -2882,13 +3022,11 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 " +
       "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
 
-    "q_temp_mix" -> ("WITH w AS (SELECT lang, COUNT(*) AS n_docs, " +
-      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total FROM documents GROUP BY lang), " +
-      "f AS (SELECT lang, n_docs, CAST(n_docs AS DOUBLE) / total AS frac FROM w), " +
-      "s AS (SELECT lang, n_docs, frac, CAST(sqrt(frac) AS DECIMAL(18,12)) AS s FROM f), " +
-      "z AS (SELECT *, SUM(s) OVER () AS z FROM s) " +
-      "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, frac, " +
-      "CAST(s AS DOUBLE) / CAST(z AS DOUBLE) / frac AS weight FROM z ORDER BY lang"),
+    "q_temp_mix" -> DuckTempMix,
+    "q_sql_mix_weights" -> DuckTempMix,
+
+    "q_token_budget" -> DuckTokenBudget,
+    "q_sql_mix_budget" -> DuckTokenBudget,
 
     "q_contam_report" -> ("WITH toks AS (SELECT doc_id, lang, " +
       "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
@@ -2902,18 +3040,8 @@ object SparkEntry {
       "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_contaminated " +
       "FROM documents WHERE doc_id % 10 <> 0 GROUP BY lang ORDER BY lang"),
 
-    "q_quality_rep" -> ("WITH t AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "b AS (SELECT doc_id, w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg FROM t), " +
-      "f AS (SELECT doc_id, " +
-      "1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS rep_word_frac, " +
-      "CAST(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac, " +
-      "CASE WHEN len(w) >= 2 THEN " +
-      "CAST(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (CAST(len(w) AS DOUBLE) - 1) " +
-      "ELSE 0.0 END AS top_bigram_frac FROM b) " +
-      "SELECT doc_id, rep_word_frac, top_word_frac, top_bigram_frac, " +
-      "(top_word_frac <= 0.2 AND top_bigram_frac <= 0.18) AS keep " +
-      "FROM f ORDER BY doc_id"),
+    "q_quality_rep" -> DuckQualityRep,
+    "q_sql_repetition" -> DuckQualityRep,
 
     "q_skew_agg" -> ("SELECT event_type, COUNT(*) AS n_events, " +
       "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value " +
@@ -2924,50 +3052,11 @@ object SparkEntry {
       "FROM orders JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
 
-    "q_gopher_rep" -> ("WITH t AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "g3 AS (SELECT doc_id, list_transform(range(1, len(w)-1), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g FROM t), " +
-      "g4 AS (SELECT doc_id, list_transform(range(1, len(w)-2), " +
-      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g FROM t), " +
-      "e5 AS (SELECT doc_id, i AS pos, " +
-      "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS gram " +
-      "FROM t, unnest(range(1, len(w)-3)) AS u(i)), " +
-      "d5 AS (SELECT doc_id, gram FROM e5 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
-      "c5 AS (SELECT DISTINCT doc_id, p FROM (SELECT e5.doc_id, " +
-      "unnest(range(pos, pos+5)) AS p FROM e5 JOIN d5 USING (doc_id, gram))), " +
-      "n5 AS (SELECT doc_id, count(*) AS cov FROM c5 GROUP BY doc_id), " +
-      "e10 AS (SELECT doc_id, i AS pos, w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||" +
-      "w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]||' '||w[i+8]||' '||w[i+9] AS gram " +
-      "FROM t, unnest(range(1, len(w)-8)) AS u(i)), " +
-      "d10 AS (SELECT doc_id, gram FROM e10 GROUP BY doc_id, gram HAVING count(*) >= 2), " +
-      "c10 AS (SELECT DISTINCT doc_id, p FROM (SELECT e10.doc_id, " +
-      "unnest(range(pos, pos+10)) AS p FROM e10 JOIN d10 USING (doc_id, gram))), " +
-      "n10 AS (SELECT doc_id, count(*) AS cov FROM c10 GROUP BY doc_id), " +
-      "f AS (SELECT t.doc_id, " +
-      "CASE WHEN len(t.w) >= 3 THEN CAST(list_max(list_transform(list_distinct(g3.g), " +
-      "x -> len(list_filter(g3.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 2) ELSE 0.0 END AS top_3gram_frac, " +
-      "CASE WHEN len(t.w) >= 4 THEN CAST(list_max(list_transform(list_distinct(g4.g), " +
-      "x -> len(list_filter(g4.g, y -> y = x)))) AS DOUBLE) / (len(t.w) - 3) ELSE 0.0 END AS top_4gram_frac, " +
-      "CAST(COALESCE(n5.cov, 0) AS DOUBLE) / len(t.w) AS dup_5gram_frac, " +
-      "CAST(COALESCE(n10.cov, 0) AS DOUBLE) / len(t.w) AS dup_10gram_frac " +
-      "FROM t JOIN g3 USING (doc_id) JOIN g4 USING (doc_id) " +
-      "LEFT JOIN n5 USING (doc_id) LEFT JOIN n10 USING (doc_id)) " +
-      "SELECT doc_id, top_3gram_frac, top_4gram_frac, dup_5gram_frac, dup_10gram_frac, " +
-      "(top_3gram_frac <= 0.05 AND top_4gram_frac <= 0.05 AND " +
-      "dup_5gram_frac <= 0.30 AND dup_10gram_frac <= 0.20) AS keep " +
-      "FROM f ORDER BY doc_id"),
+    "q_gopher_rep" -> DuckGopherRep,
+    "q_sql_gopher" -> DuckGopherRep,
 
-    "q_resample" -> ("WITH w AS (SELECT lang, COUNT(*) AS n_docs, " +
-      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total, COUNT(*) OVER () AS n_groups " +
-      "FROM documents GROUP BY lang), " +
-      "w2 AS (SELECT lang, CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight FROM w), " +
-      "c AS (SELECT doc_id, d.lang AS lang, " +
-      "CAST(floor(weight) + CASE WHEN CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) < " +
-      "(weight - floor(weight)) * 1048576.0 THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
-      "FROM documents d JOIN w2 USING (lang)) " +
-      "SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id " +
-      "FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_id"),
+    "q_resample" -> DuckResample,
+    "q_sql_resample" -> DuckResample,
 
     "q_domain_mix" -> ("SELECT source, n_docs, " +
       "CAST(n_docs AS DOUBLE) / total AS frac, " +
@@ -3036,15 +3125,8 @@ object SparkEntry {
       "FROM bi JOIN uni ua ON bi.a = ua.t JOIN uni ub ON bi.b = ub.t, ut, bt " +
       "ORDER BY pmi DESC, gram LIMIT 20"),
 
-    "q_chunk" -> ("WITH t AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n, " +
-      "greatest(1, (CAST(len(w) AS BIGINT) - 16 + 48 - 1) // 48) AS n_chunks FROM t) " +
-      "SELECT doc_id, i AS chunk_id, " +
-      "least(64, n - i * 48) AS n_chunk_tokens, " +
-      "array_to_string(list_slice(w, CAST(i * 48 + 1 AS INTEGER), " +
-      "CAST(i * 48 + 64 AS INTEGER)), ' ') AS chunk_text " +
-      "FROM c, unnest(range(0, n_chunks)) AS u(i) ORDER BY doc_id, chunk_id"),
+    "q_chunk" -> DuckChunk,
+    "q_sql_chunk" -> DuckChunk,
 
     "q_zorder" -> ("SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, " +
       "CAST(" + pipeline.ZOrder.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10) +
@@ -3262,6 +3344,90 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, cluster_id FROM " +
           s"corpus_dedup('$d/documents.parquet', mode=>'clusters') " +
           "ORDER BY doc_id")),
+
+    // The curation-scoring pass through the SQL surface: the
+    // corpus_quality TVF routes to the SAME qualityScore operator
+    // text_quality serves, so one oracle body pins both surfaces.
+    "q_sql_quality" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, n_tokens, punct_ratio, stop_ratio, quality " +
+          s"FROM corpus_quality('$d/documents.parquet')")
+        .orderBy("doc_id")),
+
+    // Language-ID through the SQL surface (mode=>'langid'), same
+    // stopword-hit scores + argmax oracle as text_langid.
+    "q_sql_langid" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, actual_lang, score_en, score_fr, score_de, " +
+          s"score_es, score_zh, predicted_lang FROM " +
+          s"corpus_quality('$d/documents.parquet', mode=>'langid')")
+        .orderBy("doc_id")),
+
+    // Token accounting through the SQL surface (mode=>'tokens'),
+    // same whitespace + BPE-ish regex counts oracle as text_tokens.
+    "q_sql_tokens" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, n_ws_tokens, n_re_tokens, chars_per_token " +
+          s"FROM corpus_quality('$d/documents.parquet', mode=>'tokens')")
+        .orderBy("doc_id")),
+
+    // Content fingerprinting through the SQL surface
+    // (mode=>'fingerprint'), same rolling-hash oracle as
+    // text_fingerprint.
+    "q_sql_fingerprint" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, fp FROM " +
+          s"corpus_quality('$d/documents.parquet', mode=>'fingerprint')")
+        .orderBy("doc_id")),
+
+    // The repetition/Gopher filter passes through the SQL surface —
+    // corpus_quality threshold options reach the operators (the twins
+    // pin default thresholds for repetition, the q_gopher_rep fixture
+    // thresholds for gopher).
+    "q_sql_repetition" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, rep_word_frac, top_word_frac, " +
+          s"top_bigram_frac, keep FROM " +
+          s"corpus_quality('$d/documents.parquet', mode=>'repetition')")
+        .orderBy("doc_id")),
+
+    "q_sql_gopher" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, top_3gram_frac, top_4gram_frac, " +
+          s"dup_5gram_frac, dup_10gram_frac, keep FROM " +
+          s"corpus_quality('$d/documents.parquet', mode=>'gopher', " +
+          s"top3=>0.05, top4=>0.05)")
+        .orderBy("doc_id")),
+
+    // Mix construction through the SQL surface: each corpus_mix mode
+    // routes to the SAME CorpusOps operator its Scala twin serves, so
+    // one oracle body pins both surfaces (q_temp_mix, q_resample,
+    // q_shuffle_rank, q_token_budget, q_pack_tokens respectively).
+    "q_sql_mix_weights" -> ((s, d) =>
+      s.sql(s"SELECT lang, n_docs, frac, weight FROM " +
+          s"corpus_mix('$d/documents.parquet', group=>'lang')")
+        .orderBy("lang")),
+
+    "q_sql_resample" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, lang, copy_id FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'resample', group=>'lang')")
+        .orderBy("doc_id", "copy_id")),
+
+    "q_sql_shuffle" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, shuffle_rank FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'shuffle', seed=>7)")
+        .orderBy("doc_id")),
+
+    "q_sql_mix_budget" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, lang, n_tokens, cum_tokens FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'budget', " +
+          s"group=>'lang', budget=>2000)")
+        .orderBy("doc_id")),
+
+    "q_sql_pack" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, n_tokens, seq_id FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'pack', budget=>4096)")
+        .orderBy("doc_id")),
+
+    "q_sql_chunk" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, chunk_id, n_chunk_tokens, chunk_text FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'chunk', " +
+          s"max_tokens=>64, overlap=>16)")
+        .orderBy("doc_id", "chunk_id")),
 
     // The reference's projection NAMING contract: unaliased computed
     // columns become unnamed_{i} (record_projection.rs:39-59) —

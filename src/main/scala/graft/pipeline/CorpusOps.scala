@@ -714,4 +714,50 @@ object CorpusOps {
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
       .orderBy("doc_id", "copy_id")
   }
+
+  /** Token-budget corpus slice per group: keep, per `groupCol` value,
+    * the documents whose INCLUSIVE running token total in
+    * deterministic shuffled order stays within `budget` — the op that
+    * turns mixture weights ([[temperatureMixWeights]] /
+    * [[domainMixWeights]]) into an actual bounded corpus cut ("a
+    * 1 B-token French slice for the mix"). Order is the
+    * [[shuffleRank]] hash (a pure function of doc_id and seed, ties
+    * broken by doc_id), so the slice is an i.i.d.-looking prefix of
+    * the group, reproducible and retry-stable where `ORDER BY rand()`
+    * is neither.
+    *
+    * Scale shape: the value-keyed two-pass prefix sum of
+    * [[packSequences]], made per-group — range-bucket the hash
+    * domain, aggregate per (group, bucket) token sums (≤ groups ×
+    * `parts` rows through the broadcast offsets frame), then a window
+    * per (group, bucket) adds the exclusive bucket offset to the
+    * within-bucket running sum. No single-task-per-group global
+    * window: a group holding 90 % of a 100 TB corpus still cumsums
+    * across `parts` tasks, and everything past the budget is filtered
+    * BEFORE any downstream shuffle sees it. */
+  def tokenBudgetSample(docs: DataFrame, groupCol: String, budget: Long,
+      seed: Long = 0L, parts: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val width = ShuffleMod / p + 1
+    val toks = graft.Engine.fanOut(docs).select(col("doc_id"), col(groupCol),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("h",
+        expr(s"pmod(pmod(doc_id + ${seed}L, 1048576) * 2654435761, ${ShuffleMod}L)"))
+      .withColumn("bk", expr(s"h div ${width}L"))
+    val offs = toks.groupBy(groupCol, "bk").agg(sum("n_tokens").as("psum"))
+      .withColumn("off", coalesce(
+        sum("psum").over(Window.partitionBy(groupCol).orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol).as("off_g"), col("bk").as("off_bk"), col("off"))
+    val w = Window.partitionBy(groupCol, "bk").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offs),
+        toks(groupCol) === col("off_g") && toks("bk") === col("off_bk"))
+      .withColumn("cum_tokens", col("off") + sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(groupCol), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -154,6 +154,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ReadStoreTVF.getClass.getName, "read_store"),
       (args: Seq[Expression]) => ReadStoreTVF.build(args)))
 
+    // Per-document text analysis as a TVF: SELECT * FROM
+    // corpus_quality('path' [, mode=>'quality'|'langid'|'tokens'|
+    // 'fingerprint']) — the curation-scoring face of the TVF family,
+    // closing the SQL-only story for the quality/filtering passes a
+    // training pipeline runs before search/dedup ever see the text.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_quality"),
+      new ExpressionInfo(CorpusQualityTVF.getClass.getName, "corpus_quality"),
+      (args: Seq[Expression]) => CorpusQualityTVF.build(args)))
+
+    // Mix construction as a TVF: SELECT * FROM corpus_mix('path'
+    // [, mode=>'weights'|'resample'|'shuffle'|'budget'|'pack'|'chunk']
+    // ...) — the shard-assembly face of the family: temperature
+    // weights, deterministic resampling, permutation shuffle,
+    // token-budget slicing, sequence packing, and sliding-window
+    // chunking, all with no Scala in sight.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_mix"),
+      new ExpressionInfo(CorpusMixTVF.getClass.getName, "corpus_mix"),
+      (args: Seq[Expression]) => CorpusMixTVF.build(args)))
+
     // Index health as a TVF: SELECT * FROM corpus_index_stats('path')
     // — one unified (store, partition, n_rows, n_files, bytes,
     // generation) snapshot for every persisted index family, so the
@@ -646,6 +667,209 @@ object ReadStoreTVF {
         spark.read.parquet(live).drop("bucket")
       case Some(n) =>
         graft.pipeline.CorpusStore.readAsOf(spark, resolved, n, Some(gens))
+    }
+    result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_quality(path [, mode=>'quality'|'langid'|'tokens'|
+  * 'fingerprint'] [, connection=>name])`: per-document text scoring
+  * for SQL users with no Scala in sight — the curation face of the
+  * TVF family (corpus_search = retrieval, corpus_dedup = near-dups,
+  * corpus_quality = the filter/score passes that decide what text
+  * survives into a training mix). Each mode routes to the SAME gated
+  * pipeline operator the Scala surface serves, so results are
+  * identical on either surface and every 100 TB plan judgment
+  * (one scan, no shuffle for quality/tokens/fingerprint; langid's
+  * scores are one codegen'd projection) carries over unchanged:
+  *
+  *   - `quality` (default): (doc_id, n_tokens, punct_ratio,
+  *     stop_ratio, quality) — [[graft.pipeline.TextAnalysis.qualityScore]]
+  *   - `langid`: stopword-hit scores + argmax prediction —
+  *     [[graft.pipeline.TextAnalysis.languageId]] (needs a `lang`
+  *     column for the actual-vs-predicted comparison)
+  *   - `tokens`: whitespace + BPE-ish regex token counts —
+  *     [[graft.pipeline.TextAnalysis.tokenCounts]]
+  *   - `fingerprint`: rolling polynomial content fingerprint —
+  *     [[graft.pipeline.TextAnalysis.fingerprint]]
+  *   - `repetition`: uni/bigram repetition fractions + keep verdict
+  *     (`top1=>`/`top2=>` thresholds) —
+  *     [[graft.pipeline.CorpusOps.repetitionStats]]
+  *   - `gopher`: top-3/4-gram fractions + duplicated-5/10-gram token
+  *     coverage + keep verdict (`top3=>`/`top4=>`/`dup5=>`/`dup10=>`
+  *     thresholds) — [[graft.pipeline.CorpusOps.gopherStats]]
+  *
+  * Threshold options apply only to their own mode — a `dup5=>` on
+  * mode `quality` fails loud rather than being silently ignored.
+  * `path` is a (doc_id, text[, lang]) parquet corpus, or a
+  * [[graft.pipeline.CorpusStore]] layout — served generation-RESOLVED
+  * under `read_store`'s exact live rule (marker-free base included),
+  * because TVFs cannot nest: `corpus_quality(read_store(...))` is not
+  * expressible, so the store resolution must live here too. Pointing
+  * it at an index layout fails loud naming the family (one routing
+  * truth with the serving TVFs). */
+/** The corpus-input resolution every per-document TVF shares
+  * (corpus_quality, corpus_mix): a plain (doc_id, text, ...) parquet
+  * serves directly; a [[graft.pipeline.CorpusStore]] layout serves
+  * generation-RESOLVED under `read_store`'s exact live rule (highest
+  * committed generation, marker-free base fallback) — TVFs cannot
+  * nest, so `f(read_store(...))` is inexpressible and the store
+  * resolution must live here; a persisted index layout fails loud
+  * NAMING the family (one routing truth with the serving TVFs),
+  * never falling through to a schema error. */
+private[sources] object TvfCorpus {
+  def docs(tvf: String, spark: SparkSession, path: String,
+           connection: Option[String]): org.apache.spark.sql.DataFrame = {
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(connection, path)
+    IndexLayouts.familyOf(spark, resolved).foreach(fam =>
+      throw new IllegalArgumentException(
+        s"$tvf: $resolved is ${fam.label} — expected a " +
+          "(doc_id, text) corpus parquet or a corpus store"))
+    // ONE listing decides store-vs-plain and the live generation
+    val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
+    val basePath = s"$resolved/corpus"
+    val hasBase = {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (gens.nonEmpty || hasBase)
+      spark.read.parquet(
+          gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath))
+        .drop("bucket")
+    else spark.read.parquet(resolved)
+  }
+}
+
+object CorpusQualityTVF {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (pos, opts) = TvfArgs.parse("corpus_quality", args,
+      Set("mode", "connection", "top1", "top2", "top3", "top4",
+        "dup5", "dup10"))
+    val path = pos match {
+      case p :: Nil => p
+      case _ => throw new IllegalArgumentException(
+        "corpus_quality: expected exactly one positional path argument")
+    }
+    val mode = opts.getOrElse("mode", "quality").toLowerCase
+    require(Set("quality", "langid", "tokens", "fingerprint",
+        "repetition", "gopher")(mode),
+      s"corpus_quality: unknown mode '$mode' " +
+        "(quality | langid | tokens | fingerprint | repetition | gopher)")
+    // threshold options belong to the repetition/gopher filters only;
+    // a threshold on a scoring mode is a spelled-out mistake
+    val thresholdKeys = Map(
+      "repetition" -> Set("top1", "top2"),
+      "gopher" -> Set("top3", "top4", "dup5", "dup10"))
+    val stray = (opts.keySet - "mode" - "connection") --
+      thresholdKeys.getOrElse(mode, Set.empty)
+    require(stray.isEmpty,
+      s"corpus_quality: option(s) ${stray.toSeq.sorted.mkString(", ")} " +
+        s"do not apply to mode '$mode'")
+    def d(key: String, dflt: Double): Double =
+      opts.get(key).map(_.toDouble).getOrElse(dflt)
+    val spark = SparkSession.active
+    val docs = TvfCorpus.docs("corpus_quality", spark, path, opts.get("connection"))
+    val result = mode match {
+      case "quality" => graft.pipeline.TextAnalysis.qualityScore(docs)
+      case "langid" => graft.pipeline.TextAnalysis.languageId(docs)
+      case "tokens" => graft.pipeline.TextAnalysis.tokenCounts(docs)
+      case "fingerprint" => graft.pipeline.TextAnalysis.fingerprint(docs)
+      case "repetition" => graft.pipeline.CorpusOps.repetitionStats(docs,
+        d("top1", 0.2), d("top2", 0.18))
+      case "gopher" => graft.pipeline.CorpusOps.gopherStats(docs,
+        d("top3", 0.18), d("top4", 0.16), d("dup5", 0.30), d("dup10", 0.20))
+    }
+    result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_mix(path [, mode=>...] [, group=>col] [, budget=>N]
+  * [, seed=>N] [, tau=>T] [, connection=>name])`: training-mix
+  * construction for SQL users with no Scala in sight — the
+  * shard-assembly face of the TVF family (corpus_quality decides
+  * what text survives; corpus_mix decides how much of each slice the
+  * model sees and in what order). Each mode routes to the SAME gated
+  * [[graft.pipeline.CorpusOps]] operator the Scala surface serves,
+  * so results are identical on either surface and every scale
+  * judgment (broadcast mixture weights, value-keyed two-pass prefix
+  * sums, no global sort, no single-task-per-group window) carries
+  * over unchanged:
+  *
+  *   - `weights` (default): per-group temperature mixture weights —
+  *     [[graft.pipeline.CorpusOps.temperatureMixWeights]]
+  *     (`group=>` column, default `lang`; `tau=>` temperature,
+  *     default 2.0)
+  *   - `resample`: deterministic weighted up/down-sampling toward
+  *     the uniform group mixture —
+  *     [[graft.pipeline.CorpusOps.resampleToMix]]
+  *   - `shuffle`: dense deterministic permutation rank (`seed=>`) —
+  *     [[graft.pipeline.CorpusOps.shuffleRank]]
+  *   - `budget`: per-group token-budget slice in shuffled order
+  *     (`budget=>` required, `group=>`, `seed=>`) —
+  *     [[graft.pipeline.CorpusOps.tokenBudgetSample]]
+  *   - `pack`: fixed-budget sequence packing (`budget=>` required) —
+  *     [[graft.pipeline.CorpusOps.packSequences]]
+  *   - `chunk`: sliding-window document chunking
+  *     (`max_tokens=>`/`overlap=>`) —
+  *     [[graft.pipeline.CorpusOps.chunkDocuments]]
+  *
+  * Options belong to their mode — a `budget=>` on mode `weights`
+  * fails loud rather than being silently ignored.
+  * `path` resolves through [[TvfCorpus.docs]] — plain corpus
+  * parquet, or a corpus store served generation-resolved; index
+  * layouts fail loud naming the family. */
+object CorpusMixTVF {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (pos, opts) = TvfArgs.parse("corpus_mix", args,
+      Set("mode", "group", "budget", "seed", "tau", "max_tokens",
+        "overlap", "connection"))
+    val path = pos match {
+      case p :: Nil => p
+      case _ => throw new IllegalArgumentException(
+        "corpus_mix: expected exactly one positional path argument")
+    }
+    val mode = opts.getOrElse("mode", "weights").toLowerCase
+    // per-mode option contract: an option another mode owns must fail
+    // loud, never be silently ignored (a budget=> on mode 'weights'
+    // is a spelled-out mistake about what the query computes)
+    val modeKeys = Map(
+      "weights" -> Set("group", "tau"),
+      "resample" -> Set("group"),
+      "shuffle" -> Set("seed"),
+      "budget" -> Set("group", "budget", "seed"),
+      "pack" -> Set("budget"),
+      "chunk" -> Set("max_tokens", "overlap"))
+    require(modeKeys.contains(mode),
+      s"corpus_mix: unknown mode '$mode' " +
+        s"(${modeKeys.keys.toSeq.sorted.mkString(" | ")})")
+    val stray = (opts.keySet - "mode" - "connection") -- modeKeys(mode)
+    require(stray.isEmpty,
+      s"corpus_mix: option(s) ${stray.toSeq.sorted.mkString(", ")} " +
+        s"do not apply to mode '$mode'")
+    val group = opts.getOrElse("group", "lang")
+    val seed = opts.get("seed").map(_.toLong).getOrElse(0L)
+    def budget: Long = opts.get("budget").map(_.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"corpus_mix: mode '$mode' requires budget=>N (tokens)"))
+    val spark = SparkSession.active
+    val docs = TvfCorpus.docs("corpus_mix", spark, path, opts.get("connection"))
+    val result = mode match {
+      case "weights" =>
+        val tau = opts.get("tau").map(_.toDouble).getOrElse(2.0)
+        graft.pipeline.CorpusOps.temperatureMixWeights(docs, group, tau)
+      case "resample" =>
+        graft.pipeline.CorpusOps.resampleToMix(docs, group)
+      case "shuffle" =>
+        graft.pipeline.CorpusOps.shuffleRank(docs, seed)
+      case "budget" =>
+        graft.pipeline.CorpusOps.tokenBudgetSample(docs, group, budget, seed)
+      case "pack" =>
+        graft.pipeline.CorpusOps.packSequences(docs, budget)
+      case "chunk" =>
+        graft.pipeline.CorpusOps.chunkDocuments(docs,
+          opts.get("max_tokens").map(_.toInt).getOrElse(512),
+          opts.get("overlap").map(_.toInt).getOrElse(64))
     }
     result.queryExecution.analyzed
   }

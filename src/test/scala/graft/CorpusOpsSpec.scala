@@ -77,6 +77,62 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tokenBudgetSample equals the single-threaded per-group prefix definition") {
+    val budget = 2000L
+    val got = CorpusOps.tokenBudgetSample(docs, "lang", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // single-threaded truth: per lang, cumsum in (knuth-hash, doc_id)
+    // order, keep while inclusive cum <= budget
+    val toks = docs.select(col("doc_id"), col("lang"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = toks.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy { case (id, _, _) => ((id % 1048576L) * 2654435761L % 9999991L, id) }
+        .flatMap { case (id, lang, n) =>
+          cum += n
+          if (cum <= budget) Some((id, lang, n, cum)) else None
+        }
+    }.sortBy(_._1)
+    assert(got.sameElements(want))
+    assert(got.nonEmpty && got.map(_._2).distinct.length > 1,
+      "budget must keep a non-trivial slice of more than one group")
+    // partition-invariant (the bucket count must not change the slice)
+    val b = CorpusOps.tokenBudgetSample(docs, "lang", budget, parts = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(b.sameElements(got))
+    // a different seed cuts a different slice (it actually shuffles)
+    val c = CorpusOps.tokenBudgetSample(docs, "lang", budget, seed = 9)
+      .collect().map(_.getLong(0)).toSet
+    assert(c != got.map(_._1).toSet, "seed must change the slice")
+  }
+
+  test("tokenBudgetSample plans with no single-task-per-group window") {
+    // every window over corpus rows must partition by (group, bucket);
+    // a bare PARTITION BY lang window serializes each group through
+    // one task — the skew shape this op exists to avoid. AQE off so
+    // the executed plan exposes the WindowExec nodes directly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = CorpusOps.tokenBudgetSample(docs, "lang", 2000L)
+        .queryExecution.executedPlan
+      val windows = p.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        val aggBelow = w.find {
+          case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+          case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+          case _ => false
+        }
+        assert(w.partitionSpec.size >= 2 || aggBelow.nonEmpty,
+          s"corpus-row window must partition by (group, bucket):\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("writeShards materializes deterministic, prunable training shards") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     CorpusOps.writeShards(docs, dir, seqLen = 1024, seqsPerShard = 8)

@@ -538,26 +538,30 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("training-data curation script: the TVF family composes through the script path") {
-    // the SQL-analyst session shape: retrieval, near-dup audit, the
-    // corpus of record, and index health — four statements, one
-    // script, every result materialized and paged by the service
+    // the SQL-analyst session shape: quality scoring, retrieval,
+    // near-dup audit, the corpus of record, and index health — five
+    // statements, one script, every result materialized and paged by
+    // the service (README's "curation session, SQL only" example)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("svc_curate").toString
     graft.pipeline.TextDedup.writeBandIndex(docs, s"$base/band")
     graft.pipeline.CorpusStore.write(docs, s"$base/store", buckets = 4)
     val ids = svc.runScriptSequential(
-      s"""select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5);
+      s"""select doc_id, quality from corpus_quality('$sfDir/documents.parquet') where quality > 0.1;
+         |select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5);
          |select doc_a, doc_b, jaccard from corpus_dedup('$base/band');
          |select count(*) as n from read_store('$base/store');
          |select store, sum(n_rows) as total_rows from corpus_index_stats('$base/band') group by store order by store""".stripMargin)
-    assert(ids.size == 4)
+    assert(ids.size == 5)
     assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)))
-    assert(svc.reader(ids(0)).totalRows == 5)
-    val dups = svc.reader(ids(1)).asDataFrame.collect()
+    val qual = svc.reader(ids(0)).asDataFrame.collect()
+    assert(qual.nonEmpty && qual.forall(_.getDouble(1) > 0.1))
+    assert(svc.reader(ids(1)).totalRows == 5)
+    val dups = svc.reader(ids(2)).asDataFrame.collect()
     assert(dups.nonEmpty && dups.forall(_.getDouble(2) >= 0.8))
-    assert(svc.reader(ids(2)).asDataFrame.head().getLong(0) == docs.count())
-    val stats = svc.reader(ids(3)).asDataFrame.collect()
+    assert(svc.reader(ids(3)).asDataFrame.head().getLong(0) == docs.count())
+    val stats = svc.reader(ids(4)).asDataFrame.collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("bands", "shingles"))
   }
 

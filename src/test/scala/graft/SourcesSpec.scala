@@ -627,6 +627,140 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(m3.getMessage.contains("is an IVF index"), m3.getMessage)
   }
 
+  test("corpus_quality TVF: every mode matches its Scala operator; store route serves the live generation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents")
+    val path = s"$sfDir/documents.parquet"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    // each mode routes to the SAME pipeline operator the Scala
+    // surface serves — identical rows, identical column names
+    val byMode = Seq(
+      "quality" -> graft.pipeline.TextAnalysis.qualityScore(docs),
+      "langid" -> graft.pipeline.TextAnalysis.languageId(docs),
+      "tokens" -> graft.pipeline.TextAnalysis.tokenCounts(docs),
+      "fingerprint" -> graft.pipeline.TextAnalysis.fingerprint(docs),
+      "repetition" -> graft.pipeline.CorpusOps.repetitionStats(docs),
+      "gopher" -> graft.pipeline.CorpusOps.gopherStats(docs))
+    byMode.foreach { case (mode, expect) =>
+      val got = spark.sql(
+        s"SELECT * FROM corpus_quality('$path', mode=>'$mode')")
+      assert(got.columns.toSeq == expect.columns.toSeq, mode)
+      assert(rows(got) == rows(expect), s"mode $mode diverged from Scala")
+    }
+    // default mode is quality
+    assert(rows(spark.sql(s"SELECT * FROM corpus_quality('$path')"))
+      == rows(byMode.head._2))
+    // a corpus-store path serves generation-RESOLVED (read_store's
+    // live rule): after a merge swap the TVF scores the POST-merge
+    // corpus, never a stale or torn generation
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_qual").toString
+    val stDocs = docs.select("doc_id", "text").filter(col("doc_id") < 100)
+    graft.pipeline.CorpusStore.write(stDocs, dir, buckets = 4)
+    val up = stDocs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), org.apache.spark.sql.functions
+        .concat(col("text"), org.apache.spark.sql.functions.lit(" merged edit"))
+        .as("text"))
+    graft.pipeline.CorpusStore.merge(spark, dir, up,
+      stDocs.filter(col("doc_id") === 99L).select("doc_id"))
+    val live = graft.pipeline.CorpusStore.read(spark, dir).drop("bucket")
+    assert(rows(spark.sql(s"SELECT * FROM corpus_quality('$dir', mode=>'tokens')"))
+      == rows(graft.pipeline.TextAnalysis.tokenCounts(live)),
+      "store route must score the live merged generation")
+    // loud failures: unknown mode, typo'd option, index layout
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_quality('$path', mode=>'sentiment')").collect()
+    }
+    assert(e1.getMessage.contains("unknown mode"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_quality('$path', kmode=>'x')").collect()
+    }
+    assert(e2.getMessage.contains("unknown option"), e2.getMessage)
+    // threshold options reach their operator; on any other mode they
+    // fail loud instead of being silently ignored
+    assert(rows(spark.sql(s"SELECT * FROM corpus_quality('$path', " +
+        "mode=>'gopher', top3=>0.05, top4=>0.05)"))
+      == rows(graft.pipeline.CorpusOps.gopherStats(docs, 0.05, 0.05)))
+    val e2b = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_quality('$path', dup5=>0.1)").collect()
+    }
+    assert(e2b.getMessage.contains("do not apply to mode"), e2b.getMessage)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_qual_idx").toString
+    graft.pipeline.TextDedup.writeBandIndex(
+      docs.select("doc_id", "text").limit(50), idx)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_quality('$idx')").collect()
+    }
+    assert(e3.getMessage.contains("is a band index"), e3.getMessage)
+  }
+
+  test("corpus_mix TVF: every mode matches its Scala operator; missing budget and bad modes fail loud") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents")
+    val path = s"$sfDir/documents.parquet"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rows(df).sorted
+    // each mode routes to the SAME CorpusOps operator the Scala
+    // surface serves — identical rows, identical column names
+    assert(rows(spark.sql(s"SELECT * FROM corpus_mix('$path', group=>'lang')"))
+      == rows(graft.pipeline.CorpusOps.temperatureMixWeights(docs, "lang")))
+    assert(rows(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'weights', group=>'source', tau=>3.0)"))
+      == rows(graft.pipeline.CorpusOps.temperatureMixWeights(docs, "source", 3.0)),
+      "group/tau options must reach the operator")
+    assert(rows(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'resample', group=>'lang')"))
+      == rows(graft.pipeline.CorpusOps.resampleToMix(docs, "lang")))
+    assert(sorted(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'shuffle', seed=>7)"))
+      == sorted(graft.pipeline.CorpusOps.shuffleRank(docs, 7)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'budget', group=>'lang', budget=>2000)"))
+      == rows(graft.pipeline.CorpusOps.tokenBudgetSample(docs, "lang", 2000L)))
+    assert(rows(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'pack', budget=>4096)"))
+      == rows(graft.pipeline.CorpusOps.packSequences(docs, 4096L)))
+    assert(sorted(spark.sql(
+        s"SELECT * FROM corpus_mix('$path', mode=>'chunk', max_tokens=>64, overlap=>16)"))
+      == sorted(graft.pipeline.CorpusOps.chunkDocuments(docs, 64, 16)))
+    // loud failures: budget-less budget/pack, unknown mode, typo'd
+    // option, index layout (one routing truth with the family)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'budget')").collect()
+    }
+    assert(e1.getMessage.contains("requires budget"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'riffle')").collect()
+    }
+    assert(e2.getMessage.contains("unknown mode"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', budgt=>5)").collect()
+    }
+    assert(e3.getMessage.contains("unknown option"), e3.getMessage)
+    // an option another mode owns fails loud, never silently ignored
+    val e3b = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'weights', budget=>5)").collect()
+    }
+    assert(e3b.getMessage.contains("do not apply to mode"), e3b.getMessage)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_mix_idx").toString
+    graft.pipeline.TextDedup.writeBandIndex(
+      docs.select("doc_id", "text").limit(50), idx)
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$idx')").collect()
+    }
+    assert(e4.getMessage.contains("is a band index"), e4.getMessage)
+    // a corpus-store path serves the live generation (TvfCorpus —
+    // same resolution truth corpus_quality pins in depth)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf_mix_store").toString
+    val stDocs = docs.select("doc_id", "text", "lang").filter(col("doc_id") < 100)
+    graft.pipeline.CorpusStore.write(stDocs, dir, buckets = 4)
+    val live = graft.pipeline.CorpusStore.read(spark, dir).drop("bucket")
+    assert(sorted(spark.sql(s"SELECT * FROM corpus_mix('$dir', mode=>'shuffle')"))
+      == sorted(graft.pipeline.CorpusOps.shuffleRank(live)))
+  }
+
   test("injected SQL scalar functions resolve and match the Scala API") {
     val row = spark.sql(
       """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
