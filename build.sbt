@@ -44,4 +44,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g starves the
   // shuffle/broadcast paths into GC pauses that pollute bench timings.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 215 distinct queries' whole-stage-codegen classes + their JIT
+  // compilations overflow the default 240m code cache mid-suite;
+  // once flushing starts, later queries run partially deoptimized
+  // and the whole tail reads uniformly slow (the diffuse bench
+  // inflation that grew round-over-round with the suite).
+  "-XX:ReservedCodeCacheSize=1g",
 )

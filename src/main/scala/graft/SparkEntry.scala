@@ -91,6 +91,45 @@ object SparkEntry {
       f.getAbsolutePath
     })
 
+  /** Two-corpus fixtures for the corpus_decontam TVF: the SAME
+    * doc_id%10 train/eval split q_decontam derives in-query, written
+    * as separate parquets — the TVF's contract is two paths (the
+    * arriving-files shape: the eval set usually isn't a column
+    * predicate on the training corpus). Train keeps lang so the
+    * report mode can group. */
+  private val decontamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def decontamFixtureDir(s: SparkSession, d: String): String =
+    decontamDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_decontam_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val docs = Engine.table(s, dir, "documents")
+      docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text", "lang")
+        .coalesce(1).write.parquet(s"${f.getAbsolutePath}/train")
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+        .coalesce(1).write.parquet(s"${f.getAbsolutePath}/eval")
+      f.getAbsolutePath
+    })
+
+  /** "New snapshot" fixture for the corpus_diff TVF: the SAME derived
+    * corpus q_corpus_diff builds in-query (every 13th doc dropped,
+    * every 7th rewritten), written as a parquet — so the expected
+    * per-source added/removed/kept counts are exact by construction
+    * and ONE DuckDB body oracles both surfaces. */
+  private val diffNewDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def diffNewDir(s: SparkSession, d: String): String =
+    diffNewDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_diffnew_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      Engine.table(s, dir, "documents").filter(col("doc_id") % 13 =!= 0)
+        .select(col("source"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.computeIfAbsent(d, dir => {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
@@ -253,6 +292,8 @@ object SparkEntry {
     annQueriesDir(s, d)
     searchQueriesDir(s, d)
     phraseQueriesDir(s, d)
+    decontamFixtureDir(s, d)
+    diffNewDir(s, d)
     ()
   }
 
@@ -265,7 +306,8 @@ object SparkEntry {
   private[graft] def resetFixtureMemo(): Unit = {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
         textIndexDirs, zoneMapDirs, annQueryDirs,
-        searchQueryDirs, phraseQueryDirs, dedupBatchDirs).foreach { m =>
+        searchQueryDirs, phraseQueryDirs, dedupBatchDirs,
+        decontamDirs, diffNewDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -409,6 +451,61 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) " +
       "SELECT doc_id, lang, n_tokens, cum_tokens FROM c " +
       "WHERE cum_tokens <= 2000 ORDER BY doc_id"
+
+  /** Shared DuckDB restatements of the two-corpus ops — each read by
+    * its Scala-surface key and by the corpus_decontam / corpus_diff /
+    * corpus_mix-split TVF twin (two surfaces, one truth). The twins'
+    * fixture parquets are built from the SAME doc_id predicates these
+    * bodies derive in-query, so the oracle never has to see the
+    * fixture files. */
+  private val DuckSplit: String =
+    "SELECT doc_id, lang, CASE " +
+      "WHEN ((doc_id % 1048576) * 2654435761) % 100 < 90 THEN 'train' " +
+      "WHEN ((doc_id % 1048576) * 2654435761) % 100 < 95 THEN 'val' " +
+      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"
+
+  // Content identity: the oracle groups by raw text where the engine
+  // groups by the 128-bit fingerprint — identical results barring a
+  // ~2^-129 collision (the house exact-dedup argument).
+  private val DuckCorpusDiff: String =
+    "WITH o AS (SELECT text, min(source) AS g FROM documents GROUP BY text), " +
+      "n0 AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text, source FROM documents WHERE doc_id % 13 <> 0), " +
+      "n AS (SELECT text, min(source) AS g FROM n0 GROUP BY text), " +
+      "j AS (SELECT coalesce(n.g, o.g) AS source, " +
+      "CASE WHEN o.text IS NULL THEN 1 ELSE 0 END AS added, " +
+      "CASE WHEN n.text IS NULL THEN 1 ELSE 0 END AS removed, " +
+      "CASE WHEN o.text IS NOT NULL AND n.text IS NOT NULL THEN 1 ELSE 0 END AS kept " +
+      "FROM o FULL OUTER JOIN n ON o.text = n.text) " +
+      "SELECT source, CAST(SUM(added) AS BIGINT) AS n_added, " +
+      "CAST(SUM(removed) AS BIGINT) AS n_removed, CAST(SUM(kept) AS BIGINT) AS n_kept " +
+      "FROM j GROUP BY source ORDER BY source"
+
+  // Decontamination: train docs (doc_id % 10 <> 0) that share NO
+  // word 10-gram with the eval split (doc_id % 10 = 0). Same k-gram
+  // slicing as the dedup_passages oracle.
+  private val DuckDecontam: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 8), " +
+      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10), " +
+      "evg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0), " +
+      "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0), " +
+      "bad AS (SELECT DISTINCT tr.doc_id AS doc_id FROM tr JOIN evg USING (g)) " +
+      "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"
+
+  private val DuckContamReport: String =
+    "WITH toks AS (SELECT doc_id, lang, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(w) - 8), " +
+      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10), " +
+      "evg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0), " +
+      "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0), " +
+      "bad AS (SELECT DISTINCT tr.doc_id AS doc_id FROM tr JOIN evg USING (g)) " +
+      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, " +
+      "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_contaminated " +
+      "FROM documents WHERE doc_id % 10 <> 0 GROUP BY lang ORDER BY lang"
 
   /** Shared DuckDB restatements of the repetition/Gopher filter
     * passes — q_quality_rep/q_gopher_rep directly, the corpus_quality
@@ -2621,25 +2718,11 @@ object SparkEntry {
       "FROM g a JOIN g b ON a.doc_id < b.doc_id) " +
       "WHERE n_shared * 3 >= n_union * 2 ORDER BY id_a, id_b"),
 
-    "q_split" -> ("SELECT doc_id, lang, CASE " +
-      "WHEN ((doc_id % 1048576) * 2654435761) % 100 < 90 THEN 'train' " +
-      "WHEN ((doc_id % 1048576) * 2654435761) % 100 < 95 THEN 'val' " +
-      "ELSE 'test' END AS split FROM documents ORDER BY doc_id"),
+    "q_split" -> DuckSplit,
+    "q_sql_split" -> DuckSplit,
 
-    // Content identity: the oracle groups by raw text where the engine
-    // groups by the 128-bit fingerprint — identical results barring a
-    // ~2^-129 collision (the house exact-dedup argument).
-    "q_corpus_diff" -> ("WITH o AS (SELECT text, min(source) AS g FROM documents GROUP BY text), " +
-      "n0 AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text, source FROM documents WHERE doc_id % 13 <> 0), " +
-      "n AS (SELECT text, min(source) AS g FROM n0 GROUP BY text), " +
-      "j AS (SELECT coalesce(n.g, o.g) AS source, " +
-      "CASE WHEN o.text IS NULL THEN 1 ELSE 0 END AS added, " +
-      "CASE WHEN n.text IS NULL THEN 1 ELSE 0 END AS removed, " +
-      "CASE WHEN o.text IS NOT NULL AND n.text IS NOT NULL THEN 1 ELSE 0 END AS kept " +
-      "FROM o FULL OUTER JOIN n ON o.text = n.text) " +
-      "SELECT source, CAST(SUM(added) AS BIGINT) AS n_added, " +
-      "CAST(SUM(removed) AS BIGINT) AS n_removed, CAST(SUM(kept) AS BIGINT) AS n_kept " +
-      "FROM j GROUP BY source ORDER BY source"),
+    "q_corpus_diff" -> DuckCorpusDiff,
+    "q_sql_corpus_diff" -> DuckCorpusDiff,
 
     "q_sim_link" -> ("WITH lt AS (SELECT doc_id, substring(text, 1, 50) AS s FROM documents WHERE doc_id % 20 = 0), " +
       "ltk AS (SELECT doc_id, regexp_split_to_array(trim(lower(s)), '\\s+') AS w FROM lt), " +
@@ -3009,18 +3092,8 @@ object SparkEntry {
       "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 1024 AS BIGINT) AS seq_id " +
       "FROM t ORDER BY doc_id"),
 
-    // Decontamination: train docs (doc_id % 10 <> 0) that share NO
-    // word 10-gram with the eval split (doc_id % 10 = 0). Same k-gram
-    // slicing as the dedup_passages oracle.
-    "q_decontam" -> ("WITH toks AS (SELECT doc_id, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 8), " +
-      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10), " +
-      "evg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0), " +
-      "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0), " +
-      "bad AS (SELECT DISTINCT tr.doc_id AS doc_id FROM tr JOIN evg USING (g)) " +
-      "SELECT doc_id FROM documents WHERE doc_id % 10 <> 0 " +
-      "AND doc_id NOT IN (SELECT doc_id FROM bad) ORDER BY doc_id"),
+    "q_decontam" -> DuckDecontam,
+    "q_sql_decontam" -> DuckDecontam,
 
     "q_temp_mix" -> DuckTempMix,
     "q_sql_mix_weights" -> DuckTempMix,
@@ -3028,17 +3101,8 @@ object SparkEntry {
     "q_token_budget" -> DuckTokenBudget,
     "q_sql_mix_budget" -> DuckTokenBudget,
 
-    "q_contam_report" -> ("WITH toks AS (SELECT doc_id, lang, " +
-      "regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents), " +
-      "sh AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, len(w) - 8), " +
-      "i -> array_to_string(w[i:i+9], ' '))) AS s FROM toks WHERE len(w) >= 10), " +
-      "evg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0), " +
-      "tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0), " +
-      "bad AS (SELECT DISTINCT tr.doc_id AS doc_id FROM tr JOIN evg USING (g)) " +
-      "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-      "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated, " +
-      "CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS frac_contaminated " +
-      "FROM documents WHERE doc_id % 10 <> 0 GROUP BY lang ORDER BY lang"),
+    "q_contam_report" -> DuckContamReport,
+    "q_sql_contam" -> DuckContamReport,
 
     "q_quality_rep" -> DuckQualityRep,
     "q_sql_repetition" -> DuckQualityRep,
@@ -3428,6 +3492,48 @@ object SparkEntry {
           s"corpus_mix('$d/documents.parquet', mode=>'chunk', " +
           s"max_tokens=>64, overlap=>16)")
         .orderBy("doc_id", "chunk_id")),
+
+    // Deterministic split assignment through the SQL surface — every
+    // input column passes through plus the split label, so the twin
+    // selects the same (doc_id, lang, split) q_split pins.
+    "q_sql_split" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, lang, split FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'split', " +
+          s"weights=>'train:90,val:5,test:5')")
+        .orderBy("doc_id")),
+
+    // Decontamination through the SQL surface: the TVF takes TWO
+    // paths (train, eval) — the arriving-files shape — built as
+    // fixtures from the same doc_id%10 split the q_decontam oracle
+    // derives in-query, so one DuckDB body pins both surfaces.
+    "q_sql_decontam" -> ((s, d) => {
+      val fx = decontamFixtureDir(s, d)
+      s.sql(s"SELECT doc_id FROM " +
+          s"corpus_decontam('$fx/train', '$fx/eval')")
+        .orderBy("doc_id")
+    }),
+
+    // The per-group overlap audit (mode=>'report') — same eval-gram
+    // broadcast plan as the filter mode, same oracle body as
+    // q_contam_report.
+    "q_sql_contam" -> ((s, d) => {
+      val fx = decontamFixtureDir(s, d)
+      s.sql(s"SELECT lang, n_docs, n_contaminated, frac_contaminated " +
+          s"FROM corpus_decontam('$fx/train', '$fx/eval', " +
+          s"mode=>'report', group=>'lang')")
+        .orderBy("lang")
+    }),
+
+    // Corpus snapshot diff through the SQL surface: old = the live
+    // corpus parquet, new = the derived-snapshot fixture (every 13th
+    // doc dropped, every 7th rewritten) — content identity, so the
+    // q_corpus_diff oracle body pins both surfaces.
+    "q_sql_corpus_diff" -> ((s, d) => {
+      val nw = diffNewDir(s, d)
+      s.sql(s"SELECT source, n_added, n_removed, n_kept FROM " +
+          s"corpus_diff('$d/documents.parquet', '$nw', group=>'source')")
+        .orderBy("source")
+    }),
 
     // The reference's projection NAMING contract: unaliased computed
     // columns become unnamed_{i} (record_projection.rs:39-59) —

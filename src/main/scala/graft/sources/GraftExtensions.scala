@@ -175,6 +175,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusMixTVF.getClass.getName, "corpus_mix"),
       (args: Seq[Expression]) => CorpusMixTVF.build(args)))
 
+    // Eval-set decontamination as a TVF: SELECT * FROM
+    // corpus_decontam('train_path', 'eval_path' [, mode=>'filter'|
+    // 'report'] [, k=>N] [, group=>col]) — the two-corpus face of the
+    // family: which training docs share a word k-gram with the eval
+    // set (drop them, or report the overlap per group).
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_decontam"),
+      new ExpressionInfo(CorpusDecontamTVF.getClass.getName, "corpus_decontam"),
+      (args: Seq[Expression]) => CorpusDecontamTVF.build(args)))
+
+    // Corpus snapshot diff as a TVF: SELECT * FROM
+    // corpus_diff('old_path', 'new_path' [, group=>col]) — per-group
+    // added/removed/kept BY CONTENT between two corpus versions, the
+    // audit a pipeline owner runs before retraining.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_diff"),
+      new ExpressionInfo(CorpusDiffTVF.getClass.getName, "corpus_diff"),
+      (args: Seq[Expression]) => CorpusDiffTVF.build(args)))
+
     // Index health as a TVF: SELECT * FROM corpus_index_stats('path')
     // — one unified (store, partition, n_rows, n_files, bytes,
     // generation) snapshot for every persisted index family, so the
@@ -813,6 +832,11 @@ object CorpusQualityTVF {
   *   - `chunk`: sliding-window document chunking
   *     (`max_tokens=>`/`overlap=>`) —
   *     [[graft.pipeline.CorpusOps.chunkDocuments]]
+  *   - `split`: deterministic train/val/test assignment
+  *     (`weights=>'train:90,val:5,test:5'`, integer percents summing
+  *     to 100) — [[graft.pipeline.CorpusOps.assignSplits]]; every
+  *     input column passes through plus the `split` label, and
+  *     membership is a pure function of doc_id (zero exchanges)
   *
   * Options belong to their mode — a `budget=>` on mode `weights`
   * fails loud rather than being silently ignored.
@@ -823,7 +847,7 @@ object CorpusMixTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_mix", args,
       Set("mode", "group", "budget", "seed", "tau", "max_tokens",
-        "overlap", "connection"))
+        "overlap", "weights", "connection"))
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -839,7 +863,8 @@ object CorpusMixTVF {
       "shuffle" -> Set("seed"),
       "budget" -> Set("group", "budget", "seed"),
       "pack" -> Set("budget"),
-      "chunk" -> Set("max_tokens", "overlap"))
+      "chunk" -> Set("max_tokens", "overlap"),
+      "split" -> Set("weights"))
     require(modeKeys.contains(mode),
       s"corpus_mix: unknown mode '$mode' " +
         s"(${modeKeys.keys.toSeq.sorted.mkString(" | ")})")
@@ -870,8 +895,103 @@ object CorpusMixTVF {
         graft.pipeline.CorpusOps.chunkDocuments(docs,
           opts.get("max_tokens").map(_.toInt).getOrElse(512),
           opts.get("overlap").map(_.toInt).getOrElse(64))
+      case "split" =>
+        // 'train:90,val:5,test:5' — label:intPercent pairs; the
+        // summing-to-100 contract is assignSplits' own loud require
+        val weights = opts.getOrElse("weights", "train:90,val:5,test:5")
+          .split(",").toSeq.map { part =>
+            part.split(":") match {
+              case Array(label, pct) if pct.trim.matches("\\d+") =>
+                (label.trim, pct.trim.toInt)
+              case _ => throw new IllegalArgumentException(
+                "corpus_mix: weights must be 'label:percent[,label:percent...]' " +
+                  s"with integer percents, got '$part'")
+            }
+          }
+        graft.pipeline.CorpusOps.assignSplits(docs, weights)
     }
     result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_decontam(train_path, eval_path [, mode=>'filter'|'report']
+  * [, k=>N] [, group=>col])`: eval-set decontamination from pure SQL
+  * — the two-corpus member of the TVF family. `filter` (default)
+  * returns the doc_ids of training documents that share NO word
+  * k-gram (default k=10) with ANY eval document —
+  * [[graft.pipeline.CorpusOps.decontaminate]]'s exact contract
+  * (matching on 64-bit gram hashes; a collision over-removes, never
+  * contaminates). `report` returns the per-`group` overlap audit
+  * (n_docs, n_contaminated, frac_contaminated) —
+  * [[graft.pipeline.CorpusOps.contaminationReport]] — the number a
+  * data owner reads before dropping anything. Scale shape carries
+  * over unchanged from the gated operators: eval grams deduplicate
+  * map-side and broadcast; training grams NEVER shuffle. Both paths
+  * resolve through [[TvfCorpus.docs]] (plain parquet or a corpus
+  * store served generation-resolved; index layouts fail loud naming
+  * the family). */
+object CorpusDecontamTVF {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (pos, opts) = TvfArgs.parse("corpus_decontam", args,
+      Set("mode", "k", "group", "connection"))
+    val (trainPath, evalPath) = pos match {
+      case t :: e :: Nil => (t, e)
+      case _ => throw new IllegalArgumentException(
+        "corpus_decontam: expected exactly two positional arguments " +
+          "(train_path, eval_path)")
+    }
+    val mode = opts.getOrElse("mode", "filter").toLowerCase
+    val modeKeys = Map(
+      "filter" -> Set("k"),
+      "report" -> Set("k", "group"))
+    require(modeKeys.contains(mode),
+      s"corpus_decontam: unknown mode '$mode' (filter | report)")
+    val stray = (opts.keySet - "mode" - "connection") -- modeKeys(mode)
+    require(stray.isEmpty,
+      s"corpus_decontam: option(s) ${stray.toSeq.sorted.mkString(", ")} " +
+        s"do not apply to mode '$mode'")
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    val spark = SparkSession.active
+    val conn = opts.get("connection")
+    val train = TvfCorpus.docs("corpus_decontam", spark, trainPath, conn)
+    val evalSet = TvfCorpus.docs("corpus_decontam", spark, evalPath, conn)
+    val result = mode match {
+      case "filter" =>
+        graft.pipeline.CorpusOps.decontaminate(train, evalSet, k)
+      case "report" =>
+        graft.pipeline.CorpusOps.contaminationReport(train, evalSet,
+          opts.getOrElse("group", "lang"), k)
+    }
+    result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_diff(old_path, new_path [, group=>col])`: the corpus
+  * snapshot audit from pure SQL — per-`group` (default `source`)
+  * added/removed/kept counts BY CONTENT between two corpus versions,
+  * via [[graft.pipeline.CorpusOps.corpusDiff]] (identity is the
+  * house 128-bit content fingerprint, so renamed doc_ids with
+  * identical text count as kept and the only data-sized exchange
+  * carries 16 bytes + group per row). Both paths resolve through
+  * [[TvfCorpus.docs]] — diffing a live store generation against a
+  * plain parquet snapshot works, and index layouts fail loud. */
+object CorpusDiffTVF {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (pos, opts) = TvfArgs.parse("corpus_diff", args,
+      Set("group", "connection"))
+    val (oldPath, newPath) = pos match {
+      case o :: n :: Nil => (o, n)
+      case _ => throw new IllegalArgumentException(
+        "corpus_diff: expected exactly two positional arguments " +
+          "(old_path, new_path)")
+    }
+    val spark = SparkSession.active
+    val conn = opts.get("connection")
+    val oldCorpus = TvfCorpus.docs("corpus_diff", spark, oldPath, conn)
+    val newCorpus = TvfCorpus.docs("corpus_diff", spark, newPath, conn)
+    graft.pipeline.CorpusOps.corpusDiff(oldCorpus, newCorpus,
+        opts.getOrElse("group", "source"))
+      .queryExecution.analyzed
   }
 }
 

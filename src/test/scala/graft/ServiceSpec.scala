@@ -539,29 +539,40 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
 
   test("training-data curation script: the TVF family composes through the script path") {
     // the SQL-analyst session shape: quality scoring, retrieval,
-    // near-dup audit, the corpus of record, and index health — five
-    // statements, one script, every result materialized and paged by
-    // the service (README's "curation session, SQL only" example)
+    // near-dup audit, decontamination, split assignment, the corpus
+    // of record, and index health — seven statements, one script,
+    // every result materialized and paged by the service (README's
+    // "curation session, SQL only" example)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("svc_curate").toString
     graft.pipeline.TextDedup.writeBandIndex(docs, s"$base/band")
     graft.pipeline.CorpusStore.write(docs, s"$base/store", buckets = 4)
+    import org.apache.spark.sql.functions.col
+    docs.filter(col("doc_id") % 10 === 0)
+      .write.parquet(s"$base/eval")
     val ids = svc.runScriptSequential(
       s"""select doc_id, quality from corpus_quality('$sfDir/documents.parquet') where quality > 0.1;
          |select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5);
          |select doc_a, doc_b, jaccard from corpus_dedup('$base/band');
+         |select doc_id from corpus_decontam('$sfDir/documents.parquet', '$base/eval');
+         |select split, count(*) as n from corpus_mix('$sfDir/documents.parquet', mode=>'split', weights=>'train:90,val:5,test:5') group by split order by split;
          |select count(*) as n from read_store('$base/store');
          |select store, sum(n_rows) as total_rows from corpus_index_stats('$base/band') group by store order by store""".stripMargin)
-    assert(ids.size == 5)
+    assert(ids.size == 7)
     assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)))
     val qual = svc.reader(ids(0)).asDataFrame.collect()
     assert(qual.nonEmpty && qual.forall(_.getDouble(1) > 0.1))
     assert(svc.reader(ids(1)).totalRows == 5)
     val dups = svc.reader(ids(2)).asDataFrame.collect()
     assert(dups.nonEmpty && dups.forall(_.getDouble(2) >= 0.8))
-    assert(svc.reader(ids(3)).asDataFrame.head().getLong(0) == docs.count())
-    val stats = svc.reader(ids(4)).asDataFrame.collect()
+    // decontam: the eval docs themselves (and their overlaps) are gone
+    val clean = svc.reader(ids(3)).asDataFrame.collect().map(_.getLong(0)).toSet
+    assert(clean.nonEmpty && clean.forall(_ % 10 != 0))
+    val splits = svc.reader(ids(4)).asDataFrame.collect()
+    assert(splits.map(_.getString(0)).toSeq == Seq("test", "train", "val"))
+    assert(svc.reader(ids(5)).asDataFrame.head().getLong(0) == docs.count())
+    val stats = svc.reader(ids(6)).asDataFrame.collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("bands", "shingles"))
   }
 

@@ -759,6 +759,80 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val live = graft.pipeline.CorpusStore.read(spark, dir).drop("bucket")
     assert(sorted(spark.sql(s"SELECT * FROM corpus_mix('$dir', mode=>'shuffle')"))
       == sorted(graft.pipeline.CorpusOps.shuffleRank(live)))
+    // split mode: all input columns pass through plus the label;
+    // malformed weights and non-100 sums fail loud
+    assert(rows(spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'split', " +
+        "weights=>'train:90,val:5,test:5')").orderBy("doc_id"))
+      == rows(graft.pipeline.CorpusOps.assignSplits(docs,
+          Seq(("train", 90), ("val", 5), ("test", 5))).orderBy("doc_id")))
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'split', " +
+        "weights=>'train:ninety,val:10')").collect()
+    }
+    assert(e5.getMessage.contains("label:percent"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'split', " +
+        "weights=>'train:50,val:5')").collect()
+    }
+    assert(e6.getMessage.contains("summing to 100"), e6.getMessage)
+  }
+
+  test("corpus_decontam and corpus_diff TVFs: two-path ops match their Scala operators") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = Engine.table(spark, sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    // fixture parquets: the same doc_id%10 train/eval split and the
+    // same derived "new snapshot" the oracled queries use
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_two").toString
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id", "text", "lang")
+    val evalSet = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    train.write.parquet(s"$base/train")
+    evalSet.write.parquet(s"$base/eval")
+    val newCorpus = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    newCorpus.write.parquet(s"$base/new")
+    // filter mode == decontaminate; report mode == contaminationReport
+    assert(rows(spark.sql(
+        s"SELECT * FROM corpus_decontam('$base/train', '$base/eval')"))
+      == rows(graft.pipeline.CorpusOps.decontaminate(train, evalSet)))
+    assert(rows(spark.sql(s"SELECT * FROM corpus_decontam('$base/train', " +
+        s"'$base/eval', mode=>'report', group=>'lang', k=>10)"))
+      == rows(graft.pipeline.CorpusOps.contaminationReport(train, evalSet, "lang")))
+    // corpus_diff == corpusDiff, by content, per group
+    assert(rows(spark.sql(s"SELECT * FROM corpus_diff('$sfDir/documents.parquet', " +
+        s"'$base/new', group=>'source')"))
+      == rows(graft.pipeline.CorpusOps.corpusDiff(docs, newCorpus, "source")))
+    // loud failures: arity, unknown mode, per-mode option contract,
+    // index layout (one routing truth with the family)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_decontam('$base/train')").collect()
+    }
+    assert(e1.getMessage.contains("exactly two positional"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_decontam('$base/train', '$base/eval', " +
+        "mode=>'scrub')").collect()
+    }
+    assert(e2.getMessage.contains("unknown mode"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_decontam('$base/train', '$base/eval', " +
+        "group=>'lang')").collect()
+    }
+    assert(e3.getMessage.contains("do not apply to mode"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_diff('$base/train')").collect()
+    }
+    assert(e4.getMessage.contains("exactly two positional"), e4.getMessage)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_two_idx").toString
+    graft.pipeline.TextDedup.writeBandIndex(
+      docs.select("doc_id", "text").limit(50), idx)
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_decontam('$idx', '$base/eval')").collect()
+    }
+    assert(e5.getMessage.contains("is a band index"), e5.getMessage)
   }
 
   test("injected SQL scalar functions resolve and match the Scala API") {
