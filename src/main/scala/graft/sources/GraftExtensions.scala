@@ -691,6 +691,39 @@ object ReadStoreTVF {
   }
 }
 
+/** The corpus-input resolution every per-document TVF shares
+  * (corpus_quality, corpus_mix): a plain (doc_id, text, ...) parquet
+  * serves directly; a [[graft.pipeline.CorpusStore]] layout serves
+  * generation-RESOLVED under `read_store`'s exact live rule (highest
+  * committed generation, marker-free base fallback) — TVFs cannot
+  * nest, so `f(read_store(...))` is inexpressible and the store
+  * resolution must live here; a persisted index layout fails loud
+  * NAMING the family (one routing truth with the serving TVFs),
+  * never falling through to a schema error. */
+private[sources] object TvfCorpus {
+  def docs(tvf: String, spark: SparkSession, path: String,
+           connection: Option[String]): org.apache.spark.sql.DataFrame = {
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolved = ReadFilesTVF.connections.resolve(connection, path)
+    IndexLayouts.familyOf(spark, resolved).foreach(fam =>
+      throw new IllegalArgumentException(
+        s"$tvf: $resolved is ${fam.label} — expected a " +
+          "(doc_id, text) corpus parquet or a corpus store"))
+    // ONE listing decides store-vs-plain and the live generation
+    val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
+    val basePath = s"$resolved/corpus"
+    val hasBase = {
+      val p = new org.apache.hadoop.fs.Path(basePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (gens.nonEmpty || hasBase)
+      spark.read.parquet(
+          gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath))
+        .drop("bucket")
+    else spark.read.parquet(resolved)
+  }
+}
+
 /** `corpus_quality(path [, mode=>'quality'|'langid'|'tokens'|
   * 'fingerprint'] [, connection=>name])`: per-document text scoring
   * for SQL users with no Scala in sight — the curation face of the
@@ -727,39 +760,6 @@ object ReadStoreTVF {
   * expressible, so the store resolution must live here too. Pointing
   * it at an index layout fails loud naming the family (one routing
   * truth with the serving TVFs). */
-/** The corpus-input resolution every per-document TVF shares
-  * (corpus_quality, corpus_mix): a plain (doc_id, text, ...) parquet
-  * serves directly; a [[graft.pipeline.CorpusStore]] layout serves
-  * generation-RESOLVED under `read_store`'s exact live rule (highest
-  * committed generation, marker-free base fallback) — TVFs cannot
-  * nest, so `f(read_store(...))` is inexpressible and the store
-  * resolution must live here; a persisted index layout fails loud
-  * NAMING the family (one routing truth with the serving TVFs),
-  * never falling through to a schema error. */
-private[sources] object TvfCorpus {
-  def docs(tvf: String, spark: SparkSession, path: String,
-           connection: Option[String]): org.apache.spark.sql.DataFrame = {
-    ReadFilesTVF.connections.applyTo(spark)
-    val resolved = ReadFilesTVF.connections.resolve(connection, path)
-    IndexLayouts.familyOf(spark, resolved).foreach(fam =>
-      throw new IllegalArgumentException(
-        s"$tvf: $resolved is ${fam.label} — expected a " +
-          "(doc_id, text) corpus parquet or a corpus store"))
-    // ONE listing decides store-vs-plain and the live generation
-    val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
-    val basePath = s"$resolved/corpus"
-    val hasBase = {
-      val p = new org.apache.hadoop.fs.Path(basePath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
-    if (gens.nonEmpty || hasBase)
-      spark.read.parquet(
-          gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath))
-        .drop("bucket")
-    else spark.read.parquet(resolved)
-  }
-}
-
 object CorpusQualityTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_quality", args,
