@@ -111,6 +111,27 @@ object SparkEntry {
       f.getAbsolutePath
     })
 
+  /** Synthetic-PII corpus fixture for the corpus_quality TVF's redact
+    * mode: the SAME deterministic doc_id-derived PII q_pii_redact
+    * appends in-query, materialized as the fixture's `text` column —
+    * so the redaction is exercised on text that actually contains
+    * PII and the q_pii_redact oracle body pins both surfaces. */
+  private val piiDocsDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def piiDocsDir(s: SparkSession, d: String): String =
+    piiDocsDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_piidocs_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      Engine.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+            lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+            lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1")).as("text"))
+        .coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   /** "New snapshot" fixture for the corpus_diff TVF: the SAME derived
     * corpus q_corpus_diff builds in-query (every 13th doc dropped,
     * every 7th rewritten), written as a parquet — so the expected
@@ -294,6 +315,7 @@ object SparkEntry {
     phraseQueriesDir(s, d)
     decontamFixtureDir(s, d)
     diffNewDir(s, d)
+    piiDocsDir(s, d)
     ()
   }
 
@@ -307,7 +329,7 @@ object SparkEntry {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
         textIndexDirs, zoneMapDirs, annQueryDirs,
         searchQueryDirs, phraseQueryDirs, dedupBatchDirs,
-        decontamDirs, diffNewDirs).foreach { m =>
+        decontamDirs, diffNewDirs, piiDocsDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -451,6 +473,21 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t) " +
       "SELECT doc_id, lang, n_tokens, cum_tokens FROM c " +
       "WHERE cum_tokens <= 2000 ORDER BY doc_id"
+
+  /** Shared DuckDB restatement of the PII scrub over the synthetic-PII
+    * text — q_pii_redact (PII appended in-query) and the corpus_quality
+    * TVF's q_sql_redact twin (same PII materialized in the fixture
+    * parquet) answer to this one body. */
+  private val DuckPiiRedact: String =
+    "SELECT doc_id, " +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      "text || ' contact user' || doc_id || '@mail.example.com or +1-555-' || " +
+      "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || " +
+      "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1', " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
+      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS clean " +
+      "FROM documents ORDER BY doc_id"
 
   /** Shared DuckDB restatements of the two-corpus ops — each read by
     * its Scala-surface key and by the corpus_decontam / corpus_diff /
@@ -2951,6 +2988,7 @@ object SparkEntry {
     // adaptive IVF serve ≡ brute cosine (ann_ivf's gate), so the
     // oracle is the identical algebra.
     "q_hybrid_indexed" -> duckHybridSql,
+    "q_sql_hybrid" -> duckHybridSql,
 
     // Batch BM25 restated with a VALUES query table: per-term df/idf
     // shared across queries, per-query top-10 by (score desc, doc_id).
@@ -3524,6 +3562,36 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Hybrid retrieval through the SQL surface: BM25 leg from the
+    // persisted text index, dense leg from the IVF index (adaptive =
+    // exact), integer RRF fusion — the same legs and algebra as
+    // q_hybrid_indexed, so the duckHybridSql body pins both surfaces.
+    // The query vector is vec_id 7's embedding as a literal (the
+    // serving shape: the application supplies the vector).
+    "q_sql_hybrid" -> ((s, d) => {
+      val v = s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") === 7L).select("embedding")
+        .head().getSeq[Float](0)
+      val vecStr = v.map(f => f.toDouble.toString).mkString(",")
+      s.sql(s"SELECT doc_id, rrf_score, n_legs FROM " +
+          s"corpus_hybrid('${textIndexDir(s, d)}', '${ivfIndexDir(s, d)}', " +
+          s"'spark hash window', embedding=>'$vecStr', k=>15, " +
+          s"k_per_leg=>20, k0=>60, nprobe=>5)")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrub through the SQL surface (mode=>'redact') over the
+    // synthetic-PII fixture — same deterministic doc_id-derived PII
+    // the q_pii_redact oracle reconstructs, so one body pins both
+    // surfaces and the redaction is exercised on text that actually
+    // contains emails/phones/IPs.
+    "q_sql_redact" -> ((s, d) => {
+      val px = piiDocsDir(s, d)
+      s.sql(s"SELECT doc_id, clean FROM " +
+          s"corpus_quality('$px', mode=>'redact')")
+        .orderBy("doc_id")
+    }),
+
     // Corpus snapshot diff through the SQL surface: old = the live
     // corpus parquet, new = the derived-snapshot fixture (every 13th
     // doc dropped, every 7th rewritten) — content identity, so the
@@ -3608,15 +3676,8 @@ object SparkEntry {
       "quantile_cont(o_totalprice, 0.5) AS p50_exact, true AS ok " +
       "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
 
-    "q_pii_redact" -> ("SELECT doc_id, " +
-      "regexp_replace(regexp_replace(regexp_replace(" +
-      "text || ' contact user' || doc_id || '@mail.example.com or +1-555-' || " +
-      "lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || " +
-      "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1', " +
-      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
-      "'\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), " +
-      "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS clean " +
-      "FROM documents ORDER BY doc_id")
+    "q_pii_redact" -> DuckPiiRedact,
+    "q_sql_redact" -> DuckPiiRedact
   )
 
   // ===========================================================

@@ -524,6 +524,14 @@ object TextAnalysis {
       regexp_replace(c, lit(re), lit(token))
     }
 
+  /** Whole-corpus PII scrub: (doc_id, clean) with the [[redactPii]]
+    * chain applied — the per-document face of the scalar, so the
+    * corpus_quality TVF's `redact` mode and the Scala surface serve
+    * the same operator. One codegen'd projection, zero exchanges. */
+  def redactDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), redactPii(col("text")).as("clean"))
+      .orderBy("doc_id")
+
   /** Corpus-self-trained interpolated bigram language-model scoring —
     * the CCNet-style "perplexity filter" of web-corpus pipelines:
     * documents whose token transitions are improbable under a model

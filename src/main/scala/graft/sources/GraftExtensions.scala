@@ -133,6 +133,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(CorpusAnnTVF.getClass.getName, "corpus_ann"),
       (args: Seq[Expression]) => CorpusAnnTVF.build(args)))
 
+    // Hybrid retrieval as a TVF: SELECT * FROM corpus_hybrid(
+    // 'text_path', 'vector_path', 'query terms', embedding=>'0.1,...')
+    // — BM25 + dense cosine legs fused by reciprocal rank, each leg
+    // auto-routing to its persisted index layout when pointed at one
+    // (text index / IVF index) or served corpus-tier from plain
+    // parquet. The full RAG serving stack in one SQL statement.
+    ext.injectTableFunction((
+      FunctionIdentifier("corpus_hybrid"),
+      new ExpressionInfo(CorpusHybridTVF.getClass.getName, "corpus_hybrid"),
+      (args: Seq[Expression]) => CorpusHybridTVF.build(args)))
+
     // Fuzzy-dup detection as a TVF: SELECT * FROM
     // corpus_dedup('path' [, batch=>'bpath'] [, threshold=>0.8]) —
     // the SQL surface of the near-dup family, completing the
@@ -750,6 +761,8 @@ private[sources] object TvfCorpus {
   *   - `gopher`: top-3/4-gram fractions + duplicated-5/10-gram token
   *     coverage + keep verdict (`top3=>`/`top4=>`/`dup5=>`/`dup10=>`
   *     thresholds) — [[graft.pipeline.CorpusOps.gopherStats]]
+  *   - `redact`: (doc_id, clean) with the email/phone/IP PII chain
+  *     applied — [[graft.pipeline.TextAnalysis.redactDocs]]
   *
   * Threshold options apply only to their own mode — a `dup5=>` on
   * mode `quality` fails loud rather than being silently ignored.
@@ -772,9 +785,9 @@ object CorpusQualityTVF {
     }
     val mode = opts.getOrElse("mode", "quality").toLowerCase
     require(Set("quality", "langid", "tokens", "fingerprint",
-        "repetition", "gopher")(mode),
+        "repetition", "gopher", "redact")(mode),
       s"corpus_quality: unknown mode '$mode' " +
-        "(quality | langid | tokens | fingerprint | repetition | gopher)")
+        "(quality | langid | tokens | fingerprint | repetition | gopher | redact)")
     // threshold options belong to the repetition/gopher filters only;
     // a threshold on a scoring mode is a spelled-out mistake
     val thresholdKeys = Map(
@@ -798,6 +811,7 @@ object CorpusQualityTVF {
         d("top1", 0.2), d("top2", 0.18))
       case "gopher" => graft.pipeline.CorpusOps.gopherStats(docs,
         d("top3", 0.18), d("top4", 0.16), d("dup5", 0.30), d("dup10", 0.20))
+      case "redact" => graft.pipeline.TextAnalysis.redactDocs(docs)
     }
     result.queryExecution.analyzed
   }
@@ -911,6 +925,91 @@ object CorpusMixTVF {
         graft.pipeline.CorpusOps.assignSplits(docs, weights)
     }
     result.queryExecution.analyzed
+  }
+}
+
+/** `corpus_hybrid(text_path, vector_path, 'query terms',
+  * embedding=>'v1,v2,...' [, k=>15] [, k_per_leg=>20] [, k0=>60]
+  * [, nprobe=>5] [, connection=>name])`: hybrid retrieval from pure
+  * SQL — the fusion of the family's two serving TVFs (corpus_search's
+  * BM25 leg, corpus_ann's dense leg) by integer reciprocal-rank
+  * fusion ([[graft.pipeline.Retrieval.rrfFuse]]): fused score =
+  * Σ_legs RrfScale div (k0 + rank), bit-identical across engines.
+  * Each leg routes by layout exactly like its standalone TVF:
+  * `text_path` serves from a persisted text index (pruned postings)
+  * or a plain (doc_id, text) corpus; `vector_path` from an IVF index
+  * (adaptive probing — exact over the live corpus) or a plain
+  * (vec_id, embedding) parquet (brute force). Fusion moves only
+  * Σ legs·k_per_leg rows — the cost lives in the legs, which are the
+  * already-gated operators, so every scale judgment carries over.
+  * Returns (doc_id, rrf_score, n_legs) ordered score-desc. */
+object CorpusHybridTVF {
+  def build(args: Seq[Expression]): LogicalPlan = {
+    val (pos, opts) = TvfArgs.parse("corpus_hybrid", args,
+      Set("embedding", "k", "k_per_leg", "k0", "nprobe", "connection"))
+    val (textPath, vecPath, queryStr) = pos match {
+      case t :: v :: q :: Nil => (t, v, q)
+      case _ => throw new IllegalArgumentException(
+        "corpus_hybrid: expected three positional arguments " +
+          "(text_path, vector_path, 'query terms')")
+    }
+    val embStr = opts.getOrElse("embedding", throw new IllegalArgumentException(
+      "corpus_hybrid: embedding=>'v1,v2,...' is required (the dense " +
+        "leg's query vector)"))
+    val k = opts.get("k").map(_.toInt).getOrElse(15)
+    val kPerLeg = opts.get("k_per_leg").map(_.toInt).getOrElse(20)
+    val k0 = opts.get("k0").map(_.toInt).getOrElse(60)
+    val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(5)
+    require(k >= 1 && kPerLeg >= 1 && nprobe >= 1,
+      s"corpus_hybrid: k/k_per_leg/nprobe must be >= 1")
+    val spark = SparkSession.active
+    ReadFilesTVF.connections.applyTo(spark)
+    val resolve = (p: String) =>
+      ReadFilesTVF.connections.resolve(opts.get("connection"), p)
+    import org.apache.spark.sql.functions.{col, size}
+    import spark.implicits._
+    val terms = queryStr.trim.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "corpus_hybrid: empty query")
+    val vec: Array[Double] =
+      try embStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_hybrid: embedding must be comma-separated numbers, got '$embStr'") }
+    require(vec.nonEmpty, "corpus_hybrid: empty embedding")
+    // lexical leg — same routing truth as corpus_search
+    val tp = resolve(textPath)
+    val lexIndexed = IndexLayouts.requireServable(
+      spark, tp, "corpus_hybrid", IndexLayouts.TextIdx)
+    val lexScored =
+      if (lexIndexed) graft.pipeline.TextIndex.search(spark, tp, terms, kPerLeg)
+      else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(tp), terms)
+    val lex = graft.pipeline.Retrieval.topRanks(
+      lexScored, col("score"), "doc_id", kPerLeg)
+    // dense leg — same routing truth + dim guard as corpus_ann
+    val vp = resolve(vecPath)
+    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
+    val denIndexed = IndexLayouts.requireServable(
+      spark, vp, "corpus_hybrid", IndexLayouts.IvfIndex)
+    val den = (
+      if (denIndexed) {
+        val dim = graft.pipeline.Embeddings.indexDim(spark, vp)
+        require(vec.length == dim,
+          s"corpus_hybrid: embedding has ${vec.length} dims but the index " +
+            s"at $vp has $dim")
+        graft.pipeline.Embeddings.ivfTopKIndexedFor(q, vp, kPerLeg,
+          nprobe = nprobe, adaptive = true)
+      } else {
+        val corpus = spark.read.parquet(vp)
+        corpus.select(size(col("embedding"))).head(1).foreach(r =>
+          require(vec.length == r.getInt(0),
+            s"corpus_hybrid: embedding has ${vec.length} dims but the corpus " +
+              s"at $vp has ${r.getInt(0)}"))
+        graft.pipeline.Embeddings.bruteForceTopKFor(q, corpus, kPerLeg)
+      })
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rank"))
+    graft.pipeline.Retrieval.rrfFuse(Seq(lex, den), "doc_id", k0, k)
+      .queryExecution.analyzed
   }
 }
 

@@ -31,6 +31,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("corpus TVFs keep column pruning: the quality scan reads only (doc_id, text)") {
+    withoutAqe {
+      // the TVF returns an ANALYZED plan over the gated operator, so
+      // Catalyst's column pruning must still reach the parquet scan —
+      // a TVF that accidentally materialized or fenced the plan would
+      // read lang/source/n_chars for a doc_id+text computation.
+      // Cleared cache + direct requiredSchema inspection: the shared
+      // test session may have `documents` cached by another suite,
+      // which would swap the scan for an InMemoryRelation.
+      spark.catalog.clearCache()
+      val df = spark.sql(
+        s"SELECT doc_id, quality FROM corpus_quality('$sfDir/documents.parquet')")
+      val scans = planOf(df).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, s"no file scan in:\n${planOf(df)}")
+      val cols = scans.head.requiredSchema.fieldNames.toSet
+      assert(cols == Set("doc_id", "text"),
+        s"scan must be pruned to (doc_id, text), read $cols")
+    }
+  }
+
   test("q_join5 broadcasts every dimension and shuffles only the fact join") {
     withoutAqe {
       val p = planOf(q("q_join5"))

@@ -641,7 +641,8 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       "tokens" -> graft.pipeline.TextAnalysis.tokenCounts(docs),
       "fingerprint" -> graft.pipeline.TextAnalysis.fingerprint(docs),
       "repetition" -> graft.pipeline.CorpusOps.repetitionStats(docs),
-      "gopher" -> graft.pipeline.CorpusOps.gopherStats(docs))
+      "gopher" -> graft.pipeline.CorpusOps.gopherStats(docs),
+      "redact" -> graft.pipeline.TextAnalysis.redactDocs(docs))
     byMode.foreach { case (mode, expect) =>
       val got = spark.sql(
         s"SELECT * FROM corpus_quality('$path', mode=>'$mode')")
@@ -775,6 +776,50 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
         "weights=>'train:50,val:5')").collect()
     }
     assert(e6.getMessage.contains("summing to 100"), e6.getMessage)
+  }
+
+  test("corpus_hybrid TVF: plain-route fusion equals Retrieval.hybridSearch; bad inputs fail loud") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("doc_id").collect().map(_.mkString("|")).toSeq
+    // plain corpus-tier route: both legs brute, identical to the
+    // Scala hybridSearch over the same stored query vector
+    val v = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0)
+    val vecStr = v.map(f => f.toDouble.toString).mkString(",")
+    val got = spark.sql(s"SELECT * FROM corpus_hybrid(" +
+      s"'$sfDir/documents.parquet', '$sfDir/embeddings.parquet', " +
+      s"'spark hash window', embedding=>'$vecStr')")
+    val want = graft.pipeline.Retrieval.hybridSearch(
+      docs, emb, Seq("spark", "hash", "window"), queryVecId = 7L)
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(rows(got) == rows(want), "plain-route fusion diverged from Scala")
+    // loud failures: missing embedding, malformed vector, dim
+    // mismatch, wrong index family on a leg path
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', 'spark')").collect()
+    }
+    assert(e1.getMessage.contains("embedding=>"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', 'spark', embedding=>'a,b')").collect()
+    }
+    assert(e2.getMessage.contains("comma-separated numbers"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', 'spark', embedding=>'1.0,2.0')").collect()
+    }
+    assert(e3.getMessage.contains("dims"), e3.getMessage)
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_hyb_idx").toString
+    graft.pipeline.TextDedup.writeBandIndex(docs.limit(50), idx)
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$idx', " +
+        s"'$sfDir/embeddings.parquet', 'spark', embedding=>'$vecStr')").collect()
+    }
+    assert(e4.getMessage.contains("is a band index"), e4.getMessage)
   }
 
   test("corpus_decontam and corpus_diff TVFs: two-path ops match their Scala operators") {
