@@ -255,6 +255,44 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tokenBudgetSample equals the sequential per-group prefix cut on random corpora") {
+    import spark.implicits._
+    // random (doc_id, group, text) corpora with adversarial shapes:
+    // skewed groups (one group holds most docs), singleton groups,
+    // hash-tie ids — the distributed range-bucketed prefix sum must
+    // equal the sequential per-group definition on all of them
+    val corpusGen: Gen[Seq[(Long, String, String)]] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 1L << 30)
+        g <- Gen.frequency(6 -> Gen.const("big"), 1 -> Gen.oneOf("a", "b", "c"))
+        nw <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(nw, Gen.oneOf("tok", "word", "datum", "x"))
+      } yield (id, g, ws.mkString(" ")))
+    } yield rows.distinctBy(_._1)
+    forAll(corpusGen) { rows =>
+      val budget = 40L
+      val df = rows.toDF("doc_id", "lang", "text")
+      val got = pipeline.CorpusOps.tokenBudgetSample(df, "lang", budget,
+          seed = 11, parts = 7)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+        var cum = 0L
+        grp.map { case (id, g, text) =>
+            (id, g, text.trim.toLowerCase.split("\\s+").count(_.nonEmpty).toLong)
+          }
+          .sortBy { case (id, _, _) =>
+            (((id + 11) % 1048576L) * 2654435761L % 9999991L, id) }
+          .flatMap { case (id, g, n) =>
+            cum += n
+            if (cum <= budget) Some((id, g, n, cum)) else None
+          }
+      }.sortBy(_._1)
+      assert(got.sortBy(_._1).toSeq == want,
+        s"mismatch on ${rows.take(3)}... (${rows.length} rows)")
+    }
+  }
+
   test("similarity selfJoin equals naive all-pairs on random corpora (prefix+length+positional filters lossless)") {
     // the three candidate filters (prefix, length, positional) each
     // claim losslessness by theorem — this drives random corpora at
