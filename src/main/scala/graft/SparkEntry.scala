@@ -111,6 +111,29 @@ object SparkEntry {
       f.getAbsolutePath
     })
 
+  /** Batch fixture for q_sql_hybrid_many: (query_id, query, embedding)
+    * rows — the serving shape for hybrid query batches arriving as
+    * files. Texts are fixed so the DuckDB oracle can restate them as
+    * VALUES; embeddings are the stored vectors of vec_id 1..3 (so the
+    * oracle reads them from the embeddings table). query_id 3's term
+    * is absent from the corpus — its fusion must be dense-leg-only. */
+  private val hybridQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hybridQueriesDir(s: SparkSession, d: String): String =
+    hybridQueryDirs.computeIfAbsent(d, dir => {
+      import s.implicits._
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_hybridq_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val texts = Seq(1L -> "spark join", 2L -> "window hash scan",
+        3L -> "zzz_absent_term").toDF("query_id", "query")
+      val vecs = Engine.table(s, dir, "embeddings")
+        .filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      texts.join(vecs, "query_id")
+        .coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   /** Synthetic-PII corpus fixture for the corpus_quality TVF's redact
     * mode: the SAME deterministic doc_id-derived PII q_pii_redact
     * appends in-query, materialized as the fixture's `text` column —
@@ -316,6 +339,7 @@ object SparkEntry {
     decontamFixtureDir(s, d)
     diffNewDir(s, d)
     piiDocsDir(s, d)
+    hybridQueriesDir(s, d)
     ()
   }
 
@@ -329,7 +353,7 @@ object SparkEntry {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
         textIndexDirs, zoneMapDirs, annQueryDirs,
         searchQueryDirs, phraseQueryDirs, dedupBatchDirs,
-        decontamDirs, diffNewDirs, piiDocsDirs).foreach { m =>
+        decontamDirs, diffNewDirs, piiDocsDirs, hybridQueryDirs).foreach { m =>
       m.values().forEach(d =>
         org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
       m.clear()
@@ -1750,6 +1774,47 @@ object SparkEntry {
     "SELECT doc_id, rrf_score, n_legs FROM " +
     "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"
 
+  /** Batch hybrid restated per query: BM25 legs from a VALUES query
+    * table, dense legs by brute cosine against the stored vectors of
+    * vec_id 1..3 (the fixture's embeddings), per-query integer RRF.
+    * Query 3's term is corpus-absent, so its lex leg is empty and the
+    * fusion must be dense-only (n_legs = 1 rows). */
+  private val duckHybridManySql: String =
+    "WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents WHERE length(trim(text)) > 0), " +
+      "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
+      "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
+      "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'join'), " +
+      "(2, 'window'), (2, 'hash'), (2, 'scan'), (3, 'zzz_absent_term')), " +
+      "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
+      "WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term), " +
+      "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
+      "contrib AS (SELECT q.query_id, tf.doc_id, " +
+      "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
+      "(tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.len / stats.avgdl)) AS DECIMAL(28,12)) AS c " +
+      "FROM q JOIN tf USING (term) JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
+      "scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS score " +
+      "FROM contrib GROUP BY query_id, doc_id), " +
+      "lexr AS (SELECT query_id, doc_id, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank FROM scored), " +
+      "lex AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 20), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "qv AS (SELECT vec_id AS query_id, v FROM v WHERE vec_id IN (1, 2, 3)), " +
+      "dc AS (SELECT qv.query_id, a.vec_id AS doc_id, " + duckCos("a", "qv") +
+      " AS cos FROM v a, qv), " +
+      "denr AS (SELECT query_id, doc_id, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY cos DESC, doc_id) AS INT) AS rank FROM dc), " +
+      "den AS (SELECT query_id, doc_id, rank FROM denr WHERE rank <= 20), " +
+      "u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM lex " +
+      "UNION ALL SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM den), " +
+      "f AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, " +
+      "COUNT(*) AS n_legs FROM u GROUP BY query_id, doc_id), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY query_id " +
+      "ORDER BY rrf_score DESC, doc_id) AS rn FROM f) " +
+      "SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, n_legs " +
+      "FROM r WHERE rn <= 10 ORDER BY query_id, doc_id"
+
   /** Phrase counts ("table scan", top 25) restated by direct
     * token-array scan — an independent method from the index's
     * position-set intersection; shared by q_phrase_search (Scala API)
@@ -2989,6 +3054,7 @@ object SparkEntry {
     // oracle is the identical algebra.
     "q_hybrid_indexed" -> duckHybridSql,
     "q_sql_hybrid" -> duckHybridSql,
+    "q_sql_hybrid_many" -> duckHybridManySql,
 
     // Batch BM25 restated with a VALUES query table: per-term df/idf
     // shared across queries, per-query top-10 by (score desc, doc_id).
@@ -3579,6 +3645,18 @@ object SparkEntry {
           s"k_per_leg=>20, k0=>60, nprobe=>5)")
         .orderBy("doc_id")
     }),
+
+    // Batch hybrid serving through SQL: a parquet of (query_id,
+    // query, embedding) rows against both indexes — per-query RRF
+    // fusion (rrfFuseMany), query 3's term absent so its fusion is
+    // dense-leg-only (batch composition must not change any query's
+    // result).
+    "q_sql_hybrid_many" -> ((s, d) =>
+      s.sql(s"SELECT query_id, doc_id, rrf_score, n_legs FROM " +
+          s"corpus_hybrid('${textIndexDir(s, d)}', '${ivfIndexDir(s, d)}', " +
+          s"queries=>'${hybridQueriesDir(s, d)}', k=>10, k_per_leg=>20, " +
+          s"k0=>60, nprobe=>5)")
+        .orderBy("query_id", "doc_id")),
 
     // PII scrub through the SQL surface (mode=>'redact') over the
     // synthetic-PII fixture — same deterministic doc_id-derived PII

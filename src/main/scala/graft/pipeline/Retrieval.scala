@@ -76,6 +76,36 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Per-query RRF over BATCHED legs — each leg a DataFrame with
+    * columns (query_id, `idCol`, rank), ranks starting at 1 within
+    * each query_id (at most one row per (query_id, id) per leg: the
+    * per-query [[topRanks]] contract the batch retrieval ops emit).
+    * Returns (query_id, idCol, rrf_score, n_legs): each query's RRF
+    * top-k, ordered (query_id, id). A query absent from one leg
+    * (e.g. no lexical hits) fuses from the legs that served it — the
+    * same convention as a missing id within a leg.
+    *
+    * Scale shape: every leg is ≤ batch·k rows by the serving
+    * contract, so the fusion aggregate and the per-query rank window
+    * run over bounded frames — the window partitions by query_id over
+    * ≤ legs·k rows per query, never over a corpus. */
+  def rrfFuseMany(legs: Seq[DataFrame], idCol: String = "doc_id",
+                  k0: Int = 60, topK: Int = 15): DataFrame = {
+    require(legs.nonEmpty, "rrfFuseMany needs at least one ranked leg")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val contribs = legs.map(_.select(
+      col("query_id"), col(idCol),
+      expr(s"${RrfScale}L div ($k0 + rank)").as("c")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col(idCol))
+    contribs.reduce(_ union _)
+      .groupBy("query_id", idCol)
+      .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_legs"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK).drop("rn")
+      .orderBy(col("query_id"), col(idCol))
+  }
+
   /** Self-contained hybrid search over a document corpus: BM25 leg on
     * `docs` (columns doc_id, text) for `terms`, dense leg on
     * `embeddings` (columns vec_id, embedding — vec_id keyed to

@@ -946,16 +946,16 @@ object CorpusMixTVF {
 object CorpusHybridTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_hybrid", args,
-      Set("embedding", "k", "k_per_leg", "k0", "nprobe", "connection"))
-    val (textPath, vecPath, queryStr) = pos match {
-      case t :: v :: q :: Nil => (t, v, q)
+      Set("embedding", "queries", "k", "k_per_leg", "k0", "nprobe",
+        "connection"))
+    val (textPath, vecPath, queryStr) = (pos, opts.get("queries")) match {
+      case (t :: v :: q :: Nil, None) => (t, v, Some(q))
+      case (t :: v :: Nil, Some(_)) => (t, v, None)
       case _ => throw new IllegalArgumentException(
-        "corpus_hybrid: expected three positional arguments " +
-          "(text_path, vector_path, 'query terms')")
+        "corpus_hybrid: expected (text_path, vector_path, 'query terms') " +
+          "positional arguments, or (text_path, vector_path) with " +
+          "queries=>'path' for a batch")
     }
-    val embStr = opts.getOrElse("embedding", throw new IllegalArgumentException(
-      "corpus_hybrid: embedding=>'v1,v2,...' is required (the dense " +
-        "leg's query vector)"))
     val k = opts.get("k").map(_.toInt).getOrElse(15)
     val kPerLeg = opts.get("k_per_leg").map(_.toInt).getOrElse(20)
     val k0 = opts.get("k0").map(_.toInt).getOrElse(60)
@@ -966,50 +966,111 @@ object CorpusHybridTVF {
     ReadFilesTVF.connections.applyTo(spark)
     val resolve = (p: String) =>
       ReadFilesTVF.connections.resolve(opts.get("connection"), p)
-    import org.apache.spark.sql.functions.{col, size}
+    import org.apache.spark.sql.functions.{col, size, explode}
     import spark.implicits._
-    val terms = queryStr.trim.toLowerCase.split("\\s+")
-      .filter(_.nonEmpty).distinct.toSeq
-    require(terms.nonEmpty, "corpus_hybrid: empty query")
-    val vec: Array[Double] =
-      try embStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"corpus_hybrid: embedding must be comma-separated numbers, got '$embStr'") }
-    require(vec.nonEmpty, "corpus_hybrid: empty embedding")
-    // lexical leg — same routing truth as corpus_search
+    def termsOf(s0: String): Seq[String] =
+      s0.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    // resolve the query set: a single (terms, vector) pair from the
+    // literals, or a (query_id, query, embedding) batch parquet — the
+    // serving shape for application query batches arriving as files.
+    // Batch columns resolve BY NAME (order-free); null/duplicate ids,
+    // null queries, and null embeddings fail loud with context.
+    val batch: Option[(Seq[(Long, Seq[String])], org.apache.spark.sql.DataFrame)] =
+      (queryStr, opts.get("queries")) match {
+        case (Some(_), _) => None
+        case (None, Some(qp)) =>
+          val raw = spark.read.parquet(resolve(qp))
+          val byName = raw.columns.map(c => c.toLowerCase -> c).toMap
+          val cols = Seq("query_id", "query", "embedding").map(n =>
+            byName.getOrElse(n, throw new IllegalArgumentException(
+              s"corpus_hybrid: batch parquet must carry (query_id, query, " +
+                s"embedding) columns; got [${raw.columns.mkString(", ")}]")))
+          val b = raw.select(col(cols(0)).cast("long").as("query_id"),
+            col(cols(1)).as("query"), col(cols(2)).as("embedding"))
+          val idRows = b.select(col("query_id"), col("query").isNull.as("nq"),
+              col("embedding").isNull.as("ne")).collect()
+          TvfArgs.requireIds("corpus_hybrid", "query_id", idRows.map(r =>
+            if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))))
+          require(!idRows.exists(_.getBoolean(1)),
+            "corpus_hybrid: null query in the batch parquet")
+          require(!idRows.exists(_.getBoolean(2)),
+            "corpus_hybrid: null embedding in the batch parquet")
+          val termPairs = b.select(col("query_id"), col("query")).collect()
+            .map(r => (r.getLong(0), termsOf(r.getString(1)))).toSeq
+          Some((termPairs, b.select(col("query_id"), col("embedding"))))
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    // single-query literals wrap into a one-row batch (query_id 0) so
+    // both shapes flow through ONE leg + fusion code path
+    val (termPairs, qVecs) = batch match {
+      case Some((tp0, qv)) => (tp0, qv)
+      case None =>
+        val embStr = opts.getOrElse("embedding",
+          throw new IllegalArgumentException(
+            "corpus_hybrid: embedding=>'v1,v2,...' is required (the dense " +
+              "leg's query vector)"))
+        val vec: Array[Double] =
+          try embStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"corpus_hybrid: embedding must be comma-separated numbers, got '$embStr'") }
+        require(vec.nonEmpty, "corpus_hybrid: empty embedding")
+        val terms = termsOf(queryStr.get)
+        require(terms.nonEmpty, "corpus_hybrid: empty query")
+        (Seq((0L, terms)), Seq((0L, vec)).toDF("query_id", "embedding"))
+    }
+    require(termPairs.forall(_._2.nonEmpty),
+      s"corpus_hybrid: empty query for query_id(s) " +
+        termPairs.filter(_._2.isEmpty).map(_._1).mkString(", "))
+    // dimension guard, BEFORE any corpus scan — every batch row
+    // checked (parquet fixes element type, not per-row array length)
+    val qDims: Seq[Int] = qVecs.select(size(col("embedding")).as("d"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    require(qDims.size <= 1,
+      s"corpus_hybrid: query vectors mix dimensions ${qDims.mkString(", ")}")
+    def requireDim(dim: Int): Unit = qDims.headOption.foreach(qd =>
+      require(qd == dim,
+        s"corpus_hybrid: embedding has $qd dims but the vector side has $dim"))
+    // lexical leg — same routing truth as corpus_search; per-query
+    // ranks assigned over the leg's bounded top-k output
     val tp = resolve(textPath)
     val lexIndexed = IndexLayouts.requireServable(
       spark, tp, "corpus_hybrid", IndexLayouts.TextIdx)
     val lexScored =
-      if (lexIndexed) graft.pipeline.TextIndex.search(spark, tp, terms, kPerLeg)
-      else graft.pipeline.TextAnalysis.bm25(spark.read.parquet(tp), terms)
-    val lex = graft.pipeline.Retrieval.topRanks(
-      lexScored, col("score"), "doc_id", kPerLeg)
+      if (lexIndexed) graft.pipeline.TextIndex.searchMany(spark, tp,
+        termPairs.toDF("query_id", "terms"), kPerLeg)
+      else graft.pipeline.TextAnalysis.bm25Many(
+        spark.read.parquet(tp), termPairs, kPerLeg)
+    val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = lexScored.select(col("query_id"), col("doc_id"), col("score"))
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(lexW).cast("int"))
+      .select("query_id", "doc_id", "rank")
     // dense leg — same routing truth + dim guard as corpus_ann
     val vp = resolve(vecPath)
-    val q = Seq((0L, vec)).toDF("vec_id", "embedding")
     val denIndexed = IndexLayouts.requireServable(
       spark, vp, "corpus_hybrid", IndexLayouts.IvfIndex)
     val den = (
       if (denIndexed) {
-        val dim = graft.pipeline.Embeddings.indexDim(spark, vp)
-        require(vec.length == dim,
-          s"corpus_hybrid: embedding has ${vec.length} dims but the index " +
-            s"at $vp has $dim")
-        graft.pipeline.Embeddings.ivfTopKIndexedFor(q, vp, kPerLeg,
+        requireDim(graft.pipeline.Embeddings.indexDim(spark, vp))
+        graft.pipeline.Embeddings.ivfTopKIndexedFor(qVecs, vp, kPerLeg,
           nprobe = nprobe, adaptive = true)
       } else {
         val corpus = spark.read.parquet(vp)
-        corpus.select(size(col("embedding"))).head(1).foreach(r =>
-          require(vec.length == r.getInt(0),
-            s"corpus_hybrid: embedding has ${vec.length} dims but the corpus " +
-              s"at $vp has ${r.getInt(0)}"))
-        graft.pipeline.Embeddings.bruteForceTopKFor(q, corpus, kPerLeg)
+        corpus.select(size(col("embedding"))).head(1)
+          .foreach(r => requireDim(r.getInt(0)))
+        graft.pipeline.Embeddings.bruteForceTopKFor(qVecs, corpus, kPerLeg)
       })
-      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rank"))
-    graft.pipeline.Retrieval.rrfFuse(Seq(lex, den), "doc_id", k0, k)
-      .queryExecution.analyzed
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("int").as("rank"))
+    val fused = graft.pipeline.Retrieval.rrfFuseMany(Seq(lex, den), "doc_id", k0, k)
+    val out =
+      if (batch.isDefined) fused
+      else fused.drop("query_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+    out.queryExecution.analyzed
   }
 }
 

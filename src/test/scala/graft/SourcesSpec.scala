@@ -820,6 +820,33 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
         s"'$sfDir/embeddings.parquet', 'spark', embedding=>'$vecStr')").collect()
     }
     assert(e4.getMessage.contains("is a band index"), e4.getMessage)
+    // batch route: per-query fusion equals composing the single-query
+    // TVF per query; a batch parquet missing a required column fails
+    // loud naming the contract
+    val bdir = java.nio.file.Files.createTempDirectory("graft_tvf_hyb_b").toString
+    import spark.implicits._
+    val texts = Seq(1L -> "spark join", 2L -> "window hash").toDF("query_id", "query")
+    val vecs = emb.filter(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    texts.join(vecs, "query_id").coalesce(1).write.parquet(s"$bdir/q")
+    val gotMany = spark.sql(s"SELECT * FROM corpus_hybrid(" +
+        s"'$sfDir/documents.parquet', '$sfDir/embeddings.parquet', " +
+        s"queries=>'$bdir/q', k=>10)")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val wantMany = Seq(1L -> "spark join", 2L -> "window hash").flatMap { case (qid, q) =>
+      val vq = emb.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble.toString).mkString(",")
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+          s"'$sfDir/embeddings.parquet', '$q', embedding=>'$vq', k=>10)")
+        .collect().map(r => s"$qid|${r.mkString("|")}")
+    }.sorted
+    assert(gotMany == wantMany, "batch fusion diverged from per-query singles")
+    texts.coalesce(1).write.parquet(s"$bdir/noemb")
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', queries=>'$bdir/noemb')").collect()
+    }
+    assert(e5.getMessage.contains("(query_id, query, embedding)"), e5.getMessage)
   }
 
   test("corpus_decontam and corpus_diff TVFs: two-path ops match their Scala operators") {
