@@ -540,9 +540,9 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
   test("training-data curation script: the TVF family composes through the script path") {
     // the SQL-analyst session shape: quality scoring, retrieval,
     // near-dup audit, decontamination, split assignment, the corpus
-    // of record, and index health — seven statements, one script,
-    // every result materialized and paged by the service (README's
-    // "curation session, SQL only" example)
+    // of record, index health, and hybrid serving — eight statements,
+    // one script, every result materialized and paged by the service
+    // (README's "curation session, SQL only" example)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("svc_curate").toString
@@ -551,6 +551,9 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     import org.apache.spark.sql.functions.col
     docs.filter(col("doc_id") % 10 === 0)
       .write.parquet(s"$base/eval")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecStr = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble.toString).mkString(",")
     val ids = svc.runScriptSequential(
       s"""select doc_id, quality from corpus_quality('$sfDir/documents.parquet') where quality > 0.1;
          |select doc_id, score from corpus_search('$sfDir/documents.parquet', 'spark window', k=>5);
@@ -558,8 +561,9 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
          |select doc_id from corpus_decontam('$sfDir/documents.parquet', '$base/eval');
          |select split, count(*) as n from corpus_mix('$sfDir/documents.parquet', mode=>'split', weights=>'train:90,val:5,test:5') group by split order by split;
          |select count(*) as n from read_store('$base/store');
-         |select store, sum(n_rows) as total_rows from corpus_index_stats('$base/band') group by store order by store""".stripMargin)
-    assert(ids.size == 7)
+         |select store, sum(n_rows) as total_rows from corpus_index_stats('$base/band') group by store order by store;
+         |select doc_id, rrf_score, n_legs from corpus_hybrid('$sfDir/documents.parquet', '$sfDir/embeddings.parquet', 'spark window', embedding=>'$vecStr', k=>10)""".stripMargin)
+    assert(ids.size == 8)
     assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)))
     val qual = svc.reader(ids(0)).asDataFrame.collect()
     assert(qual.nonEmpty && qual.forall(_.getDouble(1) > 0.1))
@@ -574,6 +578,12 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     assert(svc.reader(ids(5)).asDataFrame.head().getLong(0) == docs.count())
     val stats = svc.reader(ids(6)).asDataFrame.collect()
     assert(stats.map(_.getString(0)).toSeq == Seq("bands", "shingles"))
+    // hybrid serving through the script path: top-10 fused, and the
+    // query vector's own doc (vec_id 7) must appear with both legs or
+    // at least the dense leg (cos = 1 pins it into the dense top-k)
+    val hyb = svc.reader(ids(7)).asDataFrame.collect()
+    assert(hyb.length == 10)
+    assert(hyb.exists(_.getLong(0) == 7L), "dense leg must surface doc 7")
   }
 
   test("runScriptSequential: each statement terminal at return, errors don't stop the script") {
