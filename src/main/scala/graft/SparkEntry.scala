@@ -1756,11 +1756,15 @@ object SparkEntry {
 
   /** Shared hybrid-RRF oracle (terms spark/hash/window, query vector =
     * embeddings row 7, kPerLeg 20, k0 60, top 15): BM25 leg from the
-    * shared CTE, dense leg by brute cosine, integer `1e12 // (60 +
-    * rank)` contributions. Serves BOTH q_hybrid_search (corpus-tier
-    * legs) and q_hybrid_indexed (persisted-index legs) — the two
-    * tiers must produce identical fusions. */
-  private val duckHybridSql: String = duckBm25Cte +
+    * shared CTE, dense leg by brute cosine, integer `(w · 1e12) //
+    * (60 + rank)` contributions — the weighted-fusion algebra
+    * (integer multiply BEFORE the integer divide, exactly
+    * [[pipeline.Retrieval.rrfFuse]]'s), with (1, 1) degenerating to
+    * the classic unweighted RRF since `(1·S) div x = S div x`.
+    * Serves q_hybrid_search (corpus-tier legs), q_hybrid_indexed /
+    * q_sql_hybrid (persisted-index legs — identical fusions), and
+    * q_sql_hybrid_weighted (lex 2, dense 1). */
+  private def duckHybridBody(wLex: Long, wDen: Long): String = duckBm25Cte +
     ", lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank " +
     "FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)), " +
     "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
@@ -1768,11 +1772,13 @@ object SparkEntry {
     "dc AS (SELECT a.vec_id AS doc_id, " + duckCos("a", "q") + " AS cos FROM v a, q), " +
     "den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank " +
     "FROM (SELECT * FROM dc ORDER BY cos DESC, doc_id LIMIT 20)), " +
-    "u AS (SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex " +
-    "UNION ALL SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM den), " +
+    s"u AS (SELECT doc_id, (1000000000000 * $wLex) // (60 + rank) AS c FROM lex " +
+    s"UNION ALL SELECT doc_id, (1000000000000 * $wDen) // (60 + rank) AS c FROM den), " +
     "f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score, COUNT(*) AS n_legs FROM u GROUP BY doc_id) " +
     "SELECT doc_id, rrf_score, n_legs FROM " +
     "(SELECT * FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15) ORDER BY doc_id"
+  private val duckHybridSql: String = duckHybridBody(1, 1)
+  private val duckHybridWeightedSql: String = duckHybridBody(2, 1)
 
   /** Batch hybrid restated per query: BM25 legs from a VALUES query
     * table, dense legs by brute cosine against the stored vectors of
@@ -3056,6 +3062,19 @@ object SparkEntry {
     "q_sql_hybrid" -> duckHybridSql,
     "q_sql_hybrid_many" -> duckHybridManySql,
 
+    // Weighted fusion (weights=>'2,1'): the same legs, contributions
+    // scaled (w * 1e12) // (60 + rank) — integer multiply before the
+    // integer divide, so both engines agree bit-for-bit.
+    "q_sql_hybrid_weighted" -> duckHybridWeightedSql,
+
+    // SQL write-back round trip: the Spark side PERSISTS the filtered
+    // corpus_quality output via INSERT OVERWRITE DIRECTORY and
+    // re-reads the parquet it wrote; the oracle computes the same
+    // filtered projection directly — a hash match proves the persisted
+    // bytes round-trip the exact doubles the query computed.
+    "q_sql_writeback" -> ("SELECT doc_id, quality FROM (" + DuckTextQuality +
+      ") WHERE quality >= 0.12 ORDER BY doc_id"),
+
     // Batch BM25 restated with a VALUES query table: per-term df/idf
     // shared across queries, per-query top-10 by (score desc, doc_id).
     "q_search_many" -> duckSearchManySql,
@@ -3657,6 +3676,37 @@ object SparkEntry {
           s"queries=>'${hybridQueriesDir(s, d)}', k=>10, k_per_leg=>20, " +
           s"k0=>60, nprobe=>5)")
         .orderBy("query_id", "doc_id")),
+
+    // Weighted hybrid fusion (weights=>'2,1': lexical-heavy — the
+    // exact-identifier serving shape): same indexes and legs as
+    // q_sql_hybrid, contributions (w * RrfScale) div (k0 + rank) in
+    // integer arithmetic so the DuckDB restatement is bit-identical.
+    "q_sql_hybrid_weighted" -> ((s, d) => {
+      val v = s.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id") === 7L).select("embedding")
+        .head().getSeq[Float](0)
+      val vecStr = v.map(f => f.toDouble.toString).mkString(",")
+      s.sql(s"SELECT doc_id, rrf_score, n_legs FROM " +
+          s"corpus_hybrid('${textIndexDir(s, d)}', '${ivfIndexDir(s, d)}', " +
+          s"'spark hash window', embedding=>'$vecStr', k=>15, " +
+          s"k_per_leg=>20, k0=>60, nprobe=>5, weights=>'2,1')")
+        .orderBy("doc_id")
+    }),
+
+    // SQL write-back — the last statement of the SQL-only curation
+    // story: persist a filtered corpus from corpus_quality output to a
+    // named location (INSERT OVERWRITE DIRECTORY ... USING parquet —
+    // idempotent, no catalog state), then re-read what was written.
+    // The oracle computes the same projection directly, so the hash
+    // gate proves the persisted parquet round-trips the exact doubles.
+    "q_sql_writeback" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_writeback_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+      s.sql(s"INSERT OVERWRITE DIRECTORY '$out' USING parquet " +
+        s"SELECT doc_id, quality FROM corpus_quality('$d/documents.parquet') " +
+        "WHERE quality >= 0.12")
+      s.sql(s"SELECT doc_id, quality FROM read_files('$out')").orderBy("doc_id")
+    }),
 
     // PII scrub through the SQL surface (mode=>'redact') over the
     // synthetic-PII fixture — same deterministic doc_id-derived PII

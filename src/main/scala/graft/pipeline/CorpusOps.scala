@@ -753,8 +753,13 @@ object CorpusOps {
       .select(col(groupCol).as("off_g"), col("bk").as("off_bk"), col("off"))
     val w = Window.partitionBy(groupCol, "bk").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe group equality (<=>): a NULL group value forms its own
+    // group in groupBy and the window partition, so the offsets join
+    // must match it too — a plain === would silently drop every
+    // null-group document from the sampled mix (null never equals
+    // null), diverging from shuffleRank which keeps every row
     toks.join(broadcast(offs),
-        toks(groupCol) === col("off_g") && toks("bk") === col("off_bk"))
+        toks(groupCol) <=> col("off_g") && toks("bk") === col("off_bk"))
       .withColumn("cum_tokens", col("off") + sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col(groupCol), col("n_tokens"), col("cum_tokens"))

@@ -56,19 +56,44 @@ object Retrieval {
       .select(col(idCol), col("rank"))
   }
 
+  /** Per-leg integer weights for weighted fusion: `weights(i)` scales
+    * leg i's contribution to `(w·RrfScale) div (k0 + rank)` — integer
+    * multiply BEFORE the integer divide, so the fused scores stay
+    * bit-identical across engines (the DuckDB oracle restates the same
+    * `(w * 1e12) // (k0 + rank)`), and weight 1 is EXACTLY today's
+    * unweighted algebra (`(1·S) div x = S div x`). Real hybrid
+    * deployments weight legs (dense-heavy for paraphrase queries,
+    * lexical-heavy for exact identifiers); integer weights keep the
+    * determinism discipline a double multiplier would break. Empty =
+    * all legs weight 1. */
+  private def legWeights(what: String, legs: Seq[DataFrame],
+                         weights: Seq[Long]): Seq[Long] =
+    if (weights.isEmpty) Seq.fill(legs.size)(1L)
+    else {
+      require(weights.size == legs.size,
+        s"$what: ${weights.size} weights for ${legs.size} legs")
+      require(weights.forall(_ >= 1),
+        s"$what: leg weights must be >= 1, got ${weights.mkString(", ")} " +
+          "(drop a leg instead of weighting it 0)")
+      weights
+    }
+
   /** Fuse ranked legs — each a DataFrame with columns (`idCol`,
     * `rank`), ranks starting at 1 and at most one row per id per leg
     * (the [[topRanks]] contract) — into the RRF top-k: (idCol,
     * `rrf_score`, `n_legs`), ordered score-desc with id tie-break.
     * An id missing from a leg simply gets no contribution from it
-    * (the standard RRF convention). */
+    * (the standard RRF convention). `weights` (optional, one per leg)
+    * scales contributions in integer arithmetic — see [[legWeights]]. */
   def rrfFuse(legs: Seq[DataFrame], idCol: String = "doc_id",
-              k0: Int = 60, topK: Int = 15): DataFrame = {
+              k0: Int = 60, topK: Int = 15,
+              weights: Seq[Long] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one ranked leg")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
-    val contribs = legs.map(_.select(
+    val ws = legWeights("rrfFuse", legs, weights)
+    val contribs = legs.zip(ws).map { case (leg, w) => leg.select(
       col(idCol),
-      expr(s"${RrfScale}L div ($k0 + rank)").as("c")))
+      expr(s"(${w}L * ${RrfScale}L) div ($k0 + rank)").as("c")) }
     contribs.reduce(_ union _)
       .groupBy(idCol)
       .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_legs"))
@@ -90,12 +115,14 @@ object Retrieval {
     * run over bounded frames — the window partitions by query_id over
     * ≤ legs·k rows per query, never over a corpus. */
   def rrfFuseMany(legs: Seq[DataFrame], idCol: String = "doc_id",
-                  k0: Int = 60, topK: Int = 15): DataFrame = {
+                  k0: Int = 60, topK: Int = 15,
+                  weights: Seq[Long] = Nil): DataFrame = {
     require(legs.nonEmpty, "rrfFuseMany needs at least one ranked leg")
     require(k0 >= 1, s"k0 must be >= 1, got $k0")
-    val contribs = legs.map(_.select(
+    val ws = legWeights("rrfFuseMany", legs, weights)
+    val contribs = legs.zip(ws).map { case (leg, w) => leg.select(
       col("query_id"), col(idCol),
-      expr(s"${RrfScale}L div ($k0 + rank)").as("c")))
+      expr(s"(${w}L * ${RrfScale}L) div ($k0 + rank)").as("c")) }
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_score").desc, col(idCol))
     contribs.reduce(_ union _)

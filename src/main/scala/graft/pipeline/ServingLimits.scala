@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** The serving micro-batch contract, ENFORCED. The batch faces of the
+  * serving operators (corpus_search / corpus_ann / corpus_dedup /
+  * corpus_hybrid TVFs, [[TextIndex.searchMany]]) collect the query
+  * set — ids, query texts, term pairs — to the driver by design: a
+  * serving batch is an application's arriving query file, thousands of
+  * rows at most, and driver-side term normalization / id validation
+  * must match the single-query path exactly. That contract used to be
+  * documentation only; a user pointing `queries=>` at a 100 M-row
+  * parquet got a driver OOM instead of the family's signature loud
+  * failure. This guard makes the bound real: every batch input passes
+  * through [[requireMicroBatch]] BEFORE any driver collect, failing
+  * loud over the configurable cap.
+  *
+  * The check itself is bounded — `limit(cap + 1).count()` plans a
+  * local-limit scan that reads at most cap+1 rows per the first
+  * partitions touched, never a full pass over the oversized file it
+  * exists to reject. */
+object ServingLimits {
+  /** Session conf knob for the cap; documented in RUNBOOK. */
+  val MaxBatchKey = "spark.graft.serving.maxBatchQueries"
+
+  /** Default cap: 10k queries × (id + text/embedding) is well under a
+    * megabyte-scale driver footprint; a genuinely larger workload is a
+    * bulk JOIN job, not a serving batch, and should run the
+    * distributed operators directly. */
+  val MaxBatchDefault: Int = 10000
+
+  /** Fail loud when `batch` exceeds the serving micro-batch cap —
+    * called by every batch serving entry point before its driver
+    * collect. Returns `batch` unchanged for call-site chaining. */
+  def requireMicroBatch(op: String, what: String, batch: DataFrame): DataFrame = {
+    val cap = batch.sparkSession.conf
+      .get(MaxBatchKey, MaxBatchDefault.toString).toInt
+    require(cap >= 1, s"$MaxBatchKey must be >= 1, got $cap")
+    val n = batch.limit(cap + 1).count()
+    require(n <= cap,
+      s"[BATCH_OVER_CAP] $op: the $what batch holds more than $cap rows " +
+        s"— batch serving collects the query set to the driver and is " +
+        s"micro-batch-sized by contract; raise $MaxBatchKey only if the " +
+        "driver heap is sized for it, or run the distributed operators " +
+        "directly for bulk joins")
+    batch
+  }
+}

@@ -26,6 +26,29 @@ private[graft] object Stores {
       .filter(_._1 > 0).lastOption.map(_._2)
       .getOrElse(s"$dir/$base")
 
+  /** Distinguish a COPIED store (a base written file-by-file that lost
+    * its commit marker — served as a convenience by the marker-free
+    * fallback) from a TORN write still in progress or aborted: Spark's
+    * FileOutputCommitter stages task output under `_temporary/` and
+    * removes it on job commit, so a base directory holding
+    * `_temporary` but no marker is a partial write — it must fail
+    * loud, never serve partial rows as a plausible-looking corpus.
+    * No-op when the marker is present (a committed write may briefly
+    * coexist with a concurrent writer's staging dir; the marker is
+    * the authority). */
+  def requireNotTorn(spark: SparkSession, base: String,
+                     marker: String = "_SUCCESS"): Unit = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$base/$marker")) &&
+        fs.exists(new Path(s"$base/_temporary")))
+      throw new IllegalStateException(
+        s"[TORN_BASE] $base has no $marker commit marker and still " +
+          "holds a _temporary staging directory — an in-progress or " +
+          "aborted write, not a copied store; refusing to serve " +
+          "partial rows")
+  }
+
   /** The generation number a resolved live path denotes — the inverse
     * of the `dir/base` vs `dir/base_v<N>` naming convention. */
   def generationOf(live: String, base: String): Int =

@@ -299,12 +299,15 @@ object TextIndex {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1)
     import spark.implicits._
-    // bounded collect: the batch IS driver-sized by contract, and its
-    // terms must normalize EXACTLY like [[search]]'s (Scala
-    // trim/toLowerCase) — normalizing in Spark SQL instead would
-    // diverge on non-space whitespace and locale edge cases, silently
-    // missing postings a per-query search would hit
-    val pairs: Seq[(Long, String)] = queries
+    // bounded collect: the batch is driver-sized by the ENFORCED
+    // serving contract (ServingLimits — an oversized batch fails loud
+    // naming the cap, never OOMs the driver), and its terms must
+    // normalize EXACTLY like [[search]]'s (Scala trim/toLowerCase) —
+    // normalizing in Spark SQL instead would diverge on non-space
+    // whitespace and locale edge cases, silently missing postings a
+    // per-query search would hit
+    val pairs: Seq[(Long, String)] = ServingLimits
+      .requireMicroBatch("TextIndex.searchMany", "query", queries)
       .select(col("query_id").cast("long"), explode(col("terms")).as("term"))
       .collect()
       .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase)

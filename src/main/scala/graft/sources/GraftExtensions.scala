@@ -64,25 +64,54 @@ private[sources] object TvfArgs {
   /** Normalize an external batch parquet to the canonical
     * (idCol, payloadCol) shape — ONE reading truth for the batch
     * TVFs: columns are selected BY NAME when the expected names exist
-    * (case-insensitive, any order, extra columns ignored), falling
-    * back to the documented positional contract (first = id,
-    * second = payload) for unnamed exports; a file that can satisfy
-    * neither fails loud NAMING the expectation instead of surfacing
-    * a downstream cast/dim error from the wrong column. */
+    * (case-insensitive, any order, extra columns ignored). When
+    * exactly ONE expected name is present it binds by name and the
+    * other column resolves positionally from the REMAINING columns —
+    * a (n_rows, query) file must never silently bind a stray numeric
+    * column as the id just because full-name matching failed — loud
+    * when that remainder is ambiguous (≥2 candidates). Only a file
+    * matching NEITHER name falls back to the documented positional
+    * contract (first = id, second = payload, for unnamed exports); a
+    * file that can satisfy nothing fails loud NAMING the expectation
+    * instead of surfacing a downstream cast/dim error from the wrong
+    * column.
+    *
+    * Every batch passes the serving micro-batch cap
+    * ([[graft.pipeline.ServingLimits.requireMicroBatch]]) here,
+    * BEFORE any caller collects it: the driver-bounded contract is
+    * enforced, not documented — an oversized `queries=>` file fails
+    * loud naming the cap and the knob instead of OOMing the driver. */
   def batchFrame(tvf: String, df: org.apache.spark.sql.DataFrame,
                  idCol: String, payloadCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val byName = df.columns.map(c => c.toLowerCase -> c).toMap
+    val capped = graft.pipeline.ServingLimits.requireMicroBatch(
+      tvf, s"($idCol, $payloadCol)", df)
+    val byName = capped.columns.map(c => c.toLowerCase -> c).toMap
+    def theOther(matched: String, missing: String): String = {
+      val rest = capped.columns.filter(_ != matched)
+      require(rest.length == 1,
+        s"$tvf: batch parquet matches column '$matched' but the $missing " +
+          s"column cannot be resolved from the remaining " +
+          s"[${rest.mkString(", ")}] — name the $missing column" +
+          (if (rest.length > 1) " or drop the extras" else ""))
+      rest.head
+    }
     (byName.get(idCol), byName.get(payloadCol)) match {
       case (Some(i), Some(p)) =>
-        df.select(col(i).as(idCol), col(p).as(payloadCol))
-      case _ =>
-        require(df.columns.length >= 2,
+        capped.select(col(i).as(idCol), col(p).as(payloadCol))
+      case (Some(i), None) =>
+        capped.select(col(i).as(idCol),
+          col(theOther(i, payloadCol)).as(payloadCol))
+      case (None, Some(p)) =>
+        capped.select(col(theOther(p, idCol)).as(idCol),
+          col(p).as(payloadCol))
+      case (None, None) =>
+        require(capped.columns.length >= 2,
           s"$tvf: batch parquet must carry ($idCol, $payloadCol) columns " +
             "(matched by name in any order) or at least two columns in " +
-            s"that positional order; got [${df.columns.mkString(", ")}]")
-        df.select(col(df.columns.head).as(idCol),
-          col(df.columns(1)).as(payloadCol))
+            s"that positional order; got [${capped.columns.mkString(", ")}]")
+        capped.select(col(capped.columns.head).as(idCol),
+          col(capped.columns(1)).as(payloadCol))
     }
   }
 
@@ -692,8 +721,13 @@ object ReadStoreTVF {
       case None =>
         // same resolution rule as CorpusStore.read/liveGeneration:
         // highest committed versioned generation, else the base
-        // (marker-free fallback included)
+        // (marker-free fallback included — but a marker-free base
+        // still holding a _temporary staging dir is a TORN write,
+        // not a copied store, and fails loud instead of serving
+        // partial rows)
         val live = gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath)
+        if (live == basePath)
+          graft.pipeline.Stores.requireNotTorn(spark, basePath)
         spark.read.parquet(live).drop("bucket")
       case Some(n) =>
         graft.pipeline.CorpusStore.readAsOf(spark, resolved, n, Some(gens))
@@ -727,11 +761,14 @@ private[sources] object TvfCorpus {
       val p = new org.apache.hadoop.fs.Path(basePath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
-    if (gens.nonEmpty || hasBase)
-      spark.read.parquet(
-          gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath))
-        .drop("bucket")
-    else spark.read.parquet(resolved)
+    if (gens.nonEmpty || hasBase) {
+      val live = gens.filter(_._1 > 0).lastOption.map(_._2).getOrElse(basePath)
+      // same torn-vs-copied distinction as read_store: a marker-free
+      // base with a _temporary staging dir never serves partial rows
+      if (live == basePath)
+        graft.pipeline.Stores.requireNotTorn(spark, basePath)
+      spark.read.parquet(live).drop("bucket")
+    } else spark.read.parquet(resolved)
   }
 }
 
@@ -930,7 +967,8 @@ object CorpusMixTVF {
 
 /** `corpus_hybrid(text_path, vector_path, 'query terms',
   * embedding=>'v1,v2,...' [, k=>15] [, k_per_leg=>20] [, k0=>60]
-  * [, nprobe=>5] [, connection=>name])`: hybrid retrieval from pure
+  * [, nprobe=>5] [, weights=>'2,1'] [, connection=>name])`: hybrid
+  * retrieval from pure
   * SQL — the fusion of the family's two serving TVFs (corpus_search's
   * BM25 leg, corpus_ann's dense leg) by integer reciprocal-rank
   * fusion ([[graft.pipeline.Retrieval.rrfFuse]]): fused score =
@@ -942,12 +980,16 @@ object CorpusMixTVF {
   * (vec_id, embedding) parquet (brute force). Fusion moves only
   * Σ legs·k_per_leg rows — the cost lives in the legs, which are the
   * already-gated operators, so every scale judgment carries over.
+  * `weights=>'2,1'` weights the (lexical, dense) legs with integer
+  * multipliers — contribution `(w·RrfScale) div (k0 + rank)`, still
+  * bit-identical across engines; omitted = both legs weight 1,
+  * exactly the unweighted algebra.
   * Returns (doc_id, rrf_score, n_legs) ordered score-desc. */
 object CorpusHybridTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_hybrid", args,
       Set("embedding", "queries", "k", "k_per_leg", "k0", "nprobe",
-        "connection"))
+        "weights", "connection"))
     val (textPath, vecPath, queryStr) = (pos, opts.get("queries")) match {
       case (t :: v :: q :: Nil, None) => (t, v, Some(q))
       case (t :: v :: Nil, Some(_)) => (t, v, None)
@@ -956,12 +998,30 @@ object CorpusHybridTVF {
           "positional arguments, or (text_path, vector_path) with " +
           "queries=>'path' for a batch")
     }
+    // the family's fail-loud stray-option discipline: batch mode reads
+    // every query's embedding from the batch parquet, so an embedding=>
+    // literal alongside queries=> is a spelled-out conflict — it must
+    // fail naming it, never be silently ignored
+    require(queryStr.isDefined || opts.get("embedding").isEmpty,
+      "corpus_hybrid: embedding=> conflicts with queries=> — batch mode " +
+        "reads each query's embedding from the batch parquet's " +
+        "embedding column")
     val k = opts.get("k").map(_.toInt).getOrElse(15)
     val kPerLeg = opts.get("k_per_leg").map(_.toInt).getOrElse(20)
     val k0 = opts.get("k0").map(_.toInt).getOrElse(60)
     val nprobe = opts.get("nprobe").map(_.toInt).getOrElse(5)
     require(k >= 1 && kPerLeg >= 1 && nprobe >= 1,
       s"corpus_hybrid: k/k_per_leg/nprobe must be >= 1")
+    // weights=>'2,1' — integer per-leg fusion weights in (lexical,
+    // dense) order; validated count/positivity lives in rrfFuseMany's
+    // legWeights (ONE weighting truth with the Scala surface)
+    val legWeights: Seq[Long] = opts.get("weights").map { ws =>
+      try ws.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_hybrid: weights must be comma-separated integers " +
+            s"(lexical, dense), got '$ws'") }
+    }.getOrElse(Nil)
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolve = (p: String) =>
@@ -979,7 +1039,12 @@ object CorpusHybridTVF {
       (queryStr, opts.get("queries")) match {
         case (Some(_), _) => None
         case (None, Some(qp)) =>
-          val raw = spark.read.parquet(resolve(qp))
+          // the shared enforced micro-batch cap, BEFORE the collects
+          // below (this TVF reads three named columns, so it cannot go
+          // through batchFrame's two-column normalization)
+          val raw = graft.pipeline.ServingLimits.requireMicroBatch(
+            "corpus_hybrid", "(query_id, query, embedding)",
+            spark.read.parquet(resolve(qp)))
           val byName = raw.columns.map(c => c.toLowerCase -> c).toMap
           val cols = Seq("query_id", "query", "embedding").map(n =>
             byName.getOrElse(n, throw new IllegalArgumentException(
@@ -1065,7 +1130,8 @@ object CorpusHybridTVF {
       })
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("int").as("rank"))
-    val fused = graft.pipeline.Retrieval.rrfFuseMany(Seq(lex, den), "doc_id", k0, k)
+    val fused = graft.pipeline.Retrieval.rrfFuseMany(Seq(lex, den), "doc_id",
+      k0, k, weights = legWeights)
     val out =
       if (batch.isDefined) fused
       else fused.drop("query_id")

@@ -21,7 +21,8 @@ QUERIES=(q_fuzzy_link dedup_cluster_rep q_lm_buckets_lang q_corpus_clean
          text_lm_lang q_sim_link q_profile dedup_clusters q_sql_dedup
          q_hybrid_indexed
          q_except_all dedup_minhash q_outliers q_funnel_latency
-         q_range_join q_contam_report)
+         q_range_join q_contam_report
+         text_lm_score q_agg_having)
 # SPARK_GRAFT_ISO_ONLY=a,b restricts the run (re-measuring one mover
 # after a fix shouldn't cost a full 16-JVM sweep)
 if [ -n "${SPARK_GRAFT_ISO_ONLY:-}" ]; then
