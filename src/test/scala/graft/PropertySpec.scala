@@ -259,13 +259,17 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     // random (doc_id, group, text) corpora with adversarial shapes:
     // skewed groups (one group holds most docs), singleton groups,
-    // hash-tie ids — the distributed range-bucketed prefix sum must
-    // equal the sequential per-group definition on all of them
+    // hash-tie ids, NULL groups (null forms its own group — the
+    // offsets join is null-safe, so null-group docs must survive the
+    // cut like any other group's, never silently vanish) — the
+    // distributed range-bucketed prefix sum must equal the sequential
+    // per-group definition on all of them
     val corpusGen: Gen[Seq[(Long, String, String)]] = for {
       n <- Gen.choose(1, 120)
       rows <- Gen.listOfN(n, for {
         id <- Gen.choose(0L, 1L << 30)
-        g <- Gen.frequency(6 -> Gen.const("big"), 1 -> Gen.oneOf("a", "b", "c"))
+        g <- Gen.frequency(5 -> Gen.const("big"), 1 -> Gen.oneOf("a", "b", "c"),
+          1 -> Gen.const(null: String))
         nw <- Gen.choose(1, 30)
         ws <- Gen.listOfN(nw, Gen.oneOf("tok", "word", "datum", "x"))
       } yield (id, g, ws.mkString(" ")))

@@ -29,6 +29,41 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(got.head._1 == 20L && got.head._3 == 2L)
   }
 
+  test("weighted rrfFuse: weight 1 is exactly the unweighted algebra; weights scale integer contributions") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // (1·S) div x = S div x — all-ones weights must be BIT-identical
+    // to omitting them (the compatibility contract the TVF documents)
+    assert(rows(Retrieval.rrfFuse(Seq(a, b), topK = 10, weights = Seq(1L, 1L)))
+      == rows(Retrieval.rrfFuse(Seq(a, b), topK = 10)))
+    // weighted contributions: (w * RrfScale) div (k0 + rank) by hand
+    def wrrf(w: Long, rank: Int): Long = (w * Retrieval.RrfScale) / (60 + rank)
+    val got = rows(Retrieval.rrfFuse(Seq(a, b), topK = 10, weights = Seq(2L, 1L)))
+    val expected = Seq(
+      (20L, wrrf(2, 2) + wrrf(1, 1), 2L),
+      (10L, wrrf(2, 1), 1L),
+      (30L, wrrf(2, 3), 1L),
+      (40L, wrrf(1, 2), 1L))
+    assert(got == expected, got)
+    // the batch shape shares the same weighting truth
+    val am = a.withColumn("query_id", lit(5L))
+    val bm = b.withColumn("query_id", lit(5L))
+    val gotMany = Retrieval.rrfFuseMany(Seq(am, bm), topK = 10, weights = Seq(2L, 1L))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotMany.sortBy(_._1) == expected.sortBy(_._1), gotMany)
+    // malformed weights fail loud: wrong count, zero/negative weight
+    val eCount = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a, b), weights = Seq(1L))
+    }
+    assert(eCount.getMessage.contains("weights for"), eCount.getMessage)
+    val eZero = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a, b), weights = Seq(0L, 1L))
+    }
+    assert(eZero.getMessage.contains(">= 1"), eZero.getMessage)
+  }
+
   test("rrfFuse topK cut is deterministic under score ties") {
     // two ids with the identical single-leg rank → tie broken by id
     val a = Seq((7L, 1)).toDF("doc_id", "rank")

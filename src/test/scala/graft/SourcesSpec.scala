@@ -849,6 +849,140 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(e5.getMessage.contains("(query_id, query, embedding)"), e5.getMessage)
   }
 
+  test("serving micro-batch cap is ENFORCED before driver collects, on every batch TVF") {
+    import spark.implicits._
+    import graft.pipeline.ServingLimits
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_cap").toString
+    (1L to 5L).map(i => (i, "spark")).toDF("query_id", "query")
+      .coalesce(1).write.parquet(s"$base/q5")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .coalesce(1).write.parquet(s"$base/v5")
+    val texts = (1L to 5L).map(i => (i, "spark")).toDF("query_id", "query")
+    texts.join(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .coalesce(1).write.parquet(s"$base/h5")
+    spark.conf.set(ServingLimits.MaxBatchKey, "3")
+    try {
+      // a 5-row batch over a cap of 3 fails LOUD naming the cap and
+      // the knob — the driver-collected contract is enforced, the
+      // 100M-row-parquet mistake can no longer OOM the driver
+      def overCap(sql: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql).collect() }
+        assert(e.getMessage.contains("BATCH_OVER_CAP")
+            && e.getMessage.contains(ServingLimits.MaxBatchKey),
+          s"$sql -> ${e.getMessage}")
+      }
+      overCap(s"SELECT * FROM corpus_search('$sfDir/documents.parquet', " +
+        s"queries=>'$base/q5')")
+      overCap(s"SELECT * FROM corpus_search('$sfDir/documents.parquet', " +
+        s"queries=>'$base/q5', mode=>'phrase')")
+      overCap(s"SELECT * FROM corpus_ann('$sfDir/embeddings.parquet', " +
+        s"queries=>'$base/v5')")
+      overCap(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', queries=>'$base/h5')")
+      // the Scala batch entry point shares the same guard (index
+      // built OUTSIDE the intercept so only the cap can fail it)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_cap_tidx").toString
+      graft.pipeline.TextIndex.write(
+        Engine.table(spark, sfDir, "documents")
+          .select("doc_id", "text").limit(50), idx)
+      val eScala = intercept[Exception] {
+        graft.pipeline.TextIndex.searchMany(spark, idx,
+          (1L to 5L).map(i => (i, Seq("spark"))).toDF("query_id", "terms"), 5)
+      }
+      assert(eScala.getMessage.contains("BATCH_OVER_CAP"), eScala.getMessage)
+    } finally spark.conf.unset(ServingLimits.MaxBatchKey)
+    // at the default cap the same batches serve normally
+    assert(spark.sql(s"SELECT * FROM corpus_search(" +
+      s"'$sfDir/documents.parquet', queries=>'$base/q5', k=>3)").count() > 0)
+  }
+
+  test("batch columns: a single matched name binds by name, remainder positionally; ambiguity fails loud") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_bind").toString
+    val pairs = Seq(1L -> "spark join", 2L -> "window hash")
+    pairs.toDF("query_id", "query").coalesce(1).write.parquet(s"$base/named")
+    // the r14-advice shape: (n_rows, query) — 'query' matches by name,
+    // so the OTHER column must become the id (the old fully-positional
+    // fallback would have bound 'query' text as the id column)
+    pairs.toDF("n_rows", "query").coalesce(1).write.parquet(s"$base/oneName")
+    def run(q: String): Seq[String] =
+      spark.sql(s"SELECT * FROM corpus_search('$sfDir/documents.parquet', " +
+          s"queries=>'$base/$q', k=>5)")
+        .collect().map(_.mkString("|")).toSeq
+    assert(run("oneName") == run("named"),
+      "single-name binding diverged from the fully-named batch")
+    // ...and the id side symmetrically: (query_id, txt)
+    pairs.toDF("query_id", "txt").coalesce(1).write.parquet(s"$base/idName")
+    assert(run("idName") == run("named"))
+    // one name matched + ≥2 leftover columns is ambiguous → loud
+    pairs.map { case (i, q) => (i, q, "x") }.toDF("n_rows", "query", "extra")
+      .coalesce(1).write.parquet(s"$base/ambig")
+    val e = intercept[Exception] { run("ambig") }
+    assert(e.getMessage.contains("cannot be resolved"), e.getMessage)
+  }
+
+  test("corpus_hybrid: embedding=> conflicts with queries=>; weights option reaches the fusion") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_tvf_wts").toString
+    val texts = Seq(1L -> "spark join").toDF("query_id", "query")
+    texts.join(emb.filter(col("vec_id") === 1L)
+        .select(col("vec_id").as("query_id"), col("embedding")), "query_id")
+      .coalesce(1).write.parquet(s"$base/q")
+    // stray-option discipline: batch mode reads embeddings from the
+    // batch parquet, a literal alongside is a spelled-out conflict
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+        s"'$sfDir/embeddings.parquet', queries=>'$base/q', " +
+        "embedding=>'1.0,2.0')").collect()
+    }
+    assert(e1.getMessage.contains("conflicts with queries=>"), e1.getMessage)
+    // weights=>'1,1' must be bit-identical to omitting weights
+    val v = emb.filter(col("vec_id") === 7L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble.toString).mkString(",")
+    def hyb(extra: String): Seq[String] =
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+          s"'$sfDir/embeddings.parquet', 'spark hash window', " +
+          s"embedding=>'$v'$extra)")
+        .collect().map(_.mkString("|")).toSeq
+    assert(hyb(", weights=>'1,1'") == hyb(""))
+    // malformed weights fail loud: wrong arity, non-integer
+    val e2 = intercept[Exception] { hyb(", weights=>'1,2,3'") }
+    assert(e2.getMessage.contains("weights for"), e2.getMessage)
+    val e3 = intercept[Exception] { hyb(", weights=>'a,b'") }
+    assert(e3.getMessage.contains("comma-separated integers"), e3.getMessage)
+  }
+
+  test("read_store and TvfCorpus reject a torn marker-free base (_temporary present)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    Seq((1L, "alpha text here", "en"), (2L, "beta text there", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.parquet(s"$dir/corpus")
+    // strip the commit marker (the copied-store shape) and plant a
+    // staging dir (the torn-write shape) — torn must fail loud on
+    // BOTH SQL faces, copied must keep serving
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/_SUCCESS"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/corpus/_temporary"))
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_store('$dir')").collect()
+    }
+    assert(e1.getMessage.contains("TORN_BASE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_quality('$dir')").collect()
+    }
+    assert(e2.getMessage.contains("TORN_BASE"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/_temporary"), true)
+    assert(spark.sql(s"SELECT * FROM read_store('$dir')").count() == 2,
+      "a copied marker-free base (no _temporary) must keep serving")
+  }
+
   test("corpus_decontam and corpus_diff TVFs: two-path ops match their Scala operators") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val docs = Engine.table(spark, sfDir, "documents")
