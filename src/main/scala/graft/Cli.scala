@@ -48,7 +48,11 @@ object Cli {
     val script = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(sqlFile)))
 
-    val ids = svc.runScript(script)
+    // sequential, like the reference TUI: statement N+1 may read
+    // statement N's output (the write-back session shape — INSERT
+    // OVERWRITE DIRECTORY then re-read — would race under the
+    // concurrent runScript)
+    val ids = svc.runScriptSequential(script)
     ids.zipWithIndex.foreach { case (id, i) =>
       svc.awaitComplete(id) match {
         case QueryStatus.Complete =>

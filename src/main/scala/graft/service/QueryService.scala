@@ -492,7 +492,19 @@ final class QueryService(
             // plans on the dedicated SQL session (join reorder ON) —
             // see the sqlSession note at the top of the class
             val df = ReadFiles.sql(sqlSession, sql, connections)
-            df.write.mode("overwrite").parquet(versionDir(queryId, 1))
+            // COMMAND statements (INSERT OVERWRITE DIRECTORY — the
+            // SQL write-back of a curation session — SET, etc.)
+            // execute eagerly inside spark.sql and return a
+            // zero-column frame parquet cannot represent; materialize
+            // a one-row acknowledgment so every statement kind honors
+            // the same result/paging contract instead of erroring
+            // AFTER its side effect committed
+            val out =
+              if (df.schema.isEmpty) {
+                import sqlSession.implicits._
+                Seq("OK").toDF("result")
+              } else df
+            out.write.mode("overwrite").parquet(versionDir(queryId, 1))
           }
           deadline.foreach(_.cancel(false))
           spark.sparkContext.clearJobGroup()

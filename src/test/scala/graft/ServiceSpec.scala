@@ -540,8 +540,9 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
   test("training-data curation script: the TVF family composes through the script path") {
     // the SQL-analyst session shape: quality scoring, retrieval,
     // near-dup audit, decontamination, split assignment, the corpus
-    // of record, index health, and hybrid serving — eight statements,
-    // one script, every result materialized and paged by the service
+    // of record, index health, hybrid serving — and WRITE-BACK: the
+    // session ends by persisting the curated corpus to a named
+    // location and re-reading it, all through the service
     // (README's "curation session, SQL only" example)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -562,9 +563,12 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
          |select split, count(*) as n from corpus_mix('$sfDir/documents.parquet', mode=>'split', weights=>'train:90,val:5,test:5') group by split order by split;
          |select count(*) as n from read_store('$base/store');
          |select store, sum(n_rows) as total_rows from corpus_index_stats('$base/band') group by store order by store;
-         |select doc_id, rrf_score, n_legs from corpus_hybrid('$sfDir/documents.parquet', '$sfDir/embeddings.parquet', 'spark window', embedding=>'$vecStr', k=>10)""".stripMargin)
-    assert(ids.size == 8)
-    assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)))
+         |select doc_id, rrf_score, n_legs from corpus_hybrid('$sfDir/documents.parquet', '$sfDir/embeddings.parquet', 'spark window', embedding=>'$vecStr', k=>10);
+         |insert overwrite directory '$base/curated' using parquet select doc_id, quality from corpus_quality('$sfDir/documents.parquet') where quality > 0.1;
+         |select count(*) as n from read_files('$base/curated')""".stripMargin)
+    assert(ids.size == 10)
+    assert(ids.forall(id => svc.status(id).contains(QueryStatus.Complete)),
+      ids.map(id => svc.status(id)).mkString(", "))
     val qual = svc.reader(ids(0)).asDataFrame.collect()
     assert(qual.nonEmpty && qual.forall(_.getDouble(1) > 0.1))
     assert(svc.reader(ids(1)).totalRows == 5)
@@ -584,6 +588,13 @@ class ServiceSpec extends AnyFunSuite with SparkFixture {
     val hyb = svc.reader(ids(7)).asDataFrame.collect()
     assert(hyb.length == 10)
     assert(hyb.exists(_.getLong(0) == 7L), "dense leg must surface doc 7")
+    // write-back: the command statement acknowledges through the same
+    // result contract, and the persisted corpus re-reads with exactly
+    // the rows statement 1 scored above the bar
+    val ack = svc.reader(ids(8)).asDataFrame.collect()
+    assert(ack.length == 1 && ack.head.getString(0) == "OK", ack.toSeq)
+    assert(svc.reader(ids(9)).asDataFrame.head().getLong(0) == qual.length,
+      "persisted curated corpus diverged from the scored statement")
   }
 
   test("runScriptSequential: each statement terminal at return, errors don't stop the script") {
