@@ -50,6 +50,21 @@ object SparkEntry {
         .coalesce(1).write.parquet(f.getAbsolutePath)
       f.getAbsolutePath
     })
+  /** Allow-list fixture for q_sql_ann_filtered: the vec_id%3==0 ids
+    * as a one-column parquet — the arriving-files shape of a
+    * tenant/language scope (the same predicate ann_ivf_filtered
+    * derives in-query, so the oracle never reads the fixture). */
+  private val annFilterDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annFilterDir(s: SparkSession, d: String): String =
+    annFilterDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_annf_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      Engine.table(s, dir, "embeddings").filter(col("vec_id") % 3 === 0)
+        .select("vec_id").coalesce(1).write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   private val searchQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val phraseQueryDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3043,6 +3058,19 @@ object SparkEntry {
       "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
       "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
 
+    // Brute cosine over the FILTERED corpus (vec_id%3==0 — the same
+    // predicate the allow-list fixture materializes; the oracle never
+    // reads the fixture file). Adaptive serving makes the filtered
+    // indexed read exact, so values compare one-for-one.
+    "q_sql_ann_filtered" -> ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      "q AS (SELECT vec_id + 999000 AS query_id, v FROM v WHERE vec_id < 10), " +
+      "a AS (SELECT * FROM v WHERE vec_id % 3 = 0), " +
+      "scored AS (SELECT q.query_id, a.vec_id AS neighbor_id, " +
+      duckCos("a", "q") + " AS cos FROM a, q) " +
+      "SELECT query_id, neighbor_id, cos, rank FROM (SELECT query_id, neighbor_id, cos, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank " +
+      "FROM scored) WHERE rank <= 5 ORDER BY query_id, rank"),
+
     // The index must serve the exact same scores and cut.
     "q_bm25_indexed" -> (duckBm25Cte +
       " SELECT doc_id, score, n_terms FROM " +
@@ -3481,6 +3509,18 @@ object SparkEntry {
       s.sql(s"SELECT query_id, neighbor_id, cos, rank FROM " +
           s"corpus_ann('$d/embeddings.parquet', " +
           s"queries=>'${annQueriesDir(s, d)}', k=>5)")
+        .orderBy("query_id", "rank")),
+
+    // Tenant/language-scoped vector search from SQL (filter=>'path',
+    // a one-column allow-list parquet): served through the IVF index
+    // with the adaptive escape, so the FILTERED result is exact — the
+    // oracle is brute cosine over the filtered corpus, the same
+    // semantics ann_ivf_filtered pins on the Scala surface.
+    "q_sql_ann_filtered" -> ((s, d) =>
+      s.sql(s"SELECT query_id, neighbor_id, cos, rank FROM " +
+          s"corpus_ann('${ivfIndexDir(s, d)}', " +
+          s"queries=>'${annQueriesDir(s, d)}', k=>5, nprobe=>5, " +
+          s"filter=>'${annFilterDir(s, d)}')")
         .orderBy("query_id", "rank")),
 
     "q_sql_dedup" -> ((s, d) => {

@@ -438,6 +438,12 @@ object CorpusSearchTVF {
   * [[graft.pipeline.Embeddings.ivfTopKIndexedFor]]'s batch shape —
   * and emits (query_id, neighbor_id, cos, rank) per query.
   *
+  * Filtered serving: `filter=>'path'` restricts the NEIGHBOR side to
+  * the ids in a one-column parquet — tenant/language-scoped search,
+  * the SQL face of `allowedIds`. Exact on both routes: the index
+  * route keeps the adaptive escape (the radius bound is conservative
+  * for any subset), the brute route scans the semi-joined corpus.
+  *
   * `path` may be a plain (vec_id, embedding) parquet — scored by one
   * brute-force corpus pass — or a persisted
   * [[graft.pipeline.Embeddings.writeIvfIndex]] layout (detected by
@@ -448,7 +454,7 @@ object CorpusSearchTVF {
 object CorpusAnnTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_ann", args,
-      Set("k", "nprobe", "connection", "queries", "escape_cap"))
+      Set("k", "nprobe", "connection", "queries", "escape_cap", "filter"))
     val (path, vecStr) = (pos, opts.get("queries")) match {
       case (p :: v :: Nil, None) => (p, Some(v))
       case (p :: Nil, Some(_)) => (p, None)
@@ -513,6 +519,22 @@ object CorpusAnnTVF {
         s"corpus_ann: query vector has $qd dims but the corpus at " +
           s"$resolved has $dim"))
     val batch = vecStr.isEmpty
+    // filter=>'path': tenant/language-scoped search — the NEIGHBOR
+    // side restricted to the ids in a one-column parquet (the SQL
+    // face of ivfTopKIndexedFor's allowedIds; extra columns rejected
+    // loud — a (vec_id, lang) file is a predicate the caller should
+    // apply, not an id list). The filter frame is distributed state
+    // (semi-joined / passed through, never collected), so no
+    // micro-batch cap applies: an allow-list legitimately scales with
+    // the tenant's corpus.
+    val allowed: Option[org.apache.spark.sql.DataFrame] =
+      opts.get("filter").map { fp =>
+        val f = spark.read.parquet(resolve(fp))
+        require(f.columns.length == 1,
+          s"corpus_ann: filter parquet must carry exactly one id column, " +
+            s"got [${f.columns.mkString(", ")}]")
+        f.select(col(f.columns.head).cast("long").as("vec_id"))
+      }
     val servesIvf = IndexLayouts.requireServable(
       spark, resolved, "corpus_ann", IndexLayouts.IvfIndex)
     val result =
@@ -520,13 +542,16 @@ object CorpusAnnTVF {
         requireDim(graft.pipeline.Embeddings.indexDim(spark, resolved))
         graft.pipeline.Embeddings
           .ivfTopKIndexedFor(q, resolved, k, nprobe = nprobe,
-            adaptive = true, escapeCap = escapeCap)
+            adaptive = true, escapeCap = escapeCap, allowedIds = allowed)
       } else {
         require(opts.get("escape_cap").isEmpty,
           "corpus_ann: escape_cap applies to the IVF index route; the " +
             s"brute-force route over $resolved is already exact")
-        val corpus = spark.read.parquet(resolved)
-        corpus.select(size(col("embedding"))).head(1)
+        val corpus0 = spark.read.parquet(resolved)
+        // same exactness either route: brute over the filtered corpus
+        val corpus = allowed.fold(corpus0)(a =>
+          corpus0.join(a, Seq("vec_id"), "left_semi"))
+        corpus0.select(size(col("embedding"))).head(1)
           .foreach(r => requireDim(r.getInt(0)))
         graft.pipeline.Embeddings.bruteForceTopKFor(q, corpus, k)
       }

@@ -1098,6 +1098,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(bruteB.toSeq == indexedB.toSeq)
     assert(bruteB.length == 12) // 3 queries x k=4
     assert(bruteB.map(_.getLong(0)).distinct.sorted.toSeq == Seq(5000L, 5001L, 5002L))
+    // filter=>'path' (tenant scope): both routes agree on the FILTERED
+    // exact top-k, every neighbor is allow-listed, and a filter file
+    // carrying more than the id column fails loud
+    val fDir = java.nio.file.Files.createTempDirectory("ann_tvf_f").toString + "/allow"
+    emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+      .coalesce(1).write.parquet(fDir)
+    val bruteF = spark.sql(s"SELECT * FROM corpus_ann(" +
+      s"'$sfDir/embeddings.parquet', queries=>'$qDir', k=>4, filter=>'$fDir')").collect()
+    val indexedF = spark.sql(s"SELECT * FROM corpus_ann(" +
+      s"'$dir', queries=>'$qDir', k=>4, nprobe=>3, filter=>'$fDir')").collect()
+    assert(bruteF.toSeq == indexedF.toSeq,
+      s"filtered routes diverged: brute=${bruteF.take(3).mkString(";")}")
+    assert(bruteF.nonEmpty && bruteF.forall(_.getLong(1) % 3 == 0),
+      "a non-allow-listed neighbor escaped the filter")
+    val fBad = java.nio.file.Files.createTempDirectory("ann_tvf_fb").toString + "/bad"
+    emb.filter(col("vec_id") % 3 === 0).select("vec_id", "embedding")
+      .coalesce(1).write.parquet(fBad)
+    val eF = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_ann('$dir', '$vecStr', k=>3, " +
+        s"filter=>'$fBad')").collect()
+    }
+    assert(eF.getMessage.contains("exactly one id column"), eF.getMessage)
     // dimension mismatch fails loud on BOTH routes (silent null-cosine
     // ranking is the failure mode this guard exists for)
     val e3 = intercept[Exception] {
