@@ -804,6 +804,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("filtered serving: the allowedIds semi-join keeps the cell IN partition pruning") {
+    // corpus_ann's filter=> route semi-joins an allow-list ONTO the
+    // pruned corpus scan — if the join planned below the partition
+    // filter (or forced a corpus-wide scan to feed it), tenant-scoped
+    // search would silently cost a full pass at 100 TB while the
+    // row-equality gates stayed green.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivffilt_plan").toString
+    val emb = Engine.table(spark, sfDir, "embeddings")
+    graft.pipeline.Embeddings.writeIvfIndex(emb, dir, nlist = 16)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val allowed = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 3 === 0)
+      .select("vec_id")
+    // adaptive=true with an unbounded escape legitimately reads every
+    // cell on this loose-radii fixture (the measured exactness
+    // premium, ANN_SCALE.md) — the pruning question the filter raises
+    // is about the FIRST pass and the CAPPED adaptive shape, so those
+    // are what this pin holds.
+    for (mk <- Seq(
+        () => graft.pipeline.Embeddings.ivfTopKIndexedFor(
+          queries, dir, 5, nprobe = 2, allowedIds = Some(allowed)),
+        () => graft.pipeline.Embeddings.ivfTopKIndexedFor(
+          queries, dir, 5, nprobe = 2, adaptive = true, escapeCap = 0,
+          allowedIds = Some(allowed)))) withoutAqe {
+      val p = planOf(mk())
+      val corpusScans = p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) &&
+            f.partitionFilters.nonEmpty => f
+      }
+      assert(corpusScans.nonEmpty,
+        s"no pruned corpus scan under the allow-list semi-join:\n$p")
+      corpusScans.foreach { sc =>
+        val staticFilters = sc.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression]))
+        assert(staticFilters.nonEmpty, "no static cell IN (...) partition filter")
+        val selected = sc.relation.location.listFiles(staticFilters, Nil).length
+        assert(selected <= 10 && selected >= 1,
+          s"expected a pruned subset of 16 cell partitions, got $selected")
+      }
+    }
+  }
+
   test("IVFADC: ADC scan is partition-pruned AND reads codes, not full vectors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_plan").toString
     val emb = Engine.table(spark, sfDir, "embeddings")
