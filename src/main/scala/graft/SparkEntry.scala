@@ -3273,6 +3273,22 @@ object SparkEntry {
     "q_resample" -> DuckResample,
     "q_sql_resample" -> DuckResample,
 
+    // Explicit-recipe resampling (mix=>'en:50,fr:30,de:20'): weight =
+    // (pct/100)·total/n_g in the SAME double-op order both engines,
+    // the same Knuth-hash copy gate as DuckResample; es/zh are absent
+    // from the recipe so every copy of them must vanish.
+    "q_sql_mix_target" -> ("WITH t(lang, pct) AS (VALUES ('en', 50), ('fr', 30), ('de', 20)), " +
+      "w AS (SELECT lang, COUNT(*) AS n_docs, " +
+      "CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total FROM documents GROUP BY lang), " +
+      "w2 AS (SELECT lang, CAST(pct AS DOUBLE) / 100.0 * total / n_docs AS weight " +
+      "FROM w JOIN t USING (lang)), " +
+      "c AS (SELECT doc_id, d.lang AS lang, " +
+      "CAST(floor(weight) + CASE WHEN CAST(((doc_id % 1048576) * 2654435761) % 1048576 AS DOUBLE) < " +
+      "(weight - floor(weight)) * 1048576.0 THEN 1 ELSE 0 END AS BIGINT) AS n_copies " +
+      "FROM documents d JOIN w2 USING (lang)) " +
+      "SELECT doc_id, lang, unnest(range(1, n_copies + 1)) AS copy_id " +
+      "FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_id"),
+
     "q_domain_mix" -> ("SELECT source, n_docs, " +
       "CAST(n_docs AS DOUBLE) / total AS frac, " +
       "CAST(total AS DOUBLE) / (n_groups * n_docs) AS weight " +
@@ -3632,6 +3648,17 @@ object SparkEntry {
     "q_sql_resample" -> ((s, d) =>
       s.sql(s"SELECT doc_id, lang, copy_id FROM " +
           s"corpus_mix('$d/documents.parquet', mode=>'resample', group=>'lang')")
+        .orderBy("doc_id", "copy_id")),
+
+    // Explicit data recipe from SQL: resample the corpus to
+    // 50% en / 30% fr / 20% de (resampleToTarget) — unlisted langs
+    // (es, zh) drop, expected output size ≈ input size at the
+    // recipe's mixture, every copy decision a deterministic pure
+    // function of doc_id.
+    "q_sql_mix_target" -> ((s, d) =>
+      s.sql(s"SELECT doc_id, lang, copy_id FROM " +
+          s"corpus_mix('$d/documents.parquet', mode=>'resample', " +
+          s"group=>'lang', mix=>'en:50,fr:30,de:20')")
         .orderBy("doc_id", "copy_id")),
 
     "q_sql_shuffle" -> ((s, d) =>

@@ -695,8 +695,64 @@ object CorpusOps {
     * the property a 100 TB training-data build needs to be auditable.
     * One tiny broadcast join + a map-side explode; the corpus never
     * shuffles. */
-  def resampleToMix(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val wts = domainMixWeights(docs, groupCol).select(col(groupCol), col("weight"))
+  def resampleToMix(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    emitCopies(docs, groupCol,
+      domainMixWeights(docs, groupCol).select(col(groupCol), col("weight")))
+
+  /** Explicit-RECIPE resampling — the general form of
+    * [[resampleToMix]]: move the mixture to an arbitrary target
+    * ("50 % en, 30 % fr, 20 % de" — the data recipe a training run
+    * specifies) instead of the uniform one. `target` is
+    * (label, integer percent) pairs summing to 100 (the same grammar
+    * [[assignSplits]] uses); weight_g = (pct_g/100) · total / n_g, so
+    * the output carries ≈ the input's row count at the recipe's
+    * mixture in expectation. Corpus groups ABSENT from the recipe
+    * drop (the recipe IS the mixture — an unlisted group has target
+    * mass 0); a recipe label with NO corpus rows fails loud (its
+    * target mass cannot be produced from nothing, and silently
+    * renormalizing would ship a different recipe than asked for).
+    * Same deterministic Knuth-hash copy rule, same scale shape as
+    * [[resampleToMix]]: one (group, count) partial-agg shuffle, tiny
+    * broadcast weights, map-side explode — the corpus never
+    * shuffles. */
+  def resampleToTarget(docs: DataFrame, groupCol: String,
+                       target: Seq[(String, Int)]): DataFrame = {
+    require(target.nonEmpty, "resampleToTarget: empty recipe")
+    require(target.map(_._1).distinct.size == target.size,
+      s"resampleToTarget: duplicate recipe label(s) " +
+        target.groupBy(_._1).collect { case (l, g) if g.size > 1 => l }.mkString(", "))
+    require(target.forall(_._2 > 0),
+      "resampleToTarget: recipe percents must be positive (omit a group to drop it)")
+    require(target.map(_._2).sum == 100,
+      s"resampleToTarget: recipe percents must sum to 100, got ${target.map(_._2).sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum("n_docs").over(all))
+    val t = target.toDF(groupCol, "pct")
+    // loud on an unsatisfiable recipe — bounded driver check (≤ recipe
+    // labels), BEFORE any copies are emitted
+    val missing = t.join(counts, Seq(groupCol), "left_anti")
+      .select(groupCol).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"resampleToTarget: recipe label(s) ${missing.mkString(", ")} have no " +
+        s"corpus rows under $groupCol — the target mass cannot be produced")
+    // same double-op order as the DuckDB oracle: ((pct/100)·total)/n
+    val wts = counts.join(t, groupCol)
+      .select(col(groupCol),
+        (col("pct").cast("double") / 100.0 * col("total") / col("n_docs"))
+          .as("weight"))
+    emitCopies(docs, groupCol, wts)
+  }
+
+  /** The deterministic copy emitter [[resampleToMix]] and
+    * [[resampleToTarget]] share: emit each document `weight` times in
+    * expectation — ⌊weight⌋ guaranteed copies plus one more iff the
+    * multiplicative-hash gate clears the fractional part. `wts` is one
+    * (group, weight) row per group (broadcast). */
+  private def emitCopies(docs: DataFrame, groupCol: String,
+                         wts: DataFrame): DataFrame =
     docs.join(broadcast(wts), groupCol)
       // doc_id masked to 20 bits BEFORE the multiply: the unmasked
       // product overflows int64 past doc_id ≈ 3.47e9 — Spark wraps
@@ -713,7 +769,6 @@ object CorpusOps {
       .select(col("doc_id"), col(groupCol),
         explode(sequence(lit(1L), col("n_copies"))).as("copy_id"))
       .orderBy("doc_id", "copy_id")
-  }
 
   /** Token-budget corpus slice per group: keep, per `groupCol` value,
     * the documents whose INCLUSIVE running token total in

@@ -897,7 +897,11 @@ object CorpusQualityTVF {
   *     default 2.0)
   *   - `resample`: deterministic weighted up/down-sampling toward
   *     the uniform group mixture —
-  *     [[graft.pipeline.CorpusOps.resampleToMix]]
+  *     [[graft.pipeline.CorpusOps.resampleToMix]] — or toward an
+  *     EXPLICIT recipe with `mix=>'en:50,fr:30,de:20'` (integer
+  *     percents summing to 100; unlisted groups drop, a label with
+  *     no rows fails loud) —
+  *     [[graft.pipeline.CorpusOps.resampleToTarget]]
   *   - `shuffle`: dense deterministic permutation rank (`seed=>`) —
   *     [[graft.pipeline.CorpusOps.shuffleRank]]
   *   - `budget`: per-group token-budget slice in shuffled order
@@ -923,7 +927,7 @@ object CorpusMixTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_mix", args,
       Set("mode", "group", "budget", "seed", "tau", "max_tokens",
-        "overlap", "weights", "connection"))
+        "overlap", "weights", "mix", "connection"))
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -935,12 +939,25 @@ object CorpusMixTVF {
     // is a spelled-out mistake about what the query computes)
     val modeKeys = Map(
       "weights" -> Set("group", "tau"),
-      "resample" -> Set("group"),
+      "resample" -> Set("group", "mix"),
       "shuffle" -> Set("seed"),
       "budget" -> Set("group", "budget", "seed"),
       "pack" -> Set("budget"),
       "chunk" -> Set("max_tokens", "overlap"),
       "split" -> Set("weights"))
+    // 'label:int[,label:int...]' percents — shared grammar of split's
+    // weights=> and resample's mix=> (sum-to-100 is the ops' own loud
+    // require, so both surfaces state it identically)
+    def pcts(what: String, spec: String): Seq[(String, Int)] =
+      spec.split(",").toSeq.map { part =>
+        part.split(":") match {
+          case Array(label, pct) if pct.trim.matches("\\d+") =>
+            (label.trim, pct.trim.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"corpus_mix: $what must be 'label:percent[,label:percent...]' " +
+              s"with integer percents, got '$part'")
+        }
+      }
     require(modeKeys.contains(mode),
       s"corpus_mix: unknown mode '$mode' " +
         s"(${modeKeys.keys.toSeq.sorted.mkString(" | ")})")
@@ -960,7 +977,15 @@ object CorpusMixTVF {
         val tau = opts.get("tau").map(_.toDouble).getOrElse(2.0)
         graft.pipeline.CorpusOps.temperatureMixWeights(docs, group, tau)
       case "resample" =>
-        graft.pipeline.CorpusOps.resampleToMix(docs, group)
+        // mix=>'en:50,fr:30,de:20' moves the mixture to an EXPLICIT
+        // recipe (resampleToTarget); omitted = the uniform target
+        opts.get("mix") match {
+          case Some(spec) =>
+            graft.pipeline.CorpusOps.resampleToTarget(docs, group,
+              pcts("mix", spec))
+          case None =>
+            graft.pipeline.CorpusOps.resampleToMix(docs, group)
+        }
       case "shuffle" =>
         graft.pipeline.CorpusOps.shuffleRank(docs, seed)
       case "budget" =>
@@ -972,19 +997,8 @@ object CorpusMixTVF {
           opts.get("max_tokens").map(_.toInt).getOrElse(512),
           opts.get("overlap").map(_.toInt).getOrElse(64))
       case "split" =>
-        // 'train:90,val:5,test:5' — label:intPercent pairs; the
-        // summing-to-100 contract is assignSplits' own loud require
-        val weights = opts.getOrElse("weights", "train:90,val:5,test:5")
-          .split(",").toSeq.map { part =>
-            part.split(":") match {
-              case Array(label, pct) if pct.trim.matches("\\d+") =>
-                (label.trim, pct.trim.toInt)
-              case _ => throw new IllegalArgumentException(
-                "corpus_mix: weights must be 'label:percent[,label:percent...]' " +
-                  s"with integer percents, got '$part'")
-            }
-          }
-        graft.pipeline.CorpusOps.assignSplits(docs, weights)
+        graft.pipeline.CorpusOps.assignSplits(docs,
+          pcts("weights", opts.getOrElse("weights", "train:90,val:5,test:5")))
     }
     result.queryExecution.analyzed
   }

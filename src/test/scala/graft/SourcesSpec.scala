@@ -714,6 +714,28 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(rows(spark.sql(
         s"SELECT * FROM corpus_mix('$path', mode=>'resample', group=>'lang')"))
       == rows(graft.pipeline.CorpusOps.resampleToMix(docs, "lang")))
+    // explicit recipe: mix=> routes to resampleToTarget; unlisted
+    // groups drop, an unsatisfiable or malformed recipe fails loud
+    assert(rows(spark.sql(s"SELECT * FROM corpus_mix('$path', " +
+        "mode=>'resample', group=>'lang', mix=>'en:60,fr:40')"))
+      == rows(graft.pipeline.CorpusOps.resampleToTarget(docs, "lang",
+          Seq(("en", 60), ("fr", 40)))))
+    val eMix1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'resample', " +
+        "group=>'lang', mix=>'en:60,zz_absent:40')").collect()
+    }
+    assert(eMix1.getMessage.contains("no") &&
+      eMix1.getMessage.contains("zz_absent"), eMix1.getMessage)
+    val eMix2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'resample', " +
+        "group=>'lang', mix=>'en:60,fr:20')").collect()
+    }
+    assert(eMix2.getMessage.contains("sum to 100"), eMix2.getMessage)
+    val eMix3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_mix('$path', mode=>'resample', " +
+        "group=>'lang', mix=>'en:sixty')").collect()
+    }
+    assert(eMix3.getMessage.contains("label:percent"), eMix3.getMessage)
     assert(sorted(spark.sql(
         s"SELECT * FROM corpus_mix('$path', mode=>'shuffle', seed=>7)"))
       == sorted(graft.pipeline.CorpusOps.shuffleRank(docs, 7)))
