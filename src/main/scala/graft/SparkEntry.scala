@@ -2035,6 +2035,15 @@ object SparkEntry {
         s"FROM read_store('${corpusStoreDir(s, d)}', as_of=>0) " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // The pre-rollback audit from SQL: which committed generations
+    // the store holds and their row counts (files/bytes are fs
+    // metadata the oracle cannot restate, so the oracled projection
+    // is the content truth: per-generation n_rows).
+    "q_sql_store_stats" -> ((s, d) =>
+      s.sql(s"SELECT partition AS generation, n_rows FROM " +
+          s"corpus_index_stats('${corpusStoreDir(s, d)}') " +
+          "ORDER BY generation")),
+
     // Incremental NEAR-dup: a re-labeled batch (doc_id%11==0, +500000)
     // probed against the PERSISTED band index over the full corpus —
     // the fuzzy counterpart of dedup_bloom_incr's exact batch-vs-
@@ -2770,6 +2779,24 @@ object SparkEntry {
     // generation is the merged state, as_of=>0 the original corpus.
     "q_sql_store" -> duckMergedProfile,
     "q_sql_timetravel" -> duckOriginalProfile,
+
+    // Per-generation store audit (corpus_index_stats over a corpus
+    // store): generation 0 carries the original corpus count,
+    // generation 1 the merged state's (upserts win, deletes drop,
+    // new ids add — the same merged CTE as duckMergedProfile).
+    "q_sql_store_stats" -> ("WITH up AS (" +
+      "SELECT doc_id FROM documents WHERE doc_id % 97 = 0 " +
+      "UNION ALL SELECT doc_id + 10000000 AS doc_id " +
+      "FROM documents WHERE doc_id % 103 = 0), " +
+      "del AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0), " +
+      "merged AS (SELECT d.doc_id FROM documents d " +
+      "WHERE d.doc_id NOT IN (SELECT doc_id FROM up) " +
+      "AND d.doc_id NOT IN (SELECT doc_id FROM del) " +
+      "UNION ALL SELECT doc_id FROM up) " +
+      "SELECT * FROM (" +
+      "SELECT CAST(0 AS INT) AS generation, COUNT(*) AS n_rows FROM documents " +
+      "UNION ALL SELECT CAST(1 AS INT), COUNT(*) FROM merged) " +
+      "ORDER BY generation"),
 
     // cross-set variant: every batch doc (re-labeled +500000) against
     // the whole corpus, self pair included (ids differ by the offset)

@@ -1275,12 +1275,17 @@ object CorpusDiffTVF {
   *     store = "bands" / "shingles", partition = bucket.
   *   - text index ([[graft.pipeline.TextIndex.indexStats]]):
   *     store = "postings", partition = bucket.
+  *   - corpus store ([[graft.pipeline.CorpusStore]]): store =
+  *     "corpus", partition = GENERATION number (one row per committed
+  *     generation — at most grace + live under the one-cycle
+  *     retention), generation = the live one. The pre-rollback audit:
+  *     which snapshots exist, at what row counts.
   *
   * Cost: filesystem metadata (bounded by the partition count) plus
   * one column-pruned row-count aggregate per store — no index data
-  * is decoded. Pointing it at anything that is not a graft index
-  * layout fails loud (stats over a plain parquet are `read_files` +
-  * SQL's job, not this TVF's). */
+  * is decoded. Pointing it at anything that is not a graft index or
+  * corpus-store layout fails loud (stats over a plain parquet are
+  * `read_files` + SQL's job, not this TVF's). */
 object CorpusIndexStatsTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_index_stats", args,
@@ -1310,9 +1315,38 @@ object CorpusIndexStatsTVF {
         graft.pipeline.TextIndex.indexStats(spark, resolved)
           .select(slit("postings").as("store"), col("bucket").as("partition"),
             col("n_rows"), col("n_files"), col("bytes"), col("generation"))
-      case None => throw new IllegalArgumentException(
-        s"corpus_index_stats: $resolved is not a graft index layout " +
-          "(expected an IVF index, a band index, or a text index)")
+      case None =>
+        // the corpus-of-record store joins the unified schema: one row
+        // per COMMITTED generation (partition = generation number —
+        // under the one-grace-cycle retention that is at most two),
+        // generation = the live one. The audit a data owner reads
+        // before a time-travel rollback: which snapshots exist and
+        // their row counts. Cost: fs metadata + one footer-count
+        // aggregate per generation.
+        val gens = graft.pipeline.CorpusStore.generations(spark, resolved)
+        if (gens.isEmpty) throw new IllegalArgumentException(
+          s"corpus_index_stats: $resolved is not a graft index or corpus " +
+            "store layout (expected an IVF index, a band index, a text " +
+            "index, or a committed corpus store)")
+        import org.apache.spark.sql.functions.{count, lit}
+        val live = gens.map(_._1).max
+        gens.map { case (g, path) =>
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(root, true)
+          var nFiles = 0L; var bytes = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            val n = f.getPath.getName
+            if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+              nFiles += 1; bytes += f.getLen
+            }
+          }
+          spark.read.parquet(path).agg(count(lit(1)).as("n_rows"))
+            .select(lit("corpus").as("store"), lit(g).as("partition"),
+              col("n_rows"), lit(nFiles).as("n_files"), lit(bytes).as("bytes"),
+              lit(live).as("generation"))
+        }.reduce(_ unionByName _)
     }
     unified.orderBy("store", "partition").queryExecution.analyzed
   }

@@ -608,8 +608,32 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val e = intercept[Exception] {
       stats(s"$sfDir/documents.parquet").collect()
     }
-    assert(e.getMessage.contains("not a graft index layout"), e.getMessage)
+    assert(e.getMessage.contains("not a graft index or corpus store"),
+      e.getMessage)
     assert(nDocs > 0)
+    // the corpus store joins the unified schema: one row per committed
+    // generation (partition = generation number), live generation
+    // constant, n_rows matching the generation's content
+    locally {
+      import org.apache.spark.sql.functions.col
+      val sdir = java.nio.file.Files
+        .createTempDirectory("graft_stats_store").toString
+      val docs = Engine.table(spark, sfDir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") < 200)
+      graft.pipeline.CorpusStore.write(docs, sdir, buckets = 4)
+      graft.pipeline.CorpusStore.merge(spark, sdir,
+        upserts = docs.filter(col("doc_id") < 0),
+        deletes = docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      val rows = stats(sdir).collect()
+      assert(rows.map(_.getString(0)).forall(_ == "corpus"))
+      assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1), rows.toSeq)
+      val n0 = docs.count()
+      assert(rows.map(r => (r.getInt(1), r.getLong(2))).toMap
+        == Map(0 -> n0, 1 -> (n0 - docs.filter(col("doc_id") % 5 === 0).count())),
+        rows.toSeq)
+      assert(rows.map(_.getInt(5)).distinct.toSeq == Seq(1),
+        "live generation must be constant across the audit rows")
+    }
     // sibling-family misrouting fails NAMING the layout found, instead
     // of falling through to the plain-corpus route and surfacing an
     // opaque schema/read error from the wrong code path
