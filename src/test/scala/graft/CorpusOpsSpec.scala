@@ -107,6 +107,43 @@ class CorpusOpsSpec extends AnyFunSuite with SparkFixture {
     assert(c != got.map(_._1).toSet, "seed must change the slice")
   }
 
+  test("resample family: weights broadcast, the corpus crosses no exchange before the copy explode") {
+    // the scale claim both resamplers make: one (group, count)
+    // partial-agg shuffle computes the weights, the weights BROADCAST
+    // back, and the corpus flows scan → join → explode without an
+    // exchange (the final orderBy is the deterministic-output
+    // contract, after the explode). AQE off so the join strategy and
+    // exchanges are visible directly.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+      def shufflesOutsideBroadcast(n: SparkPlan): Seq[SparkPlan] = n match {
+        case _: BroadcastExchangeExec => Nil
+        case s: ShuffleExchangeExec =>
+          s +: n.children.flatMap(shufflesOutsideBroadcast)
+        case _ => n.children.flatMap(shufflesOutsideBroadcast)
+      }
+      for (df <- Seq(
+          CorpusOps.resampleToMix(docs, "lang"),
+          CorpusOps.resampleToTarget(docs, "lang", Seq(("en", 60), ("fr", 40))))) {
+        val p = df.queryExecution.executedPlan
+        assert(p.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }.nonEmpty, s"weights must broadcast onto the corpus:\n$p")
+        val gens = p.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+        assert(gens.nonEmpty, s"no copy explode in the plan:\n$p")
+        gens.foreach { g =>
+          val below = g.children.flatMap(shufflesOutsideBroadcast)
+          assert(below.isEmpty,
+            s"corpus rows crossed an exchange before the explode:\n$g")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("tokenBudgetSample plans with no single-task-per-group window") {
     // every window over corpus rows must partition by (group, bucket);
     // a bare PARTITION BY lang window serializes each group through
