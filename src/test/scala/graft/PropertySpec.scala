@@ -508,6 +508,76 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("weighted rrfFuse equals the in-memory weighted fold on random legs and weights") {
+    import spark.implicits._
+    val legGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 12)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield ids.distinct
+    val caseGen = for {
+      legs <- Gen.listOfN(3, legGen.suchThat(_.nonEmpty))
+      ws <- Gen.listOfN(3, Gen.choose(1L, 9L))
+      k0 <- Gen.choose(1, 90)
+    } yield (legs, ws, k0)
+    forAll(caseGen) { case (legs, ws, k0) =>
+      val dfs = legs.map(ids =>
+        ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("doc_id", "rank"))
+      val got = graft.pipeline.Retrieval
+        .rrfFuse(dfs, k0 = k0, topK = 100, weights = ws)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val scores = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      legs.zip(ws).foreach { case (ids, w) =>
+        ids.zipWithIndex.foreach { case (id, i) =>
+          val (s, n) = scores.getOrElse(id, (0L, 0L))
+          // the exact committed algebra: multiply BEFORE the int divide
+          scores(id) = (s + (w * graft.pipeline.Retrieval.RrfScale) / (k0 + i + 1), n + 1)
+        }
+      }
+      val want = scores.toSeq.map { case (id, (s, n)) => (id, s, n) }
+        .sortBy { case (id, s, _) => (-s, id) }
+      assert(got.toSeq == want, s"legs=$legs ws=$ws k0=$k0")
+    }
+  }
+
+  test("resampleToTarget mixture and copy counts match the sequential definition on random recipes") {
+    import spark.implicits._
+    // random corpora over 3 groups with a random 2-3-label recipe —
+    // the distributed broadcast-join emitter must equal the
+    // per-document sequential weight/gate arithmetic exactly
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(3, 80)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 1L << 30)
+        g <- Gen.oneOf("en", "fr", "de")
+      } yield (id, g))
+    } yield rows.distinctBy(_._1)
+    val recipeGen: Gen[Seq[(String, Int)]] = for {
+      a <- Gen.choose(1, 98)
+      b <- Gen.choose(1, 99 - a)
+    } yield Seq(("en", a), ("fr", b), ("de", 100 - a - b))
+    forAll(corpusGen, recipeGen) { (rows, recipe) =>
+      val present = rows.map(_._2).toSet
+      if (recipe.forall(r => present(r._1))) {
+        val docs = rows.map { case (id, g) => (id, g, "t") }
+          .toDF("doc_id", "lang", "text")
+        val got = graft.pipeline.CorpusOps
+          .resampleToTarget(docs, "lang", recipe)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        val total = rows.size.toLong
+        val nPer = rows.groupBy(_._2).map { case (g, rs) => g -> rs.size.toLong }
+        val pct = recipe.toMap
+        val want = rows.sortBy(_._1).flatMap { case (id, g) =>
+          val w = pct(g).toDouble / 100.0 * total / nPer(g)
+          val gate = ((id % 1048576L) * 2654435761L) % 1048576L
+          val copies = (math.floor(w) +
+            (if (gate.toDouble < (w - math.floor(w)) * 1048576.0) 1 else 0)).toLong
+          (1L to copies).map(c => (id, g, c))
+        }
+        assert(got.toSeq == want, s"recipe=$recipe n=${rows.size}")
+      }
+    }
+  }
+
   test("zone-map pruned reads equal the full filter for random intervals") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("zmap_prop").toString
