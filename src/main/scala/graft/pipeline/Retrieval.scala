@@ -75,8 +75,21 @@ object Retrieval {
       require(weights.forall(_ >= 1),
         s"$what: leg weights must be >= 1, got ${weights.mkString(", ")} " +
           "(drop a leg instead of weighting it 0)")
+      // upper bound guards the int64 multiply: w * RrfScale (1e12)
+      // overflows at w ≈ 9.2e6, where Spark wraps silently while
+      // DuckDB raises — the same engine-divergence the masked-doc_id
+      // algebra elsewhere refuses. 1e6 keeps w·RrfScale ≤ 1e18 < 2^63.
+      require(weights.forall(_ <= MaxLegWeight),
+        s"$what: leg weights must be <= $MaxLegWeight " +
+          s"(w * RrfScale must stay in int64), got ${weights.mkString(", ")}")
       weights
     }
+
+  /** Largest allowed per-leg fusion weight: keeps `w * RrfScale`
+    * (1e6 · 1e12 = 1e18) inside int64 for Spark AND the DuckDB
+    * oracle. Enforced in [[legWeights]] and at the `corpus_hybrid`
+    * `weights=>` parse. */
+  val MaxLegWeight: Long = 1000000L
 
   /** Fuse ranked legs — each a DataFrame with columns (`idCol`,
     * `rank`), ranks starting at 1 and at most one row per id per leg

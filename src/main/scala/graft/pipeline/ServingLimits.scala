@@ -36,7 +36,16 @@ object ServingLimits {
     val cap = batch.sparkSession.conf
       .get(MaxBatchKey, MaxBatchDefault.toString).toInt
     require(cap >= 1, s"$MaxBatchKey must be >= 1, got $cap")
-    val n = batch.limit(cap + 1).count()
+    // a driver-local relation (a batch already collected and re-lifted
+    // — e.g. the TVF layer validated the parquet read, collected it,
+    // and hands searchMany the rows as a toDF) has a known size: count
+    // it directly instead of planning a second eager count job per
+    // call — the recheck stays enforced, just free
+    val n = batch.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        math.min(lr.data.size.toLong, cap.toLong + 1)
+      case _ => batch.limit(cap + 1).count()
+    }
     require(n <= cap,
       s"[BATCH_OVER_CAP] $op: the $what batch holds more than $cap rows " +
         s"— batch serving collects the query set to the driver and is " +

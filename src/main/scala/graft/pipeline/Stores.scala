@@ -17,14 +17,21 @@ import org.apache.spark.sql.SparkSession
 private[graft] object Stores {
 
   /** Highest committed `dir/base_v<N>`, else `dir/base` — the base is
-    * the unconditional fallback regardless of its marker, preserving
-    * the original reader contract for stores that were only ever
-    * base-written. */
+    * the fallback regardless of its marker, preserving the original
+    * reader contract for stores that were only ever base-written
+    * (e.g. copied file-by-file, losing `_SUCCESS`). The fallback is
+    * still guarded by [[requireNotTorn]]: a marker-free base that
+    * holds `_temporary/` is an in-progress or aborted write and every
+    * reader — SQL face or Scala API — must fail loud rather than
+    * serve partial rows. */
   def liveGeneration(spark: SparkSession, dir: String, base: String,
                      marker: String = "_SUCCESS"): String =
     generations(spark, dir, base, marker)
       .filter(_._1 > 0).lastOption.map(_._2)
-      .getOrElse(s"$dir/$base")
+      .getOrElse {
+        requireNotTorn(spark, s"$dir/$base", marker)
+        s"$dir/$base"
+      }
 
   /** Distinguish a COPIED store (a base written file-by-file that lost
     * its commit marker — served as a convenience by the marker-free

@@ -558,12 +558,25 @@ final class QueryService(
   def runScriptSequential(script: String): Seq[String] =
     ScriptRunner.split(script).map { sql =>
       val id = runQuery(sql)
-      awaitComplete(id)
+      // Wait without a deadline: awaitComplete's default timeout
+      // returns Running on expiry without error, and submitting
+      // statement N+1 while N still runs reintroduces the write-back
+      // race sequential mode exists to prevent (N+1 reading N's
+      // INSERT OVERWRITE DIRECTORY output mid-write). Terminal-status
+      // errors still don't stop later statements.
+      val s = awaitComplete(id, timeoutMs = Long.MaxValue)
+      if (s == QueryStatus.Queued || s == QueryStatus.Running)
+        throw new IllegalStateException(
+          s"sequential script: statement $id did not reach a terminal status")
       id
     }
 
   def awaitComplete(queryId: String, timeoutMs: Long = 300000): QueryStatus = {
-    val deadline = System.currentTimeMillis() + timeoutMs
+    // saturating add: a caller waiting "forever" (Long.MaxValue) must
+    // not overflow into an already-expired deadline
+    val now = System.currentTimeMillis()
+    val deadline =
+      if (timeoutMs > Long.MaxValue - now) Long.MaxValue else now + timeoutMs
     var s: QueryStatus = status(queryId).orNull
     while ((s == QueryStatus.Queued || s == QueryStatus.Running)
         && System.currentTimeMillis() < deadline) {

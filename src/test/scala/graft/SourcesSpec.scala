@@ -1001,6 +1001,13 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("weights for"), e2.getMessage)
     val e3 = intercept[Exception] { hyb(", weights=>'a,b'") }
     assert(e3.getMessage.contains("comma-separated integers"), e3.getMessage)
+    // overflow bound: w * RrfScale must stay in int64 (Spark would
+    // wrap silently where DuckDB raises); the largest legal weight
+    // still serves
+    val e4 = intercept[Exception] { hyb(", weights=>'9300000,1'") }
+    assert(e4.getMessage.contains("int64"), e4.getMessage)
+    assert(hyb(s", weights=>'${graft.pipeline.Retrieval.MaxLegWeight},1'")
+      .nonEmpty)
   }
 
   test("read_store and TvfCorpus reject a torn marker-free base (_temporary present)") {
@@ -1024,9 +1031,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_quality('$dir')").collect()
     }
     assert(e2.getMessage.contains("TORN_BASE"), e2.getMessage)
+    // the Scala API shares the torn-vs-copied distinction: a torn
+    // base must not silently serve partial rows through
+    // CorpusStore.read while the SQL face fails loud (the guard now
+    // lives inside Stores.liveGeneration, ONE truth for every reader)
+    val e3 = intercept[Exception] {
+      graft.pipeline.CorpusStore.read(spark, dir).collect()
+    }
+    assert(e3.getMessage.contains("TORN_BASE"), e3.getMessage)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus/_temporary"), true)
     assert(spark.sql(s"SELECT * FROM read_store('$dir')").count() == 2,
       "a copied marker-free base (no _temporary) must keep serving")
+    assert(graft.pipeline.CorpusStore.read(spark, dir).count() == 2,
+      "the Scala read must also keep serving a copied base")
   }
 
   test("corpus_decontam and corpus_diff TVFs: two-path ops match their Scala operators") {

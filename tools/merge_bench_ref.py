@@ -23,10 +23,15 @@ def main() -> None:
     runs = sys.argv[1:] or ["bench_out.json"]
     try:
         ref = json.load(open(REF))
-        assert ref.get("sf") == SF, f"{REF} is not an {SF} record"
+        # not an assert: asserts are stripped under `python -O`, and a
+        # cross-SF ref would silently poison every retime gate
+        if ref.get("sf") != SF:
+            raise SystemExit(f"{REF} is not an {SF} record "
+                             f"(sf={ref.get('sf')!r})")
         merged = dict(ref["queries"])
     except FileNotFoundError:
         merged = {}
+    errored: set[str] = set()
     for path in runs:
         run = json.load(open(path))
         if run.get("sf") != SF:
@@ -34,9 +39,18 @@ def main() -> None:
                              "(cross-SF numbers would poison every retime)")
         if run.get("errors"):
             print(f"note: {path} carries errors {run['errors']} — "
-                  "their keys are simply absent from 'queries'")
+                  "their keys are dropped from the merged reference so a "
+                  "permanently-broken query's stale min ages out")
+            errored.update(str(e) for e in run["errors"])
         for k, v in run["queries"].items():
             merged[k] = min(merged.get(k, v), v)
+    # a key that errored in a run this merge saw no timing for must not
+    # keep its stale min forever; a run that timed it anyway wins
+    for k in errored:
+        if k in merged and not any(
+                k in json.load(open(p)).get("queries", {}) for p in runs):
+            print(f"drop: {k} errored and produced no fresh timing")
+            del merged[k]
     rec = {
         "metric": "total",
         "value": round(sum(merged.values()), 3),
