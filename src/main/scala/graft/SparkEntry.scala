@@ -197,6 +197,31 @@ object SparkEntry {
       out
     })
 
+  /** Media parquet fixture for q_sql_media_dedup: the documents table
+    * through [[pipeline.Multimodal.asMediaTable]] (payload = UTF-8
+    * bytes of text) PLUS planted near-duplicates — every doc_id%17==0
+    * payload re-labeled +700000 with its first byte flipped to 'x'
+    * (the fixture texts never have distinct phashes within hamming 7,
+    * so without planted dups the dedup truth would be vacuously
+    * empty). The perturbation is SQL-restatable, so the DuckDB oracle
+    * rebuilds the identical corpus. */
+  private val mediaDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mediaTableDir(s: SparkSession, d: String): String =
+    mediaDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_media_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val docs = Engine.table(s, dir, "documents")
+      val dups = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(lit("x"), expr("substring(text, 2)")).as("text"),
+          col("source"))
+      pipeline.Multimodal.asMediaTable(
+          docs.select("doc_id", "text", "source").unionByName(dups))
+        .write.parquet(f.getAbsolutePath)
+      f.getAbsolutePath
+    })
+
   /** Ids deleted by the ann_ivf_delete lifecycle query: one query
     * vector (3 < 10) and two corpus vectors — fixed so the DuckDB
     * oracle can restate the surviving query set. All exist at every
@@ -2625,6 +2650,13 @@ object SparkEntry {
       pipeline.Multimodal.perceptualHash(
         pipeline.Multimodal.asMediaTable(T(s, d, "documents")))),
 
+    // Media near-dups through the SQL surface (round 16): the last
+    // pipeline family to reach the TVF story. Chunk-banded candidates
+    // (never all-pairs) against the brute-force oracle.
+    "q_sql_media_dedup" -> ((s, d) =>
+      s.sql(s"SELECT * FROM corpus_dedup('${mediaTableDir(s, d)}', " +
+        "mode=>'media', max_hamming=>6)")),
+
     // Corpus assembly: the steps between "clean documents" and
     // "training shards" (see pipeline.CorpusOps).
     "q_pack_tokens" -> ((s, d) =>
@@ -2740,6 +2772,26 @@ object SparkEntry {
       pipeline.ZOrder.skippingStats(
         T(s, d, "lineitem"), col("l_partkey"), col("l_suppkey")))
   )
+
+  /** Shared DuckDB restatement of [[pipeline.Multimodal.perceptualHash]]
+    * over a (doc_id, text)-shaped source (payload = UTF-8 text bytes):
+    * 64 block-mean-vs-total-mean bits, exactly the engine's integer
+    * comparison (bsum*n > total*len — no division). Used by mm_phash
+    * and as the CTE of q_sql_media_dedup's brute-force hamming join. */
+  private def duckPhashBody(src: String): String =
+    "WITH m AS (SELECT doc_id, text, " +
+      s"octet_length(encode(text)) AS n FROM $src " +
+      "WHERE octet_length(encode(text)) >= 64), " +
+      "tot AS (SELECT doc_id, text, n, " +
+      "list_sum(list_transform(range(1, n + 1), i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS total " +
+      "FROM m), " +
+      "blocks AS (SELECT doc_id, n, total, text, unnest(range(64)) AS b FROM tot), " +
+      "bits AS (SELECT doc_id, b, " +
+      "CAST(b * n // 64 AS BIGINT) AS lo, CAST((b + 1) * n // 64 AS BIGINT) AS hi, " +
+      "list_sum(list_transform(range(CAST(b * n // 64 AS BIGINT) + 1, CAST((b + 1) * n // 64 AS BIGINT) + 1), " +
+      "i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS bsum, n, total FROM blocks) " +
+      "SELECT doc_id, string_agg(CASE WHEN bsum * n > total * (hi - lo) THEN '1' ELSE '0' END, " +
+      "'' ORDER BY b) AS phash FROM bits GROUP BY doc_id"
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
@@ -3199,19 +3251,24 @@ object SparkEntry {
     // aHash restated: same integer block bounds (b·n div 64), same
     // integer cross-multiplied bit decision, bits string-aggregated in
     // block order. ASCII fixture ⇒ ord(char) = byte value.
-    "mm_phash" -> ("WITH m AS (SELECT doc_id, text, " +
-      "octet_length(encode(text)) AS n FROM documents " +
-      "WHERE octet_length(encode(text)) >= 64), " +
-      "tot AS (SELECT doc_id, text, n, " +
-      "list_sum(list_transform(range(1, n + 1), i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS total " +
-      "FROM m), " +
-      "blocks AS (SELECT doc_id, n, total, text, unnest(range(64)) AS b FROM tot), " +
-      "bits AS (SELECT doc_id, b, " +
-      "CAST(b * n // 64 AS BIGINT) AS lo, CAST((b + 1) * n // 64 AS BIGINT) AS hi, " +
-      "list_sum(list_transform(range(CAST(b * n // 64 AS BIGINT) + 1, CAST((b + 1) * n // 64 AS BIGINT) + 1), " +
-      "i -> ord(substring(text, CAST(i AS INTEGER), 1)))) AS bsum, n, total FROM blocks) " +
-      "SELECT doc_id, string_agg(CASE WHEN bsum * n > total * (hi - lo) THEN '1' ELSE '0' END, " +
-      "'' ORDER BY b) AS phash FROM bits GROUP BY doc_id ORDER BY doc_id"),
+    "mm_phash" -> (duckPhashBody("documents") + " ORDER BY doc_id"),
+
+    // The identical phash truth through the SQL surface (corpus_dedup
+    // TVF, mode=>'media'): brute-force hamming over the shared phash
+    // body vs the engine's chunk-banded candidate join — exact
+    // equality (banding is lossless to hamming 7 by pigeonhole). The
+    // md CTE rebuilds the planted-near-dup media fixture.
+    "q_sql_media_dedup" -> ("WITH md AS (SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 700000 AS doc_id, " +
+      "'x' || substring(text, 2) AS text FROM documents WHERE doc_id % 17 = 0), " +
+      "ph AS (" + duckPhashBody("md") + ") " +
+      "SELECT doc_a, doc_b, hamming FROM (" +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(list_sum(list_transform(range(1, 65), i -> " +
+      "CASE WHEN substring(a.phash, CAST(i AS INTEGER), 1) <> " +
+      "substring(b.phash, CAST(i AS INTEGER), 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming " +
+      "FROM ph a JOIN ph b ON a.doc_id < b.doc_id) " +
+      "WHERE hamming <= 6 ORDER BY doc_a, doc_b"),
 
     "mm_audio_windows" -> ("WITH m AS (SELECT doc_id, " +
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_samples FROM documents) " +
@@ -4012,6 +4069,18 @@ object SparkEntry {
   }
 
   private val ext6Queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Drift observability through SQL (round 16): the RUNBOOK's
+    // escape_cap operating rule reads ivfDriftStats before raising the
+    // knob — now operable without Scala. DECIMAL(18,4)-insulated on
+    // both sides (the per-row cosine is bit-identical — same
+    // sequential fold — but the avg's partial-merge order is not).
+    "q_sql_index_drift" -> ((s, d) =>
+      s.sql("SELECT cell, n_rows, " +
+        "CAST(CAST(mean_dist AS DECIMAL(18,4)) AS DOUBLE) AS mean_dist, " +
+        "CAST(CAST(max_dist AS DECIMAL(18,4)) AS DOUBLE) AS max_dist " +
+        s"FROM corpus_index_stats('${ivfIndexDir(s, d)}', mode=>'drift') " +
+        "ORDER BY cell")),
+
     // TPC-H Q1 (pricing summary): THE full-scan aggregation. The plan
     // to want at 100×: filter at the scan, partial hash aggregate
     // map-side (6 accumulators × 4 groups — tiny exchange), one
@@ -4622,6 +4691,24 @@ object SparkEntry {
   )
 
   private val ext6Oracles: Map[String, String] = Map(
+    // Restates the cosine-to-frozen-centroid aggregate over the index
+    // parquet itself (__IVFDIR__ — the shared deterministic index the
+    // ann_* oracles also assume; base generation, no tombstones).
+    // DuckDB's list_reduce left fold matches the engine's sequential-
+    // fold dot product per row; the cross-row avg/max round through
+    // DECIMAL(18,4) on both sides.
+    "q_sql_index_drift" -> ("WITH c AS (SELECT CAST(cell AS INT) AS cell, centroid, " +
+      "sqrt(list_reduce(list_transform(range(1, len(centroid)+1), i -> centroid[i]*centroid[i]), (x,y) -> x+y)) AS cnrm " +
+      "FROM read_parquet('__IVFDIR__/centroids/*.parquet')), " +
+      "r AS (SELECT CAST(cell AS INT) AS cell, v, nrm " +
+      "FROM read_parquet('__IVFDIR__/corpus/*/*.parquet', hive_partitioning=true)), " +
+      "dd AS (SELECT r.cell, 1.0 - (list_reduce(list_transform(range(1, len(r.v)+1), i -> r.v[i]*c.centroid[i]), (x,y) -> x+y) " +
+      "/ (r.nrm * c.cnrm)) AS cdist FROM r JOIN c USING (cell)), " +
+      "u AS (SELECT cell, COUNT(*) AS n_rows, AVG(cdist) AS m, MAX(cdist) AS x FROM dd GROUP BY cell " +
+      "UNION ALL SELECT -1, COUNT(*), AVG(cdist), MAX(cdist) FROM dd) " +
+      "SELECT cell, n_rows, CAST(CAST(m AS DECIMAL(18,4)) AS DOUBLE) AS mean_dist, " +
+      "CAST(CAST(x AS DECIMAL(18,4)) AS DOUBLE) AS max_dist FROM u ORDER BY cell"),
+
     "q_tpch_q1" -> ("SELECT l_returnflag, l_linestatus, " +
       "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, " +
       "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, " +
@@ -4772,8 +4859,17 @@ object SparkEntry {
     * driver's gate SF. */
   @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
 
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    // the shared IVF index the drift oracle reads directly: the same
+    // deterministic tmpdir path ivfIndexDir builds for the current
+    // verify sfDir (persisted on disk, so DuckDB sees it after the
+    // Verify run that built it)
+    val ivfDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + Integer.toHexString(oracleSfDir.hashCode)).getAbsolutePath
     (parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++
       pipelineOracles ++ ext6Oracles ++ analyticsOracles)
-      .map { case (k, v) => k -> v.replace("__SFDIR__", oracleSfDir) }
+      .map { case (k, v) =>
+        k -> v.replace("__SFDIR__", oracleSfDir).replace("__IVFDIR__", ivfDir)
+      }
+  }
 }

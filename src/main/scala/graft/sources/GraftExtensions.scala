@@ -591,6 +591,16 @@ object CorpusAnnTVF {
   * ([[graft.pipeline.TextDedup.nearDupClusters]] /
   * [[graft.pipeline.TextDedup.clustersInBandIndex]]).
   *
+  * `mode=>'media'` (self mode only): near-duplicate MEDIA pairs by
+  * perceptual-hash hamming distance over a media parquet (doc_id,
+  * payload binary) — (doc_a, doc_b, hamming) with hamming ≤
+  * `max_hamming` (default 6; chunk banding guarantees recall to 7)
+  * via [[graft.pipeline.Multimodal.phashDupPairs]]: candidates from
+  * 8-way aligned chunk collisions, never all-pairs, payloads never
+  * shuffle. A corpus without a payload column fails loud naming the
+  * text-mode alternative; threshold/k (text-shingle options) fail
+  * loud under media mode and max_hamming fails loud outside it.
+  *
   * `k` (shingle width) applies to the plain-corpus routes only — an
   * index's scheme is frozen in its meta store, so passing a
   * conflicting k fails loud instead of silently serving under
@@ -602,13 +612,21 @@ object CorpusAnnTVF {
 object CorpusDedupTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_dedup", args,
-      Set("batch", "threshold", "k", "connection", "mode"))
+      Set("batch", "threshold", "k", "connection", "mode", "max_hamming"))
     val mode = opts.getOrElse("mode", "pairs").toLowerCase
-    require(mode == "pairs" || mode == "clusters",
-      s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters)")
+    require(mode == "pairs" || mode == "clusters" || mode == "media",
+      s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters, media)")
     require(mode == "pairs" || !opts.contains("batch"),
-      "corpus_dedup: mode=>'clusters' applies to self mode only " +
-        "(clusters of the corpus; batch gating emits pairs)")
+      "corpus_dedup: mode=>'" + mode + "' applies to self mode only " +
+        "(batch gating emits text pairs)")
+    // mode-option discipline (the corpus_mix convention): an option
+    // for a different mode must fail loud, never be silently ignored
+    require(mode == "media" || !opts.contains("max_hamming"),
+      s"corpus_dedup: max_hamming applies to mode=>'media' only (got mode '$mode')")
+    require(mode != "media" ||
+        (!opts.contains("threshold") && !opts.contains("k")),
+      "corpus_dedup: threshold/k are text-shingle options — " +
+        "mode=>'media' bounds hamming distance with max_hamming=>N")
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -629,6 +647,29 @@ object CorpusDedupTVF {
     val resolve = (p: String) =>
       ReadFilesTVF.connections.resolve(opts.get("connection"), p)
     val resolved = resolve(path)
+    if (mode == "media") {
+      // media near-dups: perceptual-hash hamming pairs over a media
+      // parquet (the phashDupPairs chunk-banding path — candidates
+      // from 8-way aligned chunks, never all-pairs). Indexes are a
+      // text-shingle artifact; a media corpus is raw rows.
+      val fam = IndexLayouts.familyOf(spark, resolved)
+      require(fam.isEmpty,
+        s"corpus_dedup: mode=>'media' reads a media parquet " +
+          s"(doc_id, payload), got ${fam.map(_.label).getOrElse("")} at $resolved")
+      val maxH = opts.get("max_hamming").map { h =>
+        try h.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"corpus_dedup: max_hamming must be an integer, got '$h'") }
+      }.getOrElse(6)
+      val media = spark.read.parquet(resolved)
+      val cols = media.columns.toSet
+      require(cols.contains("doc_id") && cols.contains("payload"),
+        s"corpus_dedup: mode=>'media' needs (doc_id, payload) columns " +
+          s"— $resolved has (${media.columns.mkString(", ")}); for text " +
+          "near-dups use the default mode over (doc_id, text)")
+      return graft.pipeline.Multimodal.phashDupPairs(media, maxH)
+        .queryExecution.analyzed
+    }
     val isIndex = IndexLayouts.requireServable(
       spark, resolved, "corpus_dedup", IndexLayouts.BandIndex)
     // an index's gram scheme is frozen at build time: a conflicting
@@ -1052,8 +1093,10 @@ object CorpusHybridTVF {
     require(k >= 1 && kPerLeg >= 1 && nprobe >= 1,
       s"corpus_hybrid: k/k_per_leg/nprobe must be >= 1")
     // weights=>'2,1' — integer per-leg fusion weights in (lexical,
-    // dense) order; validated count/positivity lives in rrfFuseMany's
-    // legWeights (ONE weighting truth with the Scala surface)
+    // dense) order; count/positivity/overflow bounds (>= 1, <=
+    // Retrieval.MaxLegWeight so w*RrfScale stays in int64) live in
+    // rrfFuseMany's legWeights (ONE weighting truth with the Scala
+    // surface), which fires at TVF plan build
     val legWeights: Seq[Long] = opts.get("weights").map { ws =>
       try ws.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
       catch { case _: NumberFormatException =>
@@ -1285,11 +1328,22 @@ object CorpusDiffTVF {
   * one column-pruned row-count aggregate per store — no index data
   * is decoded. Pointing it at anything that is not a graft index or
   * corpus-store layout fails loud (stats over a plain parquet are
-  * `read_files` + SQL's job, not this TVF's). */
+  * `read_files` + SQL's job, not this TVF's).
+  *
+  * `mode=>'drift'` (IVF layouts only) routes to
+  * [[graft.pipeline.Embeddings.ivfDriftStats]] instead: per cell (plus
+  * the overall cell=-1 row) the live vectors' mean/max cosine distance
+  * to their frozen centroid — the RUNBOOK's rebuild trigger (the
+  * number that decays BEFORE recall visibly does; raise `escape_cap`
+  * while it is elevated, rebuild as the durable fix). Schema:
+  * (cell, n_rows, mean_dist, max_dist). Unlike the default mode this
+  * reads vector data (one pass over the live corpus, centroids
+  * broadcast); drift is a quantizer property, so any non-IVF layout
+  * fails loud. */
 object CorpusIndexStatsTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_index_stats", args,
-      Set("connection"))
+      Set("connection", "mode"))
     val path = pos match {
       case p :: Nil => p
       case _ => throw new IllegalArgumentException(
@@ -1298,6 +1352,19 @@ object CorpusIndexStatsTVF {
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolved = ReadFilesTVF.connections.resolve(opts.get("connection"), path)
+    val mode = opts.getOrElse("mode", "stats").toLowerCase
+    require(mode == "stats" || mode == "drift",
+      s"corpus_index_stats: unknown mode '$mode' (expected 'stats' or 'drift')")
+    if (mode == "drift") {
+      val fam = IndexLayouts.familyOf(spark, resolved)
+      if (!fam.contains(IndexLayouts.IvfIndex))
+        throw new IllegalArgumentException(
+          "corpus_index_stats: mode=>'drift' requires an IVF index layout " +
+            "— centroid drift is a quantizer property; got " +
+            fam.map(_.label).getOrElse("a non-index path") + s" at $resolved")
+      return graft.pipeline.Embeddings.ivfDriftStats(spark, resolved)
+        .queryExecution.analyzed
+    }
     import org.apache.spark.sql.functions.{col, lit => slit}
     // one routing truth with the serving TVFs: dispatch on familyOf,
     // so a new index family cannot silently diverge between routing

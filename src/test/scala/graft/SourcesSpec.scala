@@ -651,6 +651,97 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(m3.getMessage.contains("is an IVF index"), m3.getMessage)
   }
 
+  test("corpus_index_stats mode=>'drift': SQL face equals ivfDriftStats; non-IVF layouts fail loud") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_tvf").toString
+    graft.pipeline.Embeddings.writeIvfIndex(emb, s"$base/ivf", nlist = 8)
+    val sql = spark.sql(
+      s"SELECT * FROM corpus_index_stats('$base/ivf', mode=>'drift')")
+    assert(sql.columns.toSeq == Seq("cell", "n_rows", "mean_dist", "max_dist"))
+    val viaSql = sql.collect().map(_.mkString("|")).toSeq
+    val viaScala = graft.pipeline.Embeddings.ivfDriftStats(spark, s"$base/ivf")
+      .collect().map(_.mkString("|")).toSeq
+    assert(viaSql == viaScala,
+      "the SQL face must serve the identical drift rows as the Scala API")
+    // the overall row the RUNBOOK's escape_cap rule watches
+    assert(viaSql.exists(_.startsWith("-1|")), viaSql.mkString("\n"))
+    // drift is a quantizer property: any non-IVF layout fails loud
+    val docs = Engine.table(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(50)
+    graft.pipeline.TextDedup.writeBandIndex(docs, s"$base/band")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_index_stats('$base/band', mode=>'drift')")
+        .collect()
+    }
+    assert(e1.getMessage.contains("requires an IVF index"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_index_stats(" +
+        s"'$sfDir/documents.parquet', mode=>'drift')").collect()
+    }
+    assert(e2.getMessage.contains("requires an IVF index"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_index_stats('$base/ivf', mode=>'x')")
+        .collect()
+    }
+    assert(e3.getMessage.contains("unknown mode"), e3.getMessage)
+  }
+
+  test("corpus_dedup mode=>'media': SQL face equals phashDupPairs; option and schema misuse fails loud") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents")
+      .filter(col("doc_id") < 300)
+    val base = java.nio.file.Files.createTempDirectory("graft_media_tvf").toString
+    // media corpus with planted near-dups (payload byte flipped)
+    val dups = docs.select((col("doc_id") + 700000).as("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x"),
+        org.apache.spark.sql.functions.expr("substring(text, 2)")).as("text"),
+      col("source"))
+    val media = graft.pipeline.Multimodal.asMediaTable(
+      docs.select("doc_id", "text", "source").unionByName(dups))
+    media.write.parquet(s"$base/media")
+    val viaSql = spark.sql(s"SELECT * FROM corpus_dedup('$base/media', " +
+        "mode=>'media', max_hamming=>6)")
+      .collect().map(_.mkString("|")).toSeq
+    val viaScala = graft.pipeline.Multimodal.phashDupPairs(media, 6)
+      .collect().map(_.mkString("|")).toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty,
+      s"SQL ${viaSql.size} rows vs Scala ${viaScala.size}")
+    // a corpus without payload columns fails loud naming the fix
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
+        "mode=>'media')").collect()
+    }
+    assert(e1.getMessage.contains("needs (doc_id, payload)"), e1.getMessage)
+    // mode-option discipline: text options under media and media
+    // options under text both fail loud
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$base/media', mode=>'media', " +
+        "threshold=>0.8)").collect()
+    }
+    assert(e2.getMessage.contains("text-shingle options"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
+        "max_hamming=>6)").collect()
+    }
+    assert(e3.getMessage.contains("mode=>'media' only"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$base/media', mode=>'media', " +
+        s"batch=>'$base/media')").collect()
+    }
+    assert(e4.getMessage.contains("self mode only"), e4.getMessage)
+    // a band index is a text artifact: media mode over it fails loud
+    val idx = s"$base/band"
+    graft.pipeline.TextDedup.writeBandIndex(
+      docs.select("doc_id", "text").limit(50), idx)
+    val e5 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idx', mode=>'media')").collect()
+    }
+    assert(e5.getMessage.contains("media parquet"), e5.getMessage)
+  }
+
   test("corpus_quality TVF: every mode matches its Scala operator; store route serves the live generation") {
     import org.apache.spark.sql.functions.col
     val docs = Engine.table(spark, sfDir, "documents")
