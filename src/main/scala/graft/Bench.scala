@@ -242,6 +242,21 @@ object Bench {
       "\"" + n + "\":{\"ref\":" + num(ref) + ",\"final\":" + num(fin) +
         ",\"deep_reps\":" + reps + "}"
     }.mkString("{", ",", "}")
+    // freshness guard (round 16): a query timed this run but absent
+    // from the committed reference means the min-merge was forgotten
+    // after the round that added it — every future retime gate for
+    // that query is then silently inert. Warn loudly; BenchRefSpec
+    // fails the suite on the committed files for the same drift.
+    if (refTimes.nonEmpty && only.isEmpty) {
+      val unmerged = results.collect { case (k, _, true) => k }
+        .filterNot(refTimes.contains).sorted
+      if (unmerged.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: ${unmerged.size} quer${if (unmerged.size == 1) "y" else "ies"} " +
+            s"missing from the reference (${unmerged.mkString(", ")}) — " +
+            "run `python3 tools/merge_bench_ref.py bench_out.json` and " +
+            "commit bench_ref.json, or their retime gates stay inert")
+    }
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":$qs,"sf":${jstr(sfDir)},"errors":$errors,"retimed":$retimedJson}"""
     println(line)

@@ -54,4 +54,25 @@ object ServingLimits {
         "directly for bulk joins")
     batch
   }
+
+  /** Collect a serving batch under the cap in ONE job: `limit(cap+1)`
+    * then collect, failing loud over the cap. This is the preferred
+    * enforcement for paths that collect the batch anyway — the cap
+    * check rides the collect instead of paying its own eager count
+    * job per TVF call (a measurable serving-latency tax: each extra
+    * plan-build job is a scheduler round-trip). */
+  def collectMicroBatch(op: String, what: String,
+                        batch: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val cap = batch.sparkSession.conf
+      .get(MaxBatchKey, MaxBatchDefault.toString).toInt
+    require(cap >= 1, s"$MaxBatchKey must be >= 1, got $cap")
+    val rows = batch.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"[BATCH_OVER_CAP] $op: the $what batch holds more than $cap rows " +
+        s"— batch serving collects the query set to the driver and is " +
+        s"micro-batch-sized by contract; raise $MaxBatchKey only if the " +
+        "driver heap is sized for it, or run the distributed operators " +
+        "directly for bulk joins")
+    rows
+  }
 }

@@ -77,18 +77,22 @@ private[sources] object TvfArgs {
     * column.
     *
     * Every batch passes the serving micro-batch cap
-    * ([[graft.pipeline.ServingLimits.requireMicroBatch]]) here,
-    * BEFORE any caller collects it: the driver-bounded contract is
+    * ([[graft.pipeline.ServingLimits.collectMicroBatch]]) here,
+    * BEFORE any caller touches it: the driver-bounded contract is
     * enforced, not documented — an oversized `queries=>` file fails
-    * loud naming the cap and the knob instead of OOMing the driver. */
+    * loud naming the cap and the knob instead of OOMing the driver.
+    * Enforcement rides ONE collect (limit cap+1, the two resolved
+    * columns only) and the returned frame is DRIVER-LOCAL: every
+    * downstream validation pass (ids, dims, nulls) and re-collect is
+    * then a trivial local job instead of its own parquet scan — the
+    * serving-latency shape (r14's 3-jobs-per-batch-TVF plan-build tax
+    * was measurable on q_sql_ann_many). */
   def batchFrame(tvf: String, df: org.apache.spark.sql.DataFrame,
                  idCol: String, payloadCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    val capped = graft.pipeline.ServingLimits.requireMicroBatch(
-      tvf, s"($idCol, $payloadCol)", df)
-    val byName = capped.columns.map(c => c.toLowerCase -> c).toMap
+    val byName = df.columns.map(c => c.toLowerCase -> c).toMap
     def theOther(matched: String, missing: String): String = {
-      val rest = capped.columns.filter(_ != matched)
+      val rest = df.columns.filter(_ != matched)
       require(rest.length == 1,
         s"$tvf: batch parquet matches column '$matched' but the $missing " +
           s"column cannot be resolved from the remaining " +
@@ -96,23 +100,27 @@ private[sources] object TvfArgs {
           (if (rest.length > 1) " or drop the extras" else ""))
       rest.head
     }
-    (byName.get(idCol), byName.get(payloadCol)) match {
+    val shaped = (byName.get(idCol), byName.get(payloadCol)) match {
       case (Some(i), Some(p)) =>
-        capped.select(col(i).as(idCol), col(p).as(payloadCol))
+        df.select(col(i).as(idCol), col(p).as(payloadCol))
       case (Some(i), None) =>
-        capped.select(col(i).as(idCol),
+        df.select(col(i).as(idCol),
           col(theOther(i, payloadCol)).as(payloadCol))
       case (None, Some(p)) =>
-        capped.select(col(theOther(p, idCol)).as(idCol),
+        df.select(col(theOther(p, idCol)).as(idCol),
           col(p).as(payloadCol))
       case (None, None) =>
-        require(capped.columns.length >= 2,
+        require(df.columns.length >= 2,
           s"$tvf: batch parquet must carry ($idCol, $payloadCol) columns " +
             "(matched by name in any order) or at least two columns in " +
-            s"that positional order; got [${capped.columns.mkString(", ")}]")
-        capped.select(col(capped.columns.head).as(idCol),
-          col(capped.columns(1)).as(payloadCol))
+            s"that positional order; got [${df.columns.mkString(", ")}]")
+        df.select(col(df.columns.head).as(idCol),
+          col(df.columns(1)).as(payloadCol))
     }
+    val rows = graft.pipeline.ServingLimits.collectMicroBatch(
+      tvf, s"($idCol, $payloadCol)", shaped)
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), shaped.schema)
   }
 
   /** The id-side contract every batch TVF shares: ids cast to long,
@@ -1121,29 +1129,31 @@ object CorpusHybridTVF {
       (queryStr, opts.get("queries")) match {
         case (Some(_), _) => None
         case (None, Some(qp)) =>
-          // the shared enforced micro-batch cap, BEFORE the collects
-          // below (this TVF reads three named columns, so it cannot go
-          // through batchFrame's two-column normalization)
-          val raw = graft.pipeline.ServingLimits.requireMicroBatch(
-            "corpus_hybrid", "(query_id, query, embedding)",
-            spark.read.parquet(resolve(qp)))
+          // ONE cap-enforced collect (this TVF reads three named
+          // columns, so it cannot go through batchFrame's two-column
+          // normalization) — id/null validation then runs on the
+          // collected rows and the dense-leg frame is driver-local,
+          // so no further plan-build job touches the parquet
+          val raw = spark.read.parquet(resolve(qp))
           val byName = raw.columns.map(c => c.toLowerCase -> c).toMap
           val cols = Seq("query_id", "query", "embedding").map(n =>
             byName.getOrElse(n, throw new IllegalArgumentException(
               s"corpus_hybrid: batch parquet must carry (query_id, query, " +
                 s"embedding) columns; got [${raw.columns.mkString(", ")}]")))
-          val b = raw.select(col(cols(0)).cast("long").as("query_id"),
+          val shaped = raw.select(col(cols(0)).cast("long").as("query_id"),
             col(cols(1)).as("query"), col(cols(2)).as("embedding"))
-          val idRows = b.select(col("query_id"), col("query").isNull.as("nq"),
-              col("embedding").isNull.as("ne")).collect()
-          TvfArgs.requireIds("corpus_hybrid", "query_id", idRows.map(r =>
-            if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))))
-          require(!idRows.exists(_.getBoolean(1)),
+          val rows = graft.pipeline.ServingLimits.collectMicroBatch(
+            "corpus_hybrid", "(query_id, query, embedding)", shaped)
+          TvfArgs.requireIds("corpus_hybrid", "query_id", rows.map(r =>
+            if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))).toSeq)
+          require(!rows.exists(_.isNullAt(1)),
             "corpus_hybrid: null query in the batch parquet")
-          require(!idRows.exists(_.getBoolean(2)),
+          require(!rows.exists(_.isNullAt(2)),
             "corpus_hybrid: null embedding in the batch parquet")
-          val termPairs = b.select(col("query_id"), col("query")).collect()
+          val termPairs = rows
             .map(r => (r.getLong(0), termsOf(r.getString(1)))).toSeq
+          val b = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), shaped.schema)
           Some((termPairs, b.select(col("query_id"), col("embedding"))))
         case _ => throw new IllegalStateException("unreachable")
       }
