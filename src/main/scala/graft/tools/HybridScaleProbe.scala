@@ -162,7 +162,8 @@ object HybridScaleProbe {
                     lex: Double, lexSh: Long,
                     den: Double, denSh: Long,
                     hyb: Double, hybSh: Long,
-                    one: Double, oneSh: Long, rows: Long)
+                    one: Double, oneSh: Long,
+                    fuse: Double, fuseSh: Long, rows: Long)
     val cells = scales.map { k =>
       val dir = dirs(k)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -185,21 +186,20 @@ object HybridScaleProbe {
       val terms = batch.select(col("query_id"),
         split(lower(col("query")), "\\s+").as("terms"))
       val qVecs = batch.select(col("query_id"), col("embedding"))
-      val (_, tLex, shLex) = time {
-        TextIndex.searchMany(spark, tIdx, terms, kPerLeg)
-          .write.format("noop").mode("overwrite").save()
+      // ONE action per tier — a second action re-executes the whole
+      // DAG and double-bills the meter (the bug the first cut of this
+      // probe shipped: hybrid read ≈ 2×(lex+dense) shuffle rows)
+      val (lexRows, tLex, shLex) = time {
+        TextIndex.searchMany(spark, tIdx, terms, kPerLeg).count()
       }
-      val (_, tDen, shDen) = time {
+      val (denRows, tDen, shDen) = time {
         Embeddings.ivfTopKIndexedFor(qVecs, vIdx, kPerLeg,
-            nprobe = 8, adaptive = true)
-          .write.format("noop").mode("overwrite").save()
+          nprobe = 8, adaptive = true).count()
       }
       val hybSql = s"SELECT * FROM corpus_hybrid('$tIdx', '$vIdx', " +
         s"queries=>'$batchPath', k=>10, k_per_leg=>$kPerLeg, nprobe=>8)"
       val (rows, tHyb, shHyb) = time {
-        val df = spark.sql(hybSql)
-        df.write.format("noop").mode("overwrite").save()
-        df.count()
+        spark.sql(hybSql).count()
       }
       val one = batch.filter(col("query_id") === 5000007L)
         .select(col("query"), col("embedding")).head()
@@ -208,13 +208,35 @@ object HybridScaleProbe {
         spark.sql(s"SELECT * FROM corpus_hybrid('$tIdx', '$vIdx', " +
             s"'${one.getString(0).replace("'", "")}', " +
             s"embedding=>'$oneVec', k=>10, k_per_leg=>$kPerLeg, nprobe=>8)")
-          .write.format("noop").mode("overwrite").save()
+          .count()
       }
+      assert(lexRows > 0 && denRows > 0, s"legs must serve at x$k")
+      // DIRECT fusion measurement: legs materialized (untimed), then
+      // rrfFuseMany metered alone — subtraction (hybrid − legs) is
+      // polluted by per-leg execution variance (the adaptive escape's
+      // data-dependent second pass), so the bound check uses this
+      val lexW = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
+      TextIndex.searchMany(spark, tIdx, terms, kPerLeg)
+        .withColumn("rank", row_number().over(lexW).cast("int"))
+        .select("query_id", "doc_id", "rank")
+        .write.mode("overwrite").parquet(s"$dir/leg_lex")
+      Embeddings.ivfTopKIndexedFor(qVecs, vIdx, kPerLeg,
+          nprobe = 8, adaptive = true)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").cast("int").as("rank"))
+        .write.mode("overwrite").parquet(s"$dir/leg_den")
+      val (fusedRows, tFuse, shFuse) = time {
+        graft.pipeline.Retrieval.rrfFuseMany(
+          Seq(spark.read.parquet(s"$dir/leg_lex"),
+            spark.read.parquet(s"$dir/leg_den")), "doc_id", 60, 10).count()
+      }
+      assert(fusedRows > 0)
       println(f"[hybrid-scale] x$k%-3d lex=${tLex}%6.2fs/$shLex%d " +
         f"dense=${tDen}%6.2fs/$shDen%d hybrid=${tHyb}%6.2fs/$shHyb%d " +
-        f"one=${tOne}%6.2fs/$shOne%d rows=$rows%d")
+        f"one=${tOne}%6.2fs/$shOne%d fuse=${tFuse}%6.2fs/$shFuse%d rows=$rows%d")
       k -> Cell(tBuild, nlist, tLex, shLex, tDen, shDen,
-        tHyb, shHyb, tOne, shOne, rows)
+        tHyb, shHyb, tOne, shOne, tFuse, shFuse, rows)
     }.toMap
 
     // fusion algebra bound: rrfFuseMany's exchanges see the union of
@@ -241,20 +263,38 @@ object HybridScaleProbe {
     sb ++= "\n## Fusion exchange bound\n\n"
     sb ++= s"Algebra: fusion sees ≤ legs·k_per_leg·batch = ${2 * kPerLeg * nBatch} rows per\n"
     sb ++= s"exchange, 2 exchanges (fuse group-by + rank window) → ≤ $fusionBound rows\n"
-    sb ++= "attributable to fusion at ANY corpus scale. Measured (hybrid − lex − dense):\n\n"
-    sb ++= "| scale | hybrid sh | lex+dense sh | fusion-attributable sh | ≤ bound? |\n"
-    sb ++= "|---|---|---|---|---|\n"
+    sb ++= "at ANY corpus scale. Measured DIRECTLY (legs materialized to\n"
+    sb ++= "parquet, rrfFuseMany metered alone — subtraction hybrid−legs is\n"
+    sb ++= "polluted by the adaptive escape's data-dependent second pass):\n\n"
+    sb ++= "| scale | fuse s | fuse shuffle rows | ≤ bound? |\n"
+    sb ++= "|---|---|---|---|\n"
     scales.foreach { k =>
       val c = cells(k)
-      val legs = c.lexSh + c.denSh
-      val fus = c.hybSh - legs
-      sb ++= f"| x$k | ${c.hybSh} | $legs | $fus | ${if (fus <= fusionBound) "yes" else "NO"} |\n"
+      sb ++= f"| x$k | ${c.fuse}%.2f | ${c.fuseSh} | ${if (c.fuseSh <= fusionBound) "yes" else "NO"} |\n"
     }
     val c1 = cells(scales.head); val cN = cells(scales.last)
-    sb ++= "\nReading: leg shuffle rows may grow sub-linearly with the corpus\n"
-    sb ++= "(bucket/cell pruning); the fusion-attributable delta must NOT grow\n"
-    sb ++= f"with the corpus (x${scales.head}: ${c1.hybSh - c1.lexSh - c1.denSh}, " +
-      f"x${scales.last}: ${cN.hybSh - cN.lexSh - cN.denSh} rows vs ${scales.last / scales.head}× data).\n"
+    sb ++= "\nReading: fusion cost is a function of (legs, k_per_leg, batch)\n"
+    sb ++= f"only — x${scales.head}: ${c1.fuseSh} rows, x${scales.last}: ${cN.fuseSh} rows against\n"
+    sb ++= f"${scales.last / scales.head}× the corpus. The end-to-end hybrid−legs residual\n"
+    sb ++= f"(x${scales.head}: ${c1.hybSh - c1.lexSh - c1.denSh}, x${scales.last}: ${cN.hybSh - cN.lexSh - cN.denSh}) tracks the dense\n"
+    sb ++= "escape-pass variance, not fusion.\n"
+    sb ++= "\n## Leg shapes (the honest part)\n\n"
+    sb ++= "The DENSE leg is pruned: IVF cell probes bound its shuffle to the\n"
+    sb ++= f"probed cells' rows (~nprobe·N/nlist ≈ nprobe·√N — x1 ${c1.denSh}\n"
+    sb ++= f"→ x100 ${cN.denSh} rows on 100× data). The LEXICAL leg's shuffle\n"
+    sb ++= f"grows with MATCHED POSTINGS (x1 ${c1.lexSh} → x100 ${cN.lexSh}):\n"
+    sb ++= "bucket pruning bounds which postings FILES are read to the query\n"
+    sb ++= "terms' buckets, but exhaustive-exact BM25 must then score every\n"
+    sb ++= "(query, matching doc) pair — for common-term queries (this batch\n"
+    sb ++= "deliberately uses each document's first words) matched postings ≈\n"
+    sb ++= "Σ df(term) which is linear in the corpus. That cost is inherent to\n"
+    sb ++= "the EXACT top-k semantics the oracle gate pins (DuckDB computes the\n"
+    sb ++= "same exhaustive score); rare-term workloads prune naturally (df is\n"
+    sb ++= "the bound, not N). The 100-TB mitigation path, if exact common-term\n"
+    sb ++= "serving at interactive latency becomes a requirement, is\n"
+    sb ++= "impact-ordered postings with MaxScore/WAND-style skipping (still\n"
+    sb ++= "exact) — an additive index layout change, orthogonal to fusion,\n"
+    sb ++= "which this probe shows is already scale-clean.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(report), sb.toString)
     println(s"[hybrid-scale] wrote $report")
     spark.stop()
