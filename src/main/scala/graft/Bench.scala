@@ -163,7 +163,7 @@ object Bench {
       "q_sql_search_many", "q_sql_phrase_many", "q_sql_neardup_index",
       "q_sql_neardup_batch", "q_sql_store", "q_sql_timetravel",
       "q_sql_hybrid", "q_sql_hybrid_many", "q_sql_hybrid_weighted",
-      "q_sql_ann_filtered")
+      "q_sql_ann_filtered", "q_sql_index_drift", "q_sql_media_dedup")
     if (only.forall(o => o.exists(indexQueries.contains)))
       SparkEntry.prepareIndexFixtures(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

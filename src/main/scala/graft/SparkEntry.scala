@@ -380,6 +380,7 @@ object SparkEntry {
     diffNewDir(s, d)
     piiDocsDir(s, d)
     hybridQueriesDir(s, d)
+    mediaTableDir(s, d)
     ()
   }
 

@@ -229,24 +229,34 @@ object Multimodal {
   def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       s"chunk banding guarantees recall only to hamming 7 (got $maxHamming)")
-    val h = perceptualHash(media)
-    val chunked = h.select(col("doc_id"), col("phash"),
+    // pack the 64-bit phash into two 32-bit longs (conv of a full
+    // 64-char string can exceed signed int64): hamming becomes two
+    // codegen'd bit_count(xor) terms instead of a 64-iteration
+    // per-character fold, and candidate rows carry 16 bytes instead
+    // of 64-char strings — the [[graft.pipeline.TextDedup.simhashPairs]]
+    // verification idiom. The exact filter runs BEFORE distinct, so a
+    // pair sharing several chunks is deduplicated on the cheap
+    // (doc_a, doc_b, hamming) shape, never on strings.
+    val h = perceptualHash(media).select(col("doc_id"),
+      expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)").as("h1"),
+      expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)").as("h2"))
+    // aligned 8-bit chunk c: chars c*8+1..c*8+8 = bits of h1 (c<4) or
+    // h2 (c>=4), MSB-first within each half
+    val chunked = h.select(col("doc_id"), col("h1"), col("h2"),
       explode(sequence(lit(0), lit(7))).as("c"))
-      .select(col("doc_id"), col("phash"), col("c"),
-        expr("substring(phash, c * 8 + 1, 8)").as("v"))
-    val cands = chunked.as("x").join(chunked.as("y"),
+      .select(col("doc_id"), col("h1"), col("h2"), col("c"),
+        expr("CASE WHEN c < 4 THEN shiftrightunsigned(h1, (3 - c) * 8) " +
+          "ELSE shiftrightunsigned(h2, (7 - c) * 8) END & 255L").as("v"))
+    chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.phash").as("ha"), col("y.phash").as("hb"))
-      .distinct()
-    cands
-      .withColumn("hamming", expr(
-        "aggregate(transform(sequence(1, 64), i -> " +
-          "CASE WHEN substring(ha, i, 1) <> substring(hb, i, 1) THEN 1L ELSE 0L END), " +
-          "0L, (acc, x) -> acc + x)"))
+      .withColumn("hamming",
+        (bit_count(col("x.h1").bitwiseXOR(col("y.h1"))) +
+          bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("hamming"))
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
