@@ -157,7 +157,8 @@ object Bench {
     // Skipped when an ONLY-run selects no index-reading query.
     val indexQueries = Set("ann_ivf", "ann_ivf_serve", "ann_ivf_delete", "ann_ivf_filtered",
       "ann_ivfpq", "ann_ivfpq_exact", "ann_ivf_recall", "dedup_band_incr",
-      "q_bucketed_join", "q_corpus_merge", "q_bm25_indexed", "q_phrase_search",
+      "q_bucketed_join", "q_corpus_merge", "q_bm25_indexed", "q_bm25_maxscore",
+      "q_phrase_search",
       "q_zonemap", "q_store_timetravel", "q_search_many", "q_hybrid_indexed",
       "q_sql_phrase", "q_sql_search", "q_sql_ann", "q_sql_ann_many",
       "q_sql_search_many", "q_sql_phrase_many", "q_sql_neardup_index",

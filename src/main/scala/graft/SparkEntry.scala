@@ -331,6 +331,26 @@ object SparkEntry {
       out
     })
 
+  /** Fine-blocked text index for q_bm25_maxscore: blockSize 4 spreads
+    * the fixture corpus's common terms across many impact blocks, so
+    * the forced MaxScore route genuinely SKIPS blocks at oracle scale
+    * (the query REQUIRES the pruned route — a silent fallback to
+    * exhaustive would fail loud, not pass vacuously). Build half +
+    * append half like the main text fixture, so block-0 is a merged
+    * multi-delta block. */
+  private val maxScoreIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def maxScoreIndexDir(s: SparkSession, d: String): String =
+    maxScoreIndexDirs.computeIfAbsent(d, dir => {
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_tidxms_" + Integer.toHexString(dir.hashCode))
+      if (f.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(f)
+      val out = f.getAbsolutePath
+      val docs = Engine.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      pipeline.TextIndex.write(docs.filter(col("doc_id") % 2 === 0), out, blockSize = 4)
+      pipeline.TextIndex.append(docs.filter(col("doc_id") % 2 === 1), out)
+      out
+    })
+
   /** Zone-map fixture for q_zonemap: a 16-file range-partitioned copy
     * of lineitem (the multi-file layout the single-file testdata
     * cannot provide — file-level skipping needs files to skip) plus
@@ -367,6 +387,7 @@ object SparkEntry {
     bucketedPair(s, d)
     corpusStoreDir(s, d)
     textIndexDir(s, d)
+    maxScoreIndexDir(s, d)
     zoneMapDir(s, d)
     dedupBatchDir(s, d)
     // the external-query batch parquets too: tiny writes, but each is
@@ -392,7 +413,7 @@ object SparkEntry {
     * earlier in the same process. */
   private[graft] def resetFixtureMemo(): Unit = {
     Seq(ivfIndexDirs, ivfDeleteDirs, bandIndexDirs, corpusStoreDirs,
-        textIndexDirs, zoneMapDirs, annQueryDirs,
+        textIndexDirs, maxScoreIndexDirs, zoneMapDirs, annQueryDirs,
         searchQueryDirs, phraseQueryDirs, dedupBatchDirs,
         decontamDirs, diffNewDirs, piiDocsDirs, hybridQueryDirs).foreach { m =>
       m.values().forEach(d =>
@@ -1776,17 +1797,18 @@ object SparkEntry {
     * brute-force pairwise exact Jaccard over distinct word 3-shingles.
     * Also the oracle for the minhash / simhash variants, whose
     * verified output equals the exact join (candidate recall ≈ 1). */
-  /** Shared BM25 CTE body (query terms spark/hash/window, k1=1.2,
-    * b=0.75) ending in a `scored` table — text_bm25 reads it whole,
-    * q_sql_search applies the TVF's top-k cut. */
-  private val duckBm25Cte: String =
+  /** Shared BM25 CTE body (k1=1.2, b=0.75) ending in a `scored`
+    * table — text_bm25 reads it whole, q_sql_search applies the TVF's
+    * top-k cut, q_bm25_maxscore re-instantiates it with its own term
+    * list. */
+  private def duckBm25CteFor(terms: Seq[String]): String =
     "WITH toks AS (SELECT doc_id, " +
       "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
       "FROM documents WHERE length(trim(text)) > 0), " +
       "lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id), " +
       "stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avgdl FROM lens), " +
       "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks " +
-      "WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term), " +
+      s"WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY doc_id, term), " +
       "dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), " +
       "contrib AS (SELECT tf.doc_id, " +
       "CAST(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * tf.tf * (1.2 + 1) / " +
@@ -1794,6 +1816,9 @@ object SparkEntry {
       "FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats), " +
       "scored AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, " +
       "COUNT(*) AS n_terms FROM contrib GROUP BY doc_id)"
+
+  private val duckBm25Cte: String =
+    duckBm25CteFor(Seq("spark", "hash", "window"))
 
   /** Shared hybrid-RRF oracle (terms spark/hash/window, query vector =
     * embeddings row 7, kPerLeg 20, k0 60, top 15): BM25 leg from the
@@ -2538,6 +2563,25 @@ object SparkEntry {
           Seq("spark", "hash", "window"), 15)
         .orderBy("doc_id")),
 
+    // MaxScore/block-max serving path, FORCED (floor 0) over the
+    // fine-blocked index: block-bound pruning + candidate rescore must
+    // reproduce the exhaustive BM25 cut bit-for-bit — the oracle is an
+    // independent exhaustive restatement, so a pruning bug that drops
+    // or mis-scores a boundary doc hash-fails here. The route is
+    // asserted: if pruning silently disengaged, this query ERRORS
+    // rather than passing on the exhaustive path.
+    "q_bm25_maxscore" -> ((s, d) => {
+      s.conf.set("graft.textindex.maxscorePostingsFloor", "0")
+      try {
+        val r = pipeline.TextIndex.search(s, maxScoreIndexDir(s, d),
+            Seq("spark", "data", "scan"), 12)
+          .orderBy("doc_id")
+        require(pipeline.TextIndex.lastRoute.startsWith("maxscore"),
+          s"q_bm25_maxscore must take the pruned route, got '${pipeline.TextIndex.lastRoute}'")
+        r
+      } finally s.conf.unset("graft.textindex.maxscorePostingsFloor")
+    }),
+
     // Exact phrase query from the positional postings: occurrence
     // counts by shifted-position intersection, the text never read.
     "q_phrase_search" -> ((s, d) =>
@@ -3155,6 +3199,13 @@ object SparkEntry {
     "q_bm25_indexed" -> (duckBm25Cte +
       " SELECT doc_id, score, n_terms FROM " +
       "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 15) " +
+      "ORDER BY doc_id"),
+
+    // The MaxScore route must serve the exact same scores and cut as
+    // this exhaustive restatement (different terms, forced pruning).
+    "q_bm25_maxscore" -> (duckBm25CteFor(Seq("spark", "data", "scan")) +
+      " SELECT doc_id, score, n_terms FROM " +
+      "(SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 12) " +
       "ORDER BY doc_id"),
 
     // RRF fusion restated with the same integer rank algebra: BM25

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.{FileUtil, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted index for keyword retrieval — the serving path
@@ -14,26 +14,44 @@ import org.apache.spark.sql.functions._
   * swaps with one-cycle grace, single maintenance writer.
   *
   * Layout:
-  *   dir/meta/                  one row (buckets), frozen at build
-  *   dir/postings[_v<N>]/       (term, doc_id, tf, len) partitioned by
+  *   dir/meta/                  one row (buckets, block_size), frozen
+  *                              at build
+  *   dir/postings[_v<N>]/       (term, doc_id, tf, len, blk)
+  *                              partitioned by
   *                              bucket = pmod(xxhash64(term), buckets);
   *                              `len` is the doc's token count
   *                              DENORMALIZED into every posting — the
   *                              standard IR trade that makes scoring
-  *                              one pruned scan
+  *                              one pruned scan. `blk` is the posting's
+  *                              IMPACT-ORDERED block id within its term
+  *                              (block 0 = highest default-params BM25
+  *                              contribution), files sorted by
+  *                              (term, blk) so block predicates skip
+  *                              parquet row groups
   *   dir/postings…/_stats/      (n_docs, total_len) DELTA rows, one
   *                              per write/append — readers SUM them.
   *                              Underscore dir: invisible to the
   *                              postings parquet reader, and it RIDES
   *                              THE GENERATION, so a compaction swap
   *                              replaces postings and stats atomically
+  *   dir/postings…/_skips/      block-max skip sidecar, one row per
+  *                              (term, blk): (max_tf, min_len, n) —
+  *                              valid SCORE UPPER BOUNDS for any
+  *                              (k1, b) because BM25's per-posting
+  *                              term is monotone ↑ in tf and ↓ in len.
+  *                              Rides the generation like `_stats`
   *   dir/tombstones/            doc_id takedowns
   *
   * [[search]] cost at 100 TB: `bucket IN (query-term buckets)` prunes
   * every other partition directory; `term IN (...)` pushes into the
   * probed buckets' scan. Document frequencies come from the same
   * pruned scan; (N, avgdl) from the summed stats deltas. Nothing
-  * corpus-sized moves.
+  * corpus-sized moves. On top of that, [[search]]/[[searchMany]] run
+  * MaxScore/block-max pruning (exact — see [[maxScoreTopK]]): for
+  * common-term queries the number of postings that reach the scoring
+  * exchange follows the surviving high-impact blocks, not Σ df(term),
+  * which HYBRID_SCALE measured growing linearly in the corpus before
+  * this layout existed.
   *
   * Delete semantics: a tombstoned doc leaves RESULTS immediately
   * (anti-join above the pruned scan), and the global (N, avgdl, df)
@@ -58,11 +76,26 @@ object TextIndex {
   private def liveStore(spark: SparkSession, dir: String): String =
     Stores.liveGeneration(spark, dir, "postings", CommitMarker)
 
+  /** Per-posting BM25 term-frequency factor at fixed params — the
+    * IMPACT a posting contributes per unit idf. Monotone ↑ in tf and
+    * ↓ in len, which is what makes (max_tf, min_len) a valid
+    * per-block bound for ANY (k1, b, avgdl) at query time; the
+    * concrete params here only pick the physical ordering. */
+  private def impactCol(avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Column =
+    col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl)))
+
   /** Positional postings: `positions` holds the term's 0-based token
     * offsets within the doc (sorted) — tf is its size, and phrase
     * queries resolve by intersecting shifted position sets without
-    * ever touching the original text. */
-  private def postings(docs: DataFrame, buckets: Int): DataFrame = {
+    * ever touching the original text. `blk` is the impact-ordered
+    * block id within the term (block 0 = highest default-params
+    * contribution). The per-term ranking window is the build-time
+    * cost of the layout: a df-heavy term ranks in one task — at
+    * extreme vocabularies the two-pass alternative (impact histogram
+    * → block boundaries) drops in here without changing the layout. */
+  private def postings(docs: DataFrame, buckets: Int, blockSize: Int,
+                       avgdl: Double): DataFrame = {
     val toks = graft.Engine.fanOut(docs)
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
@@ -73,26 +106,56 @@ object TextIndex {
       .withColumn("len", sum("tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-      .select("term", "doc_id", "tf", "len", "positions", "bucket")
+      .withColumn("blk", ((row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("term")
+            .orderBy(impactCol(avgdl).desc, col("doc_id"))) - 1)
+        / lit(blockSize)).cast("int"))
+      .select("term", "doc_id", "tf", "len", "positions", "bucket", "blk")
   }
 
   /** The index's document scope is NON-BLANK docs — the same
     * population [[TextAnalysis.bm25]] models and [[compact]]'s exact
     * recompute (distinct over surviving postings) can see; counting
     * blank/null docs here would desynchronize (N, avgdl) from both. */
-  private def writeStatsDelta(docs: DataFrame, store: String): Unit =
-    docs.filter(length(trim(col("text"))) > 0)
+  private def docStats(docs: DataFrame): (Long, Long) = {
+    val r = docs.filter(length(trim(col("text"))) > 0)
       .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("len"))
       .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("len"), lit(0L)).as("total_len"))
-      .coalesce(1).write.mode("append").parquet(s"$store/_stats")
+        coalesce(sum("len"), lit(0L)).as("total_len")).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
-  /** Build the base index over `docs` (doc_id, text). */
-  def write(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
-    require(buckets >= 1)
+  private def writeStatsDelta(spark: SparkSession, nDocs: Long,
+                              totalLen: Long, store: String): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalLen)).toDF("n_docs", "total_len")
+      .coalesce(1).write.mode("append").parquet(s"$store/_stats")
+  }
+
+  /** Block-max skip rows for a postings batch, into the generation's
+    * `_skips/` sidecar: per (term, blk) the score-bound facts
+    * (max_tf, min_len) plus the block's row count. Append batches
+    * restart blk at 0, so a (term, blk) key may repeat across deltas —
+    * readers MERGE repeats conservatively (max/min/sum), which only
+    * coarsens bounds; [[compact]] re-blocks rewritten buckets back to
+    * clean global ranks. */
+  private def writeSkips(post: DataFrame, store: String, overwrite: Boolean): Unit =
+    post.groupBy("bucket", "term", "blk")
+      .agg(max("tf").as("max_tf"), min("len").as("min_len"),
+        count(lit(1)).as("n"))
+      .repartition(col("bucket")).sortWithinPartitions("term", "blk")
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("bucket").parquet(s"$store/_skips")
+
+  /** Build the base index over `docs` (doc_id, text). `blockSize` is
+    * the impact-block granularity (postings per skip block): smaller
+    * blocks prune tighter but grow the sidecar ~linearly in 1/size. */
+  def write(docs: DataFrame, dir: String, buckets: Int = 64,
+            blockSize: Int = 4096): Unit = {
+    require(buckets >= 1 && blockSize >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(buckets).toDF("buckets")
+    Seq((buckets, blockSize)).toDF("buckets", "block_size")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,23 +163,51 @@ object TextIndex {
       .filter(q => q.getName.startsWith("postings") ||
         q.getName == "tombstones" || q.getName == "purged")
       .foreach(q => fs.delete(q, true))
-    postings(docs, buckets)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-    writeStatsDelta(docs, s"$dir/postings")
+    val (nd, tl) = docStats(docs)
+    val avgdl = if (nd == 0) 1.0 else tl.toDouble / nd
+    // postings feed two writes (files + skip sidecar); persist so the
+    // tokenize/rank lineage runs once
+    val post = postings(docs, buckets, blockSize, avgdl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.repartition(col("bucket")).sortWithinPartitions("term", "blk")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      writeSkips(post, s"$dir/postings", overwrite = true)
+      writeStatsDelta(spark, nd, tl, s"$dir/postings")
+    } finally { post.unpersist(); () }
   }
+
+  /** The build's frozen block granularity; pre-sidecar indexes (no
+    * block_size in meta) get the default — their stores also have no
+    * `_skips`, so the value only matters once a compaction re-blocks. */
+  private def blockSizeOf(meta: org.apache.spark.sql.Row): Int =
+    if (meta.schema.fieldNames.contains("block_size"))
+      meta.getAs[Int]("block_size")
+    else 4096
 
   /** O(batch) maintenance: append a batch's postings + one stats delta
     * into the LIVE generation under the frozen bucket scheme. Build +
     * appends serves row-identically to a fresh build over the union
-    * (bucket assignment is a pure function of the term). */
+    * (bucket assignment is a pure function of the term). Skip rows
+    * append only when the store HAS a sidecar — a legacy store must
+    * not gain a partial one (the pruned path requires the sidecar to
+    * cover every posting). */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val buckets = spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
     val store = liveStore(spark, dir)
-    postings(docs, buckets)
-      .write.mode("append").partitionBy("bucket").parquet(store)
-    writeStatsDelta(docs, store)
+    val (nd, tl) = docStats(docs)
+    val avgdl = if (nd == 0) 1.0 else tl.toDouble / nd
+    val post = postings(docs, buckets, blockSizeOf(meta), avgdl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      post.write.mode("append").partitionBy("bucket").parquet(store)
+      val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(s"$store/_skips")))
+        writeSkips(post, store, overwrite = false)
+      writeStatsDelta(spark, nd, tl, store)
+    } finally { post.unpersist(); () }
   }
 
   /** Takedowns: O(batch) tombstone append; the ids stop appearing in
@@ -231,7 +322,7 @@ object TextIndex {
     * exclusion used, so the caller's stats fold sees the SAME
     * takedown set (one listing per query, not two racing ones). */
   private def prunedPostings(spark: SparkSession, dir: String,
-                             qTerms: Seq[String]): (String, DataFrame, Seq[String]) = {
+                             qTerms: Seq[String]): (String, DataFrame, Seq[String], Array[Int]) = {
     // frozen scheme — signature-cached so the serving path skips the
     // per-query meta job (see Stores.cachedModel)
     val buckets: Integer = Stores.cachedModel(spark, "tidx-meta", s"$dir/meta") {
@@ -251,34 +342,65 @@ object TextIndex {
       else post.join(
         broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    (store, live, tombs)
+    (store, live, tombs, termBuckets)
+  }
+
+  /** The exact BM25 idf/contribution expressions — ONE definition
+    * serves the exhaustive path, the MaxScore rescore, and (via df
+    * literals) the sidecar-df fast path, so every route produces
+    * bit-identical doubles (the oracle gate hashes score columns). */
+  private def idfCol(nDocs: Long): Column =
+    log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+
+  private def contribCol(idf: Column, k1: Double, b: Double, avgdl: Double): Column =
+    idf * col("tf") * (lit(k1) + 1) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl)))
+
+  /** Exact per-(query, doc) BM25 over the pruned postings — the
+    * scoring tail shared by every search route. `dfs` must carry
+    * (term, df); `qDf`, when given, fans term rows out to the queries
+    * containing them (batch mode). */
+  private def scoreAll(live: DataFrame, dfs: DataFrame, qDf: Option[DataFrame],
+                       nDocs: Long, k1: Double, b: Double, avgdl: Double): DataFrame = {
+    val scored = live.join(broadcast(dfs), "term")
+      .withColumn("idf", idfCol(nDocs))
+      .withColumn("contrib", contribCol(col("idf"), k1, b, avgdl))
+    val fanned = qDf.map(q => scored.join(broadcast(q), "term")).getOrElse(scored)
+    val keys = if (qDf.isDefined) Seq("query_id", "doc_id") else Seq("doc_id")
+    fanned.groupBy(keys.map(col): _*)
+      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(keys.map(col) ++ Seq(
+        col("raw").cast("double").as("score"), col("n_terms")): _*)
   }
 
   /** BM25 top-k for `terms`: one partition-pruned scan of the query
-    * terms' buckets. Deterministic cut (score desc, doc_id asc);
-    * scores are the decimal-exact [[TextAnalysis.bm25]] values, so an
-    * index built over a corpus scores queries identically to the
-    * corpus-scan path (the `q_bm25_indexed` oracle pins this). */
+    * terms' buckets, block-max pruned when the index is big enough to
+    * profit (see [[maxScoreTopK]] — results are EXACTLY the
+    * exhaustive cut either way). Deterministic cut (score desc,
+    * doc_id asc); scores are the decimal-exact [[TextAnalysis.bm25]]
+    * values, so an index built over a corpus scores queries
+    * identically to the corpus-scan path (the `q_bm25_indexed` oracle
+    * pins this). */
   def search(spark: SparkSession, dir: String, terms: Seq[String], k: Int,
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val (store, live, tombs) = prunedPostings(spark, dir, qTerms)
+    val (store, live, tombs, termBuckets) = prunedPostings(spark, dir, qTerms)
     val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
     val avgdl = totalLen.toDouble / nDocs
-    val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
-    live.join(broadcast(dfs), "term")
-      .withColumn("idf",
-        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("contrib",
-        col("idf") * col("tf") * (lit(k1) + 1) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
-      .groupBy("doc_id")
-      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
-        count(lit(1)).as("n_terms"))
-      .select(col("doc_id"), col("raw").cast("double").as("score"), col("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    maxScoreTopK(spark, store, live, tombs, termBuckets,
+        Seq(0L -> qTerms), k, k1, b, nDocs, totalLen, single = true) match {
+      case Some(scored) =>
+        scored.select("doc_id", "score", "n_terms")
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+      case None =>
+        val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
+        scoreAll(live, dfs, None, nDocs, k1, b, avgdl)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(k)
+    }
   }
 
   /** Batch serving: BM25 top-k for MANY queries in one pass — the
@@ -320,27 +442,213 @@ object TextIndex {
         .toDF("query_id", "doc_id", "score", "n_terms")
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
-    val (store, live, tombs) = prunedPostings(spark, dir, allTerms)
+    val (store, live, tombs, termBuckets) = prunedPostings(spark, dir, allTerms)
     val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
     val avgdl = totalLen.toDouble / nDocs
-    val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
+    val grouped = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    live.join(broadcast(dfs), "term")
-      .withColumn("idf",
-        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("contrib",
-        col("idf") * col("tf") * (lit(k1) + 1) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("len") / lit(avgdl))))
-      .join(broadcast(q), "term")
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
-        count(lit(1)).as("n_terms"))
-      .select(col("query_id"), col("doc_id"),
-        col("raw").cast("double").as("score"), col("n_terms"))
+    val scored = maxScoreTopK(spark, store, live, tombs, termBuckets,
+        grouped, k, k1, b, nDocs, totalLen).getOrElse {
+      val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
+      scoreAll(live, dfs, Some(q), nDocs, k1, b, avgdl)
+    }
+    scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .orderBy("query_id", "doc_id")
+  }
+
+  /** MaxScore/block-max pruned EXACT top-k — the 100-TB serving path
+    * for common-term queries, where exhaustive-exact BM25 otherwise
+    * scores Σ df(term) postings (measured linear in the corpus,
+    * HYBRID_SCALE.md). Returns None when the index has no `_skips`
+    * sidecar or pruning cannot pay (small index, unprunable
+    * thresholds, candidate blowup) — callers then run the exhaustive
+    * tail. When it returns rows, they are BIT-IDENTICAL to the
+    * exhaustive path's (same idf/contrib ASTs, same decimal sums over
+    * the same per-candidate posting sets — spec- and oracle-pinned):
+    *
+    *   1. per-term sidecar aggregates (df upper bound, max block
+    *      impact) — one tiny bucket-pruned `_skips` read;
+    *   2. a threshold θ_q per query = the k-th best PARTIAL score over
+    *      block-0 postings only, with UNDERestimated idf (df upper
+    *      bound) — any subset's partial scores lower-bound true
+    *      scores, so ≥ k docs truly score ≥ θ_q;
+    *   3. per-term survival cutoff λ_t = min over queries containing t
+    *      of (θ_q − Σ_{t'≠t} ubmax_{t'}), with OVERestimated idf
+    *      (df lower bound = df_u − |tombstoned ids|). A block whose
+    *      bound falls below λ_t cannot host any result doc: for every
+    *      term of every query the doc matches, score ≤ ub(block) +
+    *      rest < θ_q. So docs of surviving blocks are a candidate
+    *      SUPERSET of every true top-k;
+    *   4. candidates = distinct doc_ids under the per-term surviving
+    *      block prefix (blk ≤ bmax_t — pushed to parquet row groups in
+    *      the impact-sorted files), then EXACT rescore of candidates
+    *      only: all their postings, exact df/idf, the shared decimal
+    *      sum. The scoring exchange carries candidate postings, not
+    *      matched postings.
+    *
+    * θ uses a 1e-9 relative slack so float noise in the partial sums
+    * can never prune a boundary doc. Tombstones only make bounds
+    * conservative (sidecar keeps tombstoned rows until compact); when
+    * tombstones are PRESENT the exact df falls back to the pruned
+    * scan, when absent the sidecar df (= live row count per term) is
+    * exact and the df scan is skipped entirely. */
+  /** Last search route taken, for specs and probes ("maxscore:<prefix
+    * rows>/<matched postings>" or "exhaustive:<why>") — diagnostics
+    * only, never part of results. */
+  @volatile private[graft] var lastRoute: String = ""
+
+  private def maxScoreTopK(spark: SparkSession, store: String, live: DataFrame,
+                           tombs: Seq[String], termBuckets: Array[Int],
+                           queries: Seq[(Long, Seq[String])], k: Int,
+                           k1: Double, b: Double, nDocs: Long,
+                           totalLen: Long, single: Boolean = false): Option[DataFrame] = {
+    import spark.implicits._
+    def confLong(key: String, dflt: Long): Long =
+      try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
+    def exhaustive(why: String): Option[DataFrame] = { lastRoute = s"exhaustive:$why"; None }
+    if (nDocs <= 0) return exhaustive("empty")
+    if (spark.conf.get("graft.textindex.maxscore", "true") != "true")
+      return exhaustive("disabled")
+    val floor = confLong("graft.textindex.maxscorePostingsFloor", 1000000L)
+    // totalLen (already resolved, cached) upper-bounds matched postings:
+    // below the floor the exhaustive path is one job and pruning's
+    // extra planning jobs cost more than they save
+    if (totalLen < floor) return exhaustive("floor")
+    val skipsPath = new Path(s"$store/_skips")
+    val fs = skipsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(skipsPath)) return exhaustive("no-sidecar")
+    val avgdl = totalLen.toDouble / nDocs
+    val allTerms = queries.flatMap(_._2).distinct
+    val skips = spark.read.parquet(s"$store/_skips")
+      .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
+      .filter(col("term").isin(allTerms: _*))
+    // per-block impact bound: BM25's tf factor is ↑ in tf and ↓ in
+    // len, so f(max_tf, min_len) ≥ f(tf, len) for every posting in the
+    // block, for the QUERY's (k1, b) and the exact avgdl
+    val fBound = col("max_tf") * (k1 + 1) /
+      (col("max_tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("min_len") / lit(avgdl)))
+    val perTerm: Map[String, (Long, Double, Long)] = skips.groupBy("term")
+      .agg(sum("n").as("df_u"), max(fBound).as("fmax"),
+        count(lit(1)).as("nblk"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    if (perTerm.isEmpty) return exhaustive("no-terms")
+    val matched = perTerm.values.map(_._1).sum
+    if (matched < floor) return exhaustive("floor-matched")
+    // |tombstoned ids| lower-bounds every term's live df; exact enough
+    // for BOUNDS (idf is ↓ in df, so df_l overestimates idf safely)
+    val nTomb: Long =
+      if (tombs.isEmpty) 0L
+      else Stores.cachedModel(spark,
+        s"tidx-tomb-count:${tombs.sorted.mkString(",")}", store) {
+        Long.box(spark.read.parquet(tombs: _*).select("doc_id").distinct().count())
+      }.longValue
+    def idfOf(df: Long): Double =
+      math.log(1.0 + ((nDocs - df) + 0.5) / (df + 0.5))
+    val idfUp = perTerm.map { case (t, (dfU, _, _)) => t -> idfOf(math.max(0L, dfU - nTomb)) }
+    val idfLo = perTerm.map { case (t, (dfU, _, _)) => t -> idfOf(dfU) }
+    val ubMax = perTerm.map { case (t, (_, fmax, _)) => t -> idfUp(t) * fmax }
+    val qPairs = queries.flatMap { case (qid, ts) =>
+      ts.distinct.filter(perTerm.contains).map(qid -> _) }
+    if (qPairs.isEmpty) return exhaustive("no-matching-terms")
+    // θ_q: k-th best PARTIAL score per query over each term's top
+    // impact blocks (underestimated idf, tombstone-excluded rows),
+    // with relative slack against float noise in the partial sum. The
+    // θ-prefix depth is a QUALITY knob only (any subset's partials
+    // lower-bound true scores): deep enough that multi-term result
+    // docs accumulate several contributions, so θ approaches the true
+    // k-th score instead of a single-term fragment. ~targetRows
+    // postings per term ≈ targetRows/(df/nblk-rows) sidecar blocks.
+    // one default-sized block per term: at production block size the
+    // θ pass reads exactly blk 0; fine-blocked indexes read the same
+    // row volume across more blocks. 8·k keeps deep-k requests honest.
+    val targetRows = math.max(4096L, 8L * k)
+    val thetaBlk = perTerm.map { case (t, (dfU, _, nblk)) =>
+      t -> math.max(0L, targetRows * nblk / math.max(1L, dfU)) }
+    val loDf = qPairs.map { case (qid, t) => (qid, t, idfLo(t), thetaBlk(t)) }
+      .toDF("query_id", "term", "idf_lo", "blk_theta")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("p").desc)
+    val theta: Map[Long, Double] = live
+      .join(broadcast(loDf), "term")
+      .filter(col("blk") <= col("blk_theta"))
+      .withColumn("contrib", contribCol(col("idf_lo"), k1, b, avgdl))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("contrib").cast("decimal(28,12)")).as("p"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === k).select("query_id", "p")
+      .collect()
+      .map(r => r.getLong(0) ->
+        math.max(0.0, r.getDecimal(1).doubleValue * (1 - 1e-9) - 1e-12))
+      .toMap
+    // MaxScore term partition, per query: the NON-ESSENTIAL terms are
+    // the weakest-ubmax prefix whose bound sum stays under θ_q — a doc
+    // matching only those cannot reach θ_q, so they are excluded from
+    // candidate generation entirely (their postings still join the
+    // exact rescore). Inside the ESSENTIAL terms the block rule
+    // applies: block b of term t hosts no result doc when
+    // ub(t,b) + Σ_{t'≠t} ubmax_{t'} < θ_q. λ_t = the loosest cutoff
+    // over the queries where t is essential; a term essential nowhere
+    // gets no λ and generates no candidates.
+    val lambda: Map[String, Double] = {
+      val cuts = scala.collection.mutable.Map.empty[String, Double]
+      queries.foreach { case (qid, ts0) =>
+        val ts = ts0.distinct.filter(perTerm.contains)
+        if (ts.nonEmpty) {
+          val th = theta.getOrElse(qid, 0.0)
+          val sorted = ts.sortBy(ubMax)
+          var cum = 0.0
+          val nonEss0 = sorted.takeWhile { t => cum += ubMax(t); cum < th }.toSet
+          // θ is achieved by ≥ k real docs, so Σ ubmax ≥ θ and at
+          // least one term stays essential; the guard is float
+          // paranoia, not a reachable state
+          val nonEss = if (nonEss0.size == ts.size) nonEss0 - sorted.last else nonEss0
+          val total = ts.map(ubMax).sum
+          ts.filterNot(nonEss).foreach { t =>
+            val cut = th - (total - ubMax(t))
+            cuts(t) = math.min(cuts.getOrElse(t, Double.PositiveInfinity), cut)
+          }
+        }
+      }
+      cuts.toMap
+    }
+    // nothing prunable: every matched term is essential somewhere AND
+    // every cutoff clears every block — skip the survivor jobs
+    if (lambda.size == perTerm.size && lambda.values.forall(_ <= 0.0))
+      return exhaustive("unprunable")
+    val lamDf = lambda.toSeq.map { case (t, l) => (t, idfUp(t), l) }
+      .toDF("term", "idf_up", "lam")
+    val surv: Map[String, Int] = skips.join(broadcast(lamDf), "term")
+      .filter(col("idf_up") * fBound >= col("lam"))
+      .groupBy("term").agg(max("blk").as("bmax"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    if (surv.isEmpty) return exhaustive("no-survivors")
+    // candidate volume under the surviving prefixes — the escape
+    // hatch: a weakly-pruned query (or a candidate set too big to
+    // broadcast) runs exhaustive instead
+    val bmaxDf = surv.toSeq.toDF("term", "bmax")
+    val prefixRows = skips.join(broadcast(bmaxDf), "term")
+      .filter(col("blk") <= col("bmax"))
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    val maxCand = confLong("graft.textindex.maxscoreMaxCandidates", 4000000L)
+    if (prefixRows > maxCand || prefixRows * 2 > matched)
+      return exhaustive(s"weak-pruning:$prefixRows/$matched")
+    val candFilter = surv.map { case (t, bm) =>
+      col("term") === t && col("blk") <= bm }.reduce(_ || _)
+    val cands = live.filter(candFilter).select("doc_id").distinct()
+    val dfs =
+      if (tombs.isEmpty)
+        perTerm.toSeq.map { case (t, (dfU, _, _)) => (t, dfU) }.toDF("term", "df")
+      else live.groupBy("term").agg(count(lit(1)).as("df"))
+    val rescore = live.join(broadcast(cands), Seq("doc_id"), "left_semi")
+    val qDf = if (single) None else Some(qPairs.toDF("query_id", "term"))
+    lastRoute = s"maxscore:$prefixRows/$matched"
+    Some(scoreAll(rescore, dfs, qDf, nDocs, k1, b, avgdl))
   }
 
   /** Exact PHRASE search over the positional postings: documents
@@ -360,7 +668,7 @@ object TextIndex {
     require(terms.nonEmpty && k >= 1)
     val n = terms.length
     val distinctTerms = terms.distinct
-    val (_, live, _) = prunedPostings(spark, dir, distinctTerms)
+    val (_, live, _, _) = prunedPostings(spark, dir, distinctTerms)
     // one row per doc with its term→positions map; docs missing any
     // distinct term cannot match and drop before the intersection
     val perDoc = live
@@ -427,7 +735,7 @@ object TextIndex {
       return Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "n_hits")
     val q = inst.toDF("query_id", "term", "i", "n_terms")
     val allTerms = inst.map(_._2).distinct
-    val (_, live, _) = prunedPostings(spark, dir, allTerms)
+    val (_, live, _, _) = prunedPostings(spark, dir, allTerms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("n_hits").desc, col("doc_id"))
     live.select("term", "doc_id", "positions")
@@ -564,20 +872,61 @@ object TextIndex {
     // a torn previous compaction may have left this path uncommitted
     // (no marker) — it is garbage, not a resumable state
     if (fs.exists(new Path(next))) fs.delete(new Path(next), true)
+    // skip-sidecar invariant: a generation has `_skips` iff EVERY
+    // posting is covered by it — so carry/rebuild only when the live
+    // generation has one (a pre-sidecar store must not gain a partial
+    // sidecar; it regains pruning on the next full build)
+    val hasSkips = fs.exists(new Path(s"$live/_skips"))
     carry.foreach { d =>
       val dst = new Path(s"$next/${d.getPath.getName}")
       fs.mkdirs(dst)
       parquets(d.getPath).foreach(f =>
         FileUtil.copy(fs, f.getPath, fs,
           new Path(dst, f.getPath.getName), false, conf))
+      val skipSrc = new Path(s"$live/_skips/${d.getPath.getName}")
+      if (hasSkips && fs.exists(skipSrc)) {
+        val skipDst = new Path(s"$next/_skips/${d.getPath.getName}")
+        fs.mkdirs(skipDst)
+        parquets(skipSrc).foreach(f =>
+          FileUtil.copy(fs, f.getPath, fs,
+            new Path(skipDst, f.getPath.getName), false, conf))
+      }
     }
     if (rewrite.nonEmpty) {
       val bs = rewrite.map(_.getPath.getName.stripPrefix("bucket=").toInt).toIndexedSeq
       val toRewrite = spark.read.parquet(live).filter(col("bucket").isin(bs: _*))
-      tombDf.map(t => toRewrite.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      val survivors = tombDf
+        .map(t => toRewrite.join(broadcast(t), Seq("doc_id"), "left_anti"))
         .getOrElse(toRewrite)
-        .repartition(bs.length, col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(next)
+      if (!hasSkips) {
+        survivors
+          .repartition(bs.length, col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(next)
+      } else {
+        // re-block the survivors to clean global impact ranks (append
+        // deltas restarted blk at 0 — merged bounds stay correct but
+        // coarse; compaction is where they snap back). avgdl here is a
+        // LAYOUT hint only (bounds are per-block facts), so the
+        // postings-weighted mean is close enough and one cheap agg.
+        val blockSize = blockSizeOf(spark.read.parquet(s"$dir/meta").head())
+        val avgdl = survivors.agg(avg(col("len"))).head() match {
+          case r if r.isNullAt(0) => 1.0
+          case r => math.max(1.0, r.getDouble(0))
+        }
+        val reblocked = survivors.drop("blk")
+          .withColumn("blk", ((row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("term")
+                .orderBy(impactCol(avgdl).desc, col("doc_id"))) - 1)
+            / lit(blockSize)).cast("int"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          reblocked
+            .repartition(bs.length, col("bucket"))
+            .sortWithinPartitions("term", "blk")
+            .write.mode("append").partitionBy("bucket").parquet(next)
+          writeSkips(reblocked, next, overwrite = false)
+        } finally { reblocked.unpersist(); () }
+      }
     }
     // exact stats from the survivors, INSIDE the new generation; the
     // COMMIT MARKER goes last, so the generation becomes visible only

@@ -1234,6 +1234,71 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(none.columns.toSeq == Seq("query_id", "doc_id", "score", "n_terms"))
   }
 
+  test("maxscore pruning: bit-identical to exhaustive across the index lifecycle") {
+    import spark.implicits._
+    val T = graft.pipeline.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_maxscore").toString
+    val d2 = docs.select(col("doc_id"), col("text"))
+    // tiny blocks so the fixture corpus spreads common terms over many
+    // impact blocks — pruning has something to skip
+    T.write(d2.filter(col("doc_id") % 2 === 0), dir, buckets = 16, blockSize = 4)
+    T.append(d2.filter(col("doc_id") % 2 === 1), dir)
+    def forced[A](f: => A): A = {
+      spark.conf.set("graft.textindex.maxscorePostingsFloor", "0")
+      try f finally spark.conf.unset("graft.textindex.maxscorePostingsFloor")
+    }
+    def off[A](f: => A): A = {
+      spark.conf.set("graft.textindex.maxscore", "false")
+      try f finally spark.conf.unset("graft.textindex.maxscore")
+    }
+    val termSets = Seq(
+      Seq("spark", "hash"), Seq("spark", "data", "window"),
+      Seq("scan"), Seq("spark", "zzz_absent_term"))
+    val routes = scala.collection.mutable.ArrayBuffer.empty[String]
+    def check(stage: String): Unit = for (ts <- termSets; k <- Seq(1, 5, 10)) {
+      val pruned = forced {
+        val r = T.search(spark, dir, ts, k).collect()
+          .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq
+        routes += T.lastRoute
+        r
+      }
+      val exact = off(T.search(spark, dir, ts, k).collect()
+        .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2))).toSeq)
+      assert(pruned == exact, s"$stage terms=$ts k=$k route=${routes.last}")
+    }
+    check("build+append")
+    // the route must actually ENGAGE for at least one combo — a suite
+    // where every combo escapes to exhaustive proves nothing
+    assert(routes.exists(_.startsWith("maxscore")),
+      s"no combo engaged block-max pruning: ${routes.distinct.mkString(", ")}")
+    // takedowns: bounds go conservative (sidecar keeps tombstoned
+    // rows), exact df falls back to the scan — results still exact
+    val victims = T.search(spark, dir, Seq("spark", "hash"), 3)
+      .collect().map(_.getLong(0)).toSeq
+    T.delete(spark, dir, victims)
+    check("post-delete")
+    // mixed compact: victim buckets rewrite (re-blocked, fresh skip
+    // rows), the rest carry by raw copy including their sidecar slice
+    assert(T.compact(spark, dir, maxFilesPerBucket = 64) >= 1)
+    check("post-compact-carry")
+    // full rewrite: every bucket re-blocked to clean global ranks
+    T.append(d2.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text")), dir)
+    T.compact(spark, dir, maxFilesPerBucket = 1)
+    check("post-compact-rewrite")
+    // batch serving parity under forced pruning, query_id 0 included
+    // (must not collide with the single-query sentinel)
+    val batch = Seq(
+      (0L, Seq("spark", "data")),
+      (1L, Seq("spark", "join")),
+      (2L, Seq("window", "hash", "scan"))).toDF("query_id", "terms")
+    def batchRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val prunedB = forced(batchRows(T.searchMany(spark, dir, batch, 7)))
+    val exactB = off(batchRows(T.searchMany(spark, dir, batch, 7)))
+    assert(prunedB == exactB, "batch maxscore diverges from exhaustive")
+  }
+
   test("phrase search: shifted-position intersection equals direct text scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_phrase_spec").toString
