@@ -59,6 +59,17 @@ object Bench {
   // overhead, no signal).
   private val FlagRatio = 2.0
   private val FlagDeltaSec = 0.1
+  // Box-health CONTROLS (round-17 verdict task): stable pure-Catalyst
+  // queries with meaningful references (0.4–1.3 s — above per-job
+  // overhead, below the iterative ops' natural variance) that no
+  // round's diff should touch. Their min-vs-ref ratios ship in the
+  // bench record; a run whose MEDIAN control exceeds ControlInflated
+  // is marked inflated:true — the number reflects a sick box (GC
+  // pressure, co-tenant load, thermal), not the plans, and must be
+  // re-run in a quieter window before it stands as a round's number.
+  private val ControlQueries = Seq("q_tpch_q4", "q_agg_groupby", "q_tpch_q1",
+    "q_window_running", "q_join5")
+  private val ControlInflated = 1.3
 
   /** Per-query seconds from a previous bench line's "queries" object —
     * tolerant single-purpose parse (flat string→number map), empty on
@@ -258,7 +269,31 @@ object Bench {
             "run `python3 tools/merge_bench_ref.py bench_out.json` and " +
             "commit bench_ref.json, or their retime gates stay inert")
     }
+    // Box-health verdict: control ratios vs the committed reference.
+    // Computed on full runs with a reference only; an ONLY-run or a
+    // ref-less run carries no health claim (empty controls object).
+    val controlRatios: Seq[(String, Double)] =
+      if (refTimes.isEmpty || only.nonEmpty) Seq.empty
+      else results.collect {
+        case (k, v, true) if ControlQueries.contains(k) && refTimes.contains(k) =>
+          k -> v / refTimes(k)
+      }
+    val controlsMedian: Option[Double] =
+      if (controlRatios.isEmpty) None
+      else Some(controlRatios.map(_._2).sorted.apply(controlRatios.size / 2))
+    val inflated = controlsMedian.exists(_ > ControlInflated)
+    if (inflated)
+      System.err.println(f"[bench] WARNING: box inflated — control median " +
+        f"${controlsMedian.get}%.2fx ref (${controlRatios.map { case (k, r) =>
+          f"$k=$r%.2f" }.mkString(", ")}); re-run in a quieter window " +
+        "before this stands as a round number or merges into bench_ref")
+    val controlsJson = controlRatios.map { case (k, r) => "\"" + k + "\":" + num(r) }
+      .mkString("{", ",", "}")
+    val healthJson = s""""controls":$controlsJson,""" +
+      controlsMedian.map(m => s""""controls_median":${num(m)},""").getOrElse("") +
+      s""""inflated":$inflated,"""
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      healthJson +
       s""""queries":$qs,"sf":${jstr(sfDir)},"errors":$errors,"retimed":$retimedJson}"""
     println(line)
     val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
@@ -270,7 +305,8 @@ object Bench {
     // pointer to the full per-query file) — the full record above and
     // in the file stays authoritative.
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""n_queries":${results.count(_._3)},"sf":${jstr(sfDir)},"errors":$errors,""" +
+      s""""n_queries":${results.count(_._3)},"inflated":$inflated,""" +
+      s""""sf":${jstr(sfDir)},"errors":$errors,""" +
       s""""queries_file":${jstr(absOut.toString)}}""")
     spark.stop()
   }

@@ -189,10 +189,18 @@ object SparkEntry {
       f.getAbsolutePath
     })
 
+  /** The deterministic tmpdir path of the shared IVF fixture for
+    * `sfDir` — ONE derivation serving both the builder below and the
+    * drift oracle's direct DuckDB read (oracleSql), so a naming-scheme
+    * change can never desynchronize the two into reading different
+    * directories. */
+  private def ivfIndexPath(sfDir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+
   private def ivfIndexDir(s: SparkSession, d: String): String =
     ivfIndexDirs.computeIfAbsent(d, dir => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val out = ivfIndexPath(dir)
       pipeline.Embeddings.writeIvfIndex(Engine.table(s, dir, "embeddings"), out)
       out
     })
@@ -4912,12 +4920,11 @@ object SparkEntry {
   @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
 
   def oracleSql: Map[String, String] = {
-    // the shared IVF index the drift oracle reads directly: the same
-    // deterministic tmpdir path ivfIndexDir builds for the current
-    // verify sfDir (persisted on disk, so DuckDB sees it after the
-    // Verify run that built it)
-    val ivfDir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + Integer.toHexString(oracleSfDir.hashCode)).getAbsolutePath
+    // the shared IVF index the drift oracle reads directly: the SAME
+    // path derivation ivfIndexDir builds for the current verify sfDir
+    // (persisted on disk, so DuckDB sees it after the Verify run that
+    // built it)
+    val ivfDir = ivfIndexPath(oracleSfDir)
     (parityOracles ++ aggOracles ++ joinOracles ++ ext2Oracles ++ ext3Oracles ++
       pipelineOracles ++ ext6Oracles ++ analyticsOracles)
       .map { case (k, v) =>

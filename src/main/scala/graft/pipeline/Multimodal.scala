@@ -219,34 +219,55 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Near-duplicate media pairs by perceptual-hash hamming distance —
-    * the media-side sibling of [[graft.pipeline.TextDedup.simhashPairs]]
-    * and the standard image-dedup primitive. Candidates come from
-    * 8-way chunk banding (two hashes within hamming 7 MUST share one
-    * of 8 aligned 8-bit chunks, by pigeonhole — so recall is 1.0 for
-    * `maxHamming` ≤ 7); the exact hamming filter runs on candidates
-    * only. Join rows carry (doc_id, 8-char chunk), never payloads. */
-  def phashDupPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      s"chunk banding guarantees recall only to hamming 7 (got $maxHamming)")
-    // pack the 64-bit phash into two 32-bit longs (conv of a full
-    // 64-char string can exceed signed int64): hamming becomes two
-    // codegen'd bit_count(xor) terms instead of a 64-iteration
-    // per-character fold, and candidate rows carry 16 bytes instead
-    // of 64-char strings — the [[graft.pipeline.TextDedup.simhashPairs]]
-    // verification idiom. The exact filter runs BEFORE distinct, so a
-    // pair sharing several chunks is deduplicated on the cheap
-    // (doc_a, doc_b, hamming) shape, never on strings.
+  /** Aligned band-chunk rows for the hamming candidate join: the
+    * 64-bit phash packed into two 32-bit longs (conv of a full 64-char
+    * string can exceed signed int64 — hamming then runs as two
+    * codegen'd bit_count(xor) terms and candidate rows carry 16 bytes,
+    * never strings) exploded into `64/bandBits` chunk values, chunk c
+    * = bits [c·bandBits, (c+1)·bandBits) MSB-first. Exposed to
+    * FuzzyScaleProbe so the candidate-volume measurement shares this
+    * exact derivation with the production join. */
+  private[graft] def phashChunks(media: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits == 8 || bandBits == 16,
+      s"bandBits must be 8 or 16 (got $bandBits)")
     val h = perceptualHash(media).select(col("doc_id"),
       expr("cast(conv(substring(phash, 1, 32), 2, 10) as bigint)").as("h1"),
       expr("cast(conv(substring(phash, 33, 32), 2, 10) as bigint)").as("h2"))
-    // aligned 8-bit chunk c: chars c*8+1..c*8+8 = bits of h1 (c<4) or
-    // h2 (c>=4), MSB-first within each half
-    val chunked = h.select(col("doc_id"), col("h1"), col("h2"),
-      explode(sequence(lit(0), lit(7))).as("c"))
+    val perHalf = 32 / bandBits
+    val mask = (1L << bandBits) - 1
+    h.select(col("doc_id"), col("h1"), col("h2"),
+      explode(sequence(lit(0), lit(64 / bandBits - 1))).as("c"))
       .select(col("doc_id"), col("h1"), col("h2"), col("c"),
-        expr("CASE WHEN c < 4 THEN shiftrightunsigned(h1, (3 - c) * 8) " +
-          "ELSE shiftrightunsigned(h2, (7 - c) * 8) END & 255L").as("v"))
+        expr(s"CASE WHEN c < $perHalf THEN " +
+          s"shiftrightunsigned(h1, ($perHalf - 1 - c) * $bandBits) " +
+          s"ELSE shiftrightunsigned(h2, (${2 * perHalf} - 1 - c) * $bandBits) " +
+          s"END & ${mask}L").as("v"))
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * the media-side sibling of [[graft.pipeline.TextDedup.simhashPairs]]
+    * and the standard image-dedup primitive. Candidates come from
+    * aligned `bandBits`-bit chunk banding (two hashes within hamming
+    * 64/bandBits − 1 MUST share one aligned chunk, by pigeonhole — so
+    * recall is EXACTLY 1.0 inside that radius); the exact hamming
+    * filter runs on candidates only. Join rows carry (doc_id, chunk
+    * value), never payloads.
+    *
+    * `bandBits` is the 100-TB knob: an aligned band COLLIDES for
+    * unrelated items with probability ≥ 2^-bandBits per band (worse on
+    * real aHash bits, which correlate on smooth images), so expected
+    * stray candidates grow ~(64/bandBits)·N²/2^bandBits — quadratic in
+    * N with a constant the band width controls. 8-bit chunks
+    * (default; recall 1.0 to hamming 7) are the small-corpus setting;
+    * 16-bit chunks divide stray candidates by ~512 (4 bands × 256)
+    * at the cost of the guaranteed radius dropping to hamming 3 —
+    * measured in FUZZY_SCALE.md's hamming section. */
+  def phashDupPairs(media: DataFrame, maxHamming: Int = 6,
+                    bandBits: Int = 8): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64 / bandBits - 1,
+      s"$bandBits-bit chunk banding guarantees recall only to hamming " +
+        s"${64 / bandBits - 1} (got $maxHamming)")
+    val chunked = phashChunks(media, bandBits)
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

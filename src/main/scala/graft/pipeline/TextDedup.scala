@@ -120,7 +120,7 @@ object TextDedup {
     definitelyClean.union(verifiedClean).orderBy("doc_id")
   }
 
-  private def withHashes(docs: DataFrame, k: Int): DataFrame =
+  private[graft] def withHashes(docs: DataFrame, k: Int): DataFrame =
     graft.Engine.fanOut(docs)
       .select(col("doc_id"), shingleHashes(col("text"), k).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -961,23 +961,44 @@ object TextDedup {
   def simhash(text: Column, k: Int = 3): Column =
     NativeExpressions.simhash_bits(shingleHashes(text, k))
 
-  /** SimHash near-dup pairs: 8-bit chunk-bucket candidates (by
-    * pigeonhole, recall 1.0 for pairs within hamming 7 of each other —
+  /** Aligned band-chunk rows over a [[withHashes]] frame — the simhash
+    * candidate join's bucketing, exposed to FuzzyScaleProbe so the
+    * candidate-volume measurement shares this exact derivation. */
+  private[graft] def simhashChunks(sh: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits == 8 || bandBits == 16,
+      s"bandBits must be 8 or 16 (got $bandBits)")
+    val sg = sh.select(col("doc_id"), NativeExpressions.simhash_bits(col("sh")).as("h"))
+    val mask = (1L << bandBits) - 1
+    sg.select(col("doc_id"), col("h"),
+      explode(array((0 until 64 / bandBits).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("h"), bandBits * c).bitwiseAND(lit(mask)).as("v"))): _*)).as("ck"))
+      .select(col("doc_id"), col("h"), col("ck.c"), col("ck.v"))
+  }
+
+  /** SimHash near-dup pairs: aligned `bandBits`-bit chunk-bucket
+    * candidates (by pigeonhole, recall 1.0 for pairs within hamming
+    * 64/bandBits − 1 of each other — at the 8-bit default, hamming 7;
     * measured max true-pair hamming is 7 at sf0.01 and 12 at sf0.1,
     * the tail caught by bucket luck; measured candidate recall 1.0 on
     * both fixtures), pruned by a codegen'd hamming filter
     * (bit_count(h_a ^ h_b) <= maxHamming) while the join rows are
     * still 16 bytes, then exact Jaccard verification — same emitted
-    * semantics as the other dedup variants. */
+    * semantics as the other dedup variants.
+    *
+    * `bandBits` is the 100-TB knob (see
+    * [[graft.pipeline.Multimodal.phashDupPairs]]): unrelated items
+    * collide per band with probability ≥ 2^-bandBits, so stray
+    * candidates grow ~(64/bandBits)·N²/2^bandBits — 16-bit chunks cut
+    * them ~512× at the cost of the pigeonhole radius dropping to
+    * hamming 3 (beyond it, candidate recall becomes bucket luck; the
+    * Jaccard verifier keeps emitted pairs exact either way, only
+    * recall is at stake). Measured in FUZZY_SCALE.md's hamming
+    * section. */
   def simhashPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-                   maxHamming: Int = 16): DataFrame = {
+                   maxHamming: Int = 16, bandBits: Int = 8): DataFrame = {
     val sh = withHashes(docs, k)
-    val sg = sh.select(col("doc_id"), NativeExpressions.simhash_bits(col("sh")).as("h"))
-    val chunked = sg.select(col("doc_id"), col("h"),
-      explode(array((0 until 8).map(c =>
-        struct(lit(c).as("c"),
-          shiftrightunsigned(col("h"), 8 * c).bitwiseAND(lit(255L)).as("v"))): _*)).as("ck"))
-      .select(col("doc_id"), col("h"), col("ck.c"), col("ck.v"))
+    val chunked = simhashChunks(sh, bandBits)
     val cands = chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

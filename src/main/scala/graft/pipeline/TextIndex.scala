@@ -35,11 +35,16 @@ import org.apache.spark.sql.functions._
   *                              THE GENERATION, so a compaction swap
   *                              replaces postings and stats atomically
   *   dir/postings…/_skips/      block-max skip sidecar, one row per
-  *                              (term, blk): (max_tf, min_len, n) —
-  *                              valid SCORE UPPER BOUNDS for any
-  *                              (k1, b) because BM25's per-posting
-  *                              term is monotone ↑ in tf and ↓ in len.
-  *                              Rides the generation like `_stats`
+  *                              (term, blk): (max_tf, min_len, n,
+  *                              max_f, w_avgdl) — (max_tf, min_len)
+  *                              bound the block's score for any
+  *                              (k1, b) (BM25's per-posting term is
+  *                              monotone ↑ in tf, ↓ in len); max_f is
+  *                              the exact block-max default-params
+  *                              impact at write avgdl w_avgdl (the
+  *                              tight bound, drift-corrected at query
+  *                              time). Rides the generation like
+  *                              `_stats`
   *   dir/tombstones/            doc_id takedowns
   *
   * [[search]] cost at 100 TB: `bucket IN (query-term buckets)` prunes
@@ -133,16 +138,26 @@ object TextIndex {
   }
 
   /** Block-max skip rows for a postings batch, into the generation's
-    * `_skips/` sidecar: per (term, blk) the score-bound facts
-    * (max_tf, min_len) plus the block's row count. Append batches
-    * restart blk at 0, so a (term, blk) key may repeat across deltas —
-    * readers MERGE repeats conservatively (max/min/sum), which only
-    * coarsens bounds; [[compact]] re-blocks rewritten buckets back to
-    * clean global ranks. */
-  private def writeSkips(post: DataFrame, store: String, overwrite: Boolean): Unit =
+    * `_skips/` sidecar: per (term, blk) the score-bound facts.
+    * (max_tf, min_len) bound the block for ANY (k1, b, avgdl);
+    * (max_f, w_avgdl) — the block's exact max DEFAULT-PARAMS impact at
+    * the batch's write-time avgdl — give the TIGHT bound
+    * max_f · max(1, a/ā) at query avgdl a (f is ↑ in avgdl and
+    * f(a)/f(ā) = D(ā)/D(a) ≤ a/ā), valid whenever the query uses the
+    * default (k1, b); custom params fall back to the loose bound.
+    * Tightness matters: (max_tf, min_len) combine extremes of
+    * DIFFERENT postings, overstating impact-sorted blocks whose
+    * members trade tf against len. Append batches restart blk at 0,
+    * so a (term, blk) key may repeat across deltas — readers treat
+    * every row independently (bounds stay valid, merely coarse);
+    * [[compact]] re-blocks rewritten buckets back to clean global
+    * ranks. */
+  private def writeSkips(post: DataFrame, store: String, avgdl: Double,
+                         overwrite: Boolean): Unit =
     post.groupBy("bucket", "term", "blk")
       .agg(max("tf").as("max_tf"), min("len").as("min_len"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"), max(impactCol(avgdl)).as("max_f"),
+        first(lit(avgdl)).as("w_avgdl"))
       .repartition(col("bucket")).sortWithinPartitions("term", "blk")
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("bucket").parquet(s"$store/_skips")
@@ -172,7 +187,7 @@ object TextIndex {
     try {
       post.repartition(col("bucket")).sortWithinPartitions("term", "blk")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
-      writeSkips(post, s"$dir/postings", overwrite = true)
+      writeSkips(post, s"$dir/postings", avgdl, overwrite = true)
       writeStatsDelta(spark, nd, tl, s"$dir/postings")
     } finally { post.unpersist(); () }
   }
@@ -205,7 +220,7 @@ object TextIndex {
       post.write.mode("append").partitionBy("bucket").parquet(store)
       val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(s"$store/_skips")))
-        writeSkips(post, store, overwrite = false)
+        writeSkips(post, store, avgdl, overwrite = false)
       writeStatsDelta(spark, nd, tl, store)
     } finally { post.unpersist(); () }
   }
@@ -361,12 +376,18 @@ object TextIndex {
     * (term, df); `qDf`, when given, fans term rows out to the queries
     * containing them (batch mode). */
   private def scoreAll(live: DataFrame, dfs: DataFrame, qDf: Option[DataFrame],
-                       nDocs: Long, k1: Double, b: Double, avgdl: Double): DataFrame = {
+                       nDocs: Long, k1: Double, b: Double, avgdl: Double,
+                       candPairs: Option[DataFrame] = None): DataFrame = {
     val scored = live.join(broadcast(dfs), "term")
       .withColumn("idf", idfCol(nDocs))
       .withColumn("contrib", contribCol(col("idf"), k1, b, avgdl))
-    val fanned = qDf.map(q => scored.join(broadcast(q), "term")).getOrElse(scored)
+    val fanned0 = qDf.map(q => scored.join(broadcast(q), "term")).getOrElse(scored)
     val keys = if (qDf.isDefined) Seq("query_id", "doc_id") else Seq("doc_id")
+    // batch MaxScore: keep only per-query candidate pairs BEFORE the
+    // aggregation exchange — map-side broadcast semi, values untouched
+    val fanned = candPairs
+      .map(cp => fanned0.join(broadcast(cp), keys, "left_semi"))
+      .getOrElse(fanned0)
     fanned.groupBy(keys.map(col): _*)
       .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
         count(lit(1)).as("n_terms"))
@@ -471,23 +492,34 @@ object TextIndex {
     * the same per-candidate posting sets — spec- and oracle-pinned):
     *
     *   1. per-term sidecar aggregates (df upper bound, max block
-    *      impact) — one tiny bucket-pruned `_skips` read;
+    *      impact bound) — one tiny bucket-pruned `_skips` read. Block
+    *      bounds are min(loose, tight): loose = f(max_tf, min_len)
+    *      (valid for any params), tight = the stored exact block-max
+    *      impact drift-corrected by max(1, avgdl/w_avgdl) (valid at
+    *      the default (k1, b));
     *   2. a threshold θ_q per query = the k-th best PARTIAL score over
-    *      block-0 postings only, with UNDERestimated idf (df upper
-    *      bound) — any subset's partial scores lower-bound true
-    *      scores, so ≥ k docs truly score ≥ θ_q;
-    *   3. per-term survival cutoff λ_t = min over queries containing t
-    *      of (θ_q − Σ_{t'≠t} ubmax_{t'}), with OVERestimated idf
-    *      (df lower bound = df_u − |tombstoned ids|). A block whose
-    *      bound falls below λ_t cannot host any result doc: for every
-    *      term of every query the doc matches, score ≤ ub(block) +
-    *      rest < θ_q. So docs of surviving blocks are a candidate
-    *      SUPERSET of every true top-k;
-    *   4. candidates = distinct doc_ids under the per-term surviving
-    *      block prefix (blk ≤ bmax_t — pushed to parquet row groups in
-    *      the impact-sorted files), then EXACT rescore of candidates
-    *      only: all their postings, exact df/idf, the shared decimal
-    *      sum. The scoring exchange carries candidate postings, not
+    *      each term's top-impact prefix (~maxscoreThetaRows postings,
+    *      literal blk filter pushed BEFORE the query fan-out), with
+    *      UNDERestimated idf (df upper bound) — any subset's partial
+    *      scores lower-bound true scores, so ≥ k docs truly score
+    *      ≥ θ_q;
+    *   3. the MaxScore term partition, PER QUERY: non-essential terms
+    *      (weakest-ubmax prefix summing under θ_q) generate no
+    *      candidates for q; essential term t prunes block b when
+    *      ub(t,b) + Σ_{t'∈q,t'≠t} ubmax_{t'} < θ_q, with
+    *      OVERestimated idf (df lower bound = df_u − |tombstoned
+    *      ids|). A doc outside the surviving blocks of ALL its
+    *      (query's) terms scores < θ_q — candidates are a SUPERSET of
+    *      every true top-k;
+    *   4. single query: candidates = distinct doc_ids under the
+    *      surviving prefix (blk ≤ bmax_t — pushed to parquet row
+    *      groups in the impact-sorted files). Batch: candidates are
+    *      (query_id, doc_id) PAIRS under each query's OWN prefixes,
+    *      and the yield is estimated from the sidecar alone BEFORE
+    *      any postings scan (a weak batch escapes having paid only
+    *      skip-file jobs). Then EXACT rescore of candidates only:
+    *      all their postings, exact df/idf, the shared decimal sum —
+    *      the scoring exchange carries candidate postings, not
     *      matched postings.
     *
     * θ uses a 1e-9 relative slack so float noise in the partial sums
@@ -495,7 +527,17 @@ object TextIndex {
     * conservative (sidecar keeps tombstoned rows until compact); when
     * tombstones are PRESENT the exact df falls back to the pruned
     * scan, when absent the sidecar df (= live row count per term) is
-    * exact and the df scan is skipped entirely. */
+    * exact and the df scan is skipped entirely.
+    *
+    * Worst case, measured honestly: a uniform-df corpus with
+    * common-term queries (every term df ≈ 78%, the probe's synthetic
+    * vocabulary) is MaxScore's pathological input — an exact-θ
+    * simulation still leaves ~22% of matched postings as candidates,
+    * so the batch path correctly ESCAPES there (estimate ≥ 5/16 of
+    * the fan) and the overhead is the skip jobs + θ pass (~5 s warm
+    * at 20×). Real Zipfian vocabularies (any query with one
+    * discriminative term) prune like the textbook says — the probe's
+    * skewed batch reads ~2.6% candidate pairs. */
   /** Last search route taken, for specs and probes ("maxscore:<prefix
     * rows>/<matched postings>" or "exhaustive:<why>") — diagnostics
     * only, never part of results. */
@@ -510,6 +552,13 @@ object TextIndex {
     def confLong(key: String, dflt: Long): Long =
       try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
     def exhaustive(why: String): Option[DataFrame] = { lastRoute = s"exhaustive:$why"; None }
+    val debug = spark.conf.get("graft.textindex.maxscoreDebug", "false") == "true"
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[maxscore] $phase ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
     if (nDocs <= 0) return exhaustive("empty")
     if (spark.conf.get("graft.textindex.maxscore", "true") != "true")
       return exhaustive("disabled")
@@ -526,17 +575,28 @@ object TextIndex {
     val skips = spark.read.parquet(s"$store/_skips")
       .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(allTerms: _*))
-    // per-block impact bound: BM25's tf factor is ↑ in tf and ↓ in
-    // len, so f(max_tf, min_len) ≥ f(tf, len) for every posting in the
-    // block, for the QUERY's (k1, b) and the exact avgdl
-    val fBound = col("max_tf") * (k1 + 1) /
+    // per-block impact bound, the MIN of two valid upper bounds:
+    // LOOSE — f(max_tf, min_len) ≥ f(tf, len) for any (k1, b, avgdl)
+    // because f is ↑ in tf and ↓ in len (but it combines extremes of
+    // DIFFERENT postings); TIGHT — the stored exact block max impact
+    // max_f (at write avgdl ā, default params) scaled by max(1, a/ā),
+    // valid because f is ↑ in avgdl with f(a)/f(ā) ≤ a/ā. Tight
+    // applies only at the default (k1, b) the writer used.
+    val fLoose = col("max_tf") * (k1 + 1) /
       (col("max_tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("min_len") / lit(avgdl)))
+    val hasTight = k1 == 1.2 && b == 0.75 &&
+      spark.read.parquet(s"$store/_skips").columns.contains("max_f")
+    val fBound = if (hasTight)
+      least(fLoose, col("max_f") * greatest(lit(1.0), lit(avgdl) / col("w_avgdl")))
+    else fLoose
+    mark("pre")
     val perTerm: Map[String, (Long, Double, Long)] = skips.groupBy("term")
       .agg(sum("n").as("df_u"), max(fBound).as("fmax"),
         count(lit(1)).as("nblk"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
       .toMap
+    mark("skips-agg")
     if (perTerm.isEmpty) return exhaustive("no-terms")
     val matched = perTerm.values.map(_._1).sum
     if (matched < floor) return exhaustive("floor-matched")
@@ -564,17 +624,29 @@ object TextIndex {
     // docs accumulate several contributions, so θ approaches the true
     // k-th score instead of a single-term fragment. ~targetRows
     // postings per term ≈ targetRows/(df/nblk-rows) sidecar blocks.
-    // one default-sized block per term: at production block size the
-    // θ pass reads exactly blk 0; fine-blocked indexes read the same
-    // row volume across more blocks. 8·k keeps deep-k requests honest.
-    val targetRows = math.max(4096L, 8L * k)
+    // one default-sized block per term by default: at production block
+    // size the θ pass reads exactly blk 0; fine-blocked indexes read
+    // the same row volume across more blocks. 8·k keeps deep-k
+    // requests honest. The conf deepens θ for corpora whose impact
+    // ranking poorly predicts total scores (flat synthetic vocab —
+    // measured: 4096-row θ reads 0.70 of exact on the uniform-df probe
+    // corpus, df/4 reads 0.995) at proportional θ-pass cost; the
+    // estimate-based escapes keep a weak θ harmless either way.
+    val targetRows = math.max(
+      confLong("graft.textindex.maxscoreThetaRows", 4096L), 8L * k)
     val thetaBlk = perTerm.map { case (t, (dfU, _, nblk)) =>
       t -> math.max(0L, targetRows * nblk / math.max(1L, dfU)) }
     val loDf = qPairs.map { case (qid, t) => (qid, t, idfLo(t), thetaBlk(t)) }
       .toDF("query_id", "term", "idf_lo", "blk_theta")
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("p").desc)
+    // LITERAL prefix filter FIRST (pushes to parquet row groups in the
+    // impact-sorted files), per-(query, term) depth after the join —
+    // joining first fans every matched posting to every query sharing
+    // its term before anything filters (measured: a 100-query batch at
+    // 20× scanned-then-fanned ~400M rows into the θ pass)
     val theta: Map[Long, Double] = live
+      .filter(col("blk") <= lit(thetaBlk.values.max))
       .join(broadcast(loDf), "term")
       .filter(col("blk") <= col("blk_theta"))
       .withColumn("contrib", contribCol(col("idf_lo"), k1, b, avgdl))
@@ -586,69 +658,117 @@ object TextIndex {
       .map(r => r.getLong(0) ->
         math.max(0.0, r.getDecimal(1).doubleValue * (1 - 1e-9) - 1e-12))
       .toMap
-    // MaxScore term partition, per query: the NON-ESSENTIAL terms are
+    mark("theta")
+    // MaxScore term partition, PER QUERY: the NON-ESSENTIAL terms are
     // the weakest-ubmax prefix whose bound sum stays under θ_q — a doc
-    // matching only those cannot reach θ_q, so they are excluded from
-    // candidate generation entirely (their postings still join the
-    // exact rescore). Inside the ESSENTIAL terms the block rule
-    // applies: block b of term t hosts no result doc when
-    // ub(t,b) + Σ_{t'≠t} ubmax_{t'} < θ_q. λ_t = the loosest cutoff
-    // over the queries where t is essential; a term essential nowhere
-    // gets no λ and generates no candidates.
-    val lambda: Map[String, Double] = {
-      val cuts = scala.collection.mutable.Map.empty[String, Double]
-      queries.foreach { case (qid, ts0) =>
-        val ts = ts0.distinct.filter(perTerm.contains)
-        if (ts.nonEmpty) {
-          val th = theta.getOrElse(qid, 0.0)
-          val sorted = ts.sortBy(ubMax)
-          var cum = 0.0
-          val nonEss0 = sorted.takeWhile { t => cum += ubMax(t); cum < th }.toSet
-          // θ is achieved by ≥ k real docs, so Σ ubmax ≥ θ and at
-          // least one term stays essential; the guard is float
-          // paranoia, not a reachable state
-          val nonEss = if (nonEss0.size == ts.size) nonEss0 - sorted.last else nonEss0
-          val total = ts.map(ubMax).sum
-          ts.filterNot(nonEss).foreach { t =>
-            val cut = th - (total - ubMax(t))
-            cuts(t) = math.min(cuts.getOrElse(t, Double.PositiveInfinity), cut)
-          }
-        }
+    // matching only those cannot reach θ_q, so they generate no
+    // candidates for q (their postings still join the exact rescore).
+    // Inside the ESSENTIAL terms the block rule applies: block b of
+    // term t hosts no q-result doc when ub(t,b) + Σ_{t'∈q,t'≠t}
+    // ubmax_{t'} < θ_q. Cutoffs stay per (query, term): collapsing
+    // them to per-term minima makes a BATCH unprunable as soon as
+    // every term is essential in SOME query (measured at 20×: 100
+    // vocabulary-overlapping queries left 66% of postings surviving
+    // globally while per-query survival was ~30%).
+    val cuts: Seq[(Long, String, Double)] = queries.flatMap { case (qid, ts0) =>
+      val ts = ts0.distinct.filter(perTerm.contains)
+      if (ts.isEmpty) Seq.empty
+      else {
+        val th = theta.getOrElse(qid, 0.0)
+        val sorted = ts.sortBy(ubMax)
+        var cum = 0.0
+        val nonEss0 = sorted.takeWhile { t => cum += ubMax(t); cum < th }.toSet
+        // θ is achieved by ≥ k real docs, so Σ ubmax ≥ θ and at least
+        // one term stays essential; the guard is float paranoia, not a
+        // reachable state
+        val nonEss = if (nonEss0.size == ts.size) nonEss0 - sorted.last else nonEss0
+        val total = ts.map(ubMax).sum
+        ts.filterNot(nonEss).map(t => (qid, t, th - (total - ubMax(t))))
       }
-      cuts.toMap
     }
-    // nothing prunable: every matched term is essential somewhere AND
-    // every cutoff clears every block — skip the survivor jobs
-    if (lambda.size == perTerm.size && lambda.values.forall(_ <= 0.0))
+    // nothing prunable: every matched term is essential in some query
+    // with a cutoff no block can fail — skip the survivor jobs
+    if (cuts.map(_._2).distinct.size == perTerm.size && cuts.forall(_._3 <= 0.0))
       return exhaustive("unprunable")
+    // global per-term survival prefix (the loosest cutoff over the
+    // queries where t is essential): bounds which blocks the candidate
+    // scan READS — pushed to parquet row groups in the impact-sorted
+    // files. Terms essential nowhere are absent and scan nothing.
+    val lambda: Map[String, Double] = cuts.groupBy(_._2).view
+      .mapValues(_.map(_._3).min).toMap
     val lamDf = lambda.toSeq.map { case (t, l) => (t, idfUp(t), l) }
       .toDF("term", "idf_up", "lam")
     val surv: Map[String, Int] = skips.join(broadcast(lamDf), "term")
       .filter(col("idf_up") * fBound >= col("lam"))
       .groupBy("term").agg(max("blk").as("bmax"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    mark("surv")
     if (surv.isEmpty) return exhaustive("no-survivors")
-    // candidate volume under the surviving prefixes — the escape
-    // hatch: a weakly-pruned query (or a candidate set too big to
-    // broadcast) runs exhaustive instead
-    val bmaxDf = surv.toSeq.toDF("term", "bmax")
-    val prefixRows = skips.join(broadcast(bmaxDf), "term")
-      .filter(col("blk") <= col("bmax"))
-      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
     val maxCand = confLong("graft.textindex.maxscoreMaxCandidates", 4000000L)
-    if (prefixRows > maxCand || prefixRows * 2 > matched)
-      return exhaustive(s"weak-pruning:$prefixRows/$matched")
     val candFilter = surv.map { case (t, bm) =>
       col("term") === t && col("blk") <= bm }.reduce(_ || _)
-    val cands = live.filter(candFilter).select("doc_id").distinct()
     val dfs =
       if (tombs.isEmpty)
         perTerm.toSeq.map { case (t, (dfU, _, _)) => (t, dfU) }.toDF("term", "df")
       else live.groupBy("term").agg(count(lit(1)).as("df"))
-    val rescore = live.join(broadcast(cands), Seq("doc_id"), "left_semi")
-    val qDf = if (single) None else Some(qPairs.toDF("query_id", "term"))
-    lastRoute = s"maxscore:$prefixRows/$matched"
-    Some(scoreAll(rescore, dfs, qDf, nDocs, k1, b, avgdl))
+    if (single) {
+      // one query: the global prefix IS the per-query prefix; escape
+      // on its volume (a skips-only estimate — no postings touched),
+      // candidates are plain doc_ids semi-joined below the scan
+      // (before the scoring joins)
+      val bmaxDf = surv.toSeq.toDF("term", "bmax")
+      val prefixRows = skips.join(broadcast(bmaxDf), "term")
+        .filter(col("blk") <= col("bmax"))
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      if (prefixRows > maxCand || prefixRows * 2 > matched)
+        return exhaustive(s"weak-pruning:$prefixRows/$matched")
+      val cands = live.filter(candFilter).select("doc_id").distinct()
+      val rescore = live.join(broadcast(cands), Seq("doc_id"), "left_semi")
+      lastRoute = s"maxscore:$prefixRows/$matched"
+      Some(scoreAll(rescore, dfs, None, nDocs, k1, b, avgdl))
+    } else {
+      // batch: candidates are (query_id, doc_id) PAIRS — each query
+      // pruned by its OWN cutoffs (collapsing cutoffs to per-term
+      // minima makes a batch unprunable as soon as every term is
+      // essential in SOME query; the global prefix above only bounds
+      // which blocks the candidate scan READS). The yield is estimated
+      // from the SIDECAR ALONE before any postings scan — a weak batch
+      // escapes to exhaustive having paid only skip-file jobs (the
+      // first cut of this path learned that the hard way: a
+      // near-exhaustive candidate pass before the yield check read
+      // 1.6x exhaustive at 20x scale).
+      val fannedMatched = qPairs.map { case (_, t) => perTerm(t)._1 }.sum
+      val cutDf = cuts.map { case (qid, t, c) => (qid, t, idfUp(t), c) }
+        .toDF("query_id", "term", "idf_up_q", "cut")
+      val bmaxQt = TextDedup.materialize(
+        skips.join(broadcast(cutDf), "term")
+          .filter(col("idf_up_q") * fBound >= col("cut"))
+          .groupBy("query_id", "term").agg(max("blk").as("bmax_qt")),
+        eager = true)
+      // Σ over (q, t) of the rows under q's surviving prefix of t —
+      // the candidate-generation volume AND (≈) the rescore exchange
+      val estFanned = skips.join(broadcast(bmaxQt), Seq("term"))
+        .filter(col("blk") <= col("bmax_qt"))
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      mark("est")
+      // proceed only when candidate generation + rescore (~2·est) plus
+      // the θ pass clearly undercut the exhaustive fan
+      if (estFanned * 16 > fannedMatched * 5)
+        return exhaustive(s"weak-pruning-batch:$estFanned/$fannedMatched")
+      val candPairs = TextDedup.materialize(
+        live.filter(candFilter)
+          .join(broadcast(bmaxQt), Seq("term"))
+          .filter(col("blk") <= col("bmax_qt"))
+          .select("query_id", "doc_id").distinct(),
+        eager = true)
+      val candCount = candPairs.count()
+      mark("cand")
+      if (candCount > maxCand)
+        return exhaustive(s"candidates-over-cap:$candCount")
+      val qDf = Some(qPairs.toDF("query_id", "term"))
+      lastRoute = s"maxscore:$candCount/$fannedMatched"
+      Some(scoreAll(live, dfs, qDf, nDocs, k1, b, avgdl, Some(candPairs)))
+    }
   }
 
   /** Exact PHRASE search over the positional postings: documents
@@ -924,7 +1044,7 @@ object TextIndex {
             .repartition(bs.length, col("bucket"))
             .sortWithinPartitions("term", "blk")
             .write.mode("append").partitionBy("bucket").parquet(next)
-          writeSkips(reblocked, next, overwrite = false)
+          writeSkips(reblocked, next, avgdl, overwrite = false)
         } finally { reblocked.unpersist(); () }
       }
     }

@@ -555,19 +555,28 @@ final class QueryService(
     * one at a time), for scripts where statement N+1 reads statement
     * N's output. An Error status does not stop later statements,
     * matching the reference's per-query error reporting. */
-  def runScriptSequential(script: String): Seq[String] =
+  def runScriptSequential(script: String,
+                          statementTimeoutMs: Long = 3600000L): Seq[String] =
     ScriptRunner.split(script).map { sql =>
       val id = runQuery(sql)
-      // Wait without a deadline: awaitComplete's default timeout
-      // returns Running on expiry without error, and submitting
-      // statement N+1 while N still runs reintroduces the write-back
-      // race sequential mode exists to prevent (N+1 reading N's
-      // INSERT OVERWRITE DIRECTORY output mid-write). Terminal-status
-      // errors still don't stop later statements.
-      val s = awaitComplete(id, timeoutMs = Long.MaxValue)
-      if (s == QueryStatus.Queued || s == QueryStatus.Running)
+      // Bounded wait, then CANCEL: statement N+1 must never start
+      // while N still runs (the write-back race sequential mode exists
+      // to prevent — N+1 reading N's INSERT OVERWRITE DIRECTORY output
+      // mid-write), but an unbounded wait on a hung statement would
+      // block the caller thread forever with no escape (r16 shipped
+      // Long.MaxValue here). On expiry the statement is cancelled —
+      // which forces a terminal status, so the no-overlap invariant
+      // holds — and the script fails loud naming the statement.
+      // Terminal-status ERRORS still don't stop later statements
+      // (the reference's per-query error reporting).
+      val s = awaitComplete(id, timeoutMs = statementTimeoutMs)
+      if (s == QueryStatus.Queued || s == QueryStatus.Running) {
+        cancel(id)
+        awaitComplete(id, timeoutMs = 30000L)
         throw new IllegalStateException(
-          s"sequential script: statement $id did not reach a terminal status")
+          s"sequential script: statement $id exceeded ${statementTimeoutMs}ms " +
+            "and was cancelled")
+      }
       id
     }
 

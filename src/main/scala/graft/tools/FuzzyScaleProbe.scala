@@ -38,14 +38,16 @@ object FuzzyScaleProbe {
     if (fs.exists(done)) return s"$outDir/x$k"
     val base = graft.Engine.table(spark, baseDir, "documents")
     val offset = base.agg(max("doc_id")).head().getLong(0) + 1L
-    val replicas = (0 until k).map { i =>
-      if (i == 0) base
-      else base
-        .withColumn("doc_id", col("doc_id") + lit(i * offset))
-        .withColumn("text", regexp_replace(col("text"),
-          "((\\S+ ){4})", s"$$1zqr${i}salt "))
-    }
-    replicas.reduce(_ unionByName _)
+    // explode-based replication (one generator, not a k-way union —
+    // the hamming section replicates 100×); replica semantics
+    // unchanged: per-replica salt token after every 4 words
+    base
+      .withColumn("rep", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("doc_id", col("doc_id") + col("rep") * offset)
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit("((\\S+ ){4})"),
+          concat(lit("$1zqr"), col("rep"), lit("salt ")))))
+      .drop("rep")
       .repartition(32)
       .write.mode("overwrite").parquet(path)
     s"$outDir/x$k"
@@ -86,6 +88,67 @@ object FuzzyScaleProbe {
       (q, k) -> Cell(sec, b, s, rows)
     }
     val m = grid.toMap
+
+    // ---- Hamming-banding candidate fan-out (phash / simhash) -------
+    // The one banding family whose per-band collision rate is a
+    // CONSTANT of the key width (≥ 2^-bandBits for unrelated items),
+    // not df-bounded like the shingle families above — so candidates
+    // grow ~bands·N²/2^bandBits, quadratic in N. Measured here at
+    // 1×/10×/100× replicas for both widths; candidate volume comes
+    // from the production chunk derivation's bucket algebra
+    // (Σ n·(n−1)/2 per band bucket = the join's pre-filter row count,
+    // exact, without materializing an infeasible join), wall+rows from
+    // the full operators where the candidate volume is feasible.
+    // maxHamming 3 for every run: both widths guarantee recall 1.0
+    // there (pigeonhole), so 8-bit and 16-bit MUST emit identical
+    // pairs — asserted, a correctness property measured at scale.
+    val hamScales = Seq(1, 10, 100)
+    val hamFeasible = 300000000L
+    case class Ham(items: Long, cand8: Long, cand16: Long,
+                   sec8: Double, rows8: Long, sec16: Double, rows16: Long)
+    def candPairs(chunks: DataFrame): Long =
+      chunks.groupBy("c", "v").count()
+        .agg(coalesce(sum(expr("count * (count - 1) DIV 2")), lit(0L)))
+        .head().getLong(0)
+    def timed(df: => DataFrame): (Double, Long) = {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val hamGrid = hamScales.map { k =>
+      val docs = spark.read.parquet(s"${scaled(spark, baseDir, k, outDir)}/documents.parquet")
+        .select("doc_id", "text")
+      val media = graft.pipeline.Multimodal.asMediaTable(
+        docs.withColumn("source", lit("probe")))
+      val items = docs.count()
+      val pc8 = candPairs(graft.pipeline.Multimodal.phashChunks(media, 8))
+      val pc16 = candPairs(graft.pipeline.Multimodal.phashChunks(media, 16))
+      val (p8s, p8r) =
+        if (pc8 <= hamFeasible)
+          timed(graft.pipeline.Multimodal.phashDupPairs(media, maxHamming = 3, bandBits = 8))
+        else (Double.NaN, -1L)
+      val (p16s, p16r) = timed(
+        graft.pipeline.Multimodal.phashDupPairs(media, maxHamming = 3, bandBits = 16))
+      if (p8r >= 0) assert(p8r == p16r,
+        s"phash 8-bit vs 16-bit bands must emit identical pairs at hamming 3 ($p8r vs $p16r)")
+      val sh = graft.pipeline.TextDedup.withHashes(docs, 3)
+      val sc8 = candPairs(graft.pipeline.TextDedup.simhashChunks(sh, 8))
+      val sc16 = candPairs(graft.pipeline.TextDedup.simhashChunks(sh, 16))
+      val (s8s, s8r) =
+        if (sc8 <= hamFeasible)
+          timed(graft.pipeline.TextDedup.simhashPairs(docs, 3, 0.8, maxHamming = 3, bandBits = 8))
+        else (Double.NaN, -1L)
+      val (s16s, s16r) = timed(
+        graft.pipeline.TextDedup.simhashPairs(docs, 3, 0.8, maxHamming = 3, bandBits = 16))
+      if (s8r >= 0) assert(s8r == s16r,
+        s"simhash 8-bit vs 16-bit bands must emit identical pairs at hamming 3 ($s8r vs $s16r)")
+      println(f"[fuzzy-scale] hamming x$k%-3d items=$items phashCand 8b=$pc8 16b=$pc16 " +
+        f"(${p8s}%.1fs/${p16s}%.1fs) simhashCand 8b=$sc8 16b=$sc16 (${s8s}%.1fs/${s16s}%.1fs)")
+      k -> (Ham(items, pc8, pc16, p8s, p8r, p16s, p16r), Ham(items, sc8, sc16, s8s, s8r, s16s, s16r))
+    }.toMap
+
     val sb = new StringBuilder
     sb ++= "# FUZZY_SCALE — similarity-join family at 1×/5×/10× the sf0.1 corpus\n\n"
     sb ++= s"Base: `$baseDir` documents replicated with per-replica salt tokens\n"
@@ -100,6 +163,40 @@ object FuzzyScaleProbe {
       sb ++= f"| $q | ${c1.sec}%.2f | ${c5.sec}%.2f | ${c10.sec}%.2f | ${c10.sec / c1.sec}%.1f× " +
         f"| ${c1.broadcasts}/${c1.shuffleJoins} | ${c5.broadcasts}/${c5.shuffleJoins} " +
         f"| ${c10.broadcasts}/${c10.shuffleJoins} | ${c10.rows} |\n"
+    }
+    sb ++= "\n## Hamming banding (phash / simhash) at 1×/10×/100×\n\n"
+    sb ++= "The one candidate scheme with a DATA-INDEPENDENT per-band collision\n"
+    sb ++= "rate (≥ 2^-bandBits for unrelated items): candidates grow\n"
+    sb ++= "~bands·N²/2^bandBits — quadratic in N, unlike the df-bounded\n"
+    sb ++= "shingle families above. `cand` = exact pre-filter join rows from\n"
+    sb ++= "the production chunk derivation's bucket algebra (Σ n·(n−1)/2);\n"
+    sb ++= "wall is the full operator (candidates + bit_count verify + exact\n"
+    sb ++= "output) at maxHamming 3, where BOTH widths are pigeonhole-recall\n"
+    sb ++= "1.0 and must emit identical pairs (asserted each run). An 8-bit\n"
+    sb ++= "run whose candidate volume exceeds 3·10⁸ is reported by its\n"
+    sb ++= "candidate count alone (`-`): that infeasibility IS the measured\n"
+    sb ++= "cliff, and `bandBits=16` is the knob that removes it (~512× fewer\n"
+    sb ++= "stray candidates: 4 vs 8 bands × 256× lower collision rate).\n\n"
+    sb ++= "| scale | items | phash cand 8b | 16b | phash s 8b | 16b | simhash cand 8b | 16b | simhash s 8b | 16b |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+    hamScales.foreach { k =>
+      val (p, s) = hamGrid(k)
+      def w(sec: Double) = if (sec.isNaN) "-" else f"$sec%.1f"
+      sb ++= f"| x$k | ${p.items} | ${p.cand8} | ${p.cand16} | ${w(p.sec8)} | ${w(p.sec16)} " +
+        f"| ${s.cand8} | ${s.cand16} | ${w(s.sec8)} | ${w(s.sec16)} |\n"
+    }
+    locally {
+      val (p1, _) = hamGrid(hamScales.head); val (pN, sN) = hamGrid(hamScales.last)
+      val (_, s1) = hamGrid(hamScales.head)
+      sb ++= f"\nCandidate growth x1→x100: phash 8b ${pN.cand8.toDouble / math.max(1, p1.cand8)}%.0f×, " +
+        f"16b ${pN.cand16.toDouble / math.max(1, p1.cand16)}%.0f×; " +
+        f"simhash 8b ${sN.cand8.toDouble / math.max(1, s1.cand8)}%.0f×, " +
+        f"16b ${sN.cand16.toDouble / math.max(1, s1.cand16)}%.0f× — against 100× items\n"
+      sb ++= "(10000× is the pure-quadratic slope; near-dup-free replicas mean\n"
+      sb ++= "almost all candidates are stray collisions). Oracle defaults are\n"
+      sb ++= "unchanged (8-bit, recall 1.0 to hamming 7); deployments beyond\n"
+      sb ++= "~10⁶ items pick `bandBits = 16` and accept the hamming-3 radius,\n"
+      sb ++= "or shard the corpus before banding.\n"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(report), sb.toString)
     println(s"[fuzzy-scale] wrote $report")

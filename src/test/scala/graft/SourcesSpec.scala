@@ -978,6 +978,26 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => s"$qid|${r.mkString("|")}")
     }.sorted
     assert(gotMany == wantMany, "batch fusion diverged from per-query singles")
+    // WEIGHTED batch fusion equals the weighted single-query TVF per
+    // query too (r16 pinned only the unweighted equivalence; the
+    // weights=> parse is shared, but the batch route applies it in a
+    // different code path — this closes that gap)
+    val gotManyW = spark.sql(s"SELECT * FROM corpus_hybrid(" +
+        s"'$sfDir/documents.parquet', '$sfDir/embeddings.parquet', " +
+        s"queries=>'$bdir/q', k=>10, weights=>'2,1')")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    val wantManyW = Seq(1L -> "spark join", 2L -> "window hash").flatMap { case (qid, q) =>
+      val vq = emb.filter(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble.toString).mkString(",")
+      spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +
+          s"'$sfDir/embeddings.parquet', '$q', embedding=>'$vq', k=>10, " +
+          "weights=>'2,1')")
+        .collect().map(r => s"$qid|${r.mkString("|")}")
+    }.sorted
+    assert(gotManyW == wantManyW,
+      "weighted batch fusion diverged from weighted per-query singles")
+    assert(gotManyW != gotMany,
+      "weights=>'2,1' must change the fused cut (vacuous fixture otherwise)")
     texts.coalesce(1).write.parquet(s"$bdir/noemb")
     val e5 = intercept[Exception] {
       spark.sql(s"SELECT * FROM corpus_hybrid('$sfDir/documents.parquet', " +

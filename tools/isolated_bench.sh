@@ -29,6 +29,35 @@ if [ -n "${SPARK_GRAFT_ISO_ONLY:-}" ]; then
   IFS=',' read -r -a QUERIES <<< "$SPARK_GRAFT_ISO_ONLY"
 fi
 
+# SPARK_GRAFT_ISO_MOVERS=<bench_out.json>: AUTO-ADJUDICATION mode (the
+# r16 verdict's rule — no mover ships unadjudicated). The query list
+# becomes every in-suite query reading >2.5x its committed
+# bench_ref.json entry, and REPS defaults to 5 (min-of-2/3 fresh-JVM
+# provably overreads codegen-heavy queries ~2.8x from first-use JIT —
+# ann_lsh read 4.99s at min-of-3, 1.77s at 6 in-JVM reps). An empty
+# mover set writes an empty-but-valid JSON and exits 0.
+MOVER_RATIO="${SPARK_GRAFT_ISO_RATIO:-2.5}"
+if [ -n "${SPARK_GRAFT_ISO_MOVERS:-}" ]; then
+  REF="$(dirname "$0")/../bench_ref.json"
+  mapfile -t QUERIES < <(python3 - "$SPARK_GRAFT_ISO_MOVERS" "$REF" "$MOVER_RATIO" <<'PYEOF'
+import json, sys
+run = json.load(open(sys.argv[1]))["queries"]
+ref = json.load(open(sys.argv[2]))["queries"]
+ratio = float(sys.argv[3])
+for q, t in sorted(run.items()):
+    if q in ref and ref[q] > 0 and t > ref[q] * ratio:
+        print(q)
+PYEOF
+)
+  SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-5}"
+  echo "[isolated] mover mode: ${#QUERIES[@]} queries >${MOVER_RATIO}x ref (REPS=$SPARK_GRAFT_REPS)" >&2
+  if [ "${#QUERIES[@]}" -eq 0 ]; then
+    printf '{"sf": "%s", "mode": "fresh-jvm-per-query", "movers": [], "queries": {}}\n' "$SF_DIR" > "$OUT"
+    echo "wrote $OUT (no movers)"
+    exit 0
+  fi
+fi
+
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
@@ -61,9 +90,17 @@ for q in "${QUERIES[@]}"; do
 done
 
 python3 - "$OUT" <<EOF
-import json, sys
+import json, sys, os
 sec = { $(for q in "${QUERIES[@]}"; do printf '"%s": %s, ' "$q" "${SEC[$q]:-float('nan')}"; done) }
-json.dump({"sf": "$SF_DIR", "mode": "fresh-jvm-per-query", "queries": sec},
-          open(sys.argv[1], "w"), indent=1)
+rec = {"sf": "$SF_DIR", "mode": "fresh-jvm-per-query",
+       "reps": int("${SPARK_GRAFT_REPS:-2}"), "queries": sec}
+ref_path = os.path.join(os.path.dirname("$0") or ".", "..", "bench_ref.json")
+try:
+    ref = json.load(open(ref_path))["queries"]
+    rec["vs_ref"] = {q: round(sec[q] / ref[q], 2)
+                     for q in sec if q in ref and ref[q] > 0 and sec[q] == sec[q]}
+except Exception:
+    pass
+json.dump(rec, open(sys.argv[1], "w"), indent=1)
 print("wrote", sys.argv[1])
 EOF

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Min-merge a bench run into the committed per-query reference.
 
-Usage: tools/merge_bench_ref.py [run_json ...]   (default: bench_out.json)
+Usage: tools/merge_bench_ref.py [--drop-errored] [run_json ...]
+       (default run: bench_out.json)
 
 bench_ref.json is the durable retime baseline Bench.scala reads by
 default (SPARK_GRAFT_BENCH_REF): best-known per-query seconds across
@@ -20,7 +21,9 @@ SF = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    runs = sys.argv[1:] or ["bench_out.json"]
+    args = sys.argv[1:]
+    drop_errored = "--drop-errored" in args
+    runs = [a for a in args if not a.startswith("--")] or ["bench_out.json"]
     try:
         ref = json.load(open(REF))
         # not an assert: asserts are stripped under `python -O`, and a
@@ -37,20 +40,35 @@ def main() -> None:
         if run.get("sf") != SF:
             raise SystemExit(f"{path}: sf={run.get('sf')!r}, expected {SF} "
                              "(cross-SF numbers would poison every retime)")
+        if run.get("inflated") is True and "--force" not in sys.argv:
+            # min-merge can't RAISE existing bars, but a round's NEW
+            # queries would enter the reference at sick-box values and
+            # loosen their retime gates from day one
+            raise SystemExit(
+                f"{path} is marked inflated:true (control queries read "
+                ">1.3x their refs — box health, not plans). Re-run the "
+                "bench in a quieter window, or pass --force.")
         if run.get("errors"):
-            print(f"note: {path} carries errors {run['errors']} — "
-                  "their keys are dropped from the merged reference so a "
-                  "permanently-broken query's stale min ages out")
             errored.update(str(e) for e in run["errors"])
         for k, v in run["queries"].items():
             merged[k] = min(merged.get(k, v), v)
-    # a key that errored in a run this merge saw no timing for must not
-    # keep its stale min forever; a run that timed it anyway wins
-    for k in errored:
+    # A key that errored and produced no timing in any merged run: keep
+    # its best-known min by default — one transiently-failed run must
+    # not silently disarm the retime gate for that query forever (the
+    # errored key is also absent from bench_out.json, so BenchRefSpec
+    # cannot detect the loss). Only --drop-errored removes it (for a
+    # query deliberately deleted/renamed), and the deleted value is
+    # printed so the lost baseline stays recoverable from logs.
+    for k in sorted(errored):
         if k in merged and not any(
                 k in json.load(open(p)).get("queries", {}) for p in runs):
-            print(f"drop: {k} errored and produced no fresh timing")
-            del merged[k]
+            if drop_errored:
+                print(f"drop: {k} errored with no fresh timing — "
+                      f"removing stale min {merged[k]}s (--drop-errored)")
+                del merged[k]
+            else:
+                print(f"keep: {k} errored with no fresh timing — retaining "
+                      f"best-known {merged[k]}s (pass --drop-errored to remove)")
     rec = {
         "metric": "total",
         "value": round(sum(merged.values()), 3),
