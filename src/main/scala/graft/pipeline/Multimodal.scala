@@ -23,6 +23,47 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Sentinel "pick the band width by corpus size" (the default for
+    * [[phashDupPairs]] / the `corpus_dedup(mode=>'media')` TVF). */
+  val BandBitsAuto: Int = 0
+
+  /** Auto-selection switchover: at or above this many items the 8-bit
+    * banding's stray candidates (~8·N²/256) are the measured
+    * infeasibility — FUZZY_SCALE.md's hamming table reports 6.6 B
+    * candidate pairs at 500 k items — so auto picks 16-bit bands,
+    * whose pigeonhole recall contract holds only to hamming 3. */
+  val AutoBandBits16Threshold: Long = 1000000L
+
+  /** One banding-contract truth for auto and explicit band widths:
+    * resolve the width (auto counts the corpus — one footer-count
+    * job — and switches at [[AutoBandBits16Threshold]]), then enforce
+    * the pigeonhole recall contract maxHamming ≤ 64/bits − 1 LOUD.
+    * Auto-16 with a radius over 3 names both ways out instead of
+    * silently narrowing recall. */
+  private[graft] def resolveBandBits(bandBits: Int, maxHamming: Int,
+                                     countItems: () => Long,
+                                     op: String): Int = {
+    require(bandBits == BandBitsAuto || bandBits == 8 || bandBits == 16,
+      s"$op: bandBits must be 8, 16, or BandBitsAuto (got $bandBits)")
+    require(maxHamming >= 0, s"$op: maxHamming $maxHamming must be >= 0")
+    val bits =
+      if (bandBits != BandBitsAuto) bandBits
+      else if (countItems() >= AutoBandBits16Threshold) 16
+      else 8
+    if (bandBits == BandBitsAuto && bits == 16)
+      require(maxHamming <= 3,
+        s"$op: corpus has >= $AutoBandBits16Threshold items, where 8-bit " +
+          "banding is infeasible (~8*N^2/256 stray candidate pairs — " +
+          "measured 6.6B at 500k items, FUZZY_SCALE.md) and auto-selected " +
+          s"16-bit bands guarantee recall only to hamming 3 (got " +
+          s"maxHamming $maxHamming). Lower maxHamming to <= 3, or pass " +
+          "bandBits=8 explicitly to keep the radius and pay the candidates")
+    require(maxHamming <= 64 / bits - 1,
+      s"$op: $bits-bit chunk banding guarantees recall only to hamming " +
+        s"${64 / bits - 1} (got $maxHamming)")
+    bits
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("media_type", StringType, nullable = false),
@@ -258,16 +299,26 @@ object Multimodal {
     * real aHash bits, which correlate on smooth images), so expected
     * stray candidates grow ~(64/bandBits)·N²/2^bandBits — quadratic in
     * N with a constant the band width controls. 8-bit chunks
-    * (default; recall 1.0 to hamming 7) are the small-corpus setting;
+    * (recall 1.0 to hamming 7) are the small-corpus setting;
     * 16-bit chunks divide stray candidates by ~512 (4 bands × 256)
     * at the cost of the guaranteed radius dropping to hamming 3 —
-    * measured in FUZZY_SCALE.md's hamming section. */
+    * measured in FUZZY_SCALE.md's hamming section.
+    *
+    * The default ([[BandBitsAuto]]) picks by corpus size: 8-bit below
+    * [[AutoBandBits16Threshold]] items, 16-bit at or above it — at
+    * 500 k items 8-bit banding already generates 6.6 B candidate pairs
+    * (the measured cliff, FUZZY_SCALE.md's hamming table), so the
+    * small-corpus setting must not ride silently into a big corpus.
+    * Because 16-bit bands guarantee recall only to hamming 3, an
+    * auto-selected 16 with `maxHamming` > 3 FAILS LOUD (choose: lower
+    * the radius, or pass bandBits=8 explicitly and pay the candidate
+    * volume) rather than silently narrowing the recall contract. An
+    * explicit 8 or 16 is honored as given, same contract checks. */
   def phashDupPairs(media: DataFrame, maxHamming: Int = 6,
-                    bandBits: Int = 8): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64 / bandBits - 1,
-      s"$bandBits-bit chunk banding guarantees recall only to hamming " +
-        s"${64 / bandBits - 1} (got $maxHamming)")
-    val chunked = phashChunks(media, bandBits)
+                    bandBits: Int = BandBitsAuto): DataFrame = {
+    val bits = resolveBandBits(bandBits, maxHamming,
+      () => media.count(), "phashDupPairs")
+    val chunked = phashChunks(media, bits)
     chunked.as("x").join(chunked.as("y"),
         col("x.c") === col("y.c") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))

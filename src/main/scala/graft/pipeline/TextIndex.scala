@@ -200,13 +200,36 @@ object TextIndex {
       meta.getAs[Int]("block_size")
     else 4096
 
+  /** Per-append-batch commit marker: created at the store root before
+    * the batch's first write, removed only after its LAST write
+    * (stats delta). The pruned route requires the `_skips` sidecar to
+    * cover EVERY posting — an append that died between the postings
+    * write and [[writeSkips]] leaves postings permanently invisible to
+    * the sidecar, and a MaxScore pass deriving df/bounds/candidates
+    * from `_skips` alone would silently drop those docs from results.
+    * [[maxScoreTopK]] therefore escapes to the exhaustive path (always
+    * correct: it reads the postings themselves) while ANY pending
+    * marker exists — which also covers the in-flight window of a LIVE
+    * concurrent append. [[compact]] heals a torn store: a pending
+    * marker forces every bucket through the rewrite leg, whose sidecar
+    * is rebuilt from the actual surviving postings, and the new
+    * generation starts marker-free. */
+  private val PendingAppend = "_PENDING_APPEND_"
+
+  private def hasPendingAppend(fs: org.apache.hadoop.fs.FileSystem,
+                               store: String): Boolean =
+    fs.listStatus(new Path(store))
+      .exists(_.getPath.getName.startsWith(PendingAppend))
+
   /** O(batch) maintenance: append a batch's postings + one stats delta
     * into the LIVE generation under the frozen bucket scheme. Build +
     * appends serves row-identically to a fresh build over the union
     * (bucket assignment is a pure function of the term). Skip rows
     * append only when the store HAS a sidecar — a legacy store must
     * not gain a partial one (the pruned path requires the sidecar to
-    * cover every posting). */
+    * cover every posting). The batch is bracketed by a
+    * [[PendingAppend]] marker: a crash mid-append degrades the pruned
+    * route to exhaustive (exact), never to wrong results. */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -216,12 +239,18 @@ object TextIndex {
     val avgdl = if (nd == 0) 1.0 else tl.toDouble / nd
     val post = postings(docs, buckets, blockSizeOf(meta), avgdl)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(store, PendingAppend + java.util.UUID.randomUUID().toString)
+    fs.create(marker).close()
     try {
       post.write.mode("append").partitionBy("bucket").parquet(store)
-      val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(new Path(s"$store/_skips")))
         writeSkips(post, store, avgdl, overwrite = false)
       writeStatsDelta(spark, nd, tl, store)
+      // the marker drops ONLY on full success — a throw above leaves it
+      // in place, pinning the store to the exhaustive route until a
+      // compaction rebuilds the sidecar from the actual postings
+      fs.delete(marker, false)
     } finally { post.unpersist(); () }
   }
 
@@ -374,7 +403,10 @@ object TextIndex {
   /** Exact per-(query, doc) BM25 over the pruned postings — the
     * scoring tail shared by every search route. `dfs` must carry
     * (term, df); `qDf`, when given, fans term rows out to the queries
-    * containing them (batch mode). */
+    * containing them (batch mode). `candPairs` arrives ALREADY wrapped
+    * (broadcast() or plain) by the caller, who knows the candidate
+    * count — a 4M-pair broadcast is 100MB+ of driver/executor pressure,
+    * so oversized candidate sets semi-join through the shuffle. */
   private def scoreAll(live: DataFrame, dfs: DataFrame, qDf: Option[DataFrame],
                        nDocs: Long, k1: Double, b: Double, avgdl: Double,
                        candPairs: Option[DataFrame] = None): DataFrame = {
@@ -383,10 +415,10 @@ object TextIndex {
       .withColumn("contrib", contribCol(col("idf"), k1, b, avgdl))
     val fanned0 = qDf.map(q => scored.join(broadcast(q), "term")).getOrElse(scored)
     val keys = if (qDf.isDefined) Seq("query_id", "doc_id") else Seq("doc_id")
-    // batch MaxScore: keep only per-query candidate pairs BEFORE the
-    // aggregation exchange — map-side broadcast semi, values untouched
+    // MaxScore: keep only the candidate (pairs|docs) BEFORE the
+    // aggregation exchange — semi-join, values untouched
     val fanned = candPairs
-      .map(cp => fanned0.join(broadcast(cp), keys, "left_semi"))
+      .map(cp => fanned0.join(cp, keys, "left_semi"))
       .getOrElse(fanned0)
     fanned.groupBy(keys.map(col): _*)
       .agg(sum(col("contrib").cast("decimal(28,12)")).as("raw"),
@@ -538,10 +570,18 @@ object TextIndex {
     * at 20×). Real Zipfian vocabularies (any query with one
     * discriminative term) prune like the textbook says — the probe's
     * skewed batch reads ~2.6% candidate pairs. */
-  /** Last search route taken, for specs and probes ("maxscore:<prefix
-    * rows>/<matched postings>" or "exhaustive:<why>") — diagnostics
-    * only, never part of results. */
-  @volatile private[graft] var lastRoute: String = ""
+  /** Last search route taken BY THIS THREAD, for specs and probes
+    * ("maxscore:<prefix rows>/<matched postings>" or
+    * "exhaustive:<why>") — diagnostics only, never part of results.
+    * Thread-local on purpose: the route is decided during plan build
+    * on the calling thread, and concurrent searches (QueryService
+    * pool, parallel probes) must each observe their OWN route — a
+    * shared field would let q_bm25_maxscore's route assertion read a
+    * neighbor's decision. */
+  private val routeHolder: ThreadLocal[String] =
+    ThreadLocal.withInitial(() => "")
+  private[graft] def lastRoute: String = routeHolder.get()
+  private def setRoute(r: String): Unit = routeHolder.set(r)
 
   private def maxScoreTopK(spark: SparkSession, store: String, live: DataFrame,
                            tombs: Seq[String], termBuckets: Array[Int],
@@ -551,7 +591,7 @@ object TextIndex {
     import spark.implicits._
     def confLong(key: String, dflt: Long): Long =
       try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
-    def exhaustive(why: String): Option[DataFrame] = { lastRoute = s"exhaustive:$why"; None }
+    def exhaustive(why: String): Option[DataFrame] = { setRoute(s"exhaustive:$why"); None }
     val debug = spark.conf.get("graft.textindex.maxscoreDebug", "false") == "true"
     var tMark = System.nanoTime()
     def mark(phase: String): Unit = if (debug) {
@@ -570,6 +610,11 @@ object TextIndex {
     val skipsPath = new Path(s"$store/_skips")
     val fs = skipsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(skipsPath)) return exhaustive("no-sidecar")
+    // a pending (torn or in-flight) append means the sidecar may not
+    // cover every posting — df/bounds/candidates derived from it would
+    // silently drop the uncovered docs; the exhaustive path reads the
+    // postings themselves and stays exact (one root listing per query)
+    if (hasPendingAppend(fs, store)) return exhaustive("torn-append")
     val avgdl = totalLen.toDouble / nDocs
     val allTerms = queries.flatMap(_._2).distinct
     val skips = spark.read.parquet(s"$store/_skips")
@@ -584,8 +629,9 @@ object TextIndex {
     // applies only at the default (k1, b) the writer used.
     val fLoose = col("max_tf") * (k1 + 1) /
       (col("max_tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("min_len") / lit(avgdl)))
-    val hasTight = k1 == 1.2 && b == 0.75 &&
-      spark.read.parquet(s"$store/_skips").columns.contains("max_f")
+    // schema probe on the ALREADY-CONSTRUCTED skips frame — re-reading
+    // the sidecar here would pay an extra footer-listing job per query
+    val hasTight = k1 == 1.2 && b == 0.75 && skips.columns.contains("max_f")
     val fBound = if (hasTight)
       least(fLoose, col("max_f") * greatest(lit(1.0), lit(avgdl) / col("w_avgdl")))
     else fLoose
@@ -705,6 +751,11 @@ object TextIndex {
     mark("surv")
     if (surv.isEmpty) return exhaustive("no-survivors")
     val maxCand = confLong("graft.textindex.maxscoreMaxCandidates", 4000000L)
+    // broadcast ceiling for the candidate semi-join: pairs are 16-24
+    // bytes each, so 1M pairs ≈ 20-30MB per executor — past that the
+    // semi-join goes through the shuffle instead of pressuring the
+    // driver with a 100MB+ broadcast right at the candidate cap
+    val bcastCand = confLong("graft.textindex.maxscoreBroadcastPairs", 1000000L)
     val candFilter = surv.map { case (t, bm) =>
       col("term") === t && col("blk") <= bm }.reduce(_ || _)
     val dfs =
@@ -722,10 +773,12 @@ object TextIndex {
         .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       if (prefixRows > maxCand || prefixRows * 2 > matched)
         return exhaustive(s"weak-pruning:$prefixRows/$matched")
-      val cands = live.filter(candFilter).select("doc_id").distinct()
-      val rescore = live.join(broadcast(cands), Seq("doc_id"), "left_semi")
-      lastRoute = s"maxscore:$prefixRows/$matched"
-      Some(scoreAll(rescore, dfs, None, nDocs, k1, b, avgdl))
+      val cands0 = live.filter(candFilter).select("doc_id").distinct()
+      // prefixRows upper-bounds the distinct candidate docs (skips-only
+      // estimate, no postings job) — broadcast only under the ceiling
+      val cands = if (prefixRows <= bcastCand) broadcast(cands0) else cands0
+      setRoute(s"maxscore:$prefixRows/$matched")
+      Some(scoreAll(live, dfs, None, nDocs, k1, b, avgdl, Some(cands)))
     } else {
       // batch: candidates are (query_id, doc_id) PAIRS — each query
       // pruned by its OWN cutoffs (collapsing cutoffs to per-term
@@ -766,8 +819,11 @@ object TextIndex {
       if (candCount > maxCand)
         return exhaustive(s"candidates-over-cap:$candCount")
       val qDf = Some(qPairs.toDF("query_id", "term"))
-      lastRoute = s"maxscore:$candCount/$fannedMatched"
-      Some(scoreAll(live, dfs, qDf, nDocs, k1, b, avgdl, Some(candPairs)))
+      setRoute(s"maxscore:$candCount/$fannedMatched")
+      // measured count decides the semi-join shape: small candidate
+      // sets broadcast (map-side semi), big ones shuffle
+      val cp = if (candCount <= bcastCand) broadcast(candPairs) else candPairs
+      Some(scoreAll(live, dfs, qDf, nDocs, k1, b, avgdl, Some(cp)))
     }
   }
 
@@ -980,10 +1036,17 @@ object TextIndex {
       case Some(t) => spark.read.parquet(live).join(broadcast(t), Seq("doc_id"))
         .select("bucket").distinct().collect().map(_.getInt(0)).toSet
     }
-    val (rewrite, carry) = bucketDirs.partition { d =>
-      parquets(d.getPath).length > maxFilesPerBucket ||
-        tombBuckets.contains(d.getPath.getName.stripPrefix("bucket=").toInt)
-    }
+    // a torn append (pending marker — see [[PendingAppend]]) means the
+    // sidecar may not cover every posting: force EVERY bucket through
+    // the rewrite leg, whose sidecar is rebuilt from the actual
+    // surviving rows, so the new generation serves pruned again
+    val tornAppend = hasPendingAppend(fs, live)
+    val (rewrite, carry) =
+      if (tornAppend) (bucketDirs, Array.empty[org.apache.hadoop.fs.FileStatus])
+      else bucketDirs.partition { d =>
+        parquets(d.getPath).length > maxFilesPerBucket ||
+          tombBuckets.contains(d.getPath.getName.stripPrefix("bucket=").toInt)
+      }
     if (rewrite.isEmpty && tombs.isEmpty) return 0
     val liveVersion =
       if (live.endsWith("/postings")) 0

@@ -604,10 +604,16 @@ object CorpusAnnTVF {
   * payload binary) — (doc_a, doc_b, hamming) with hamming ≤
   * `max_hamming` (default 6; chunk banding guarantees recall to 7)
   * via [[graft.pipeline.Multimodal.phashDupPairs]]: candidates from
-  * 8-way aligned chunk collisions, never all-pairs, payloads never
-  * shuffle. A corpus without a payload column fails loud naming the
-  * text-mode alternative; threshold/k (text-shingle options) fail
-  * loud under media mode and max_hamming fails loud outside it.
+  * aligned chunk collisions, never all-pairs, payloads never
+  * shuffle. `band_bits=>8|16` picks the chunk width — the 100-TB
+  * knob (FUZZY_SCALE.md's hamming table: 16-bit bands cut stray
+  * candidates ~512×, recall contract drops to hamming 3); omitted =
+  * auto by corpus size
+  * ([[graft.pipeline.Multimodal.AutoBandBits16Threshold]]), where an
+  * auto-16 with max_hamming > 3 fails loud naming both ways out. A
+  * corpus without a payload column fails loud naming the text-mode
+  * alternative; threshold/k (text-shingle options) fail loud under
+  * media mode and max_hamming/band_bits fail loud outside it.
   *
   * `k` (shingle width) applies to the plain-corpus routes only — an
   * index's scheme is frozen in its meta store, so passing a
@@ -620,7 +626,8 @@ object CorpusAnnTVF {
 object CorpusDedupTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_dedup", args,
-      Set("batch", "threshold", "k", "connection", "mode", "max_hamming"))
+      Set("batch", "threshold", "k", "connection", "mode", "max_hamming",
+        "band_bits"))
     val mode = opts.getOrElse("mode", "pairs").toLowerCase
     require(mode == "pairs" || mode == "clusters" || mode == "media",
       s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters, media)")
@@ -631,6 +638,8 @@ object CorpusDedupTVF {
     // for a different mode must fail loud, never be silently ignored
     require(mode == "media" || !opts.contains("max_hamming"),
       s"corpus_dedup: max_hamming applies to mode=>'media' only (got mode '$mode')")
+    require(mode == "media" || !opts.contains("band_bits"),
+      s"corpus_dedup: band_bits applies to mode=>'media' only (got mode '$mode')")
     require(mode != "media" ||
         (!opts.contains("threshold") && !opts.contains("k")),
       "corpus_dedup: threshold/k are text-shingle options — " +
@@ -669,13 +678,24 @@ object CorpusDedupTVF {
           throw new IllegalArgumentException(
             s"corpus_dedup: max_hamming must be an integer, got '$h'") }
       }.getOrElse(6)
+      // band_bits=>8|16 routes straight to phashDupPairs' knob; omitted
+      // = auto by corpus size (resolveBandBits enforces the pigeonhole
+      // recall contract loud either way)
+      val bandBits = opts.get("band_bits").map { bb =>
+        val v = try bb.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"corpus_dedup: band_bits must be an integer, got '$bb'") }
+        require(v == 8 || v == 16,
+          s"corpus_dedup: band_bits must be 8 or 16, got $v")
+        v
+      }.getOrElse(graft.pipeline.Multimodal.BandBitsAuto)
       val media = spark.read.parquet(resolved)
       val cols = media.columns.toSet
       require(cols.contains("doc_id") && cols.contains("payload"),
         s"corpus_dedup: mode=>'media' needs (doc_id, payload) columns " +
           s"— $resolved has (${media.columns.mkString(", ")}); for text " +
           "near-dups use the default mode over (doc_id, text)")
-      return graft.pipeline.Multimodal.phashDupPairs(media, maxH)
+      return graft.pipeline.Multimodal.phashDupPairs(media, maxH, bandBits)
         .queryExecution.analyzed
     }
     val isIndex = IndexLayouts.requireServable(

@@ -1299,6 +1299,61 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(prunedB == exactB, "batch maxscore diverges from exhaustive")
   }
 
+  test("maxscore: torn append degrades to exact exhaustive; compact heals the sidecar") {
+    import spark.implicits._
+    val T = graft.pipeline.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_torn").toString
+    val d2 = docs.select(col("doc_id"), col("text"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def skipFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings/_skips"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
+    T.write(d2.filter(col("doc_id") % 2 === 0), dir, buckets = 8, blockSize = 4)
+    val baseSkips = skipFiles()
+    T.append(d2.filter(col("doc_id") % 2 === 1), dir)
+    // simulate the crash window between the postings append and
+    // writeSkips: the appended postings are live, their sidecar rows
+    // are gone, and the batch's PENDING marker never dropped
+    (skipFiles() -- baseSkips).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/postings/_PENDING_APPEND_torn-spec")).close()
+    def forced[A](f: => A): A = {
+      spark.conf.set("graft.textindex.maxscorePostingsFloor", "0")
+      try f finally spark.conf.unset("graft.textindex.maxscorePostingsFloor")
+    }
+    val terms = Seq("spark", "data", "scan")
+    def viaIndex(): (Seq[(Long, Double)], String) = forced {
+      val r = T.search(spark, dir, terms, 10).collect()
+        .map(x => (x.getLong(0), x.getDouble(1))).toSeq
+      (r, T.lastRoute)
+    }
+    def viaScan(): Seq[(Long, Double)] =
+      TextAnalysis.bm25(d2, terms)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the pruned route must refuse a store whose sidecar may not cover
+    // every posting — a skips-derived candidate set would silently
+    // drop the appended docs; exhaustive reads the postings themselves
+    val (torn, tornRoute) = viaIndex()
+    assert(tornRoute == "exhaustive:torn-append", tornRoute)
+    assert(torn == viaScan(), "torn store must still serve exact scores")
+    // compact heals: every bucket rewrites, the sidecar is rebuilt from
+    // the actual surviving postings, the new generation is marker-free
+    assert(T.compact(spark, dir, maxFilesPerBucket = 64) >= 1)
+    val (healed, healedRoute) = viaIndex()
+    assert(healedRoute.startsWith("maxscore"),
+      s"compact must re-enable the pruned route, got $healedRoute")
+    assert(healed == viaScan(), "healed store diverges from the corpus scan")
+  }
+
   test("phrase search: shifted-position intersection equals direct text scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_phrase_spec").toString
@@ -1453,6 +1508,36 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val gotAll = Multimodal.phashDupPairs(media, 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotAll == wantAll)
+  }
+
+  test("bandBits auto-selection: size switchover pinned, recall contract fails loud") {
+    val M = Multimodal
+    // below the threshold auto keeps the 8-bit default — the oracles'
+    // sf-scale behavior is unchanged (radius 7 still allowed)
+    assert(M.resolveBandBits(M.BandBitsAuto, 6, () => 500L, "t") == 8)
+    assert(M.resolveBandBits(M.BandBitsAuto, 7,
+      () => M.AutoBandBits16Threshold - 1, "t") == 8)
+    // at/above it auto switches to 16-bit bands (the measured-cliff
+    // fix, FUZZY_SCALE.md hamming table) when the radius fits
+    assert(M.resolveBandBits(M.BandBitsAuto, 3,
+      () => M.AutoBandBits16Threshold, "t") == 16)
+    // auto-16 with a radius past the 16-bit pigeonhole guarantee must
+    // fail LOUD naming both ways out, never silently narrow recall
+    val e = intercept[IllegalArgumentException](
+      M.resolveBandBits(M.BandBitsAuto, 6, () => M.AutoBandBits16Threshold, "t"))
+    assert(e.getMessage.contains("bandBits=8") &&
+      e.getMessage.contains("hamming"), e.getMessage)
+    // explicit widths never count the corpus and keep their own checks
+    assert(M.resolveBandBits(8, 7,
+      () => sys.error("explicit width must not count"), "t") == 8)
+    assert(M.resolveBandBits(16, 3,
+      () => sys.error("explicit width must not count"), "t") == 16)
+    val e2 = intercept[IllegalArgumentException](
+      M.resolveBandBits(16, 4, () => 0L, "t"))
+    assert(e2.getMessage.contains("hamming 3"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      M.resolveBandBits(12, 3, () => 0L, "t"))
+    assert(e3.getMessage.contains("8, 16, or BandBitsAuto"), e3.getMessage)
   }
 
   test("salted join and salted agg equal their unsalted forms") {

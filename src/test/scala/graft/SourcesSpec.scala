@@ -740,6 +740,32 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_dedup('$idx', mode=>'media')").collect()
     }
     assert(e5.getMessage.contains("media parquet"), e5.getMessage)
+    // band_bits SQL face (round 18): 16-bit SQL ≡ 16-bit Scala, and at
+    // hamming 3 — inside BOTH widths' pigeonhole radius — ≡ the 8-bit
+    // pairs (recall 1.0 either way; FUZZY_SCALE.md's hamming table is
+    // why the knob must be reachable from SQL)
+    val sql16 = spark.sql(s"SELECT * FROM corpus_dedup('$base/media', " +
+        "mode=>'media', max_hamming=>3, band_bits=>16)")
+      .collect().map(_.mkString("|")).toSeq
+    val scala16 = graft.pipeline.Multimodal.phashDupPairs(media, 3, 16)
+      .collect().map(_.mkString("|")).toSeq
+    val scala8at3 = graft.pipeline.Multimodal.phashDupPairs(media, 3, 8)
+      .collect().map(_.mkString("|")).toSeq
+    assert(sql16 == scala16 && sql16.nonEmpty,
+      s"band_bits=>16 SQL ${sql16.size} rows vs Scala ${scala16.size}")
+    assert(sql16 == scala8at3,
+      "8- and 16-bit bands must agree inside the guaranteed radius")
+    // band_bits outside media mode / outside {8,16} fails loud
+    val e6 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
+        "band_bits=>16)").collect()
+    }
+    assert(e6.getMessage.contains("mode=>'media' only"), e6.getMessage)
+    val e7 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$base/media', mode=>'media', " +
+        "band_bits=>12)").collect()
+    }
+    assert(e7.getMessage.contains("8 or 16"), e7.getMessage)
   }
 
   test("corpus_quality TVF: every mode matches its Scala operator; store route serves the live generation") {
