@@ -61,6 +61,51 @@ private[sources] object TvfArgs {
     (pos, opts.toMap)
   }
 
+  /** Scoped MaxScore serving knobs (`corpus_search`/`corpus_hybrid`):
+    * `maxscore=>'on'|'off'` and `theta_rows=>N` map onto the
+    * `graft.textindex.maxscore` / `graft.textindex.maxscoreThetaRows`
+    * session confs FOR THIS STATEMENT ONLY — the route decision is
+    * made during plan build, inside `body`, so the confs are set
+    * before it and restored (set-back or unset) in a finally,
+    * mirroring q_bm25_maxscore's set/finally-unset discipline: a TVF
+    * option can never leak into the session. The knobs tune the
+    * text-index pruned route, so they fail loud when the path is a
+    * plain corpus (where the lexical leg is a scan, not an index
+    * probe). */
+  def withMaxScoreConfs[T](tvf: String, spark: SparkSession,
+                           opts: Map[String, String],
+                           isIndex: => Boolean)(body: => T): T = {
+    val confs: Seq[(String, String)] =
+      opts.get("maxscore").map { v =>
+        val on = v.toLowerCase match {
+          case "on" | "true" => "true"
+          case "off" | "false" => "false"
+          case other => throw new IllegalArgumentException(
+            s"$tvf: maxscore must be on or off, got '$other'")
+        }
+        "graft.textindex.maxscore" -> on
+      }.toSeq ++
+      opts.get("theta_rows").map { v =>
+        val n = try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$tvf: theta_rows must be an integer, got '$v'") }
+        require(n >= 1, s"$tvf: theta_rows $n must be >= 1")
+        "graft.textindex.maxscoreThetaRows" -> n.toString
+      }
+    if (confs.isEmpty) return body
+    require(isIndex,
+      s"$tvf: maxscore/theta_rows tune the text-index pruned serving " +
+        "route; this path is a plain corpus scan (build a TextIndex to " +
+        "use them)")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(old)) => spark.conf.set(k, old)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Normalize an external batch parquet to the canonical
     * (idCol, payloadCol) shape — ONE reading truth for the batch
     * TVFs: columns are selected BY NAME when the expected names exist
@@ -337,13 +382,22 @@ object GraftExtensions {
   * (detected by its `meta/` + postings stores), which serves the SAME
   * deterministic scores from the query terms' pruned postings buckets
   * instead of scanning the corpus: point the TVF at the index and the
-  * query cost follows the query, not the data. */
+  * query cost follows the query, not the data.
+  *
+  * MaxScore serving knobs (index + bm25 mode only, loud otherwise):
+  * `maxscore=>'on'|'off'` forces/disables the block-max pruned route,
+  * `theta_rows=>N` deepens the threshold pass's per-term prefix (for
+  * corpora whose impact ranking poorly predicts totals) — both scoped
+  * to THIS statement via [[TvfArgs.withMaxScoreConfs]] (no session
+  * leakage), results exact on every route. The taken route is logged
+  * (`[corpus_search] route=...`) so deployments can observe and tune
+  * the pruned/exhaustive decision. */
 object CorpusSearchTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     // options change result SEMANTICS (mode), so a typo'd key fails
     // loud inside the shared parser, not silently serving defaults
     val (pos, opts) = TvfArgs.parse("corpus_search", args,
-      Set("k", "mode", "connection", "queries"))
+      Set("k", "mode", "connection", "queries", "maxscore", "theta_rows"))
     val (path, query) = (pos, opts.get("queries")) match {
       case (p :: q :: Nil, None) => (p, Some(q))
       case (p :: Nil, Some(_)) => (p, None)
@@ -356,6 +410,13 @@ object CorpusSearchTVF {
     val mode = opts.getOrElse("mode", "bm25").toLowerCase
     require(mode == "bm25" || mode == "phrase",
       s"corpus_search: unknown mode '$mode' (bm25 | phrase)")
+    // MaxScore knobs tune the BM25 pruned route only — the family's
+    // mode-option discipline: an option for a different mode fails
+    // loud, never gets silently ignored
+    require(mode == "bm25" ||
+        (!opts.contains("maxscore") && !opts.contains("theta_rows")),
+      s"corpus_search: maxscore/theta_rows apply to mode=>'bm25' " +
+        s"(the BM25 pruned serving route), got mode '$mode'")
     val spark = SparkSession.active
     ReadFilesTVF.connections.applyTo(spark)
     val resolve = (p: String) =>
@@ -391,7 +452,8 @@ object CorpusSearchTVF {
     }
     def termsOf(q: String): Seq[String] =
       q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val result = (mode, batch) match {
+    val result = TvfArgs.withMaxScoreConfs(
+        "corpus_search", spark, opts, isIndex) { (mode, batch) match {
       case ("bm25", None) =>
         val terms = termsOf(query.get)
         require(terms.nonEmpty, "corpus_search: empty query")
@@ -427,7 +489,13 @@ object CorpusSearchTVF {
           spark.read.parquet(resolved), qs, k)
           .orderBy("query_id", "doc_id")
       case _ => throw new IllegalStateException("unreachable")
-    }
+    } }
+    // route diagnostics for operators tuning the knobs per deployment:
+    // the decision is per-thread and just happened inside the build,
+    // so this line names THIS statement's route (never a neighbor's)
+    if (isIndex && mode == "bm25")
+      System.err.println(
+        s"[corpus_search] route=${graft.pipeline.TextIndex.lastRoute}")
     result.queryExecution.analyzed
   }
 }
@@ -1091,13 +1159,15 @@ object CorpusMixTVF {
   * `weights=>'2,1'` weights the (lexical, dense) legs with integer
   * multipliers — contribution `(w·RrfScale) div (k0 + rank)`, still
   * bit-identical across engines; omitted = both legs weight 1,
-  * exactly the unweighted algebra.
+  * exactly the unweighted algebra. `maxscore`/`theta_rows` tune the
+  * lexical leg's pruned route exactly like `corpus_search`'s knobs
+  * (statement-scoped, loud when the text side is a plain corpus).
   * Returns (doc_id, rrf_score, n_legs) ordered score-desc. */
 object CorpusHybridTVF {
   def build(args: Seq[Expression]): LogicalPlan = {
     val (pos, opts) = TvfArgs.parse("corpus_hybrid", args,
       Set("embedding", "queries", "k", "k_per_leg", "k0", "nprobe",
-        "weights", "connection"))
+        "weights", "connection", "maxscore", "theta_rows"))
     val (textPath, vecPath, queryStr) = (pos, opts.get("queries")) match {
       case (t :: v :: q :: Nil, None) => (t, v, Some(q))
       case (t :: v :: Nil, Some(_)) => (t, v, None)
@@ -1213,11 +1283,20 @@ object CorpusHybridTVF {
     val tp = resolve(textPath)
     val lexIndexed = IndexLayouts.requireServable(
       spark, tp, "corpus_hybrid", IndexLayouts.TextIdx)
-    val lexScored =
+    // maxscore/theta_rows scope the lexical leg's route decision to
+    // this statement (set/finally-restored), same knobs as
+    // corpus_search; they fail loud when the text side is a plain
+    // corpus scan
+    val lexScored = TvfArgs.withMaxScoreConfs(
+        "corpus_hybrid", spark, opts, lexIndexed) {
       if (lexIndexed) graft.pipeline.TextIndex.searchMany(spark, tp,
         termPairs.toDF("query_id", "terms"), kPerLeg)
       else graft.pipeline.TextAnalysis.bm25Many(
         spark.read.parquet(tp), termPairs, kPerLeg)
+    }
+    if (lexIndexed && (opts.contains("maxscore") || opts.contains("theta_rows")))
+      System.err.println(
+        s"[corpus_hybrid] lexical route=${graft.pipeline.TextIndex.lastRoute}")
     val lexW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))

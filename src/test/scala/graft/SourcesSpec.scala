@@ -428,6 +428,86 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(batchPhrase.map(t => (t._2, t._3)).sortBy(_._1) == phraseSql.sortBy(_._1))
   }
 
+  test("corpus_search/corpus_hybrid maxscore knobs: statement-scoped, route observable, loud misuse") {
+    val T = graft.pipeline.TextIndex
+    // fine-blocked index so pruning has blocks to skip at spec scale
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_ms").toString
+    T.write(Engine.table(spark, sfDir, "documents").select("doc_id", "text"),
+      idx, buckets = 16, blockSize = 4)
+    def rows(sql: String): (Seq[String], String) = {
+      val r = spark.sql(sql).collect().map(_.mkString("|")).toSeq
+      (r, T.lastRoute)
+    }
+    val q = "'spark data scan'"
+    // the TVF scopes maxscore/theta_rows only; the floor is forced by
+    // the spec (session conf, unset below) so the route can engage on
+    // the fixture corpus
+    spark.conf.set("graft.textindex.maxscorePostingsFloor", "0")
+    try {
+      val (base, baseRoute) = rows(
+        s"SELECT * FROM corpus_search('$idx', $q, k=>10)")
+      assert(baseRoute.startsWith("maxscore"),
+        s"fixture must engage pruning, got $baseRoute")
+      // maxscore=>'off' disables the pruned route for THIS statement,
+      // rows identical (exactness is route-independent)
+      val (off, offRoute) = rows(
+        s"SELECT * FROM corpus_search('$idx', $q, k=>10, maxscore=>'off')")
+      assert(offRoute == "exhaustive:disabled", offRoute)
+      assert(off == base, "route must never change results")
+      assert(spark.conf.getOption("graft.textindex.maxscore").isEmpty,
+        "maxscore=>off leaked into the session")
+      // theta_rows deepens the θ prefix, still pruned, rows identical,
+      // and the conf is restored after the statement
+      val (deep, deepRoute) = rows(
+        s"SELECT * FROM corpus_search('$idx', $q, k=>10, theta_rows=>32)")
+      assert(deepRoute.startsWith("maxscore"), deepRoute)
+      assert(deep == base)
+      assert(spark.conf.getOption("graft.textindex.maxscoreThetaRows").isEmpty,
+        "theta_rows leaked into the session")
+      // a pre-existing session value is RESTORED, not unset
+      spark.conf.set("graft.textindex.maxscore", "true")
+      rows(s"SELECT * FROM corpus_search('$idx', $q, k=>10, maxscore=>'off')")
+      assert(spark.conf.get("graft.textindex.maxscore") == "true",
+        "statement scope must restore the prior session value")
+      spark.conf.unset("graft.textindex.maxscore")
+      // corpus_hybrid: the knobs scope its lexical leg the same way
+      val vecs = s"$sfDir/embeddings.parquet"
+      val dim = spark.read.parquet(vecs)
+        .select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head().getInt(0)
+      val emb = Array.fill(dim)("0.1").mkString(",")
+      val (hyb, hybRoute) = rows(
+        s"SELECT * FROM corpus_hybrid('$idx', '$vecs', $q, " +
+          s"embedding=>'$emb', maxscore=>'off')")
+      assert(hybRoute == "exhaustive:disabled", hybRoute)
+      val (hybOn, _) = rows(
+        s"SELECT * FROM corpus_hybrid('$idx', '$vecs', $q, embedding=>'$emb')")
+      assert(hyb == hybOn, "lexical route must never change fused results")
+      assert(spark.conf.getOption("graft.textindex.maxscore").isEmpty)
+    } finally spark.conf.unset("graft.textindex.maxscorePostingsFloor")
+    // misuse fails loud: bad value, wrong mode, plain-corpus path
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$idx', $q, maxscore=>'maybe')")
+        .collect()
+    }
+    assert(e1.getMessage.contains("on or off"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$idx', 'table scan', " +
+        "mode=>'phrase', theta_rows=>64)").collect()
+    }
+    assert(e2.getMessage.contains("mode=>'bm25'"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$sfDir/documents.parquet', " +
+        s"$q, maxscore=>'on')").collect()
+    }
+    assert(e3.getMessage.contains("plain corpus"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_search('$idx', $q, theta_rows=>0)")
+        .collect()
+    }
+    assert(e4.getMessage.contains(">= 1"), e4.getMessage)
+  }
+
   test("corpus_dedup TVF: plain and band-index routes agree in self and batch modes") {
     import spark.implicits._
     val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
