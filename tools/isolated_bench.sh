@@ -32,28 +32,47 @@ fi
 # SPARK_GRAFT_ISO_MOVERS=<bench_out.json>: AUTO-ADJUDICATION mode (the
 # r16 verdict's rule — no mover ships unadjudicated). The query list
 # becomes every in-suite query reading >2.5x its committed
-# bench_ref.json entry, and REPS defaults to 5 (min-of-2/3 fresh-JVM
+# bench_ref.json entry NORMALIZED by the run's own control median (r17
+# verdict task 2: a query is a real mover only if it moved MORE than
+# the box did — refs are all-time-best mins, so on a persistently
+# slower host every query reads high and raw ratios would adjudicate
+# the whole suite forever). REPS defaults to 5 (min-of-2/3 fresh-JVM
 # provably overreads codegen-heavy queries ~2.8x from first-use JIT —
 # ann_lsh read 4.99s at min-of-3, 1.77s at 6 in-JVM reps). An empty
-# mover set writes an empty-but-valid JSON and exits 0.
+# mover set writes an empty-but-valid JSON and exits 0. A missing or
+# malformed bench_ref.json / run json FAILS LOUD — a silent empty
+# mover list would disarm the adjudication step round_closeout.sh
+# depends on.
 MOVER_RATIO="${SPARK_GRAFT_ISO_RATIO:-2.5}"
+ISO_NORM="1.0"
 if [ -n "${SPARK_GRAFT_ISO_MOVERS:-}" ]; then
   REF="$(dirname "$0")/../bench_ref.json"
-  mapfile -t QUERIES < <(python3 - "$SPARK_GRAFT_ISO_MOVERS" "$REF" "$MOVER_RATIO" <<'PYEOF'
+  [ -f "$REF" ] || { echo "FATAL: $REF missing — mover adjudication needs the committed reference" >&2; exit 1; }
+  [ -f "$SPARK_GRAFT_ISO_MOVERS" ] || { echo "FATAL: run json $SPARK_GRAFT_ISO_MOVERS missing" >&2; exit 1; }
+  MOVERS_TMP="$(mktemp)"
+  if ! python3 - "$SPARK_GRAFT_ISO_MOVERS" "$REF" "$MOVER_RATIO" > "$MOVERS_TMP" <<'PYEOF'
 import json, sys
-run = json.load(open(sys.argv[1]))["queries"]
+rec = json.load(open(sys.argv[1]))
+run = rec["queries"]
 ref = json.load(open(sys.argv[2]))["queries"]
 ratio = float(sys.argv[3])
+norm = max(1.0, float(rec.get("controls_median", 1.0)))
+print(norm)
 for q, t in sorted(run.items()):
-    if q in ref and ref[q] > 0 and t > ref[q] * ratio:
+    if q in ref and ref[q] > 0 and t > ref[q] * ratio * norm:
         print(q)
 PYEOF
-)
+  then
+    echo "FATAL: mover selection failed (malformed bench_ref.json or run json)" >&2
+    exit 1
+  fi
+  ISO_NORM="$(head -1 "$MOVERS_TMP")"
+  mapfile -t QUERIES < <(tail -n +2 "$MOVERS_TMP")
   SPARK_GRAFT_REPS="${SPARK_GRAFT_REPS:-5}"
-  echo "[isolated] mover mode: ${#QUERIES[@]} queries >${MOVER_RATIO}x ref (REPS=$SPARK_GRAFT_REPS)" >&2
+  echo "[isolated] mover mode: ${#QUERIES[@]} queries >${MOVER_RATIO}x ref x control median ${ISO_NORM} (REPS=$SPARK_GRAFT_REPS)" >&2
   if [ "${#QUERIES[@]}" -eq 0 ]; then
-    printf '{"sf": "%s", "mode": "fresh-jvm-per-query", "movers": [], "queries": {}}\n' "$SF_DIR" > "$OUT"
-    echo "wrote $OUT (no movers)"
+    printf '{"sf": "%s", "mode": "fresh-jvm-per-query", "norm": %s, "movers": [], "queries": {}}\n' "$SF_DIR" "$ISO_NORM" > "$OUT"
+    echo "wrote $OUT (no movers past ${MOVER_RATIO}x normalized)"
     exit 0
   fi
 fi
@@ -93,12 +112,18 @@ python3 - "$OUT" <<EOF
 import json, sys, os
 sec = { $(for q in "${QUERIES[@]}"; do printf '"%s": %s, ' "$q" "${SEC[$q]:-float('nan')}"; done) }
 rec = {"sf": "$SF_DIR", "mode": "fresh-jvm-per-query",
-       "reps": int("${SPARK_GRAFT_REPS:-2}"), "queries": sec}
+       "reps": int("${SPARK_GRAFT_REPS:-2}"), "norm": float("$ISO_NORM"),
+       "queries": sec}
 ref_path = os.path.join(os.path.dirname("$0") or ".", "..", "bench_ref.json")
 try:
     ref = json.load(open(ref_path))["queries"]
     rec["vs_ref"] = {q: round(sec[q] / ref[q], 2)
                      for q in sec if q in ref and ref[q] > 0 and sec[q] == sec[q]}
+    # the adjudication verdict: fresh-JVM ratio divided by the run's
+    # control median — how much the query moved beyond the box itself
+    norm = rec["norm"]
+    rec["vs_ref_normalized"] = {q: round(r / norm, 2)
+                                for q, r in rec["vs_ref"].items()}
 except Exception:
     pass
 json.dump(rec, open(sys.argv[1], "w"), indent=1)

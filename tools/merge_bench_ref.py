@@ -7,11 +7,14 @@ Usage: tools/merge_bench_ref.py [--drop-errored] [run_json ...]
 bench_ref.json is the durable retime baseline Bench.scala reads by
 default (SPARK_GRAFT_BENCH_REF): best-known per-query seconds across
 rounds, min-merged so only genuinely better numbers lower the bar and
-a noisy run can never raise it. Run this after every committed clean
-bench; keep the output committed. The file MUST stay compact
-(separators without spaces) — Bench.referenceTimes is
-whitespace-tolerant since r14, but compact is the contract the round
-workflow standardizes on.
+a noisy run can never raise it. Run this after every committed bench;
+keep the output committed. Inflated runs (controls >1.3x refs) merge
+their EXISTING keys raw (min only lowers) while NEW keys enter divided
+by the run's control median — a persistently slower host can no
+longer deadlock the close-out, and a sick-box number still can't
+loosen any gate. The file MUST stay compact (separators without
+spaces) — Bench.referenceTimes is whitespace-tolerant since r14, but
+compact is the contract the round workflow standardizes on.
 """
 import json
 import sys
@@ -40,18 +43,32 @@ def main() -> None:
         if run.get("sf") != SF:
             raise SystemExit(f"{path}: sf={run.get('sf')!r}, expected {SF} "
                              "(cross-SF numbers would poison every retime)")
+        # Inflated runs (controls read >1.3x their refs — box health,
+        # not plans) used to be refused outright, which DEADLOCKED the
+        # close-out on a persistently slower host (r17 verdict task 2):
+        # min-merge can never RAISE an existing bar, so existing keys
+        # always merge at their raw values; only a round's NEW queries
+        # would enter at sick-box values and loosen their retime gates
+        # from day one — those enter NORMALIZED by the run's own
+        # control median (the box's measured slowdown), recorded loud.
+        # --force keeps the old raw-entry behavior for new keys.
+        norm = 1.0
         if run.get("inflated") is True and "--force" not in sys.argv:
-            # min-merge can't RAISE existing bars, but a round's NEW
-            # queries would enter the reference at sick-box values and
-            # loosen their retime gates from day one
-            raise SystemExit(
-                f"{path} is marked inflated:true (control queries read "
-                ">1.3x their refs — box health, not plans). Re-run the "
-                "bench in a quieter window, or pass --force.")
+            norm = max(1.0, float(run.get("controls_median", 1.0)))
+            print(f"{path}: inflated:true (control median {norm}x) — "
+                  "existing keys min-merge raw; new keys enter divided "
+                  f"by {norm}")
         if run.get("errors"):
             errored.update(str(e) for e in run["errors"])
         for k, v in run["queries"].items():
-            merged[k] = min(merged.get(k, v), v)
+            if k in merged:
+                merged[k] = min(merged[k], v)
+            else:
+                entry = round(v / norm, 3)
+                if norm != 1.0:
+                    print(f"new: {k} enters at {entry}s "
+                          f"(raw {v}s / control median {norm})")
+                merged[k] = entry
     # A key that errored and produced no timing in any merged run: keep
     # its best-known min by default — one transiently-failed run must
     # not silently disarm the retime gate for that query forever (the

@@ -4,14 +4,19 @@
 #   1. correctness gate at sf0.001 AND sf0.01 (Verify + DuckDB compare)
 #   2. full ScalaTest suite
 #   3. ClusterCheck (local[8] vs local-cluster hash parity)
-#   4. bench at sf0.1 — with the box-health controls: if the run is
-#      marked inflated:true (control queries read >1.3x their committed
-#      refs), STOP — the number reflects the box, not the plans; re-run
-#      in a quieter window
-#   5. min-merge the clean run into bench_ref.json (merge refuses
-#      inflated runs on its own too)
-#   6. AUTO-ADJUDICATE every mover (>2.5x its committed ref) with
-#      fresh JVMs at REPS=5 — no mover ships unadjudicated
+#   4. bench at sf0.1 — with the box-health controls: a run marked
+#      inflated:true (control median >1.3x the committed refs) is
+#      REPORTED loud, and the rest of the close-out switches to
+#      control-median NORMALIZATION (r17 verdict task 2: refs are
+#      all-time-best mins, so a persistently slower host would
+#      otherwise mark every run inflated and deadlock the close-out
+#      forever)
+#   5. min-merge into bench_ref.json (existing keys raw — min only
+#      lowers; NEW keys from an inflated run enter divided by the
+#      control median so a sick box can't loosen their gates)
+#   6. AUTO-ADJUDICATE every mover (>2.5x its committed ref x the
+#      run's control median) with fresh JVMs at REPS=5 — no mover
+#      ships unadjudicated; the verdict ratio is vs_ref_normalized
 #
 # Usage: tools/round_closeout.sh [roundN]   (roundN names the copied
 # artifacts, e.g. 17 -> BENCH_r17.json / ISOLATED_BENCH_r17.json)
@@ -58,9 +63,12 @@ java $ADD_OPENS -Xmx"${SPARK_DRIVER_MEM:-24g}" -Dspark.ui.enabled=false \
   > /tmp/closeout_bench.log 2>&1 || { tail -20 /tmp/closeout_bench.log; exit 1; }
 tail -1 bench_out.json
 if python3 -c "import json,sys; sys.exit(0 if json.load(open('bench_out.json')).get('inflated') else 1)"; then
-  echo "STOP: bench run is inflated (controls >1.3x refs) — box health,"
-  echo "not plans. Re-run tools/round_closeout.sh in a quieter window."
-  exit 2
+  CM=$(python3 -c "import json;print(json.load(open('bench_out.json')).get('controls_median'))")
+  echo "NOTE: bench run is inflated (control median ${CM}x refs) — box"
+  echo "health, not plans. Continuing with control-median normalization:"
+  echo "mover selection and adjudication divide by ${CM}; new-query refs"
+  echo "enter divided by ${CM}. Re-run in a quieter window for a raw-clean"
+  echo "number if one is needed."
 fi
 if [ -n "$ROUND" ]; then cp bench_out.json "BENCH_r$ROUND.json"; fi
 
