@@ -3732,6 +3732,15 @@ object SparkEntry {
           s"corpus_dedup('$d/documents.parquet', mode=>'clusters') " +
           "ORDER BY doc_id")),
 
+    // SimHash banding through the SQL surface (round 18): the same
+    // exact-Jaccard pair contract as dedup_simhash, candidates from
+    // aligned simhash chunk buckets instead of shingle LSH — same
+    // brute-force oracle (the verifier makes emitted pairs exact;
+    // candidate recall is 1.0 on the fixtures, spec-measured).
+    "q_sql_simhash" -> ((s, d) =>
+      s.sql(s"SELECT doc_a, doc_b, jaccard FROM " +
+        s"corpus_dedup('$d/documents.parquet', mode=>'simhash')")),
+
     // The curation-scoring pass through the SQL surface: the
     // corpus_quality TVF routes to the SAME qualityScore operator
     // text_quality serves, so one oracle body pins both surfaces.
@@ -3989,6 +3998,9 @@ object SparkEntry {
 
     "q_sql_dedup" -> duckJaccardPairs,
     "q_sql_neardup_index" -> duckJaccardPairs,
+    // simhash banding emits the same exact verified pairs (candidate
+    // recall 1.0 on the fixtures), so the brute-force truth is shared
+    "q_sql_simhash" -> duckJaccardPairs,
     "q_sql_neardup_batch" -> duckCrossJaccard,
 
     "q_unnamed_proj" -> ("SELECT l_orderkey, l_linenumber, " +

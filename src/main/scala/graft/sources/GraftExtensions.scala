@@ -667,6 +667,18 @@ object CorpusAnnTVF {
   * ([[graft.pipeline.TextDedup.nearDupClusters]] /
   * [[graft.pipeline.TextDedup.clustersInBandIndex]]).
   *
+  * `mode=>'simhash'` (self mode only): the same exact-Jaccard pair
+  * contract served from SIMHASH banding instead of shingle LSH —
+  * [[graft.pipeline.TextDedup.simhashPairs]]: 64-bit shingle-set
+  * simhash, aligned `band_bits`-wide chunk-bucket candidates, a
+  * codegen'd hamming prefilter (`max_hamming`, default 16 — recall
+  * beyond the pigeonhole radius is bucket luck by design; the Jaccard
+  * verifier keeps every EMITTED pair exact), then the shared
+  * verification. `band_bits=>8|16` defaults to 8 and is NEVER
+  * auto-narrowed here (unlike media mode, the radius contract is
+  * intentionally soft). Plain corpora only — a band index stores
+  * shingle-LSH artifacts, not simhashes, and fails loud.
+  *
   * `mode=>'media'` (self mode only): near-duplicate MEDIA pairs by
   * perceptual-hash hamming distance over a media parquet (doc_id,
   * payload binary) — (doc_a, doc_b, hamming) with hamming ≤
@@ -697,17 +709,18 @@ object CorpusDedupTVF {
       Set("batch", "threshold", "k", "connection", "mode", "max_hamming",
         "band_bits"))
     val mode = opts.getOrElse("mode", "pairs").toLowerCase
-    require(mode == "pairs" || mode == "clusters" || mode == "media",
-      s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters, media)")
+    require(mode == "pairs" || mode == "clusters" || mode == "media" ||
+        mode == "simhash",
+      s"corpus_dedup: unknown mode '$mode' (expected pairs, clusters, media, simhash)")
     require(mode == "pairs" || !opts.contains("batch"),
       "corpus_dedup: mode=>'" + mode + "' applies to self mode only " +
         "(batch gating emits text pairs)")
     // mode-option discipline (the corpus_mix convention): an option
     // for a different mode must fail loud, never be silently ignored
-    require(mode == "media" || !opts.contains("max_hamming"),
-      s"corpus_dedup: max_hamming applies to mode=>'media' only (got mode '$mode')")
-    require(mode == "media" || !opts.contains("band_bits"),
-      s"corpus_dedup: band_bits applies to mode=>'media' only (got mode '$mode')")
+    require(mode == "media" || mode == "simhash" || !opts.contains("max_hamming"),
+      s"corpus_dedup: max_hamming applies to mode=>'media'/'simhash' only (got mode '$mode')")
+    require(mode == "media" || mode == "simhash" || !opts.contains("band_bits"),
+      s"corpus_dedup: band_bits applies to mode=>'media'/'simhash' only (got mode '$mode')")
     require(mode != "media" ||
         (!opts.contains("threshold") && !opts.contains("k")),
       "corpus_dedup: threshold/k are text-shingle options — " +
@@ -732,6 +745,41 @@ object CorpusDedupTVF {
     val resolve = (p: String) =>
       ReadFilesTVF.connections.resolve(opts.get("connection"), p)
     val resolved = resolve(path)
+    val maxHammingOpt: Option[Int] = opts.get("max_hamming").map { h =>
+      try h.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_dedup: max_hamming must be an integer, got '$h'") }
+    }
+    // band_bits=>8|16 routes straight to the banding knob; each mode
+    // applies its own default (media: auto by corpus size; simhash: 8
+    // — its default radius intentionally exceeds both widths'
+    // pigeonhole guarantee, recall beyond it is bucket luck while the
+    // Jaccard verifier keeps emitted pairs exact, so auto-narrowing
+    // would silently change recall)
+    val bandBitsOpt: Option[Int] = opts.get("band_bits").map { bb =>
+      val v = try bb.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"corpus_dedup: band_bits must be an integer, got '$bb'") }
+      require(v == 8 || v == 16,
+        s"corpus_dedup: band_bits must be 8 or 16, got $v")
+      v
+    }
+    if (mode == "simhash") {
+      // SimHash near-dup pairs over a plain (doc_id, text) corpus —
+      // the banding alternative to the default shingle-LSH route
+      // (fewer, coarser candidates at the same exact Jaccard emit).
+      // A band index stores shingle-LSH artifacts, not simhashes: the
+      // index route cannot serve this mode and fails loud naming it.
+      val fam = IndexLayouts.familyOf(spark, resolved)
+      require(fam.isEmpty,
+        s"corpus_dedup: mode=>'simhash' reads a plain (doc_id, text) " +
+          s"corpus (simhashes are computed, not stored), got " +
+          s"${fam.map(_.label).getOrElse("")} at $resolved")
+      return graft.pipeline.TextDedup.simhashPairs(
+          spark.read.parquet(resolved), kOpt.getOrElse(3), threshold,
+          maxHammingOpt.getOrElse(16), bandBitsOpt.getOrElse(8))
+        .queryExecution.analyzed
+    }
     if (mode == "media") {
       // media near-dups: perceptual-hash hamming pairs over a media
       // parquet (the phashDupPairs chunk-banding path — candidates
@@ -741,22 +789,8 @@ object CorpusDedupTVF {
       require(fam.isEmpty,
         s"corpus_dedup: mode=>'media' reads a media parquet " +
           s"(doc_id, payload), got ${fam.map(_.label).getOrElse("")} at $resolved")
-      val maxH = opts.get("max_hamming").map { h =>
-        try h.toInt catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"corpus_dedup: max_hamming must be an integer, got '$h'") }
-      }.getOrElse(6)
-      // band_bits=>8|16 routes straight to phashDupPairs' knob; omitted
-      // = auto by corpus size (resolveBandBits enforces the pigeonhole
-      // recall contract loud either way)
-      val bandBits = opts.get("band_bits").map { bb =>
-        val v = try bb.toInt catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"corpus_dedup: band_bits must be an integer, got '$bb'") }
-        require(v == 8 || v == 16,
-          s"corpus_dedup: band_bits must be 8 or 16, got $v")
-        v
-      }.getOrElse(graft.pipeline.Multimodal.BandBitsAuto)
+      val maxH = maxHammingOpt.getOrElse(6)
+      val bandBits = bandBitsOpt.getOrElse(graft.pipeline.Multimodal.BandBitsAuto)
       val media = spark.read.parquet(resolved)
       val cols = media.columns.toSet
       require(cols.contains("doc_id") && cols.contains("payload"),

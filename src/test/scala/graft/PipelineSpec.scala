@@ -1299,6 +1299,48 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(prunedB == exactB, "batch maxscore diverges from exhaustive")
   }
 
+  test("maxscore candidate semi-join: shuffle path (past the broadcast ceiling) is bit-identical") {
+    import spark.implicits._
+    val T = graft.pipeline.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_bcast").toString
+    T.write(docs.select(col("doc_id"), col("text")), dir,
+      buckets = 16, blockSize = 4)
+    def scoped[A](pairs: (String, String)*)(f: => A): A = {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val batch = Seq(
+      (1L, Seq("spark", "data")),
+      (2L, Seq("window", "hash", "scan"))).toDF("query_id", "terms")
+    def run(ceiling: String): (Seq[String], Seq[String], String) = scoped(
+      "graft.textindex.maxscorePostingsFloor" -> "0",
+      "graft.textindex.maxscoreBroadcastPairs" -> ceiling) {
+      val single = T.search(spark, dir, Seq("spark", "data", "scan"), 10)
+        .collect().map(_.mkString("|")).toSeq
+      val many = T.searchMany(spark, dir, batch, 10)
+        .collect().map(_.mkString("|")).toSeq
+      (single, many, T.lastRoute)
+    }
+    // ceiling 0 forces EVERY candidate semi-join through the shuffle;
+    // the default broadcasts — rows must be bit-identical (the ceiling
+    // is a transport choice, never a semantics one)
+    val (s0, m0, r0) = run("0")
+    val (s1, m1, r1) = run("1000000")
+    assert(r0.startsWith("maxscore") && r1.startsWith("maxscore"), s"$r0 / $r1")
+    assert(s0 == s1, "single-query shuffle semi-join diverges from broadcast")
+    assert(m0 == m1, "batch shuffle semi-join diverges from broadcast")
+    // and both equal the exhaustive cut
+    val (sx, mx, rx) = scoped("graft.textindex.maxscore" -> "false") {
+      (T.search(spark, dir, Seq("spark", "data", "scan"), 10)
+        .collect().map(_.mkString("|")).toSeq,
+        T.searchMany(spark, dir, batch, 10)
+          .collect().map(_.mkString("|")).toSeq,
+        T.lastRoute)
+    }
+    assert(rx == "exhaustive:disabled", rx)
+    assert(s0 == sx && m0 == mx, "pruned routes diverge from exhaustive")
+  }
+
   test("maxscore: torn append degrades to exact exhaustive; compact heals the sidecar") {
     import spark.implicits._
     val T = graft.pipeline.TextIndex

@@ -806,7 +806,7 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
         "max_hamming=>6)").collect()
     }
-    assert(e3.getMessage.contains("mode=>'media' only"), e3.getMessage)
+    assert(e3.getMessage.contains("mode=>'media'/'simhash' only"), e3.getMessage)
     val e4 = intercept[Exception] {
       spark.sql(s"SELECT * FROM corpus_dedup('$base/media', mode=>'media', " +
         s"batch=>'$base/media')").collect()
@@ -835,17 +835,53 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       s"band_bits=>16 SQL ${sql16.size} rows vs Scala ${scala16.size}")
     assert(sql16 == scala8at3,
       "8- and 16-bit bands must agree inside the guaranteed radius")
-    // band_bits outside media mode / outside {8,16} fails loud
+    // band_bits outside media/simhash mode / outside {8,16} fails loud
     val e6 = intercept[Exception] {
       spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
         "band_bits=>16)").collect()
     }
-    assert(e6.getMessage.contains("mode=>'media' only"), e6.getMessage)
+    assert(e6.getMessage.contains("mode=>'media'/'simhash' only"), e6.getMessage)
     val e7 = intercept[Exception] {
       spark.sql(s"SELECT * FROM corpus_dedup('$base/media', mode=>'media', " +
         "band_bits=>12)").collect()
     }
     assert(e7.getMessage.contains("8 or 16"), e7.getMessage)
+  }
+
+  test("corpus_dedup mode=>'simhash': SQL face equals simhashPairs at both band widths; misuse fails loud") {
+    val docs = Engine.table(spark, sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', mode=>'simhash')"))
+    val viaScala = rows(graft.pipeline.TextDedup.simhashPairs(docs, 3, 0.8))
+    assert(viaSql == viaScala && viaSql.nonEmpty,
+      s"SQL ${viaSql.size} rows vs Scala ${viaScala.size}")
+    // every option reaches the operator: 16-bit bands + tight radius
+    val viaSql16 = rows(spark.sql(
+      s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
+        "mode=>'simhash', band_bits=>16, max_hamming=>3, " +
+        "threshold=>0.9, k=>4)"))
+    val viaScala16 = rows(graft.pipeline.TextDedup.simhashPairs(
+      docs, 4, 0.9, maxHamming = 3, bandBits = 16))
+    assert(viaSql16 == viaScala16,
+      s"16-bit SQL ${viaSql16.size} rows vs Scala ${viaScala16.size}")
+    // simhashes are computed from text, never stored: an index path
+    // fails loud naming the expectation
+    val idxBase = java.nio.file.Files.createTempDirectory("graft_sim_tvf").toString
+    graft.pipeline.TextDedup.writeBandIndex(
+      docs.select("doc_id", "text").limit(50), s"$idxBase/band")
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$idxBase/band', " +
+        "mode=>'simhash')").collect()
+    }
+    assert(e1.getMessage.contains("plain (doc_id, text)"), e1.getMessage)
+    // self mode only, like clusters/media
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM corpus_dedup('$sfDir/documents.parquet', " +
+        s"mode=>'simhash', batch=>'$sfDir/documents.parquet')").collect()
+    }
+    assert(e2.getMessage.contains("self mode only"), e2.getMessage)
   }
 
   test("corpus_quality TVF: every mode matches its Scala operator; store route serves the live generation") {
