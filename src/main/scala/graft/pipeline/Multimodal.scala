@@ -27,12 +27,17 @@ object Multimodal {
     * [[phashDupPairs]] / the `corpus_dedup(mode=>'media')` TVF). */
   val BandBitsAuto: Int = 0
 
-  /** Auto-selection switchover: at or above this many items the 8-bit
-    * banding's stray candidates (~8·N²/256) are the measured
-    * infeasibility — FUZZY_SCALE.md's hamming table reports 6.6 B
-    * candidate pairs at 500 k items — so auto picks 16-bit bands,
-    * whose pigeonhole recall contract holds only to hamming 3. */
-  val AutoBandBits16Threshold: Long = 1000000L
+  /** Auto-selection switchover: at or above this many items auto picks
+    * 16-bit bands (whose pigeonhole recall contract holds only to
+    * hamming 3). Derived from FUZZY_SCALE.md's hamming table: 8-bit
+    * stray candidates grow ~8·N²/256 = N²/32 — measured FEASIBLE at
+    * 50 k items (66.8 M pairs, 25 s) and measured INFEASIBLE at 500 k
+    * (6.6 B pairs, unrunnable; the probe's own 3·10⁸-candidate
+    * feasibility line). N²/32 crosses 3·10⁸ at N ≈ 98 k, so 100 k is
+    * the last corpus size where the 8-bit default stays inside the
+    * measured-feasible regime — switching at 1 M would ride the
+    * quadratic ~10× past the line before the knob kicked in. */
+  val AutoBandBits16Threshold: Long = 100000L
 
   /** One banding-contract truth for auto and explicit band widths:
     * resolve the width (auto counts the corpus — one footer-count
@@ -52,9 +57,10 @@ object Multimodal {
       else 8
     if (bandBits == BandBitsAuto && bits == 16)
       require(maxHamming <= 3,
-        s"$op: corpus has >= $AutoBandBits16Threshold items, where 8-bit " +
-          "banding is infeasible (~8*N^2/256 stray candidate pairs — " +
-          "measured 6.6B at 500k items, FUZZY_SCALE.md) and auto-selected " +
+        s"$op: corpus has >= $AutoBandBits16Threshold items, past which " +
+          "8-bit banding's stray candidates (~N^2/32) leave the " +
+          "measured-feasible regime (3*10^8 pairs; 6.6B by 500k items, " +
+          "unrunnable — FUZZY_SCALE.md) and auto-selected " +
           s"16-bit bands guarantee recall only to hamming 3 (got " +
           s"maxHamming $maxHamming). Lower maxHamming to <= 3, or pass " +
           "bandBits=8 explicitly to keep the radius and pay the candidates")

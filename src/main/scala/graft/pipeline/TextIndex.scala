@@ -249,8 +249,17 @@ object TextIndex {
       writeStatsDelta(spark, nd, tl, store)
       // the marker drops ONLY on full success — a throw above leaves it
       // in place, pinning the store to the exhaustive route until a
-      // compaction rebuilds the sidecar from the actual postings
-      fs.delete(marker, false)
+      // compaction rebuilds the sidecar from the actual postings.
+      // Hadoop filesystems report many delete failures by RETURNING
+      // false, not throwing (object-store transients, concurrent
+      // namespace changes) — a silently surviving marker would pin a
+      // fully-committed store to the unpruned route with no signal, so
+      // a failed drop is loud and names the heal.
+      if (!fs.delete(marker, false) && fs.exists(marker))
+        System.err.println(s"[textindex] WARN: append committed but its " +
+          s"pending marker $marker could not be removed — the store " +
+          "serves exact but UNPRUNED (exhaustive) until compact() " +
+          "rebuilds it marker-free")
     } finally { post.unpersist(); () }
   }
 
@@ -323,13 +332,33 @@ object TextIndex {
     * handling establishes. */
   private def statsOf(spark: SparkSession, dir: String,
                       store: String, tombs: Seq[String]): (Long, Long) = {
-    // appends add delta files, compaction swaps the store path — both
-    // change the signature, so the cache can never serve stale totals
-    val base = Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
-      val r = spark.read.parquet(statsFiles(spark, store): _*)
-        .agg(sum("n_docs"), sum("total_len")).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Torn/in-flight append window: the batch's stats delta is the
+    // LAST write of [[append]], so while a pending marker exists the
+    // summed `_stats` deltas can describe a corpus the postings files
+    // no longer are (postings committed, delta never landed) — idf
+    // would count df over the new docs while nDocs/avgdl exclude
+    // them, scores matching NO consistent corpus. Derive the totals
+    // from the postings themselves instead: one column-pruned
+    // (doc_id, len) pass over exactly the rows the exhaustive scan
+    // scores — the same distinct-over-postings population [[compact]]'s
+    // heal recomputes — so (N, avgdl) and df can never disagree about
+    // which corpus exists. Deliberately UNCACHED: a live append is
+    // still adding files, and the window ends at the marker drop.
+    val base =
+      if (hasPendingAppend(fs, store)) {
+        val r = spark.read.parquet(store)
+          .select("doc_id", "len").distinct()
+          .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      } else
+      // appends add delta files, compaction swaps the store path — both
+      // change the signature, so the cache can never serve stale totals
+      Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
+        val r = spark.read.parquet(statsFiles(spark, store): _*)
+          .agg(sum("n_docs"), sum("total_len")).head()
+        (r.getLong(0), r.getLong(1))
+      }
     // Tombstone fold: subtract the (count, token length) of tombstoned
     // docs STILL PRESENT in this generation's postings, so (N, avgdl)
     // track takedowns immediately instead of waiting for compact — df
@@ -489,10 +518,15 @@ object TextIndex {
       .filter(_._2.nonEmpty).distinct.toSeq
     // an all-blank (or empty) batch yields no rows, same as a single
     // term-missing query — error/empty behavior must not depend on
-    // batch composition
-    if (pairs.isEmpty)
+    // batch composition. The route diagnostic still records THIS call
+    // (no search ran) — otherwise lastRoute would keep the previous
+    // statement's value and a route log line would name a neighbor's
+    // decision for a statement that scanned nothing.
+    if (pairs.isEmpty) {
+      setRoute("none:empty-batch")
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("query_id", "doc_id", "score", "n_terms")
+    }
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
     val (store, live, tombs, termBuckets) = prunedPostings(spark, dir, allTerms)
@@ -583,16 +617,33 @@ object TextIndex {
   private[graft] def lastRoute: String = routeHolder.get()
   private def setRoute(r: String): Unit = routeHolder.set(r)
 
+  /** Per-statement serving-knob overrides, consulted BEFORE the session
+    * confs by every `graft.textindex.*` read in the route decision.
+    * The SQL faces (`corpus_search`/`corpus_hybrid` `maxscore=>`,
+    * `theta_rows=>`) scope their knobs here instead of mutating the
+    * shared session conf: QueryService plans concurrent statements on
+    * ONE session, so a set/finally-restore of `spark.conf` races —
+    * interleaved restores can permanently leak a statement's knob into
+    * the session, and a knob-less neighbor statement's route decision
+    * can read an in-flight value. The route decision runs synchronously
+    * on the statement's planning thread, so a ThreadLocal is exactly
+    * the statement scope; session confs remain the deployment-wide
+    * fallback. */
+  private[graft] val confOverrides: ThreadLocal[Map[String, String]] =
+    ThreadLocal.withInitial(() => Map.empty[String, String])
+
   private def maxScoreTopK(spark: SparkSession, store: String, live: DataFrame,
                            tombs: Seq[String], termBuckets: Array[Int],
                            queries: Seq[(Long, Seq[String])], k: Int,
                            k1: Double, b: Double, nDocs: Long,
                            totalLen: Long, single: Boolean = false): Option[DataFrame] = {
     import spark.implicits._
+    def confGet(key: String, dflt: String): String =
+      confOverrides.get().getOrElse(key, spark.conf.get(key, dflt))
     def confLong(key: String, dflt: Long): Long =
-      try spark.conf.get(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
+      try confGet(key, dflt.toString).toLong catch { case _: NumberFormatException => dflt }
     def exhaustive(why: String): Option[DataFrame] = { setRoute(s"exhaustive:$why"); None }
-    val debug = spark.conf.get("graft.textindex.maxscoreDebug", "false") == "true"
+    val debug = confGet("graft.textindex.maxscoreDebug", "false") == "true"
     var tMark = System.nanoTime()
     def mark(phase: String): Unit = if (debug) {
       val now = System.nanoTime()
@@ -600,7 +651,7 @@ object TextIndex {
       tMark = now
     }
     if (nDocs <= 0) return exhaustive("empty")
-    if (spark.conf.get("graft.textindex.maxscore", "true") != "true")
+    if (confGet("graft.textindex.maxscore", "true") != "true")
       return exhaustive("disabled")
     val floor = confLong("graft.textindex.maxscorePostingsFloor", 1000000L)
     // totalLen (already resolved, cached) upper-bounds matched postings:

@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * for thresholds) instead of a per-TVF copy that drifts, and one
   * unknown-option rejection (a typo'd key must fail loud, never
   * silently serve the default behavior). */
-private[sources] object TvfArgs {
+private[graft] object TvfArgs {
   def parse(tvf: String, args: Seq[Expression], allowed: Set[String])
       : (List[String], Map[String, String]) = {
     def str(e: Expression, what: String): String = e match {
@@ -62,16 +62,21 @@ private[sources] object TvfArgs {
   }
 
   /** Scoped MaxScore serving knobs (`corpus_search`/`corpus_hybrid`):
-    * `maxscore=>'on'|'off'` and `theta_rows=>N` map onto the
+    * `maxscore=>'on'|'off'` and `theta_rows=>N` override the
     * `graft.textindex.maxscore` / `graft.textindex.maxscoreThetaRows`
-    * session confs FOR THIS STATEMENT ONLY — the route decision is
-    * made during plan build, inside `body`, so the confs are set
-    * before it and restored (set-back or unset) in a finally,
-    * mirroring q_bm25_maxscore's set/finally-unset discipline: a TVF
-    * option can never leak into the session. The knobs tune the
-    * text-index pruned route, so they fail loud when the path is a
-    * plain corpus (where the lexical leg is a scan, not an index
-    * probe). */
+    * confs FOR THIS STATEMENT ONLY — via
+    * [[graft.pipeline.TextIndex.confOverrides]], the per-thread
+    * override scope the route decision consults before the session
+    * conf. NOT a session-conf set/finally-restore: QueryService plans
+    * concurrent statements on ONE shared session, where interleaved
+    * restores can permanently leak a statement's knob into the session
+    * and a knob-less neighbor's route decision can read an in-flight
+    * value — the ThreadLocal makes the statement scope exact (the
+    * route is decided synchronously inside `body` on this thread) and
+    * leaves the session conf untouched as the deployment-wide
+    * fallback. The knobs tune the text-index pruned route, so they
+    * fail loud when the path is a plain corpus (where the lexical leg
+    * is a scan, not an index probe). */
   def withMaxScoreConfs[T](tvf: String, spark: SparkSession,
                            opts: Map[String, String],
                            isIndex: => Boolean)(body: => T): T = {
@@ -97,13 +102,11 @@ private[sources] object TvfArgs {
       s"$tvf: maxscore/theta_rows tune the text-index pruned serving " +
         "route; this path is a plain corpus scan (build a TextIndex to " +
         "use them)")
-    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val holder = graft.pipeline.TextIndex.confOverrides
+    val prior = holder.get()
+    holder.set(prior ++ confs)
     try body
-    finally prior.foreach {
-      case (k, Some(old)) => spark.conf.set(k, old)
-      case (k, None) => spark.conf.unset(k)
-    }
+    finally holder.set(prior)
   }
 
   /** Normalize an external batch parquet to the canonical

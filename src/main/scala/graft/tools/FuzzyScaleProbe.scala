@@ -195,8 +195,9 @@ object FuzzyScaleProbe {
       sb ++= "(10000× is the pure-quadratic slope; near-dup-free replicas mean\n"
       sb ++= "almost all candidates are stray collisions). Oracle defaults are\n"
       sb ++= "unchanged (8-bit, recall 1.0 to hamming 7); deployments beyond\n"
-      sb ++= "~10⁶ items pick `bandBits = 16` and accept the hamming-3 radius,\n"
-      sb ++= "or shard the corpus before banding.\n"
+      sb ++= "~10⁵ items (where N²/32 crosses the 3·10⁸ feasibility line —\n"
+      sb ++= "the auto-selection switchover) pick `bandBits = 16` and accept\n"
+      sb ++= "the hamming-3 radius, or shard the corpus before banding.\n"
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(report), sb.toString)
     println(s"[fuzzy-scale] wrote $report")

@@ -1341,6 +1341,24 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(s0 == sx && m0 == mx, "pruned routes diverge from exhaustive")
   }
 
+  test("route diagnostic records an empty batch: searchMany that runs no search never reports a neighbor's route") {
+    import spark.implicits._
+    val T = graft.pipeline.TextIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_tidx_emptyb").toString
+    T.write(docs.select(col("doc_id"), col("text")), dir, buckets = 8, blockSize = 4)
+    // leave a real route on this thread, then serve an all-blank batch:
+    // the early return must STAMP the diagnostic (an operator reading
+    // the route log for this statement must not see the previous
+    // statement's decision)
+    T.search(spark, dir, Seq("spark", "data"), 5).collect()
+    assert(T.lastRoute.nonEmpty)
+    val blank = Seq((1L, Seq("  ", "")), (2L, Seq.empty[String]))
+      .toDF("query_id", "terms")
+    val out = T.searchMany(spark, dir, blank, 5)
+    assert(out.collect().isEmpty)
+    assert(T.lastRoute == "none:empty-batch", T.lastRoute)
+  }
+
   test("maxscore: torn append degrades to exact exhaustive; compact heals the sidecar") {
     import spark.implicits._
     val T = graft.pipeline.TextIndex
@@ -1357,13 +1375,32 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       }
       b.result()
     }
+    def statsDeltaFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings/_stats"), true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.toString
+      }
+      b.result()
+    }
     T.write(d2.filter(col("doc_id") % 2 === 0), dir, buckets = 8, blockSize = 4)
     val baseSkips = skipFiles()
+    val baseStats = statsDeltaFiles()
     T.append(d2.filter(col("doc_id") % 2 === 1), dir)
-    // simulate the crash window between the postings append and
-    // writeSkips: the appended postings are live, their sidecar rows
-    // are gone, and the batch's PENDING marker never dropped
+    // simulate the REAL crash window: append() writes postings →
+    // _skips → _stats, so a crash right after the postings commit
+    // leaves the appended postings live with NEITHER their sidecar
+    // rows NOR their stats delta, and the batch's PENDING marker never
+    // dropped. (Deleting only the skip rows would leave _stats
+    // describing the union — a gentler tear than the one the marker
+    // exists for; with the delta gone too, serving from the summed
+    // deltas would score idf over the union's df against the PRE-APPEND
+    // nDocs/avgdl — a corpus that never existed. The exhaustive escape
+    // must instead derive its stats from the postings themselves.)
     (skipFiles() -- baseSkips).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    (statsDeltaFiles() -- baseStats).foreach(f =>
       fs.delete(new org.apache.hadoop.fs.Path(f), false))
     fs.create(new org.apache.hadoop.fs.Path(
       s"$dir/postings/_PENDING_APPEND_torn-spec")).close()

@@ -508,6 +508,50 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(e4.getMessage.contains(">= 1"), e4.getMessage)
   }
 
+  test("maxscore knobs are thread-scoped: a statement planned WHILE a neighbor's knob is live never observes it") {
+    val T = graft.pipeline.TextIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft_tvf_msc").toString
+    T.write(Engine.table(spark, sfDir, "documents").select("doc_id", "text"),
+      idx, buckets = 16, blockSize = 4)
+    spark.conf.set("graft.textindex.maxscorePostingsFloor", "0")
+    try {
+      // QueryService plans concurrent statements on ONE shared session:
+      // thread A holds its maxscore=>'off' scope OPEN (mid-plan) while
+      // this thread plans a knob-less search. A session-conf
+      // set/finally-restore would leak 'false' into B's route decision
+      // (and an interleaved restore could pin it into the session); the
+      // per-thread override scope must keep the two statements blind to
+      // each other and the session conf untouched throughout.
+      val aInScope = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      @volatile var routeA = ""
+      @volatile var errA: Throwable = null
+      val tA = new Thread(() => {
+        try graft.sources.TvfArgs.withMaxScoreConfs(
+          "spec", spark, Map("maxscore" -> "off"), isIndex = true) {
+            T.search(spark, idx, Seq("spark", "data", "scan"), 5).collect()
+            routeA = T.lastRoute
+            aInScope.countDown()
+            bDone.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+          }
+        catch { case t: Throwable => errA = t; aInScope.countDown() }
+      })
+      tA.start()
+      assert(aInScope.await(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errA == null, s"thread A failed: $errA")
+      val b = T.search(spark, idx, Seq("spark", "data", "scan"), 5)
+      b.collect()
+      val routeB = T.lastRoute
+      bDone.countDown()
+      tA.join(60000)
+      assert(routeA == "exhaustive:disabled", routeA)
+      assert(routeB.startsWith("maxscore"),
+        s"neighbor observed the other statement's knob: $routeB")
+      assert(spark.conf.getOption("graft.textindex.maxscore").isEmpty,
+        "knob reached the shared session conf")
+    } finally spark.conf.unset("graft.textindex.maxscorePostingsFloor")
+  }
+
   test("corpus_dedup TVF: plain and band-index routes agree in self and batch modes") {
     import spark.implicits._
     val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "text")

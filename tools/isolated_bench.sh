@@ -45,6 +45,7 @@ fi
 # depends on.
 MOVER_RATIO="${SPARK_GRAFT_ISO_RATIO:-2.5}"
 ISO_NORM="1.0"
+ISO_CONTROLS=()
 if [ -n "${SPARK_GRAFT_ISO_MOVERS:-}" ]; then
   REF="$(dirname "$0")/../bench_ref.json"
   [ -f "$REF" ] || { echo "FATAL: $REF missing — mover adjudication needs the committed reference" >&2; exit 1; }
@@ -75,6 +76,21 @@ PYEOF
     echo "wrote $OUT (no movers past ${MOVER_RATIO}x normalized)"
     exit 0
   fi
+  # Fresh-JVM box health for the VERDICT: the in-suite control median
+  # (ISO_NORM) is the right scale for SELECTION above — numerator and
+  # median come from the same in-suite run — but it is the WRONG scale
+  # for the fresh-JVM verdict ratios: the adjudication runs later, in
+  # different processes, possibly on a box that has recovered (a real
+  # regression would be normalized away by the stale median) or slowed
+  # further (noise would survive it). So the run times three untouched
+  # pure-Catalyst controls in ITS OWN fresh JVMs and the verdict
+  # normalizes by THAT median (norm_fresh in the output; movers keep
+  # their raw vs_ref too).
+  ISO_CONTROLS=(q_agg_groupby q_tpch_q1 q_window_running)
+  for c in "${ISO_CONTROLS[@]}"; do
+    dup=0; for q in "${QUERIES[@]}"; do [ "$q" = "$c" ] && dup=1; done
+    [ "$dup" -eq 0 ] && QUERIES+=("$c")
+  done
 fi
 
 ADD_OPENS=""
@@ -111,6 +127,7 @@ done
 python3 - "$OUT" <<EOF
 import json, sys, os
 sec = { $(for q in "${QUERIES[@]}"; do printf '"%s": %s, ' "$q" "${SEC[$q]:-float('nan')}"; done) }
+controls = [ $(for c in ${ISO_CONTROLS[@]+"${ISO_CONTROLS[@]}"}; do printf '"%s", ' "$c"; done) ]
 rec = {"sf": "$SF_DIR", "mode": "fresh-jvm-per-query",
        "reps": int("${SPARK_GRAFT_REPS:-2}"), "norm": float("$ISO_NORM"),
        "queries": sec}
@@ -119,9 +136,23 @@ try:
     ref = json.load(open(ref_path))["queries"]
     rec["vs_ref"] = {q: round(sec[q] / ref[q], 2)
                      for q in sec if q in ref and ref[q] > 0 and sec[q] == sec[q]}
-    # the adjudication verdict: fresh-JVM ratio divided by the run's
-    # control median — how much the query moved beyond the box itself
-    norm = rec["norm"]
+    # the adjudication VERDICT normalizes by this run's OWN fresh-JVM
+    # control median — how much the query moved beyond the box as
+    # measured in the same processes — never by the stale in-suite
+    # median ("norm", kept for the selection record). A missing or
+    # failed control makes the verdict unnormalizable: fail loud, the
+    # round_closeout step must not ship a silently-raw verdict.
+    if controls:
+        ratios = sorted(sec[c] / ref[c] for c in controls
+                        if c in ref and ref[c] > 0 and sec.get(c, float("nan")) == sec.get(c))
+        if len(ratios) != len(controls):
+            sys.exit("FATAL: fresh-JVM control timing or its bench_ref entry "
+                     "missing — cannot normalize the mover verdict")
+        rec["controls"] = {c: sec[c] for c in controls}
+        rec["norm_fresh"] = round(ratios[len(ratios) // 2], 3)
+        norm = max(1.0, rec["norm_fresh"])
+    else:
+        norm = rec["norm"]
     rec["vs_ref_normalized"] = {q: round(r / norm, 2)
                                 for q, r in rec["vs_ref"].items()}
 except Exception:
