@@ -16,7 +16,11 @@
 #      control median so a sick box can't loosen their gates)
 #   6. AUTO-ADJUDICATE every mover (>2.5x its committed ref x the
 #      run's control median) with fresh JVMs at REPS=5 — no mover
-#      ships unadjudicated; the verdict ratio is vs_ref_normalized
+#      ships unadjudicated; the verdict ratio is vs_ref_normalized,
+#      normalized by the ADJUDICATION RUN'S OWN fresh-JVM control
+#      median (norm_fresh — the in-suite median is stale by the time
+#      the fresh JVMs run; isolated_bench times three untouched
+#      controls in the same regime and fails loud without them)
 #
 # Usage: tools/round_closeout.sh [roundN]   (roundN names the copied
 # artifacts, e.g. 17 -> BENCH_r17.json / ISOLATED_BENCH_r17.json)
