@@ -288,8 +288,13 @@ object TextIndex {
   /** (n_docs, total token count) as the readers see them: the live
     * generation's summed stats deltas MINUS the tombstoned docs still
     * sitting in its postings. */
-  def stats(spark: SparkSession, dir: String): (Long, Long) =
-    statsOf(spark, dir, liveStore(spark, dir), tombstoneFiles(spark, dir))
+  def stats(spark: SparkSession, dir: String): (Long, Long) = {
+    val store = liveStore(spark, dir)
+    statsOf(spark, dir, store, tombstoneFiles(spark, dir),
+      hasPendingAppend(
+        new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration),
+        store))
+  }
 
   /** Operational snapshot of the postings store — what sizes the
     * compaction cadence (the counterpart of
@@ -331,9 +336,10 @@ object TextIndex {
     * versa), breaking the resolve-once discipline the generation
     * handling establishes. */
   private def statsOf(spark: SparkSession, dir: String,
-                      store: String, tombs: Seq[String]): (Long, Long) = {
-    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // Torn/in-flight append window: the batch's stats delta is the
+                      store: String, tombs: Seq[String],
+                      pending: Boolean): (Long, Long) = {
+    // Torn/in-flight append window (`pending` — the caller's ONE
+    // per-query marker listing): the batch's stats delta is the
     // LAST write of [[append]], so while a pending marker exists the
     // summed `_stats` deltas can describe a corpus the postings files
     // no longer are (postings committed, delta never landed) — idf
@@ -346,7 +352,7 @@ object TextIndex {
     // which corpus exists. Deliberately UNCACHED: a live append is
     // still adding files, and the window ends at the marker drop.
     val base =
-      if (hasPendingAppend(fs, store)) {
+      if (pending) {
         val r = spark.read.parquet(store)
           .select("doc_id", "len").distinct()
           .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
@@ -395,7 +401,7 @@ object TextIndex {
     * exclusion used, so the caller's stats fold sees the SAME
     * takedown set (one listing per query, not two racing ones). */
   private def prunedPostings(spark: SparkSession, dir: String,
-                             qTerms: Seq[String]): (String, DataFrame, Seq[String], Array[Int]) = {
+                             qTerms: Seq[String]): (String, DataFrame, Seq[String], Array[Int], Boolean) = {
     // frozen scheme — signature-cached so the serving path skips the
     // per-query meta job (see Stores.cachedModel)
     val buckets: Integer = Stores.cachedModel(spark, "tidx-meta", s"$dir/meta") {
@@ -415,7 +421,14 @@ object TextIndex {
       else post.join(
         broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
-    (store, live, tombs, termBuckets)
+    // the torn/in-flight append check, resolved ONCE per query here
+    // (the stats fold and the route decision both honor it; two
+    // separate listings would both double the per-query FS round
+    // trips at object-store latency and race a marker drop between
+    // them — stats from one world, route from another)
+    val pending = hasPendingAppend(
+      new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration), store)
+    (store, live, tombs, termBuckets, pending)
   }
 
   /** The exact BM25 idf/contribution expressions — ONE definition
@@ -468,11 +481,11 @@ object TextIndex {
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val (store, live, tombs, termBuckets) = prunedPostings(spark, dir, qTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
+    val (store, live, tombs, termBuckets, pending) = prunedPostings(spark, dir, qTerms)
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, pending)
     val avgdl = totalLen.toDouble / nDocs
     maxScoreTopK(spark, store, live, tombs, termBuckets,
-        Seq(0L -> qTerms), k, k1, b, nDocs, totalLen, single = true) match {
+        Seq(0L -> qTerms), k, k1, b, nDocs, totalLen, pending, single = true) match {
       case Some(scored) =>
         scored.select("doc_id", "score", "n_terms")
           .orderBy(col("score").desc, col("doc_id"))
@@ -529,15 +542,15 @@ object TextIndex {
     }
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
-    val (store, live, tombs, termBuckets) = prunedPostings(spark, dir, allTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs)
+    val (store, live, tombs, termBuckets, pending) = prunedPostings(spark, dir, allTerms)
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, pending)
     val avgdl = totalLen.toDouble / nDocs
     val grouped = pairs.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val scored = maxScoreTopK(spark, store, live, tombs, termBuckets,
-        grouped, k, k1, b, nDocs, totalLen).getOrElse {
+        grouped, k, k1, b, nDocs, totalLen, pending).getOrElse {
       val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
       scoreAll(live, dfs, Some(q), nDocs, k1, b, avgdl)
     }
@@ -636,7 +649,8 @@ object TextIndex {
                            tombs: Seq[String], termBuckets: Array[Int],
                            queries: Seq[(Long, Seq[String])], k: Int,
                            k1: Double, b: Double, nDocs: Long,
-                           totalLen: Long, single: Boolean = false): Option[DataFrame] = {
+                           totalLen: Long, pending: Boolean,
+                           single: Boolean = false): Option[DataFrame] = {
     import spark.implicits._
     def confGet(key: String, dflt: String): String =
       confOverrides.get().getOrElse(key, spark.conf.get(key, dflt))
@@ -664,8 +678,10 @@ object TextIndex {
     // a pending (torn or in-flight) append means the sidecar may not
     // cover every posting — df/bounds/candidates derived from it would
     // silently drop the uncovered docs; the exhaustive path reads the
-    // postings themselves and stays exact (one root listing per query)
-    if (hasPendingAppend(fs, store)) return exhaustive("torn-append")
+    // postings themselves and stays exact. `pending` is the caller's
+    // ONE preamble marker listing — the same check the stats fold
+    // honored, so stats and route always agree on the window.
+    if (pending) return exhaustive("torn-append")
     val avgdl = totalLen.toDouble / nDocs
     val allTerms = queries.flatMap(_._2).distinct
     val skips = spark.read.parquet(s"$store/_skips")
@@ -895,7 +911,7 @@ object TextIndex {
     require(terms.nonEmpty && k >= 1)
     val n = terms.length
     val distinctTerms = terms.distinct
-    val (_, live, _, _) = prunedPostings(spark, dir, distinctTerms)
+    val (_, live, _, _, _) = prunedPostings(spark, dir, distinctTerms)
     // one row per doc with its term→positions map; docs missing any
     // distinct term cannot match and drop before the intersection
     val perDoc = live
@@ -962,7 +978,7 @@ object TextIndex {
       return Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "n_hits")
     val q = inst.toDF("query_id", "term", "i", "n_terms")
     val allTerms = inst.map(_._2).distinct
-    val (_, live, _, _) = prunedPostings(spark, dir, allTerms)
+    val (_, live, _, _, _) = prunedPostings(spark, dir, allTerms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("n_hits").desc, col("doc_id"))
     live.select("term", "doc_id", "positions")
