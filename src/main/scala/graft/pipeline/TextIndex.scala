@@ -290,10 +290,20 @@ object TextIndex {
     * sitting in its postings. */
   def stats(spark: SparkSession, dir: String): (Long, Long) = {
     val store = liveStore(spark, dir)
-    statsOf(spark, dir, store, tombstoneFiles(spark, dir),
-      hasPendingAppend(
-        new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration),
-        store))
+    val tombs = tombstoneFiles(spark, dir)
+    val torn: Option[(Long, Long)] =
+      if (hasPendingAppend(
+          new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration),
+          store)) {
+        val root = spark.read.parquet(store)
+        val survivors =
+          if (tombs.isEmpty) root
+          else root.join(
+            broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
+            Seq("doc_id"), "left_anti")
+        Some(survivorStats(survivors))
+      } else None
+    statsOf(spark, dir, store, tombs, torn)
   }
 
   /** Operational snapshot of the postings store — what sizes the
@@ -335,29 +345,32 @@ object TextIndex {
     * excludes the new takedown while N/avgdl still count it (or vice
     * versa), breaking the resolve-once discipline the generation
     * handling establishes. */
+  /** (n_docs, total token length) of the distinct docs in `post` —
+    * ONE definition of the survivor-stats aggregate, shared by the
+    * torn-window serving path and [[compact]]'s heal (the torn-append
+    * spec pins their score agreement, so the formula must not fork;
+    * the coalesce guards an emptied store from writing a null
+    * total_len). */
+  private def survivorStats(post: DataFrame): (Long, Long) = {
+    val r = post.select("doc_id", "len").distinct()
+      .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   private def statsOf(spark: SparkSession, dir: String,
                       store: String, tombs: Seq[String],
-                      pending: Boolean): (Long, Long) = {
-    // Torn/in-flight append window (`pending` — the caller's ONE
-    // per-query marker listing): the batch's stats delta is the
-    // LAST write of [[append]], so while a pending marker exists the
-    // summed `_stats` deltas can describe a corpus the postings files
-    // no longer are (postings committed, delta never landed) — idf
-    // would count df over the new docs while nDocs/avgdl exclude
-    // them, scores matching NO consistent corpus. Derive the totals
-    // from the postings themselves instead: one column-pruned
-    // (doc_id, len) pass over exactly the rows the exhaustive scan
-    // scores — the same distinct-over-postings population [[compact]]'s
-    // heal recomputes — so (N, avgdl) and df can never disagree about
-    // which corpus exists. Deliberately UNCACHED: a live append is
-    // still adding files, and the window ends at the marker drop.
+                      torn: Option[(Long, Long)]): (Long, Long) = {
+    // Torn/in-flight append window: `torn` carries the totals the
+    // caller's preamble derived from ITS OWN postings snapshot,
+    // tombstone-excluded in the same pass (see [[prunedPostings]]) —
+    // the `_stats` deltas are untrustworthy there (the batch's delta
+    // is the LAST write of [[append]], so postings can be committed
+    // with no delta) and the cached tombstone fold below is keyed on
+    // the unchanged `_stats` signature, so BOTH legs of the steady
+    // path would disagree with what the scan actually reads. The
+    // torn totals replace the whole fold, not just the base.
+    if (torn.isDefined) return torn.get
     val base =
-      if (pending) {
-        val r = spark.read.parquet(store)
-          .select("doc_id", "len").distinct()
-          .agg(count(lit(1)), coalesce(sum("len"), lit(0L))).head()
-        (r.getLong(0), r.getLong(1))
-      } else
       // appends add delta files, compaction swaps the store path — both
       // change the signature, so the cache can never serve stale totals
       Stores.cachedModel(spark, "tidx-stats", s"$store/_stats") {
@@ -401,7 +414,7 @@ object TextIndex {
     * exclusion used, so the caller's stats fold sees the SAME
     * takedown set (one listing per query, not two racing ones). */
   private def prunedPostings(spark: SparkSession, dir: String,
-                             qTerms: Seq[String]): (String, DataFrame, Seq[String], Array[Int], Boolean) = {
+                             qTerms: Seq[String]): (String, DataFrame, Seq[String], Array[Int], () => Option[(Long, Long)]) = {
     // frozen scheme — signature-cached so the serving path skips the
     // per-query meta job (see Stores.cachedModel)
     val buckets: Integer = Stores.cachedModel(spark, "tidx-meta", s"$dir/meta") {
@@ -413,22 +426,41 @@ object TextIndex {
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0))
     val store = liveStore(spark, dir)
-    val post = spark.read.parquet(store)
+    // ONE root read: its file index is the query's postings snapshot —
+    // the pruned scan AND the torn-window stats below both derive from
+    // it, so they can never see different file sets
+    val postRoot = spark.read.parquet(store)
+    val post = postRoot
       .filter(col("bucket").isin(termBuckets.toIndexedSeq: _*))
       .filter(col("term").isin(qTerms: _*))
     val tombs = tombstoneFiles(spark, dir)
-    val live = if (tombs.isEmpty) post
-      else post.join(
-        broadcast(spark.read.parquet(tombs: _*).select("doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
-    // the torn/in-flight append check, resolved ONCE per query here
-    // (the stats fold and the route decision both honor it; two
-    // separate listings would both double the per-query FS round
-    // trips at object-store latency and race a marker drop between
-    // them — stats from one world, route from another)
-    val pending = hasPendingAppend(
-      new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration), store)
-    (store, live, tombs, termBuckets, pending)
+    val tombDf = if (tombs.isEmpty) None
+      else Some(spark.read.parquet(tombs: _*).select("doc_id").distinct())
+    val antiTomb = (df: DataFrame) => tombDf
+      .map(t => df.join(broadcast(t), Seq("doc_id"), "left_anti")).getOrElse(df)
+    val live = antiTomb(post)
+    // Torn/in-flight append window, resolved LAZILY and at most once
+    // per query: Some(totals) while a pending marker exists, None on
+    // the steady path. The totals come from THIS query's own postings
+    // snapshot (postRoot — the same file index the scan reads; a
+    // fresh listing could include batch files the scan cannot see,
+    // scoring idf over an N no scored corpus has), tombstone-excluded
+    // with the SAME tombs list in the same pass (the steady path's
+    // cached fold is keyed on the unchanged `_stats` signature and
+    // could describe a different corpus mid-tear). Deliberately
+    // uncached — the window is transient, loud at append time, and
+    // healed by compact; a cache would reintroduce the very
+    // stats-vs-scan divergence this closes. Laziness matters for the
+    // phrase routes: positional scoring never consults the sidecar or
+    // corpus stats, so they share the preamble without ever paying
+    // the marker listing.
+    lazy val torn: Option[(Long, Long)] =
+      if (hasPendingAppend(
+          new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration),
+          store))
+        Some(survivorStats(antiTomb(postRoot)))
+      else None
+    (store, live, tombs, termBuckets, () => torn)
   }
 
   /** The exact BM25 idf/contribution expressions — ONE definition
@@ -481,11 +513,12 @@ object TextIndex {
              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && k >= 1)
     val qTerms = terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val (store, live, tombs, termBuckets, pending) = prunedPostings(spark, dir, qTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, pending)
+    val (store, live, tombs, termBuckets, tornThunk) = prunedPostings(spark, dir, qTerms)
+    val torn = tornThunk()
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, torn)
     val avgdl = totalLen.toDouble / nDocs
     maxScoreTopK(spark, store, live, tombs, termBuckets,
-        Seq(0L -> qTerms), k, k1, b, nDocs, totalLen, pending, single = true) match {
+        Seq(0L -> qTerms), k, k1, b, nDocs, totalLen, torn.isDefined, single = true) match {
       case Some(scored) =>
         scored.select("doc_id", "score", "n_terms")
           .orderBy(col("score").desc, col("doc_id"))
@@ -542,15 +575,16 @@ object TextIndex {
     }
     val q = pairs.toDF("query_id", "term")
     val allTerms: Seq[String] = pairs.map(_._2).distinct
-    val (store, live, tombs, termBuckets, pending) = prunedPostings(spark, dir, allTerms)
-    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, pending)
+    val (store, live, tombs, termBuckets, tornThunk) = prunedPostings(spark, dir, allTerms)
+    val torn = tornThunk()
+    val (nDocs, totalLen) = statsOf(spark, dir, store, tombs, torn)
     val avgdl = totalLen.toDouble / nDocs
     val grouped = pairs.groupBy(_._1).view
       .mapValues(_.map(_._2).toSeq).toSeq.sortBy(_._1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
     val scored = maxScoreTopK(spark, store, live, tombs, termBuckets,
-        grouped, k, k1, b, nDocs, totalLen, pending).getOrElse {
+        grouped, k, k1, b, nDocs, totalLen, torn.isDefined).getOrElse {
       val dfs = live.groupBy("term").agg(count(lit(1)).as("df"))
       scoreAll(live, dfs, Some(q), nDocs, k1, b, avgdl)
     }
@@ -1181,11 +1215,13 @@ object TextIndex {
     // exact stats from the survivors, INSIDE the new generation; the
     // COMMIT MARKER goes last, so the generation becomes visible only
     // with postings AND stats complete (Spark's own _SUCCESS from the
-    // rewrite write above is not the resolve key — see CommitMarker)
-    spark.read.parquet(next)
-      .select("doc_id", "len").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$next/_stats")
+    // rewrite write above is not the resolve key — see CommitMarker).
+    // survivorStats is the ONE formula the torn-window serving path
+    // also uses (their agreement is spec-pinned), and its empty-store
+    // guard keeps an all-tombstoned compact from writing a null
+    // total_len.
+    val (sNd, sTl) = survivorStats(spark.read.parquet(next))
+    writeStatsDelta(spark, sNd, sTl, next)
     fs.create(new Path(s"$next/$CommitMarker")).close()
     (0 until liveVersion).foreach { v =>
       val old = new Path(if (v == 0) s"$dir/postings" else s"$dir/postings_v$v")

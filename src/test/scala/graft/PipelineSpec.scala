@@ -1414,8 +1414,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         .map(x => (x.getLong(0), x.getDouble(1))).toSeq
       (r, T.lastRoute)
     }
-    def viaScan(): Seq[(Long, Double)] =
-      TextAnalysis.bm25(d2, terms)
+    def viaScan(corpus: org.apache.spark.sql.DataFrame = d2): Seq[(Long, Double)] =
+      TextAnalysis.bm25(corpus, terms)
         .orderBy(col("score").desc, col("doc_id")).limit(10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     // the pruned route must refuse a store whose sidecar may not cover
@@ -1424,13 +1424,27 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val (torn, tornRoute) = viaIndex()
     assert(tornRoute == "exhaustive:torn-append", tornRoute)
     assert(torn == viaScan(), "torn store must still serve exact scores")
+    // a takedown filed DURING the torn window flows through the same
+    // snapshot: the torn-window stats are tombstone-excluded in the
+    // SAME pass as the scan's anti-join (not the steady path's cached
+    // fold, which is keyed on the unchanged _stats signature and
+    // describes the pre-tear corpus), so scores equal a corpus scan
+    // over exactly the surviving docs — never a mix of corpora
+    val victim = torn.head._1
+    T.delete(spark, dir, Seq(victim))
+    val (tornDel, tornDelRoute) = viaIndex()
+    assert(tornDelRoute == "exhaustive:torn-append", tornDelRoute)
+    val survivors = d2.filter(col("doc_id") =!= victim)
+    assert(tornDel == viaScan(survivors),
+      "torn + takedown must serve the survivor corpus exactly")
     // compact heals: every bucket rewrites, the sidecar is rebuilt from
-    // the actual surviving postings, the new generation is marker-free
+    // the actual surviving postings (the tombstoned doc purged), the
+    // new generation is marker-free
     assert(T.compact(spark, dir, maxFilesPerBucket = 64) >= 1)
     val (healed, healedRoute) = viaIndex()
     assert(healedRoute.startsWith("maxscore"),
       s"compact must re-enable the pruned route, got $healedRoute")
-    assert(healed == viaScan(), "healed store diverges from the corpus scan")
+    assert(healed == viaScan(survivors), "healed store diverges from the corpus scan")
   }
 
   test("phrase search: shifted-position intersection equals direct text scan") {

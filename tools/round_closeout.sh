@@ -88,7 +88,14 @@ if [ -n "$ROUND" ]; then cp isolated_bench.json "ISOLATED_BENCH_r$ROUND.json"; f
 python3 - <<'PYEOF'
 import json
 iso = json.load(open("isolated_bench.json"))
-qs = {k: v for k, v in iso.get("queries", {}).items() if v == v}
+# NEVER fold the box-health controls back into bench_ref: they are in
+# the isolated record only to normalize the verdict (norm_fresh), and
+# fresh-JVM control minima can undercut anything an in-suite run can
+# reach — min-merging them would ratchet the controls' refs down until
+# every future in-suite run reads inflated, re-deadlocking the gate
+# this round un-deadlocked.
+ctl = set(iso.get("controls", {}))
+qs = {k: v for k, v in iso.get("queries", {}).items() if v == v and k not in ctl}
 if qs:
     rec = {"metric": "total", "value": round(sum(qs.values()), 3),
            "unit": "sec", "queries": qs, "sf": iso["sf"]}
