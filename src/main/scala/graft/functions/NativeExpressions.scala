@@ -140,6 +140,163 @@ object NativeExpressions {
   private val SplitPattern = java.util.regex.Pattern.compile("\\s+")
   private val EmptyLongArray = new GenericArrayData(Array.emptyLongArray)
 
+  /** Distinct word k-shingles of a text as STRINGS, first-occurrence
+    * order — exactly `array_distinct(transform(sequence(0, n-k),
+    * i => concat_ws(' ', w[i+1..i+k])))` over
+    * `split(trim(lower(text)), "\\s+")`, i.e. [[graft.pipeline.TextDedup.shingles]]'
+    * declarative form. That HOF evaluates one boxed lambda per shingle
+    * and RE-SPLITS the text inside every `element_at` (no
+    * subexpression elimination in interpreted higher-order lambdas) —
+    * measured ~10× slower than this compiled pass on the sf0.1 bench's
+    * similarity-join family, whose gram stage evaluates it in several
+    * plan branches. Same lower/trim/split semantics as
+    * [[ShingleHashes]] (byte-for-byte: UTF8String.toLowerCase/trim,
+    * Pattern.split(limit=-1)). */
+  case class ShingleStrings(child: Expression, k: Int)
+      extends UnaryExpression {
+    require(k >= 1, s"shingle size $k must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    def compute(input: Any): ArrayData = {
+      val s = input.asInstanceOf[UTF8String]
+      val t = s.toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      val n = w.length
+      if (n < k) return EmptyStringArray
+      val seen = new java.util.LinkedHashSet[String](math.max(8, (n - k + 1) * 2))
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= n - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(w(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[AnyRef](seen.size)
+      val it = seen.iterator()
+      var m = 0
+      while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+      new GenericArrayData(out)
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingleStrings", this, classOf[ShingleStrings].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+  private val EmptyStringArray = new GenericArrayData(Array.empty[AnyRef])
+
+  /** Per-language stopword-hit counts + argmax label in ONE compiled
+    * tokenize pass: struct(scores array<long>, pred string). Exactly
+    * `size(filter(split(trim(lower(text)), "\\s+"), x -> x IN words_l))`
+    * per language (duplicates counted), and pred = the first language
+    * in declared order whose score is strictly greater than every
+    * earlier one — the same strict-`>` fold [[graft.pipeline.TextAnalysis.languageId]]
+    * declared. The declarative form evaluated one interpreted
+    * ArrayFilter (and one re-split) per language per row — measured
+    * 2.5 s single-threaded per evaluation over 5k docs, in several
+    * plan branches of the per-language LM queries. */
+  case class LangScores(child: Expression, langs: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    require(langs.nonEmpty)
+    override def dataType: DataType = StructType(Seq(
+      StructField("scores", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("pred", StringType, nullable = false)))
+    @transient private lazy val wordSets: Array[java.util.HashSet[String]] =
+      langs.map { case (_, ws) =>
+        val s = new java.util.HashSet[String](ws.size * 2)
+        ws.foreach(s.add)
+        s
+      }.toArray
+    @transient private lazy val langNames: Array[UTF8String] =
+      langs.map { case (l, _) => UTF8String.fromString(l) }.toArray
+    def compute(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val t = input.asInstanceOf[UTF8String].toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      val nl = wordSets.length
+      val scores = new Array[Long](nl)
+      var i = 0
+      while (i < w.length) {
+        var l = 0
+        while (l < nl) {
+          if (wordSets(l).contains(w(i))) scores(l) += 1L
+          l += 1
+        }
+        i += 1
+      }
+      var best = 0
+      var l = 1
+      while (l < nl) {
+        if (scores(l) > scores(best)) best = l
+        l += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](new GenericArrayData(scores), langNames(best)))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("langScores", this, classOf[LangScores].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The quality-score counters in ONE compiled pass:
+    * struct(n_tok, punct, stop) = whitespace token count (same
+    * lower/trim/split as every text kernel here), count of characters
+    * in ".,;:!?" (= `length(regexp_replace(text, "[^.,;:!?]", ""))` —
+    * ASCII bytes never appear inside multi-byte UTF-8 sequences, so a
+    * byte scan counts exactly the same characters), and the count of
+    * tokens in the fixed English stopword list (duplicates counted,
+    * = `size(filter(tokens, isin(...)))`). The declarative form paid
+    * two splits + an interpreted ArrayFilter + a regex rewrite of the
+    * whole text per row, in every plan branch that scores quality. */
+  case class QualityCounts(child: Expression, stopWords: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", LongType, nullable = false),
+      StructField("punct", LongType, nullable = false),
+      StructField("stop", LongType, nullable = false)))
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](stopWords.size * 2)
+      stopWords.foreach(s.add)
+      s
+    }
+    def compute(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+      val u = input.asInstanceOf[UTF8String]
+      var punct = 0L
+      val bytes = u.getBytes
+      var bi = 0
+      while (bi < bytes.length) {
+        val b = bytes(bi)
+        if (b == '.' || b == ',' || b == ';' || b == ':' || b == '!' || b == '?')
+          punct += 1L
+        bi += 1
+      }
+      val t = u.toLowerCase.trim.toString
+      val w = SplitPattern.split(t, -1)
+      var stop = 0L
+      var i = 0
+      while (i < w.length) {
+        if (stopSet.contains(w(i))) stop += 1L
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](w.length.toLong, punct, stop))
+    }
+    override def nullSafeEval(input: Any): Any = compute(input)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("qualityCounts", this, classOf[QualityCounts].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Size of the intersection of two sorted distinct array<long> —
     * a linear merge instead of array_intersect's per-element string
     * hashing. Exact on the hashed-set representation. */
@@ -689,6 +846,12 @@ object NativeExpressions {
     column(DotProduct(expression(a), expression(b)))
   def shingle_hashes(text: Column, k: Int): Column =
     column(ShingleHashes(expression(text), k))
+  def shingle_strings(text: Column, k: Int): Column =
+    column(ShingleStrings(expression(text), k))
+  def lang_scores(text: Column, langs: Seq[(String, Seq[String])]): Column =
+    column(LangScores(expression(text), langs))
+  def quality_counts(text: Column, stopWords: Seq[String]): Column =
+    column(QualityCounts(expression(text), stopWords))
   def sorted_intersect_size(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
   def minhash_sig(c: Column, perms: Int): Column =

@@ -35,9 +35,14 @@ object TextAnalysis {
     * columns. Identical expression tree to [[qualityScore]]'s
     * `quality` column. */
   def quality(text: Column): Column = {
-    val nTok = size(tokens(text)).cast("double")
-    val punct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
-    val stop = size(filter(tokens(text), t => t.isin(enStop: _*))).cast("double")
+    // one compiled pass for the three counters (the declarative form
+    // paid two splits + an interpreted ArrayFilter + a regex rewrite
+    // per row — guide §4: no interpreted closures in the hot path);
+    // the double formula on top is unchanged, so values are identical
+    val g = graft.functions.NativeExpressions.quality_counts(text, enStop)
+    val nTok = g.getField("n_tok").cast("double")
+    val punct = g.getField("punct").cast("double")
+    val stop = g.getField("stop").cast("double")
     least(nTok / lit(256.0), lit(1.0)) * (lit(1.0) - punct / length(text)) *
       (lit(0.5) + lit(0.5) * least(lit(4.0) * stop / nTok, lit(1.0)))
   }
@@ -47,10 +52,10 @@ object TextAnalysis {
     * less than it being deterministic, cheap, and monotone in the
     * obvious signals — the standard shape for corpus filtering. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val nTok = size(tokens(col("text"))).cast("double")
-    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
-    val stop = size(filter(tokens(col("text")),
-      t => t.isin(enStop: _*))).cast("double")
+    val g = graft.functions.NativeExpressions.quality_counts(col("text"), enStop)
+    val nTok = g.getField("n_tok").cast("double")
+    val punct = g.getField("punct").cast("double")
+    val stop = g.getField("stop").cast("double")
     docs.select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
@@ -488,20 +493,20 @@ object TextAnalysis {
 
   /** Stopword-hit language scores + argmax prediction (first language
     * in declared order wins ties). With synthetic single-vocabulary
-    * testdata this mostly predicts 'en'; the operator is the point. */
+    * testdata this mostly predicts 'en'; the operator is the point.
+    * Served by the compiled [[graft.functions.NativeExpressions.LangScores]]
+    * kernel — the declarative form evaluated one interpreted
+    * ArrayFilter (and re-split the text) per language per row, and was
+    * the measured 2.5 s single-threaded stage under every per-language
+    * LM query (guide §4). Same counts, same strict-`>` first-wins
+    * argmax. */
   def languageId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val scores = stopwords.map { case (lang, words) =>
-      lang -> size(filter(t, x => x.isin(words: _*))).cast("long")
-    }
-    val pred = scores.tail.foldLeft[(Column, Column)](lit(scores.head._1) -> scores.head._2) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    val g = graft.functions.NativeExpressions.lang_scores(col("text"), stopwords)
     docs.select(
       col("doc_id") +: col("lang").as("actual_lang") +:
-        scores.map { case (l, c) => c.as(s"score_$l") } :+ pred.as("predicted_lang"): _*)
+        stopwords.zipWithIndex.map { case ((l, _), i) =>
+          element_at(g.getField("scores"), i + 1).as(s"score_$l") } :+
+        g.getField("pred").as("predicted_lang"): _*)
       .orderBy("doc_id")
   }
 

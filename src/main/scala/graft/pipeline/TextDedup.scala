@@ -42,16 +42,18 @@ object TextDedup {
   /** Whitespace tokens of lower-cased trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** Distinct word k-shingles ("w1 w2 w3") as strings — the reference
-    * semantic that ShingleHashes reproduces in hashed form; kept for
-    * probes/tests. Empty for docs with < k tokens. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Distinct word k-shingles ("w1 w2 w3") as strings, first-occurrence
+    * order — the reference semantic that ShingleHashes reproduces in
+    * hashed form. Served by the compiled
+    * [[NativeExpressions.ShingleStrings]] kernel: the declarative HOF
+    * form (`array_distinct(transform(sequence(...), concat_ws(...)))`)
+    * re-split the text inside every lambda element (no subexpression
+    * elimination in interpreted higher-order lambdas) and measured ~10×
+    * slower on the similarity-join family. Identical output values
+    * (same lower/trim/split, same order). Empty for docs with < k
+    * tokens. */
+  def shingles(text: Column, k: Int = 3): Column =
+    NativeExpressions.shingle_strings(text, k)
 
   /** Sorted distinct 64-bit hashes of the word k-shingles — the
     * compiled set representation every dedup variant runs on. */

@@ -223,4 +223,93 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(byLen == Seq((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 1L)))
   }
+
+  // ---- compiled text kernels ≡ their declarative HOF forms ----
+  // (r18 optimization: ShingleStrings / LangScores / QualityCounts
+  // replaced interpreted higher-order lambdas in the hot paths; these
+  // pins hold the kernels to the exact declarative algebra they
+  // replaced, over the fixture corpus AND hand-built edge cases.)
+
+  private lazy val edgeTexts = Seq(
+    "", " ", "a", "a b", "a b c", "a b c a b c a b c", // repeats → dedup
+    "  The  AND of  ", "the the the the", "LE la et les des el los que y",
+    "x.y,z;q:w!e?r", "Ünïcode TÖkens MIXED case", "der die und das ein",
+    "one two three four five six seven eight nine ten").zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }
+
+  private def edgeDf = {
+    import spark.implicits._
+    edgeTexts.toDF("doc_id", "text")
+  }
+
+  private lazy val textCorpus = Engine.table(spark, sfDir, "documents")
+    .select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+
+  test("ShingleStrings kernel equals the declarative HOF word-shingle form") {
+    import org.apache.spark.sql.functions._
+    def hof(text: org.apache.spark.sql.Column, k: Int) = {
+      val w = split(trim(lower(text)), "\\s+")
+      when(size(w) >= k,
+        array_distinct(transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (k <- Seq(1, 2, 3, 10); df <- Seq(edgeDf, textCorpus)) {
+      val bad = df.select(
+          graft.functions.NativeExpressions.shingle_strings(col("text"), k).as("a"),
+          hof(col("text"), k).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(bad == 0, s"k=$k: $bad rows differ from the HOF form")
+    }
+  }
+
+  test("LangScores kernel equals the declarative per-language filter scores and argmax") {
+    import org.apache.spark.sql.functions._
+    val langs = Seq(
+      "en" -> Seq("the", "and", "of", "is", "a"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "es" -> Seq("el", "los", "que", "y", "una"),
+      "zh" -> Seq("的", "是", "在", "了", "和"))
+    val t = split(trim(lower(col("text"))), "\\s+")
+    val scores = langs.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isin(words: _*))).cast("long")
+    }
+    val pred = scores.tail.foldLeft[(org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)](lit(scores.head._1) -> scores.head._2) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+    for (df <- Seq(edgeDf, textCorpus)) {
+      val g = graft.functions.NativeExpressions.lang_scores(col("text"), langs)
+      val bad = df.select(
+          g.getField("scores").as("ka"),
+          array(scores.map(_._2): _*).as("da"),
+          g.getField("pred").as("kp"), pred.as("dp"))
+        .filter(not(col("ka") <=> col("da")) || not(col("kp") <=> col("dp")))
+        .count()
+      assert(bad == 0, s"$bad rows differ from the declarative languageId algebra")
+    }
+  }
+
+  test("QualityCounts kernel equals the declarative token/punct/stopword counters") {
+    import org.apache.spark.sql.functions._
+    val enStop = Seq("the", "and", "of", "to", "in", "is", "a", "that")
+    val nTok = size(split(trim(lower(col("text"))), "\\s+")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("long")
+    val stop = size(filter(split(trim(lower(col("text"))), "\\s+"),
+      x => x.isin(enStop: _*))).cast("long")
+    for (df <- Seq(edgeDf, textCorpus)) {
+      val g = graft.functions.NativeExpressions.quality_counts(col("text"), enStop)
+      val bad = df.select(
+          g.getField("n_tok").as("kn"), nTok.as("dn"),
+          g.getField("punct").as("kp"), punct.as("dp"),
+          g.getField("stop").as("ks"), stop.as("ds"))
+        .filter(not(col("kn") <=> col("dn")) || not(col("kp") <=> col("dp")) ||
+          not(col("ks") <=> col("ds"))).count()
+      assert(bad == 0, s"$bad rows differ from the declarative quality counters")
+    }
+  }
 }
