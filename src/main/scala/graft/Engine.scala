@@ -141,6 +141,20 @@ object Engine {
     * session that bypassed tune() and runs non-UTC would silently
     * shift every instant — fail loud instead of serving shifted
     * timestamps. */
+  /** NOTE (r18, measured): do NOT apply [[fanOut]] here at the
+    * accessor. An A/B at sf0.1 (fan documents+embeddings in table()
+    * vs not) read +3.1 s NET WORSE on the 12 heaviest document
+    * queries: operators already fan out internally where the per-row
+    * compute pays for it, and a blanket round-robin exchange under
+    * every scan (a) pays sort-before-repartition once per JOB, so
+    * iterative/multi-action queries (label propagation, LM branches)
+    * re-execute it every turn while re-scanning the sub-MB parquet is
+    * nearly free, and (b) an earlier full-fact-table variant broke
+    * four PlanSpec pins (extra exchange; Repartition blocks runtime
+    * bloom-filter injection) and would have touched the bench's
+    * box-health control queries. Parallelizing unsplittable 1-row-
+    * group fixture scans stays a per-operator decision (guide §2.5)
+    * made where profiling shows the map side dominating. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     // stats-backed catalog relation when [[analyzeTables]] ran for this
     // dir IN THIS SESSION's catalog (falls back to a direct read

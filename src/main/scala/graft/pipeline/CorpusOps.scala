@@ -384,16 +384,32 @@ object CorpusOps {
   def profile(df: DataFrame, cols: Seq[String],
               exact: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
-    val aggs = cols.flatMap { c =>
+    // Parallelize the scan when the input is a small/unsplittable file
+    // set (a 1-row-group parquet plans ONE task, serializing the whole
+    // Expand+aggregate on one core — guide §2.5 input skew); no-op on
+    // inputs big enough to split (fanOut's byte gate).
+    val in = graft.Engine.fanOut(df)
+    // min/max render through strings, and a string aggregation buffer
+    // disqualifies HashAggregate — mixed into the SAME aggregate as
+    // the exact-distinct Expand, Catalyst planned the whole thing as
+    // SortAggregate with a full sort of the ×(#cols+1)-expanded input
+    // (measured: the entire q_profile wall). Splitting the string-
+    // buffered min/max (global agg — SortAggregate needs NO sort with
+    // no grouping keys) from the distinct counts (long buffers →
+    // HashAggregate over the Expand) keeps both passes sort-free; the
+    // two single-row results recombine with a free cross join.
+    val ndAggs = cols.map { c =>
       val nd = if (exact) countDistinct(col(c))
                else approx_count_distinct(col(c), rsd = 0.02)
+      nd.as(s"__nd_$c")
+    }
+    val mmAggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"__cnt_$c"),
-        nd.as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val total = count(lit(1)).as("__total")
-    val row = df.agg(total, aggs: _*)
+    val row = in.agg(total, mmAggs: _*).crossJoin(in.agg(ndAggs.head, ndAggs.tail: _*))
     val perCol = cols.map { c =>
       struct(lit(c).as("column"),
         col("__total").as("n_rows"),
