@@ -606,7 +606,14 @@ object Embeddings {
       bk.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
     }.toDF("sub", "code", "codeword")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    // Cluster by the partition key before the partitioned write: without
+    // it every input partition emits a file into every cell dir (~500
+    // tiny files for a 16-cell index — measured), and every serving
+    // query then pays ~500 footer opens per corpus scan, 5-6 scans per
+    // query (guide §6 small-files). One hash exchange at build time
+    // buys one file per cell.
     encodeForIndex(v, cents, books)
+      .repartition(col("cell")).sortWithinPartitions("vec_id")
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
     // Per-cell angular radius (max member angle to the frozen
     // centroid) — the data the adaptive re-probe's cell bound needs
@@ -672,6 +679,7 @@ object Embeddings {
         .map(_.getSeq[Double](0).toArray)
     val books = readCodebooks(spark, root)
     encodeForIndex(withNorm(newEmb), cents, books)
+      .repartition(col("cell")) // one delta file per touched cell, not per input split
       .write.mode("append").partitionBy("cell").parquet(liveCorpusDir(spark, root))
     // Keep the adaptive-bound radii valid for the appended members:
     // append the batch's per-cell max angles (readers take the max

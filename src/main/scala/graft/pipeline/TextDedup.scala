@@ -490,11 +490,17 @@ object TextDedup {
             n == "tombstones" || n == "purged"
         }.foreach(q => fs.delete(q, true))
     }
+    // Cluster by bucket before each partitioned write: without it every
+    // input partition emits a file into every bucket dir (measured ~2k
+    // tiny files for a 32-bucket index), and every pruned probe pays
+    // the footer opens (guide §6 small-files).
     val sh = withHashes(docs, k)
     sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/shingles")
     bandRows(sh, bands, rowsPerBand)
       .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/bands")
   }
 
@@ -511,10 +517,12 @@ object TextDedup {
       m.getAs[Int]("rows_per_band"), m.getAs[Int]("buckets"))
     val sh = withHashes(docs, k)
     sh.withColumn("bucket", pmod(col("doc_id"), lit(buckets)).cast("int"))
+      .repartition(col("bucket")) // one delta file per touched bucket
       .write.mode("append").partitionBy("bucket")
       .parquet(liveStore(spark, dir, "shingles"))
     bandRows(sh, bands, rpb)
       .withColumn("bucket", pmod(col("key"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket")
       .parquet(liveStore(spark, dir, "bands"))
   }

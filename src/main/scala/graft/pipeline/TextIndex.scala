@@ -243,7 +243,8 @@ object TextIndex {
     val marker = new Path(store, PendingAppend + java.util.UUID.randomUUID().toString)
     fs.create(marker).close()
     try {
-      post.write.mode("append").partitionBy("bucket").parquet(store)
+      post.repartition(col("bucket")).sortWithinPartitions("term", "blk")
+        .write.mode("append").partitionBy("bucket").parquet(store)
       if (fs.exists(new Path(s"$store/_skips")))
         writeSkips(post, store, avgdl, overwrite = false)
       writeStatsDelta(spark, nd, tl, store)
