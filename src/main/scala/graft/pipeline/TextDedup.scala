@@ -278,21 +278,34 @@ object TextDedup {
     // shuffle verify work is not); union over the materialized frame
     // reads cached blocks twice instead.
     val pairs = materialize(pairFrame.select("doc_a", "doc_b"), eager = true)
-    val edges = pairs
+    // Symmetrize and hash-partition the edge list by `dst` ONCE, behind
+    // its own checkpoint: the join key is loop-invariant, and a
+    // checkpoint preserves outputPartitioning, so every hop's
+    // edges ⋈ labels join finds BOTH sides pre-partitioned (labels come
+    // out of the previous hop's groupBy(doc_id)) and plans zero
+    // exchanges for the join — down from re-shuffling both sides every
+    // hop (guide §2.4: two operations keyed the same way share one
+    // exchange). Lazy: the first hop's job materializes it.
+    val edges = materialize(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .repartition(col("dst")), eager = false)
     // Propagate only over vertices that HAVE an edge — the near-dup
     // subgraph is a small fraction of the corpus; singletons rejoin at
     // the end with their own id. Each step eagerly checkpoints, so the
     // plan stays O(1) deep across iterations.
-    def step(cur: DataFrame): DataFrame = {
-      val msgs = edges.join(cur, edges("dst") === cur("doc_id"))
-        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      cur.join(msgs, cur("doc_id") === msgs("src"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-    }
+    //
+    // One hop = one join + one aggregate (r18): new(v) =
+    // min(cur(v), min{cur(u) : (v,u) ∈ edges}), expressed as the
+    // neighbor messages UNIONed with the current labels under a single
+    // min-groupBy. Same algebra as the previous msgs-then-left-join
+    // form (OperatorsSpec pins equivalence), one exchange per hop
+    // instead of three.
+    def step(cur: DataFrame): DataFrame =
+      edges.join(cur, edges("dst") === cur("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+        .union(cur.select(col("doc_id"), col("cluster_id")))
+        .groupBy(col("doc_id")).agg(min("cluster_id").as("cluster_id"))
     // Convergence via the monotone invariant: min-propagation can only
     // LOWER a label, so sum(cluster_id) strictly decreases until the
     // fixpoint — equality of consecutive sums IS convergence. That

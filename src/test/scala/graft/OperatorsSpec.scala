@@ -224,6 +224,25 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     assert(byLen == Seq((1L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 1L)))
   }
 
+  test("clustersFromPairs: union-groupBy hop equals naive connected components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Path graph 1-2-3-4-5-6-7 (diameter forces several propagation
+    // turns through the 2-hop loop), an 8-9-10 triangle, a 11-12 pair
+    // listed in reversed id order, and 13..15 edgeless singletons —
+    // exercises the hop's min-through-neighbors algebra, the
+    // convergence-by-sum stop, and the singleton rejoin.
+    val docs = (1L to 15L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L), (12L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.pipeline.TextDedup.clustersFromPairs(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (1L to 7L).map((_, 1L)) ++ (8L to 10L).map((_, 8L)) ++
+      Seq((11L, 11L), (12L, 11L)) ++ (13L to 15L).map(i => (i, i))
+    assert(got == want, s"clusters: $got")
+  }
+
   // ---- compiled text kernels ≡ their declarative HOF forms ----
   // (r18 optimization: ShingleStrings / LangScores / QualityCounts
   // replaced interpreted higher-order lambdas in the hot paths; these
