@@ -1259,11 +1259,22 @@ object Embeddings {
                         adaptive: Boolean = false,
                         escapeCap: Int = Int.MaxValue): DataFrame = {
     val cents: Array[Array[Double]] = cachedCentroids(spark, root)
-    val q = withCells(qn, cents, nprobe)
+    val qPlan = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    // Bounded driver collect: at most nlist distinct cell ids.
-    val probed: Array[Int] = q.select("cell").distinct().collect().map(_.getInt(0))
+    // ONE bounded collect (serving-batch-sized by contract — these are
+    // exactly the bytes the broadcast below ships to the driver
+    // anyway): the probed-cell literals, the broadcast build, and the
+    // adaptive escape pass all consume the same exploded query rows.
+    // Collecting once and re-wrapping as a LocalRelation replaces a
+    // distinct-cells job plus one query-subtree re-evaluation per
+    // consumer (guide §1.2: the query side is driver-sized; don't run
+    // jobs to rediscover it).
+    val qRows: Array[org.apache.spark.sql.Row] = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probed: Array[Int] =
+      qRows.map(_.getInt(3)).distinct
     val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .join(broadcast(q), Seq("cell"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
@@ -1431,11 +1442,18 @@ object Embeddings {
     val books = cached(spark, "books", s"$root/codebooks") {
       readCodebooks(spark, root)
     }
-    val q = withCells(qn, cents, nprobe)
+    val qPlan = withCells(qn, cents, nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    // Bounded driver collect: at most nlist distinct cell ids.
-    val probed: Array[Int] = q.select("cell").distinct().collect().map(_.getInt(0))
+    // ONE bounded collect, as in [[ivfSearch]]: the broadcast ships
+    // these bytes to the driver regardless; deriving the probed cells
+    // from the collected rows removes the distinct-cells job and the
+    // query-subtree re-evaluation under the broadcast build.
+    val qRows: Array[org.apache.spark.sql.Row] = qPlan.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qPlan.schema)
+    val probed: Array[Int] =
+      qRows.map(_.getInt(3)).distinct
     // ADC tier: decode codes once per scanned row (inside the pruned
     // scan's codegen span), score every probed-cell row per query.
     val adc = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
@@ -1452,9 +1470,15 @@ object Embeddings {
       .filter(col("r") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     // Refine tier: exact cosine for shortlist×queries pairs only,
-    // full vectors read from the same probed partitions.
-    val qv = qn
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // full vectors read from the same probed partitions. The query
+    // vectors come from the already-collected rows (one per query_id;
+    // replicas carry identical vectors), not a third qn evaluation.
+    val qv = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (_, rs) =>
+          org.apache.spark.sql.Row(rs.head.get(0), rs.head.get(1), rs.head.get(2))
+        }: _*),
+      org.apache.spark.sql.types.StructType(qPlan.schema.fields.take(3)))
     val scored = corpus.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
       .join(broadcast(cand.join(qv, "query_id")), "neighbor_id")

@@ -409,8 +409,8 @@ object TextIndex {
   /** Shared query preamble: resolve the live generation ONCE (a
     * compaction committing between two resolutions would mix
     * generations in one query), derive the terms' bucket literals by
-    * hashing the tiny term list in Spark (byte-identical to the
-    * writer), and return the pruned, tombstone-excluded postings for
+    * hashing the tiny term list on the driver (byte-identical to the
+    * writer — same XxHash64), and return the pruned, tombstone-excluded postings for
     * exactly the query terms — plus the tombstone-file list the
     * exclusion used, so the caller's stats fold sees the SAME
     * takedown set (one listing per query, not two racing ones). */
@@ -422,10 +422,21 @@ object TextIndex {
       Integer.valueOf(
         spark.read.parquet(s"$dir/meta").head().getAs[Int]("buckets"))
     }
-    import spark.implicits._
-    val termBuckets: Array[Int] = qTerms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int").as("bucket"))
-      .distinct().collect().map(_.getInt(0))
+    // Hash the term list to bucket literals ON THE DRIVER by evaluating
+    // Spark's own XxHash64 expression locally (seed 42 = the SQL
+    // xxhash64 default, so the result is byte-identical to the writer's
+    // pmod(xxhash64(term), buckets)) — this used to be a Spark job
+    // (toDF → distinct → collect) per serving call, a pure driver
+    // round-trip for a handful of strings (guide §1.2: don't run jobs
+    // for driver-sized work).
+    val termBuckets: Array[Int] = qTerms.iterator.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          t, org.apache.spark.sql.types.StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+      val b = buckets.toLong
+      (((h % b) + b) % b).toInt
+    }.toArray.distinct
     val store = liveStore(spark, dir)
     // ONE root read: its file index is the query's postings snapshot —
     // the pruned scan AND the torn-window stats below both derive from
