@@ -56,6 +56,15 @@ object Engine {
     // creation side is small and the application side is big enough to
     // pay off); PlanSpec pins the injection shape.
     c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // NOTE (r18, measured): AQE sort-merge → shuffled-hash conversion
+    // (spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m,
+    // guide §3.1) was tried and REVERTED: isolated A/B on 20
+    // join-heavy queries read +0.9 s net worse (dedup_ngram +0.35,
+    // q_corpus_clean +0.37, dedup_cluster_rep +0.31 vs q_sessionize
+    // −0.40, q_tpch_q11/q2/q21 ~−0.12) — at small per-partition sizes
+    // the per-partition hash-table build costs more than the sorts it
+    // removes, and several SMJ sorts here are REUSED by downstream
+    // operators. Revisit only with cluster-scale evidence.
     // Cost-based estimation: with catalog statistics in place (see
     // [[analyzeTables]]) plans carry real row counts/NDVs instead of
     // size-only guesses — better broadcast decisions, and catalog
