@@ -145,24 +145,53 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity join: emit (doc_a, doc_b, jaccard)
     * for all pairs with word-k-shingle Jaccard >= threshold.
-    * Inverted-index candidates: explode shingle hashes, drop shingles
-    * with document frequency > maxShingleDF (one shingle in f docs
-    * makes f²/2 candidate pairs — the cap bounds skew; verification
-    * still uses the FULL shingle sets, so emitted jaccard values are
-    * exact), self-join on shingle, verify. A jaccard>=t pair shares
-    * >= t/(1+t)·(|A|+|B|) shingles, so it is missed only if every one
-    * of those is hot — impossible below corpus-dup scale and measured
-    * recall 1.0 on the fixtures (max observed DF there is 25). */
+    * AllPairs-prefix inverted-index candidates (each doc indexes only
+    * its n − ⌈θ·n⌉ + 1 rarest shingles under the global (df, hash)
+    * order — recall 1.0 is the prefix theorem, see the inline note),
+    * df-capped at `maxShingleDF` for hot shingles (one shingle in f
+    * docs makes f²/2 candidate pairs — the cap bounds skew;
+    * verification still uses the FULL shingle sets, so emitted jaccard
+    * values are exact). A jaccard>=t pair is missed only if every one
+    * of its prefix-shared shingles is hotter than the cap — impossible
+    * below corpus-dup scale and measured recall 1.0 on the fixtures
+    * (max observed DF there is 25). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                         maxShingleDF: Int = 1000): DataFrame = {
     val sh = withHashes(docs, k)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = inv.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxShingleDF)
-      .select("s")
-    val inv2 = inv.join(rare, "s")
-    val cands = inv2.as("x").join(inv2.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // AllPairs prefix filter (r18 — the same discipline as
+    // [[graft.operators.SimilarityJoin]], ported to the hash-shingle
+    // path): sort each doc's grams rarest-first under the global
+    // (df, s) order and index only the first n − ⌈θ·n⌉ + 1. A J ≥ θ
+    // pair shares ≥ ⌈θ·n⌉ grams with either side, so it MUST share
+    // one inside both prefixes — recall 1.0 by the prefix theorem,
+    // not tuning — while the candidate self-join touches O(prefix·df)
+    // rows instead of O(n·df). Float-θ safety: plen uses
+    // ceil(θ·n − 1e−9), which can only UNDERSHOOT the exact ceil, so
+    // the emitted prefix is never shorter than the exact-arithmetic
+    // one (extra length only adds candidates). Every shared gram has
+    // df ≥ 2 by construction (both docs hold it), so the df ≥ 2
+    // emission filter drops only pair-less grams; df > maxShingleDF
+    // remains the documented hot-gram recall trade (a pair is missed
+    // only if EVERY prefix-shared gram is hotter than the cap).
+    val pref = inv.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sg"),
+        count(lit(1)).cast("int").as("n"))
+      .withColumn("plen",
+        col("n") - ceil(col("n") * lit(threshold) - lit(1e-9)).cast("int") + 1)
+      .select(col("doc_id"), col("n"),
+        explode(expr("slice(sg, 1, plen)")).as("pg"))
+      .filter(col("pg.df") >= 2 && col("pg.df") <= maxShingleDF)
+      .select(col("doc_id"), col("n"), col("pg.s").as("s"))
+    // AllPairs length filter, lossless with slack on the float side:
+    // J ≥ θ ⇒ θ·max(|A|,|B|) ≤ min(|A|,|B|); the 1e−9 loosening can
+    // only keep extra candidates for the exact verify to reject.
+    val cands = pref.as("x").join(pref.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") * lit(threshold) <= col("y.n") + lit(1e-9) &&
+          col("y.n") * lit(threshold) <= col("x.n") + lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cands, sh, threshold)
