@@ -1195,6 +1195,10 @@ object Embeddings {
                         escapeCap: Int = Int.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     val root = liveIndexRoot(spark, dir)
+    // The serving cap is enforced inside the read path's collect
+    // ([[ServingLimits.requireCollectedBatch]] in [[ivfSearch]]) —
+    // zero extra jobs; the transient driver exposure equals what the
+    // query broadcast has always pulled.
     val qn = withNorm(queries.select(
       col(queries.columns.head).cast("long").as("vec_id"),
       col(queries.columns(1)).as("embedding")))
@@ -1271,6 +1275,8 @@ object Embeddings {
     // consumer (guide §1.2: the query side is driver-sized; don't run
     // jobs to rediscover it).
     val qRows: Array[org.apache.spark.sql.Row] = qPlan.collect()
+    ServingLimits.requireCollectedBatch(spark, "Embeddings.ivfSearch",
+      qRows.iterator.map(_.getLong(0)).toSet.size)
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val probed: Array[Int] =
@@ -1450,6 +1456,8 @@ object Embeddings {
     // from the collected rows removes the distinct-cells job and the
     // query-subtree re-evaluation under the broadcast build.
     val qRows: Array[org.apache.spark.sql.Row] = qPlan.collect()
+    ServingLimits.requireCollectedBatch(spark, "Embeddings.ivfPqSearch",
+      qRows.iterator.map(_.getLong(0)).toSet.size)
     val q = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qPlan.schema)
     val probed: Array[Int] =

@@ -55,6 +55,33 @@ object ServingLimits {
     batch
   }
 
+  /** The session's serving cap (validated ≥ 1). */
+  def maxBatch(spark: org.apache.spark.sql.SparkSession): Int = {
+    val cap = spark.conf.get(MaxBatchKey, MaxBatchDefault.toString).toInt
+    require(cap >= 1, s"$MaxBatchKey must be >= 1, got $cap")
+    cap
+  }
+
+  /** Zero-extra-job cap enforcement for paths that collect their query
+    * rows themselves (the IVF read paths — the same bytes their
+    * broadcast relation has always pulled to the driver, so the
+    * transient exposure is unchanged): fails loud AFTER the collect
+    * when the row count exceeds cap × perQuery replicas, instead of
+    * proceeding into a bulk workload on a serving path. A pre-collect
+    * count (requireMicroBatch) would cost one extra job per serving
+    * call on non-local query frames, and a limit(cap+1)-bounded
+    * collect executes as incremental executeTake (several partial
+    * jobs) — both defeat the collect-once design this check guards. */
+  def requireCollectedBatch(spark: org.apache.spark.sql.SparkSession,
+                            op: String, nQueries: Int): Unit = {
+    val cap = maxBatch(spark)
+    require(nQueries <= cap,
+      s"[BATCH_OVER_CAP] $op: the collected batch holds $nQueries " +
+        s"queries (cap $cap) — batch serving is micro-batch-sized by " +
+        s"contract; raise $MaxBatchKey only if the driver heap is sized " +
+        "for it, or run the distributed operators directly for bulk joins")
+  }
+
   /** Collect a serving batch under the cap in ONE job: `limit(cap+1)`
     * then collect, failing loud over the cap. This is the preferred
     * enforcement for paths that collect the batch anyway — the cap

@@ -1237,6 +1237,19 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
           (1L to 5L).map(i => (i, Seq("spark"))).toDF("query_id", "terms"), 5)
       }
       assert(eScala.getMessage.contains("BATCH_OVER_CAP"), eScala.getMessage)
+      // ...and the IVF batch entry (r18: the read path collects the
+      // query rows once, so the cap must hold BEFORE that collect)
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("graft_cap_ivf").toString
+      graft.pipeline.Embeddings.writeIvfIndex(
+        emb.select("vec_id", "embedding").limit(50), ivfDir, nlist = 4)
+      val eIvf = intercept[Exception] {
+        graft.pipeline.Embeddings.ivfTopKIndexedFor(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          ivfDir, 3)
+      }
+      assert(eIvf.getMessage.contains("BATCH_OVER_CAP"), eIvf.getMessage)
     } finally spark.conf.unset(ServingLimits.MaxBatchKey)
     // at the default cap the same batches serve normally
     assert(spark.sql(s"SELECT * FROM corpus_search(" +
