@@ -103,6 +103,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // The CPU count the committed reference epoch (bench_ref.json and
+    // the control baselines) was measured at. Control ratios from a
+    // run at a DIFFERENT core count compare apples to oranges — the
+    // r18 c8 scaling run read inflated:true purely because the
+    // controls themselves got 4x fewer cores — so such runs carry no
+    // box-health claim (inflated:false, controls omitted).
+    val refCpus = sys.env.getOrElse("SPARK_GRAFT_REF_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val noiseReps = math.max(0, sys.env.getOrElse("SPARK_GRAFT_NOISE_REPS", "2").toInt)
     // default ref: the COMMITTED min-merged per-query reference
@@ -270,10 +277,13 @@ object Bench {
             "commit bench_ref.json, or their retime gates stay inert")
     }
     // Box-health verdict: control ratios vs the committed reference.
-    // Computed on full runs with a reference only; an ONLY-run or a
-    // ref-less run carries no health claim (empty controls object).
+    // Computed on full runs with a reference only; an ONLY-run, a
+    // ref-less run, or a run at a non-reference core count carries no
+    // health claim (empty controls object) — the reference control
+    // times were measured at refCpus cores, so at any other count the
+    // ratio conflates core count with box sickness.
     val controlRatios: Seq[(String, Double)] =
-      if (refTimes.isEmpty || only.nonEmpty) Seq.empty
+      if (refTimes.isEmpty || only.nonEmpty || cpus != refCpus) Seq.empty
       else results.collect {
         case (k, v, true) if ControlQueries.contains(k) && refTimes.contains(k) =>
           k -> v / refTimes(k)
@@ -287,18 +297,39 @@ object Bench {
         f"${controlsMedian.get}%.2fx ref (${controlRatios.map { case (k, r) =>
           f"$k=$r%.2f" }.mkString(", ")}); re-run in a quieter window " +
         "before this stands as a round number or merges into bench_ref")
+    if (refTimes.nonEmpty && only.isEmpty && cpus != refCpus)
+      System.err.println(s"[bench] NOTE: run at $cpus cores != reference epoch " +
+        s"$refCpus — control ratios would conflate core count with box " +
+        "health, so this run carries no inflated/controls claim")
     val controlsJson = controlRatios.map { case (k, r) => "\"" + k + "\":" + num(r) }
       .mkString("{", ",", "}")
     val healthJson = s""""controls":$controlsJson,""" +
       controlsMedian.map(m => s""""controls_median":${num(m)},""").getOrElse("") +
       s""""inflated":$inflated,"""
+    // cpus is an env string; emit numeric JSON only when it is one
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else jstr(cpus)
     val line = s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      healthJson +
+      healthJson + s""""cpus":$cpusJson,""" +
       s""""queries":$qs,"sf":${jstr(sfDir)},"errors":$errors,"retimed":$retimedJson}"""
     println(line)
     val absOut = java.nio.file.Paths.get(outPath).toAbsolutePath
     try java.nio.file.Files.writeString(absOut, line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
+    // Per-run IMMUTABLE copy, keyed by core count: the driver benches
+    // the same tree at two CPU counts, and before r19 the later (low-
+    // core) run overwrote the main run's per-query map in the single
+    // mutable out file — the driver's per-query and scaling
+    // comparisons ran empty for two rounds. The final summary line
+    // points here, so each run's map survives the other.
+    val immutableOut = {
+      val s = absOut.toString
+      val dot = s.lastIndexOf('.')
+      val p = if (dot > s.lastIndexOf('/')) s.substring(0, dot) + s"_c$cpus" + s.substring(dot)
+              else s + s"_c$cpus"
+      java.nio.file.Paths.get(p)
+    }
+    try java.nio.file.Files.writeString(immutableOut, line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] write $immutableOut: ${e.getMessage}") }
     // The LAST stdout line is a SHORT self-contained summary: a
     // log-tail capture that truncates the full per-query line from the
     // front still ends with one complete parseable JSON object (with a
@@ -306,8 +337,8 @@ object Bench {
     // in the file stays authoritative.
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""n_queries":${results.count(_._3)},"inflated":$inflated,""" +
-      s""""sf":${jstr(sfDir)},"errors":$errors,""" +
-      s""""queries_file":${jstr(absOut.toString)}}""")
+      s""""cpus":$cpusJson,"sf":${jstr(sfDir)},"errors":$errors,""" +
+      s""""queries_file":${jstr(immutableOut.toString)}}""")
     spark.stop()
   }
 }
