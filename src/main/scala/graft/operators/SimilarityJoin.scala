@@ -117,6 +117,23 @@ object SimilarityJoin {
       prefixDfCap)
   }
 
+  /** [[selfJoin]] without the final global sort — for ORDER-AGNOSTIC
+    * consumers (the fuzzy-link clustering aggregates the pairs
+    * order-free, and the sort costs a range-partitioner sample job
+    * plus a sort exchange per call, both executed for real because
+    * the clustering checkpoints the pair frame). Every declared pair
+    * QUERY keeps the sorted face. */
+  private[graft] def selfJoinUnsorted(
+      df: DataFrame, idCol: String, strCol: String,
+      thetaNum: Int, thetaDen: Int,
+      broadcastFreq: Option[Boolean] = None,
+      grams: Column => Column = charTrigrams,
+      prefixDfCap: Option[Long] = None): DataFrame = {
+    val g = gramSets(df, idCol, strCol, grams)
+    candidateVerify(g, g, self = true, thetaNum, thetaDen, broadcastFreq,
+      prefixDfCap, sorted = false)
+  }
+
   /** Two-table (R×S) set-similarity join — record linkage proper:
     * every (left, right) pair whose gram-set Jaccard ≥
     * thetaNum/thetaDen. `id_a` comes from `left`, `id_b` from `right`
@@ -164,7 +181,8 @@ object SimilarityJoin {
   private def candidateVerify(ga: DataFrame, gb: DataFrame, self: Boolean,
                               thetaNum: Int, thetaDen: Int,
                               broadcastFreqOpt: Option[Boolean],
-                              prefixDfCap: Option[Long]): DataFrame = {
+                              prefixDfCap: Option[Long],
+                              sorted: Boolean = true): DataFrame = {
     require(thetaNum > 0 && thetaDen > 0 && thetaNum <= thetaDen,
       s"theta $thetaNum/$thetaDen must be in (0, 1]")
     require(prefixDfCap.forall(_ >= 1), s"prefixDfCap $prefixDfCap must be >= 1")
@@ -243,12 +261,12 @@ object SimilarityJoin {
     // (3) exact verify on the full gram sets, integer decision
     val va = ga.select(col("id").as("id_a"), col("gs").as("gs_a"))
     val vb = gb.select(col("id").as("id_b"), col("gs").as("gs_b"))
-    cand.join(va, "id_a").join(vb, "id_b")
+    val verified = cand.join(va, "id_a").join(vb, "id_b")
       .withColumn("n_shared", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn("n_union",
         (size(col("gs_a")) + size(col("gs_b"))).cast("long") - col("n_shared"))
       .filter(col("n_shared") * thetaDen >= col("n_union") * thetaNum)
       .select("id_a", "id_b", "n_shared", "n_union")
-      .orderBy("id_a", "id_b")
+    if (sorted) verified.orderBy("id_a", "id_b") else verified
   }
 }

@@ -130,17 +130,23 @@ object TextDedup {
   /** Verify candidate pairs (doc_a, doc_b) against exact Jaccard of
     * the docs' shingle-hash sets; emit pairs with jaccard >= threshold.
     * Intersections are linear merges over the sorted 8-byte sets. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double,
+                            sorted: Boolean = true): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cands.join(a, "doc_a").join(b, "doc_b")
+    val out = cands.join(a, "doc_a").join(b, "doc_b")
       .withColumn("co",
         NativeExpressions.sorted_intersect_size(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("co") / (size(col("sh_a")) + size(col("sh_b")) - col("co")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    // `sorted = false` is for ORDER-AGNOSTIC consumers (label
+    // propagation): the global sort costs a range-partitioner sample
+    // job plus a sort exchange per call, and a min-groupBy downstream
+    // reads the rows in any order. Every declared pair QUERY keeps the
+    // sorted face (the oracle hash compares ordered rows).
+    if (sorted) out.orderBy("doc_a", "doc_b") else out
   }
 
   /** Exact n-gram Jaccard similarity join: emit (doc_a, doc_b, jaccard)
@@ -156,7 +162,19 @@ object TextDedup {
     * below corpus-dup scale and measured recall 1.0 on the fixtures
     * (max observed DF there is 25). */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
-                        maxShingleDF: Int = 1000): DataFrame = {
+                        maxShingleDF: Int = 1000): DataFrame =
+    ngramJaccardPairsCore(docs, k, threshold, maxShingleDF, sorted = true)
+
+  /** [[ngramJaccardPairs]] without the final global sort — the
+    * clustering consumers ([[nearDupClusters]]) aggregate the pairs
+    * order-free, and the sort costs a sample job + range exchange. */
+  private[graft] def ngramJaccardPairsUnsorted(
+      docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      maxShingleDF: Int = 1000): DataFrame =
+    ngramJaccardPairsCore(docs, k, threshold, maxShingleDF, sorted = false)
+
+  private def ngramJaccardPairsCore(docs: DataFrame, k: Int, threshold: Double,
+                                    maxShingleDF: Int, sorted: Boolean): DataFrame = {
     val sh = withHashes(docs, k)
     val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -194,7 +212,7 @@ object TextDedup {
           col("y.n") * lit(threshold) <= col("x.n") + lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccard(cands, sh, threshold, sorted)
   }
 
   /** Asymmetric CONTAINMENT join: emit (doc_a, doc_b, containment) for
@@ -289,7 +307,9 @@ object TextDedup {
     * checkpoint dir to make the materializations durable at scale. */
   def nearDupClusters(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame =
-    clustersFromPairs(docs, ngramJaccardPairs(docs, k, threshold), maxIters)
+    // unsorted pairs: label propagation is order-agnostic, and the
+    // sorted face's global sort costs a sample job + range exchange
+    clustersFromPairs(docs, ngramJaccardPairsUnsorted(docs, k, threshold), maxIters)
 
   /** Connected components over ANY similarity-pair frame (columns
     * `doc_a`, `doc_b`) — the clustering half of [[nearDupClusters]],
@@ -307,6 +327,62 @@ object TextDedup {
     // shuffle verify work is not); union over the materialized frame
     // reads cached blocks twice instead.
     val pairs = materialize(pairFrame.select("doc_a", "doc_b"), eager = true)
+    // Size-gated driver fast path (guide §1.2 / §3.1): when the edge
+    // list at the decision point is broadcast-small — the near-dup
+    // pair graph is a tiny fraction of any corpus — solving the
+    // components on the driver replaces the whole propagation loop
+    // (~25 scheduler round-trips of sub-50 ms jobs at micro scale:
+    // per-hop join + aggregate + convergence check, each an AQE job
+    // chain) with ONE bounded collect over the already-materialized
+    // blocks, exactly the byte volume a broadcast join of the labels
+    // would ship to the driver anyway. Union-find with smaller-root-
+    // wins unions gives each component's min id as its root — the
+    // same fixpoint the distributed min-label propagation converges
+    // to (OperatorsSpec pins equality on both routes). Over the gate
+    // (or gate 0) the distributed loop below runs unchanged — that is
+    // the 100 TB shape, where the edge list outgrows any driver.
+    val spark = docs.sparkSession
+    val localEdgeCap = math.min(spark.conf
+      .get("spark.graft.clusters.maxLocalEdges", "1000000").toLong,
+      (Int.MaxValue - 1).toLong)
+    // One CAPPED collect decides the route AND fetches the edges: a
+    // limit(cap+1) over the materialized blocks never ships more than
+    // cap+1 rows to the driver, whichever route wins.
+    val headEdges: Array[org.apache.spark.sql.Row] =
+      if (localEdgeCap >= 1) pairs.limit(localEdgeCap.toInt + 1).collect()
+      else Array.empty
+    if (localEdgeCap >= 1 && headEdges.length <= localEdgeCap) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      headEdges.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val labelRows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach { v =>
+        labelRows.add(org.apache.spark.sql.Row(v.longValue(), find(v)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("edge_doc",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labels = spark.createDataFrame(labelRows, schema)
+      return docs.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("edge_doc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }
     // Symmetrize and hash-partition the edge list by `dst` ONCE, behind
     // its own checkpoint: the join key is loop-invariant, and a
     // checkpoint preserves outputPartitioning, so every hop's
@@ -400,7 +476,10 @@ object TextDedup {
                         qualityCol: Option[String] = None,
                         maxIters: Int = 20): DataFrame = {
     val ids = docs.select(col(idCol).as("doc_id"))
-    val pairs = graft.operators.SimilarityJoin.selfJoin(
+    // unsorted pairs: the clustering aggregates them order-free, and
+    // the sorted face's global sort costs a sample job + range
+    // exchange, executed for real behind clustersFromPairs' checkpoint
+    val pairs = graft.operators.SimilarityJoin.selfJoinUnsorted(
         docs.select(col(idCol).as("doc_id"), col(strCol)),
         "doc_id", strCol, thetaNum, thetaDen, broadcastFreq, grams, prefixDfCap)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -922,12 +1001,14 @@ object TextDedup {
     * (two independent resolutions could tear across a concurrent
     * compaction commit). */
   private def pairsFromLiveRows(live: DataFrame, shingles: DataFrame,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                sorted: Boolean = true): DataFrame = {
     val cands = live.as("x").join(live.as("y"),
         col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cands, shingles.select(col("doc_id"), col("sh")), threshold)
+    verifyJaccard(cands, shingles.select(col("doc_id"), col("sh")), threshold,
+      sorted)
   }
 
   def nearDupPairsInBandIndex(spark: org.apache.spark.sql.SparkSession,
@@ -964,7 +1045,9 @@ object TextDedup {
     val sh = spark.read.parquet(liveStore(spark, dir, "shingles"))
     clustersFromPairs(
       live.select(col("doc_id")).distinct(),
-      pairsFromLiveRows(live, sh, threshold), maxIters)
+      // unsorted: label propagation is order-agnostic (see
+      // nearDupClusters); the pair-query face keeps the sort
+      pairsFromLiveRows(live, sh, threshold, sorted = false), maxIters)
   }
 
   /** Near-duplicates of `batch` docs within a PLAIN (doc_id, text)

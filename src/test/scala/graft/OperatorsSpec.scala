@@ -236,11 +236,22 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L), (12L, 11L))
       .toDF("doc_a", "doc_b")
+    // BOTH routes must produce the identical fixpoint: the size-gated
+    // driver union-find fast path (default route at this edge count)
+    // and the distributed label-propagation loop (forced by gating the
+    // fast path off) — the r19 fast path is only admissible because
+    // this pin holds it to the loop it replaces.
     val got = graft.pipeline.TextDedup.clustersFromPairs(docs, pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val want = (1L to 7L).map((_, 1L)) ++ (8L to 10L).map((_, 8L)) ++
       Seq((11L, 11L), (12L, 11L)) ++ (13L to 15L).map(i => (i, i))
-    assert(got == want, s"clusters: $got")
+    assert(got == want, s"clusters (driver fast path): $got")
+    spark.conf.set("spark.graft.clusters.maxLocalEdges", "0")
+    try {
+      val gotDist = graft.pipeline.TextDedup.clustersFromPairs(docs, pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gotDist == want, s"clusters (distributed loop): $gotDist")
+    } finally spark.conf.unset("spark.graft.clusters.maxLocalEdges")
   }
 
   // ---- compiled text kernels ≡ their declarative HOF forms ----

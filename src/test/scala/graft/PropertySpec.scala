@@ -648,14 +648,22 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     } yield (n, edges)
     // plus the worst case for propagation depth: one path graph
     val chain = (40, (0L until 39L).map(i => (i, i + 1)).toList)
-    (samples(graphGen, 12) :+ chain).foreach { case (n, edges) =>
+    (samples(graphGen, 12) :+ chain).zipWithIndex.foreach { case ((n, edges), gi) =>
       val docs = (0L until n.toLong).toDF("doc_id")
       val pairs =
         if (edges.isEmpty) docs.limit(0)
           .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
         else edges.toDF("doc_a", "doc_b")
-      val got = graft.pipeline.TextDedup.clustersFromPairs(docs, pairs, maxIters = 100)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // alternate the two routes (r19): even samples take the driver
+      // union-find fast path, odd samples (and the worst-depth chain,
+      // index 12) force the distributed label-propagation loop — both
+      // must match the independent union-find truth below
+      if (gi % 2 == 1 || gi == 12)
+        spark.conf.set("spark.graft.clusters.maxLocalEdges", "0")
+      val got = try {
+        graft.pipeline.TextDedup.clustersFromPairs(docs, pairs, maxIters = 100)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally spark.conf.unset("spark.graft.clusters.maxLocalEdges")
       // independent truth: union-find with min-id roots
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
