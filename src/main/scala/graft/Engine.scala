@@ -203,7 +203,7 @@ object Engine {
     * eager planning): inputs big enough for the file scanner to split
     * into enough tasks by itself (the 100 TB case) pass through with
     * no extra shuffle. */
-  private val FanOutMaxBytes: Long = 1L << 30
+  private[graft] val FanOutMaxBytes: Long = 1L << 30
 
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -188,10 +188,61 @@ private[graft] object TvfArgs {
   }
 }
 
+/** Size-gated fan-out under text-kernel projections in RAW SQL plans
+  * (guide §2.5): a `shingle_hashes(text, k)` projection straight over
+  * a small single-row-group parquet scan plans as ONE task and
+  * serializes the whole kernel pass on one core — the Scala operators
+  * all route through [[graft.Engine.fanOut]], but a raw-SQL statement
+  * (q_sql_dedup) has no hook for the caller to do the same without
+  * changing the pinned SQL text. This rule inserts the identical
+  * round-robin repartition below the kernel projection, under the
+  * identical byte gate ([[graft.Engine.FanOutMaxBytes]], 1 GiB): scans
+  * the file scanner already splits into enough tasks (the 100 TB case,
+  * where stats read large) pass through untouched, so the exchange
+  * exists only where the map stage would otherwise be single-task.
+  * Results are unchanged — a round-robin exchange reorders rows only,
+  * and every declared SQL query orders its output.
+  *
+  * Scope guard: fires only when the kernel projection sits on a
+  * NARROW chain (project/filter) over a file relation — a child that
+  * already contains its own exchange (repartition from fanOut, join,
+  * aggregate) keeps its planned shape, which also makes the rule a
+  * fixpoint (the inserted Repartition blocks a second insertion). */
+private[sources] object FanOutKernelScans
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private def hasKernel(p: Project): Boolean =
+    p.projectList.exists(_.exists(
+      _.isInstanceOf[NativeExpressions.ShingleHashes]))
+
+  private def narrowScan(plan: LogicalPlan): Boolean = plan match {
+    case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+    case f: Filter => narrowScan(f.child)
+    case p: Project => narrowScan(p.child)
+    case s: SubqueryAlias => narrowScan(s.child)
+    case _ => false // joins/aggregates/repartitions keep their shape
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p: Project
+        if hasKernel(p) && narrowScan(p.child) &&
+          p.child.stats.sizeInBytes < graft.Engine.FanOutMaxBytes =>
+      p.withNewChildren(Seq(Repartition(
+        org.apache.spark.sql.SparkSession.active
+          .sparkContext.defaultParallelism,
+        shuffle = true, p.child)))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // size-gated fan-out for kernel projections in raw SQL (see
+    // FanOutKernelScans) — inert above the byte gate
+    ext.injectOptimizerRule(_ => FanOutKernelScans)
+
     ext.injectTableFunction((
       FunctionIdentifier("read_files"),
       new ExpressionInfo(ReadFilesTVF.getClass.getName, "read_files"),

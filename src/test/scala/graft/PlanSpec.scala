@@ -168,6 +168,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("raw-SQL shingle kernel pass fans out under the byte gate; " +
+      "fanned frames are not re-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.Repartition
+    Engine.registerViews(spark, sfDir)
+    // the q_sql_dedup shape: kernel projection straight over the scan —
+    // FanOutKernelScans must insert ONE round-robin repartition below
+    // it (the fixture is far under the 1 GiB gate), parallelizing the
+    // single-row-group kernel pass without touching the SQL text
+    val raw = spark.sql("SELECT doc_id, shingle_hashes(text, 3) AS s FROM documents")
+    val rawReps = raw.queryExecution.optimizedPlan.collect {
+      case r: Repartition => r }
+    assert(rawReps.size == 1, raw.queryExecution.optimizedPlan.toString)
+    // a frame that already fans out (withHashes -> Engine.fanOut) must
+    // keep exactly its own repartition: the rule's narrow-scan guard
+    // stops a second exchange (also what makes the rule a fixpoint)
+    val fanned = pipeline.TextDedup.withHashes(
+      Engine.table(spark, sfDir, "documents"), 3)
+    val fannedReps = fanned.queryExecution.optimizedPlan.collect {
+      case r: Repartition => r }
+    assert(fannedReps.size == 1,
+      fanned.queryExecution.optimizedPlan.toString)
+  }
+
   test("ann_topk broadcasts the query side, never shuffles the corpus") {
     withoutAqe {
       val p = planOf(q("ann_topk"))
