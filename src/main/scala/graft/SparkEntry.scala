@@ -1012,7 +1012,12 @@ object SparkEntry {
     }),
 
     "q_cube" -> ((s, d) =>
-      T(s, d, "lineitem")
+      // fanOut (size-gated, no-op ≥1 GiB): cube's Expand multiplies
+      // every input row by the grouping-set count BEFORE the partial
+      // aggregate, so the map stage is the query's whole cost and a
+      // single-file input otherwise runs it on the file's row-group
+      // count (3 tasks here; guide §2.5)
+      Engine.fanOut(T(s, d, "lineitem"))
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),

@@ -138,6 +138,14 @@ object Retrieval {
       expr(s"(${w}L * ${RrfScale}L) div ($k0 + rank)").as("c")) }
     val w = Window.partitionBy("query_id")
       .orderBy(col("rrf_score").desc, col(idCol))
+    // NOTE (r19, measured): do NOT pre-repartition the unioned
+    // contributions by query_id to fuse the aggregate's and window's
+    // exchanges into one. The plan does lose an Exchange, but the A/B
+    // (fresh JVM, 5 hybrid queries, REPS=3) read +1.35 s WORSE
+    // (8.91 → 10.26 s): the explicit RepartitionByExpression shuffles
+    // RAW contribution rows with no map-side partial aggregation and
+    // pins a shape AQE would otherwise coalesce — same lesson as the
+    // r18 accessor fan-out revert.
     contribs.reduce(_ union _)
       .groupBy("query_id", idCol)
       .agg(sum(col("c")).as("rrf_score"), count(lit(1)).as("n_legs"))
