@@ -1154,7 +1154,17 @@ object Embeddings {
     * (≤ nlist ints, collected driver-side so it can become a LITERAL
     * partition predicate — pruning needs literals) turns into
     * `cell IN (...)`, and the corpus scan touches only those
-    * partitions. PlanSpec pins the PartitionFilters. */
+    * partitions. PlanSpec pins the PartitionFilters.
+    *
+    * SERVING-CAP BOUND (r18): this audit/dedup face routes through the
+    * same collect-once preamble as the serving entry points, so the
+    * query side (ids < `queryMaxId`) is HARD-bounded by
+    * `spark.graft.serving.maxBatchQueries` (default 10000 distinct
+    * ids) and the probe collect runs EAGERLY at construction time. A
+    * bulk self-audit beyond the cap fails loud with BATCH_OVER_CAP —
+    * raise the knob for a heap sized to hold queries × nprobe probe
+    * rows, or run the corpus-side operators ([[ivfTopK]]) for a true
+    * bulk join. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queryMaxId: Long, k: Int, nprobe: Int = 10,
                      adaptive: Boolean = false): DataFrame = {
@@ -1409,7 +1419,12 @@ object Embeddings {
     * probed-cell top-k completely on the fixtures, so the output
     * EQUALS [[ivfTopKIndexed]] row-for-row — the ann_ivfpq_exact gate
     * pins that equality in-engine, and the contract oracle pins the
-    * k-ranked-rows shape. */
+    * k-ranked-rows shape.
+    *
+    * SERVING-CAP BOUND (r18): same hard `queryMaxId` bound and eager
+    * construction-time probe collect as [[ivfTopKIndexed]] — see its
+    * note; bulk audits beyond the cap must raise
+    * `spark.graft.serving.maxBatchQueries` or go corpus-side. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queryMaxId: Long, k: Int, nprobe: Int = 10,
                        shortlist: Int = 50): DataFrame = {

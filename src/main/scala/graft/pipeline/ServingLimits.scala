@@ -11,9 +11,16 @@ import org.apache.spark.sql.DataFrame
   * must match the single-query path exactly. That contract used to be
   * documentation only; a user pointing `queries=>` at a 100 M-row
   * parquet got a driver OOM instead of the family's signature loud
-  * failure. This guard makes the bound real: every batch input passes
-  * through [[requireMicroBatch]] BEFORE any driver collect, failing
-  * loud over the configurable cap.
+  * failure. This guard makes the bound real through THREE enforcement
+  * faces, each chosen so the check never adds a job to a serving
+  * call: [[requireMicroBatch]] (pre-collect, bounded count — the TVF
+  * entry points, where the frame may be an arbitrary parquet),
+  * [[collectMicroBatch]] (the cap rides the collect itself), and
+  * [[requireCollectedBatch]] (post-collect, zero-job — the IVF
+  * collect-once paths, whose collect pulls exactly the bytes their
+  * broadcast relation always shipped to the driver; an oversized
+  * frame there fails loud immediately after materializing once, the
+  * same transient exposure the broadcast had).
   *
   * The check itself is bounded — `limit(cap + 1).count()` plans a
   * local-limit scan that reads at most cap+1 rows per the first
@@ -71,7 +78,14 @@ object ServingLimits {
     * count (requireMicroBatch) would cost one extra job per serving
     * call on non-local query frames, and a limit(cap+1)-bounded
     * collect executes as incremental executeTake (several partial
-    * jobs) — both defeat the collect-once design this check guards. */
+    * jobs) — both defeat the collect-once design this check guards.
+    *
+    * CALLER CONTRACT: `nQueries` must be the DISTINCT QUERY-ID count
+    * of the collected batch — never the raw collected row count,
+    * which on the IVF paths is queries × nprobe exploded cell rows
+    * and would enforce a cap nprobe× tighter than
+    * [[requireMicroBatch]]'s row-count semantic. Every call site
+    * derives it as `rows.iterator.map(<id column>).toSet.size`. */
   def requireCollectedBatch(spark: org.apache.spark.sql.SparkSession,
                             op: String, nQueries: Int): Unit = {
     val cap = maxBatch(spark)

@@ -51,7 +51,11 @@ object TextDedup {
     * elimination in interpreted higher-order lambdas) and measured ~10×
     * slower on the similarity-join family. Identical output values
     * (same lower/trim/split, same order). Empty for docs with < k
-    * tokens. */
+    * tokens. NULL text is NULL-out (the kernels follow the standard
+    * unary-expression null contract; the pre-r18 HOF form returned an
+    * empty array) — every engine path filters `size(...) > 0`, which
+    * drops null and empty alike, so only direct callers observe the
+    * difference (pinned in OperatorsSpec). */
   def shingles(text: Column, k: Int = 3): Column =
     NativeExpressions.shingle_strings(text, k)
 

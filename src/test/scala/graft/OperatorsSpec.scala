@@ -294,6 +294,33 @@ class OperatorsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("shingle kernels are null-in/null-out; engine paths drop NULL text like empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // r18 kernel semantics pinned (ADVICE r18): the pre-kernel HOF
+    // form returned array() for NULL text, the compiled kernels follow
+    // the standard unary null contract (NULL-out). Every ENGINE path
+    // filters size(...) > 0, which drops null and empty alike, so the
+    // difference is observable only to direct callers — this pin
+    // documents it instead of leaving it fixture-untested.
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, ""), (2L, "a b c d"))
+      .toDF("doc_id", "text")
+    val rows = df.select(
+        graft.pipeline.TextDedup.shingles(col("text"), 3).as("sg"),
+        graft.pipeline.TextDedup.shingleHashes(col("text"), 3).as("sh"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1),
+      s"NULL text must be null-out: ${rows(0)}")
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getSeq[Long](1).isEmpty,
+      s"sub-k text must be empty, not null: ${rows(1)}")
+    assert(rows(2).getSeq[String](0).nonEmpty && rows(2).getSeq[Long](1).nonEmpty)
+    // engine behavior unchanged by null-out: the withHashes gate drops
+    // the NULL row exactly as it drops the shingle-less empty row
+    val kept = graft.pipeline.TextDedup.withHashes(df, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L), s"withHashes must keep only the shingled doc: $kept")
+  }
+
   test("LangScores kernel equals the declarative per-language filter scores and argmax") {
     import org.apache.spark.sql.functions._
     val langs = Seq(
