@@ -152,8 +152,18 @@ object TextAnalysis {
     val tfCols = queryTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
     }
-    val agg0 = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("len"), tfCols: _*)
+    // Materialize the tokenize+aggregate ONCE (lazy — no job until the
+    // query's own action): agg0 feeds THREE branches (per-doc tf, the
+    // term dfs, and the global (N, avgdl) stats) whose column-pruned
+    // exchanges differ, so AQE exchange reuse does NOT dedupe them and
+    // each branch re-ran the whole tokenize pass (r19 QueryProfile:
+    // three ~4.4-7.9 s-taskTime 32-task jobs per bm25 corpus call).
+    // The materialized frame is one row per doc (len + per-term tfs)
+    // — the bounded intermediate that makes the scaladoc's "ONE
+    // corpus pass" literally true. CBO-stats loss is harmless here:
+    // every downstream join is explicitly broadcast-hinted.
+    val agg0 = TextDedup.materialize(toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("len"), tfCols: _*), eager = false)
     val tf = agg0.select(col("doc_id"), col("len"),
         explode(array(queryTerms.zipWithIndex.map { case (t, i) =>
           struct(lit(t).as("term"), col(s"tf_$i").as("tf"))
